@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Per-record text operators (SURVEY §2.2), expressed as built-in SQL
+  * functions so Catalyst codegens them — no UDFs on these paths.
+  */
+object TextFns {
+
+  /** P2 `clean_text` (reference `pre_process_docs.py:16-20`):
+    * `&quot;` → `"`, then drop every char outside `[:a-zA-Z0-9\s"'-]`.
+    */
+  def cleanText(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, "&quot;", "\""),
+      "[^:a-zA-Z0-9\\s\"'-]", "")
+
+  /** P3 `remove_tags` (reference `pre_process_docs.py:54-56`, BeautifulSoup
+    * text extraction): strip markup tags, then unescape the common HTML
+    * entities that show up in news feeds.
+    */
+  def removeTags(c: Column): Column = {
+    val noTags = regexp_replace(c, "<[^>]*>", "")
+    val amp = regexp_replace(noTags, "&amp;", "&")
+    val lt = regexp_replace(amp, "&lt;", "<")
+    val gt = regexp_replace(lt, "&gt;", ">")
+    val quot = regexp_replace(gt, "&quot;", "\"")
+    regexp_replace(quot, "&#39;|&apos;", "'")
+  }
+
+  /** P6 concat-for-embedding (reference `embed_docs.py:30-42`): join the
+    * string fields with newlines.
+    */
+  def concatForEmbedding(cols: Column*): Column = concat_ws("\n", cols: _*)
+
+  /** P5 relevance-threshold entity extraction (reference
+    * `pre_process_docs.py:23-79`): from `array<struct{name, relevance}>`
+    * keep names with `relevance >= t`, render `"Prefix: a, b"`.
+    */
+  def extractEntities(c: Column, nameField: String, threshold: Double, prefix: String): Column =
+    concat(
+      lit(prefix + ": "),
+      array_join(transform(filter(c, x => x.getField("relevance") >= threshold),
+        x => x.getField(nameField)), ", "))
+
+  // ---------------------------------------------------------------------
+  // Text analysis for training-data pipelines (beyond the reference).
+  // All SQL-expressible so the DuckDB oracle can replay them.
+  // ---------------------------------------------------------------------
+
+  /** Whitespace token count. */
+  def tokenCountWs(c: Column): Column =
+    size(split(trim(c), "\\s+"))
+
+  /** BPE-ish subword-regex token count: words are split into runs of
+    * letters / digits / single punctuation, approximating a byte-pair
+    * tokenizer's pre-tokenization pass.
+    */
+  def tokenCountRegex(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Document fingerprint: md5 of the casefolded, whitespace-collapsed
+    * text. Identical in Spark and DuckDB, so exact-dup detection is
+    * oracle-checkable.
+    */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  /** 64-bit rolling fingerprint (xxhash64 of the normalized text) — the
+    * scale path: 8 bytes/doc instead of a 32-char string.
+    */
+  def fingerprint64(c: Column): Column =
+    xxhash64(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  private val stopwordsEn = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "this")
+
+  /** Stopword ratio against a fixed English stopword list (quality
+    * signal; also the base feature of the language-ID heuristic).
+    */
+  def stopwordRatio(c: Column): Column = {
+    val toks = split(lower(trim(c)), "\\s+")
+    val stops = filter(toks, t => t.isin(stopwordsEn: _*))
+    when(size(toks) > 0, size(stops).cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Quality score in [0,1]: blend of length, alpha ratio, and stopword
+    * ratio — the standard cheap pre-filter of LLM data pipelines.
+    */
+  def qualityScore(c: Column): Column = {
+    val len = length(c).cast("double")
+    val lenScore = least(len / lit(500.0), lit(1.0))
+    val alpha = length(regexp_replace(c, "[^A-Za-z ]", "")).cast("double")
+    val alphaRatio = when(len > 0, alpha / len).otherwise(lit(0.0))
+    val stopScore = least(stopwordRatio(c) * lit(4.0), lit(1.0))
+    round(lenScore * lit(0.4) + alphaRatio * lit(0.4) + stopScore * lit(0.2), 6)
+  }
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "with"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "que"),
+    "es" -> Seq("el", "los", "las", "es", "una", "por", "como"))
+
+  /** Language-ID heuristic: count stopword hits per candidate language,
+    * pick the argmax (ties broken by the fixed language order above),
+    * "und" (undetermined) when nothing matches.
+    */
+  def langId(c: Column): Column = {
+    val toks = split(lower(trim(c)), "\\s+")
+    val scores = langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers: _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Character n-gram shingles of the normalized text (dedup feature). */
+  def charShingles(c: Column, n: Int): Column = {
+    val norm = regexp_replace(lower(trim(c)), "\\s+", " ")
+    val idx = sequence(lit(1), greatest(length(norm) - lit(n - 1), lit(1)))
+    array_distinct(transform(idx, i => norm.substr(i, lit(n))))
+  }
+
+  /** Word n-gram shingles. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = split(regexp_replace(lower(trim(c)), "\\s+", " "), " ")
+    val idx = sequence(lit(0), greatest(size(toks) - lit(n), lit(0)))
+    array_distinct(transform(idx, i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+}
