@@ -1,0 +1,155 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Incremental ε-clustering over a decaying centroid pool — the heart of
+  * the engine (SURVEY ST2; reference `process_records.py:283-445` +
+  * `clustering.py:53-118`).
+  *
+  * Semantics per micro-batch (DBSCAN eps, min_samples=2 degenerates to
+  * single-linkage components of the ε-graph):
+  *   1. every new article enters the pool as a singleton entry;
+  *   2. ε-edges are computed between NEW entries and the whole pool
+  *      (the reference's incremental distance block,
+  *      `process_records.py:344-354` — old×old pairs were already ≤ε
+  *      merged in earlier batches, so only new-touching edges exist);
+  *   3. connected components over those edges form merge groups;
+  *   4. each group collapses to one pool entry: the member with the
+  *      smallest pool position keeps the cluster id
+  *      (`process_records.py:371-384`), article-id lists concatenate in
+  *      pool order, the centroid is the UNWEIGHTED mean of the member
+  *      pool vectors (`process_records.py:396-400` — a quirk preserved:
+  *      not weighted by article count).
+  *
+  * Cluster ids are deterministic (UUIDv3 of the first article id) so
+  * golden tests are stable — the reference uses uuid4
+  * (`process_records.py:330`), flagged non-deterministic in SURVEY §7.3.
+  */
+object Clustering {
+
+  val DefaultEps = 0.10
+
+  case class Config(
+      eps: Double = DefaultEps,
+      useLsh: Boolean = false,
+      lshTables: Int = 4)
+
+  /** Deterministic stand-in for the reference's `uuid4()` cluster ids. */
+  def clusterIdFor(articleId: String): String =
+    UUID.nameUUIDFromBytes(("graft-cluster:" + articleId)
+      .getBytes(StandardCharsets.UTF_8)).toString
+
+  private val clusterIdUdf = udf(clusterIdFor _)
+
+  /** Result of one micro-batch step.
+    *
+    * @param pool        next pool state (Schemas.pool columns)
+    * @param assignments one row per new article:
+    *                    (article_id, cluster_id, is_cluster, cluster_size,
+    *                    batch_new) — cluster-level values post-merge;
+    *                    batch_new = #new articles that joined that cluster
+    *                    this batch (the A4 counter input)
+    */
+  case class StepResult(pool: DataFrame, assignments: DataFrame)
+
+  /** One micro-batch of incremental clustering.
+    *
+    * @param pool  current state (Schemas.pool); empty DataFrame on boot
+    * @param batch new articles: (id: string, concat_embedding: array<float>),
+    *              already deduped (P9)
+    */
+  def step(pool: DataFrame, batch: DataFrame, cfg: Config = Config()): StepResult = {
+    val spark = pool.sparkSession
+
+    val maxSeq: Long = pool.agg(coalesce(max(col("seq")), lit(0L))).head().getLong(0)
+
+    // New singleton entries. row_number over a single global window is a
+    // 1-partition shuffle of the BATCH only (micro-batches are bounded —
+    // 500 in the reference); the pool never passes through it.
+    val newEntries = batch
+      .select(col("id"), col("concat_embedding"))
+      .withColumn("__rn", row_number().over(Window.orderBy(col("id"))))
+      .select(
+        (col("__rn").cast("long") + lit(maxSeq)).as("seq"),
+        clusterIdUdf(col("id")).as("cluster_id"),
+        array(col("id")).as("article_ids"),
+        lit(false).as("is_cluster"),
+        col("concat_embedding").as("centroid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    newEntries.count() // materialize so the window shuffle happens once
+
+    val pool2 = pool.unionByName(newEntries)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // ε-edges: new × (pool ∪ new). The batch side is broadcast — the big
+    // pool side streams through with no shuffle.
+    val poolVecs = pool2.select(col("seq"), col("centroid"))
+    val newVecs = newEntries.select(col("seq"), col("centroid"))
+    val edges =
+      if (cfg.useLsh)
+        SimilarityJoin.lshSelf(poolVecs, "seq", "centroid", cfg.eps, cfg.lshTables)
+          .join(broadcast(newVecs.select(col("seq"))), // keep only new-touching pairs
+            col("a") === col("seq") || col("b") === col("seq"), "left_semi")
+      else
+        SimilarityJoin.exact(newVecs, poolVecs, "seq", "centroid", cfg.eps,
+          broadcastLeft = true)
+
+    val comp = ConnectedComponents.run(
+      pool2.select(col("seq").as("node")),
+      edges.select(col("a").as("src"), col("b").as("dst")))
+
+    val labeled = pool2.join(comp, pool2("seq") === comp("node")).drop("node")
+
+    val mergedPool = labeled
+      .groupBy(col("component"))
+      .agg(
+        min(col("seq")).as("seq"),
+        min_by(col("cluster_id"), col("seq")).as("cluster_id"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("seq").as("s"), col("article_ids").as("ids")))),
+          x => x.getField("ids"))).as("article_ids"),
+        graft.functions.VectorMean(col("centroid")).as("centroid"))
+      .withColumn("is_cluster", size(col("article_ids")) > 1)
+      .select("seq", "cluster_id", "article_ids", "is_cluster", "centroid")
+      .localCheckpoint(true) // truncate lineage across micro-batches
+
+    // per-new-article assignment to its post-merge cluster
+    val newArticles = newEntries.select(
+      explode(col("article_ids")).as("article_id"), col("seq"))
+    val newComp = newArticles.join(comp, newArticles("seq") === comp("node"))
+      .select(col("article_id"), col("component"))
+    val clusterInfo = mergedPool
+      .join(labeled.groupBy(col("component")).agg(min(col("seq")).as("seq")), "seq")
+      .select(
+        col("component"),
+        col("cluster_id"),
+        col("is_cluster"),
+        size(col("article_ids")).as("cluster_size"))
+    val assignments = newComp
+      .join(clusterInfo, "component")
+      .groupBy(col("cluster_id"), col("is_cluster"), col("cluster_size"))
+      .agg(collect_list(col("article_id")).as("ids"))
+      .select(
+        explode(col("ids")).as("article_id"),
+        col("cluster_id"), col("is_cluster"), col("cluster_size"),
+        size(col("ids")).as("batch_new"))
+      .localCheckpoint(true)
+
+    newEntries.unpersist()
+    pool2.unpersist()
+    StepResult(mergedPool, assignments)
+  }
+
+  /** Pool statistics (A5; reference `process_records.py:313-319,427-434`). */
+  def poolStats(pool: DataFrame): DataFrame =
+    pool.agg(
+      sum(when(col("is_cluster"), 1).otherwise(0)).as("n_clusters"),
+      sum(when(!col("is_cluster"), 1).otherwise(0)).as("n_singletons"),
+      sum(size(col("article_ids"))).as("total_articles"))
+}

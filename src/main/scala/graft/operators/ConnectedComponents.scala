@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over an undirected edge set, as iterative
+  * min-label propagation on DataFrames.
+  *
+  * This is the DBSCAN(min_samples=2) core of the clusterer (SURVEY ST2):
+  * with min_samples=2 a point is core iff it has ≥1 ε-neighbor, so the
+  * cluster partition is exactly the connected components of the ε-graph
+  * (reference behavior of `DBSCAN(eps=0.10, min_samples=2,
+  * metric="precomputed")`, `process_records.py:308,358`).
+  *
+  * Algorithm: every node starts labeled with its own id; each round a
+  * node takes the min label among itself and its neighbors; stop when no
+  * label changes. Rounds = graph diameter — ε-cluster graphs are
+  * near-cliques (diameter ≤ a few hops), so this converges in 2-4 rounds.
+  * Each round is one shuffle on `node`; intermediate results are
+  * localCheckpoint'ed to truncate lineage (plan growth, not data growth,
+  * is the failure mode of DataFrame loops at scale).
+  */
+object ConnectedComponents {
+
+  /** @param nodes single-column DataFrame `node: long`
+    * @param edges  two-column DataFrame `src: long, dst: long`
+    *               (undirected; both or one direction accepted)
+    * @return `node: long, component: long` — component = min node id
+    */
+  def run(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = nodes.sparkSession
+
+    // symmetrize once; self-loops are harmless but dropped for volume
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = nodes.select(col("node"), col("node").as("component"))
+      .localCheckpoint(eager = true)
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // candidate label for each node = min over neighbors' labels
+      val viaNeighbors = sym
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min(col("component")).as("nbrMin"))
+
+      val next = labels.join(viaNeighbors, Seq("node"), "left_outer")
+        .select(
+          col("node"),
+          least(col("component"), coalesce(col("nbrMin"), col("component")))
+            .as("component"))
+        .localCheckpoint(eager = true)
+
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "node")
+        .filter(col("component") =!= col("old"))
+        .limit(1).count()
+
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+}
