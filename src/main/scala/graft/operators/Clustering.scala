@@ -93,9 +93,8 @@ object Clustering {
     val newVecs = newEntries.select(col("seq"), col("centroid"))
     val edges =
       if (cfg.useLsh)
-        SimilarityJoin.lshSelf(poolVecs, "seq", "centroid", cfg.eps, cfg.lshTables)
-          .join(broadcast(newVecs.select(col("seq"))), // keep only new-touching pairs
-            col("a") === col("seq") || col("b") === col("seq"), "left_semi")
+        // asymmetric: candidates only for the new batch, never pool²
+        SimilarityJoin.lsh(newVecs, poolVecs, "seq", "centroid", cfg.eps, cfg.lshTables)
       else
         SimilarityJoin.exact(newVecs, poolVecs, "seq", "centroid", cfg.eps,
           broadcastLeft = true)

@@ -26,7 +26,8 @@ object Preprocess {
       .withColumn("title", TextFns.cleanText(col("title")))
       .withColumn("summary", TextFns.cleanText(col("text")))
       .withColumn("text", TextFns.removeTags(col("text")))
-      .withColumn("publication_date", TextFns.removeTags(col("date")))
+      // reference strips whitespace only (`pre_process_docs.py:118`)
+      .withColumn("publication_date", trim(col("date")))
       .drop("date")
   }
 
@@ -59,7 +60,14 @@ object Preprocess {
       HashEmbed.embedColumn(
         TextFns.concatForEmbedding(col("title"), col("summary"), col("text")), dim))
 
-  /** Full stateless stage: preprocess → dedup → guard → embed. */
-  def apply(raw: DataFrame, dim: Int = HashEmbed.DefaultDim): DataFrame =
-    embed(sizeGuard(dedupById(preprocess(raw))), dim)
+  /** Full stateless stage: preprocess → dedup → guard → embed.
+    * Dedup keeps the first occurrence in ARRIVAL order (reference
+    * `process_records.py:69-96`): `monotonically_increasing_id` encodes
+    * (partition, position) and source partitions preserve input order,
+    * so min(__arrival) is the first-seen record.
+    */
+  def apply(raw: DataFrame, dim: Int = HashEmbed.DefaultDim): DataFrame = {
+    val arrival = raw.withColumn("__arrival", monotonically_increasing_id())
+    embed(sizeGuard(dedupById(preprocess(arrival), "__arrival").drop("__arrival")), dim)
+  }
 }

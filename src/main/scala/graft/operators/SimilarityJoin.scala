@@ -21,13 +21,22 @@ import graft.functions.VectorFns
   *    d_euc² = 2·d_cos, so eps_cos=0.10 ⇒ eps_euc=√0.20. Sub-quadratic;
   *    the 100 TB path. Approximate (tunable recall via numHashTables).
   *
-  * Both emit `(a_<keyCol>, b_<keyCol>, dist)` with a < b (dedup'd
-  * unordered pairs).
+  * `exactSelf`/`lshSelf` emit `(a, b, dist)` with a < b (dedup'd
+  * unordered pairs). The asymmetric `exact` emits every qualifying
+  * (left, right) pair with a ≠ b — when left ⊆ right (the clusterer's
+  * new×(pool∪new) call) within-left pairs appear in both directions;
+  * downstream connected-components symmetrizes + dedups anyway, so no
+  * extra shuffle is spent here.
   */
 object SimilarityJoin {
 
   /** Exact pairwise ε-join between two frames keyed by a long id.
     * `df` columns: (key: long, vec: array<float>). Unit-norm inputs.
+    *
+    * NOTE: must NOT filter `a < b` — the clusterer's new entries carry
+    * the HIGHEST seq values, so `a < b` would drop every (new, old-pool)
+    * edge and new articles could never join existing clusters
+    * (reference incremental block `process_records.py:344-354`).
     */
   def exact(left: DataFrame, right: DataFrame, keyCol: String, vecCol: String,
             eps: Double, broadcastLeft: Boolean = false): DataFrame = {
@@ -35,36 +44,53 @@ object SimilarityJoin {
     val r = right.select(col(keyCol).as("b"), col(vecCol).as("vb"))
     val lside = if (broadcastLeft) broadcast(l) else l
     lside.crossJoin(r)
-      .filter(col("a") < col("b"))
+      .filter(col("a") =!= col("b"))
       .withColumn("dist", VectorFns.unitCosineDistance(col("va"), col("vb")))
       .filter(col("dist") <= eps)
       .select(col("a"), col("b"), col("dist"))
   }
 
-  /** Exact self ε-join. */
+  /** Exact self ε-join: unique unordered pairs (a < b). */
   def exactSelf(df: DataFrame, keyCol: String, vecCol: String, eps: Double): DataFrame =
-    exact(df, df, keyCol, vecCol, eps)
+    exact(df, df, keyCol, vecCol, eps).filter(col("a") < col("b"))
 
-  /** LSH-bucketed approximate ε-join (scale path). */
-  def lshSelf(df: DataFrame, keyCol: String, vecCol: String, eps: Double,
-              numHashTables: Int = 4, bucketLength: Double = 1.0): DataFrame = {
-    val withVec = df.select(
+  private def toVec(df: DataFrame, keyCol: String, vecCol: String): DataFrame =
+    df.select(
       col(keyCol).as("k"),
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val lsh = new BucketedRandomProjectionLSH()
+
+  /** Asymmetric LSH-bucketed approximate ε-join — the 100 TB clusterer
+    * path: candidates come only from shared hash buckets, so the work is
+    * O(|new| · bucket occupancy), not O(|new| · |pool|) and never
+    * O(pool²). The model is fit on the (small) left side only — fitting
+    * just computes random projection planes, so which side fits is
+    * statistically irrelevant, but fitting on the batch avoids a pass
+    * over the pool.
+    */
+  def lsh(left: DataFrame, right: DataFrame, keyCol: String, vecCol: String,
+          eps: Double, numHashTables: Int = 4, bucketLength: Double = 1.0): DataFrame = {
+    val l = toVec(left, keyCol, vecCol)
+    val r = toVec(right, keyCol, vecCol)
+    val model = new BucketedRandomProjectionLSH()
       .setBucketLength(bucketLength)
       .setNumHashTables(numHashTables)
       .setInputCol("features")
       .setOutputCol("hashes")
       .setSeed(42L)
-    val model = lsh.fit(withVec)
+      .fit(l)
+    // on unit vectors: d_euc² = 2·d_cos  ⇒  eps_cos=0.10 → eps_euc=√0.20
     val epsEuc = math.sqrt(2.0 * eps)
-    model.approxSimilarityJoin(withVec, withVec, epsEuc, "euclidean")
+    model.approxSimilarityJoin(l, r, epsEuc, "euclidean")
       .select(
         col("datasetA.k").as("a"),
         col("datasetB.k").as("b"),
-        // back to cosine distance: d_cos = d_euc² / 2
         (col("euclidean") * col("euclidean") / 2.0).as("dist"))
-      .filter(col("a") < col("b"))
+      .filter(col("a") =!= col("b"))
   }
+
+  /** LSH-bucketed approximate self ε-join (unique unordered pairs). */
+  def lshSelf(df: DataFrame, keyCol: String, vecCol: String, eps: Double,
+              numHashTables: Int = 4, bucketLength: Double = 1.0): DataFrame =
+    lsh(df, df, keyCol, vecCol, eps, numHashTables, bucketLength)
+      .filter(col("a") < col("b"))
 }

@@ -20,7 +20,7 @@ object Summarize {
     * (n < 3T or summary_count == 0). Strict inequalities preserved.
     */
   def shouldSummarize(n: Column, summaryCount: Column, threshold: Int = 5): Column =
-    (n > threshold * (summaryCount + 1)) &&
+    (n > (summaryCount + 1) * threshold) &&
       (n < 3 * threshold || summaryCount === 0)
 
   /** P11 per-article prompt fragment with the reference's budgets
