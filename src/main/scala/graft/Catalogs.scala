@@ -1,0 +1,426 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.Summarize
+
+/** Oracle-checked query catalogs beyond the baseline four.
+  *
+  * Every query here has a DuckDB-equivalent SQL (same column names, same
+  * rounding, same tie-breaks) so the driver's hash compare is exact.
+  * Floats are rounded on BOTH sides; rankings order by the ROUNDED value
+  * with an id tie-break so rank boundaries can't diverge between engines.
+  */
+object TextQueries {
+
+  private def stopList: String = TextFns.stopwordsEn.map(w => s"'$w'").mkString(", ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token counting (whitespace + BPE-ish subword regex)
+    "t1_token_stats" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFns.tokenCountWs(col("text")).cast("long").as("n_ws"),
+        TextFns.tokenCountRegex(col("text")).cast("long").as("n_sub"))
+        .orderBy(col("doc_id"))),
+
+    // quality scoring (length/alpha/stopword blend)
+    "t2_quality" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFns.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    // language-ID heuristic
+    "t3_lang_id" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFns.langId(col("text")).as("lang_guess"))
+        .orderBy(col("doc_id"))),
+
+    // P3 HTML strip + entity unescape round-trip (documents carry no
+    // markup, so the query injects tags/entities deterministically)
+    "p3_remove_tags" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFns.removeTags(
+          concat(lit("<p>"), col("text"), lit("</p> &amp; <br/>"))).as("stripped"))
+        .orderBy(col("doc_id"))),
+
+    // P6 concat-for-embedding
+    "p6_concat" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFns.concatForEmbedding(col("lang"), col("source"), col("text")).as("joined"))
+        .orderBy(col("doc_id"))),
+
+    // P5 relevance-threshold entity extraction over constructed
+    // array<struct{name, relevance}> input
+    "p5_entities" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFns.extractEntities(
+          array(
+            struct(col("source").as("name"), lit(null).cast("string").as("long_name"),
+              (col("n_chars") / lit(500.0)).as("relevance")),
+            struct(col("lang").as("name"), lit(null).cast("string").as("long_name"),
+              lit(0.9).as("relevance"))),
+          "name", 0.8, "Entities").as("entities"))
+        .orderBy(col("doc_id"))),
+
+    // P12 LLM-output tag extraction with the raw-text fallback branch
+    // exercised on every 7th doc
+    "p12_parse_tags" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val llm = when(col("doc_id") % 7 === 0, substring(col("text"), 1, 50))
+        .otherwise(concat(
+          lit("<title>"), substring(col("text"), 1, 30), lit("</title><summary>"),
+          substring(col("text"), 1, 120), lit("</summary>")))
+      d.select(
+        col("doc_id"),
+        when(llm.rlike("(?s)<title>.*?</title>"),
+          regexp_extract(llm, "(?s)<title>(.*?)</title>", 1))
+          .otherwise(lit("<Title>")).as("description"),
+        when(llm.rlike("(?s)<summary>.*?</summary>"),
+          regexp_extract(llm, "(?s)<summary>(.*?)</summary>", 1))
+          .otherwise(llm).as("generated_summary"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // P13 ISO parse w/ Z-strip + P14 render, round-tripped from events.ts
+    "p13_dates" -> ((s, dir) => {
+      val iso = concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), lit("Z"))
+      Tables.events(s, dir).select(
+        col("event_id"),
+        date_format(to_timestamp(regexp_replace(iso, "Z$", "")),
+          "yyyy-MM-dd HH:mm:ss").as("rendered"))
+        .orderBy(col("event_id"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "t1_token_stats" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_ws,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_sub
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t2_quality" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents)
+         |SELECT doc_id, round(
+         |  least(length(text)/500.0, 1.0)*0.4 +
+         |  (CASE WHEN length(text) > 0
+         |        THEN length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))*1.0/length(text)
+         |        ELSE 0.0 END)*0.4 +
+         |  least((CASE WHEN len(toks) > 0
+         |              THEN len(list_filter(toks, x -> x IN ($stopList)))*1.0/len(toks)
+         |              ELSE 0.0 END)*4.0, 1.0)*0.2, 6) AS quality
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "t3_lang_id" -> {
+      val markers = TextFns.langMarkers.map { case (lang, ws) =>
+        lang -> ws.map(w => s"'$w'").mkString(", ")
+      }
+      val scoreCols = markers.map { case (lang, ws) =>
+        s"  len(list_filter(toks, x -> x IN ($ws))) AS s_$lang"
+      }.mkString(",\n")
+      val langs = markers.map(_._1)
+      val gr = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val cases = langs.map(l =>
+        s"  WHEN s_$l = $gr AND s_$l > 0 THEN '$l'").mkString("\n")
+      s"""WITH t AS (SELECT doc_id,
+         |  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |$scoreCols
+         |FROM t)
+         |SELECT doc_id, CASE
+         |$cases
+         |  ELSE 'und' END AS lang_guess
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+    "p3_remove_tags" ->
+      """SELECT doc_id,
+        |  regexp_replace(replace(replace(replace(replace(
+        |    regexp_replace('<p>' || text || '</p> &amp; <br/>', '<[^>]*>', '', 'g'),
+        |    '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;|&apos;', '''', 'g') AS stripped
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "p6_concat" ->
+      """SELECT doc_id, concat_ws(chr(10), lang, source, text) AS joined
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "p5_entities" ->
+      """SELECT doc_id, 'Entities: ' || array_to_string(list_transform(list_filter(
+        |    [{'name': source, 'relevance': n_chars/500.0},
+        |     {'name': lang, 'relevance': 0.9}],
+        |    x -> x.relevance >= 0.8), x -> x.name), ', ') AS entities
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "p12_parse_tags" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN substr(text, 1, 50)
+        |       ELSE '<title>' || substr(text, 1, 30) || '</title><summary>' ||
+        |            substr(text, 1, 120) || '</summary>' END AS llm
+        |FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN regexp_matches(llm, '(?s)<title>.*?</title>')
+        |       THEN regexp_extract(llm, '(?s)<title>(.*?)</title>', 1)
+        |       ELSE '<Title>' END AS description,
+        |  CASE WHEN regexp_matches(llm, '(?s)<summary>.*?</summary>')
+        |       THEN regexp_extract(llm, '(?s)<summary>(.*?)</summary>', 1)
+        |       ELSE llm END AS generated_summary
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "p13_dates" ->
+      """WITH t AS (SELECT event_id,
+        |  strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z' AS iso FROM events)
+        |SELECT event_id,
+        |  strftime(strptime(regexp_replace(iso, 'Z$', ''), '%Y-%m-%dT%H:%M:%S'),
+        |           '%Y-%m-%d %H:%M:%S') AS rendered
+        |FROM t ORDER BY event_id""".stripMargin)
+}
+
+/** Exact + near-duplicate detection operators (training-data pipeline).
+  * Duplicates are injected deterministically (every 10th doc gets a
+  * mutated copy at doc_id+1000000) so the checks are non-vacuous at
+  * every sf.
+  */
+object DedupQueries {
+
+  private def corpusWithExactDups(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val dups = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit("  ")).as("text"))
+    docs.unionByName(dups)
+  }
+
+  private def corpusWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val dups = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" qq zz near dup pad")).as("text"))
+    docs.unionByName(dups)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: normalized-text fingerprint, keep-first (min id), count
+    "d1_exact_dedup" -> ((s, dir) =>
+      corpusWithExactDups(s, dir)
+        .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+        .orderBy(col("keep_id"))),
+
+    // near-dup detection: word-3-gram Jaccard via inverted shingle index
+    // (explode → equi-join on shingle → count), the shape that scales —
+    // no all-pairs cross join
+    "d2_jaccard_pairs" -> ((s, dir) => {
+      val corpus = corpusWithNearDups(s, dir)
+      val sh = corpus.select(col("doc_id"),
+        explode(TextFns.wordShingles(col("text"), 3)).as("sh"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val pairs = sh.as("x").join(sh.as("y"), col("x.sh") === col("y.sh"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("common"))
+      val jac = pairs
+        .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+        .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+        .withColumn("jaccard",
+          round(col("common") * lit(1.0) / (col("sza") + col("szb") - col("common")), 6))
+        .filter(col("jaccard") >= 0.5)
+      jac.select(col("a"), col("b"), col("jaccard")).orderBy(col("a"), col("b"))
+    }))
+
+  private val exactCorpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, '  ' || upper(text) || '  ' FROM documents
+      |  WHERE doc_id % 10 = 0)""".stripMargin
+
+  private val nearCorpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' qq zz near dup pad' FROM documents
+      |  WHERE doc_id % 10 = 0)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      s"""WITH $exactCorpusSql
+         |SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         |       min(doc_id) AS keep_id, count(*) AS dup_count
+         |FROM corpus GROUP BY fp ORDER BY keep_id""".stripMargin,
+    "d2_jaccard_pairs" ->
+      s"""WITH $nearCorpusSql,
+         |norm AS (SELECT doc_id,
+         |  regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         |  FROM corpus),
+         |idx AS (SELECT doc_id, toks,
+         |  unnest(generate_series(1, greatest(len(toks)-3, 0)+1)) AS i FROM norm),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh FROM idx),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |pr AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+         |       FROM sh x JOIN sh y USING (sh) WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+         |SELECT a, b, round(common*1.0/(sa.sz + sb.sz - common), 6) AS jaccard
+         |FROM pr JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+         |WHERE round(common*1.0/(sa.sz + sb.sz - common), 6) >= 0.5
+         |ORDER BY a, b""".stripMargin)
+}
+
+/** Similarity search + vector aggregation over the embeddings table. */
+object SimilarityQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // brute-force cosine top-k: rank by ROUNDED sim + vec_id tie-break so
+    // the cut is engine-stable
+    "s1_knn" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      broadcast(q).crossJoin(emb)
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("sim", round(VectorFns.dotProduct(col("qv"), col("embedding")), 4))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("qid"), col("vec_id"), col("label"), col("sim"), col("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // exact ε-similarity pairs (J1 core semantics, unit-norm inputs)
+    "j1_eps_pairs" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val a = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
+      val b = emb.select(col("vec_id").as("b"), col("embedding").as("vb"))
+      a.crossJoin(b).filter(col("a") < col("b"))
+        .withColumn("dist",
+          round(VectorFns.unitCosineDistance(col("va"), col("vb")), 4))
+        .filter(col("dist") <= 0.55)
+        .select(col("a"), col("b"), col("dist"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // A3 centroid mean per label (posexplode → per-dimension avg →
+    // reassemble ordered); partial aggregation = map-side combine
+    "a3_centroid" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("idx", "v")))
+        .groupBy(col("label"), col("idx")).agg(avg(col("v")).as("m"))
+        .groupBy(col("label"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("idx"), col("m")))),
+          x => round(x.getField("m"), 6)).as("centroid"))
+        .orderBy(col("label"))))
+
+  val oracleSql: Map[String, String] = Map(
+    "s1_knn" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid, e.vec_id, e.label,
+        |        round(list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[]), 4) AS sim
+        |      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+        |      FROM s)
+        |SELECT qid, vec_id, label, sim, rk FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    "j1_eps_pairs" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+        |  round(least(greatest(1 - list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 0), 1), 4) AS dist
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(least(greatest(1 - list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 0), 1), 4) <= 0.55
+        |ORDER BY a, b""".stripMargin,
+    "a3_centroid" ->
+      """SELECT label, list(round(m, 6) ORDER BY idx) AS centroid FROM (
+        |  SELECT label, idx, avg(v) AS m FROM (
+        |    SELECT label, unnest(embedding) AS v,
+        |           generate_subscripts(embedding, 1) AS idx FROM embeddings) u
+        |  GROUP BY label, idx) g
+        |GROUP BY label ORDER BY label""".stripMargin)
+}
+
+/** Reference aggregation/window semantics (A6/A7/A10, W2, ST5) exercised
+  * over the events table.
+  */
+object EventQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A6 most-common with deterministic tie-break
+    "a6_mode" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("cnt").desc, col("event_type").asc)
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_type").as("top_type"), col("cnt"))
+        .orderBy(col("user_id"))
+    }),
+
+    // A7 earliest/latest rendered
+    "a7_date_range" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("earliest"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("latest"))
+        .orderBy(col("user_id"))),
+
+    // W2 chronological top-3 per user
+    "w2_chrono_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("user_id"), col("rk"), col("event_id"), col("event_type"))
+        .orderBy(col("user_id"), col("rk"))
+    }),
+
+    // A10/W1/W4 top-10 histogram, deterministic tie-break
+    "a10_histogram" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("n_events").desc, col("user_id"))
+        .limit(10)),
+
+    // ST5 trigger predicate truth table (T=18 gives a fired/not mix on
+    // the 49..86 events-per-user distribution)
+    "st5_trigger" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("sc", (col("user_id") % 4).cast("int"))
+        .withColumn("fired", Summarize.shouldSummarize(col("n"), col("sc"), 18))
+        .select(col("user_id"), col("n"), col("sc"), col("fired"))
+        .orderBy(col("user_id"))))
+
+  val oracleSql: Map[String, String] = Map(
+    "a6_mode" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rk FROM c)
+        |SELECT user_id, event_type AS top_type, cnt FROM r WHERE rk = 1
+        |ORDER BY user_id""".stripMargin,
+    "a7_date_range" ->
+      """SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS earliest,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS latest
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "w2_chrono_topk" ->
+      """WITH r AS (SELECT user_id, event_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+        |FROM events)
+        |SELECT user_id, rk, event_id, event_type FROM r WHERE rk <= 3
+        |ORDER BY user_id, rk""".stripMargin,
+    "a10_histogram" ->
+      """SELECT user_id, count(*) AS n_events FROM events
+        |GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin,
+    "st5_trigger" ->
+      """SELECT user_id, count(*) AS n, CAST(user_id % 4 AS INT) AS sc,
+        |  (count(*) > (user_id % 4 + 1) * 18 AND
+        |   (count(*) < 54 OR user_id % 4 = 0)) AS fired
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+}

@@ -32,7 +32,7 @@ object QueryCatalog {
 
   import graft.functions.VectorFns
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -63,7 +63,11 @@ object QueryCatalog {
           TextFns.cleanText(col("text")).as("cleaned"))
         .orderBy(col("doc_id"))))
 
-  val oracleSql: Map[String, String] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ TextQueries.queries ++ DedupQueries.queries ++
+      SimilarityQueries.queries ++ EventQueries.queries
+
+  private val baseOracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,
@@ -85,4 +89,8 @@ object QueryCatalog {
         |  regexp_replace(regexp_replace(text, '&quot;', '"', 'g'),
         |                 '[^:a-zA-Z0-9\s"''-]', '', 'g') AS cleaned
         |FROM documents ORDER BY doc_id""".stripMargin)
+
+  val oracleSql: Map[String, String] =
+    baseOracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++
+      SimilarityQueries.oracleSql ++ EventQueries.oracleSql
 }

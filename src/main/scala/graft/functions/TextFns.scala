@@ -73,7 +73,8 @@ object TextFns {
   def fingerprint64(c: Column): Column =
     xxhash64(regexp_replace(lower(trim(c)), "\\s+", " "))
 
-  private val stopwordsEn = Seq(
+  /** Public so the oracle-SQL generator stays in sync with the Column impl. */
+  val stopwordsEn: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "that", "for", "on", "with", "as", "was", "at", "by", "this")
 
@@ -99,7 +100,7 @@ object TextFns {
     round(lenScore * lit(0.4) + alphaRatio * lit(0.4) + stopScore * lit(0.2), 6)
   }
 
-  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "is", "that", "with"),
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein"),
     "fr" -> Seq("le", "la", "les", "et", "est", "une", "que"),
