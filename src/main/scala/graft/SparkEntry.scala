@@ -14,12 +14,12 @@ import graft.functions.TextFns
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Will become A9 (UI cluster aggregation) over the full news pipeline
-    * once the clustering stage lands; q1_agg for now.
+  /** Flagship: A9 UI cluster aggregation over the full news pipeline
+    * (preprocess → embed → incremental ε-clustering → upsert → trigger →
+    * summarize). Driver smoke-checks rows>0 at sf0.001.
     */
   def entry(spark: SparkSession): DataFrame =
-    QueryCatalog.queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    QueryCatalog.queries("a9_ui_clusters")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueryCatalog.queries
@@ -65,7 +65,7 @@ object QueryCatalog {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     baseQueries ++ TextQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries ++ EventQueries.queries
+      SimilarityQueries.queries ++ EventQueries.queries ++ NewsQueries.queries
 
   private val baseOracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -92,5 +92,5 @@ object QueryCatalog {
 
   val oracleSql: Map[String, String] =
     baseOracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++
-      SimilarityQueries.oracleSql ++ EventQueries.oracleSql
+      SimilarityQueries.oracleSql ++ EventQueries.oracleSql ++ NewsQueries.oracleSql
 }
