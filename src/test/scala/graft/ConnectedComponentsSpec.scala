@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.ConnectedComponents
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.run(
+      nodes.toDF("node"),
+      edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+
+  test("chain collapses to one component labeled by its min node") {
+    val comp = cc(Seq(1L, 2L, 3L, 4L, 5L), Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    assert(comp.values.toSet == Set(1L))
+  }
+
+  test("two cliques and an isolate give three components") {
+    val comp = cc(
+      Seq(1L, 2L, 3L, 10L, 11L, 12L, 99L),
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L)))
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L)
+    assert(comp(10L) == 10L && comp(11L) == 10L && comp(12L) == 10L)
+    assert(comp(99L) == 99L)
+  }
+
+  test("no edges: every node is its own component") {
+    val comp = cc(Seq(7L, 8L, 9L), Seq.empty[(Long, Long)])
+    assert(comp == Map(7L -> 7L, 8L -> 8L, 9L -> 9L))
+  }
+
+  test("directionality does not matter (edges symmetrized)") {
+    val fwd = cc(Seq(1L, 2L), Seq((1L, 2L)))
+    val rev = cc(Seq(1L, 2L), Seq((2L, 1L)))
+    assert(fwd == rev && fwd(2L) == 1L)
+  }
+}

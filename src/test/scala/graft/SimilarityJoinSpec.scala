@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SimilarityJoin
+
+class SimilarityJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // four unit vectors: a≈b (close), c≈d (close), a⊥c
+  private def df4 = Seq(
+    (1L, unit(1, 0, 0, 0)),
+    (2L, unit(1, 0.1, 0, 0)),
+    (3L, unit(0, 0, 1, 0)),
+    (4L, unit(0, 0.1, 1, 0))).toDF("k", "v")
+
+  test("exactSelf returns unique unordered close pairs") {
+    val pairs = SimilarityJoin.exactSelf(df4, "k", "v", eps = 0.05)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("asymmetric exact keeps high-key-left vs low-key-right edges " +
+    "(regression: new pool entries have the highest seq)") {
+    val pool = Seq((1L, unit(1, 0, 0, 0))).toDF("k", "v")
+    val newer = Seq((99L, unit(1, 0.05, 0, 0))).toDF("k", "v")
+    val edges = SimilarityJoin.exact(newer, pool, "k", "v", eps = 0.05)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(edges == Set((99L, 1L))) // a<b filter would have dropped this
+  }
+
+  test("exact respects the eps boundary inclusively") {
+    // dist(u, v) where dot = 0.9 → dist exactly 0.1 (float-rounded)
+    val u = Seq((1L, Array(1f, 0f))).toDF("k", "v")
+    val v = Seq((2L, Array(0.9f, math.sqrt(1 - 0.81).toFloat))).toDF("k", "v")
+    val hits = SimilarityJoin.exact(u, v, "k", "v", eps = 0.1000001).count()
+    assert(hits == 1)
+    val miss = SimilarityJoin.exact(u, v, "k", "v", eps = 0.05).count()
+    assert(miss == 0)
+  }
+
+  test("asymmetric lsh finds the same new-vs-pool edges as exact on separated data") {
+    val pool = Seq(
+      (1L, unit(1, 0, 0, 0)), (2L, unit(1, 0.05, 0, 0)),
+      (3L, unit(0, 0, 1, 0))).toDF("k", "v")
+    val fresh = Seq(
+      (10L, unit(1, 0.02, 0, 0)), (11L, unit(0, 0.02, 1, 0))).toDF("k", "v")
+    val exact = SimilarityJoin.exact(fresh, pool, "k", "v", 0.05)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val lsh = SimilarityJoin.lsh(fresh, pool, "k", "v", 0.05, numHashTables = 8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact)
+  }
+}
