@@ -1,0 +1,126 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.{ClusterTable, Clustering, Preprocess}
+import graft.schemas.Schemas
+
+/** Structured Streaming wrapper around the clustering engine
+  * (SURVEY ST1/ST3; reference micro-batch loop
+  * `process_records.py:556-608`, checkpoint `:497-553`).
+  *
+  * Design: `foreachBatch` + a VERSIONED state store. Spark's native
+  * checkpoint (offset log under `checkpointLocation`) guarantees each
+  * micro-batch is replayed with the same data after a crash; our state
+  * writes are keyed by batchId (`pool/v<N>`, `table/v<N>` derived
+  * deterministically from `v<N-1>`), so a replayed batch overwrites its
+  * own partial output — idempotent, end-to-end exactly-once. This is
+  * the Spark-native equivalent of the reference's pickle-to-S3 +
+  * SQS-redelivery at-least-once loop, with strictly stronger semantics.
+  *
+  * Keyed state APIs (`flatMapGroupsWithState`) cannot express this
+  * operator because DBSCAN merges arbitrary subsets of prior state
+  * across keys each batch (SURVEY §7.3); the state-table-in-foreachBatch
+  * formulation is the idiomatic escape hatch.
+  */
+object StreamingPipeline {
+
+  final case class Config(
+      eps: Double = Clustering.DefaultEps,
+      threshold: Int = 5,
+      embedDim: Int = graft.functions.HashEmbed.DefaultDim,
+      clock: String = "1970-01-01T00:00:00",
+      /** state versions older than (latest - retain) are deleted —
+        * the reference keeps one pickle; we keep a few for debugging */
+      retainVersions: Int = 3)
+
+  def emptyPool(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Schemas.pool)
+
+  private def versionPath(base: String, v: Long) = s"$base/v$v"
+
+  private def readVersion(spark: SparkSession, base: String, v: Long,
+                          empty: => DataFrame): DataFrame = {
+    if (v < 0) return empty
+    val p = new Path(versionPath(base, v))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(p, "_SUCCESS"))) spark.read.parquet(p.toString) else empty
+  }
+
+  private def prune(spark: SparkSession, base: String, latest: Long, retain: Int): Unit = {
+    val p = new Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    fs.listStatus(p).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("v")) {
+        val v = name.drop(1).toLongOption.getOrElse(Long.MaxValue)
+        if (v <= latest - retain) fs.delete(st.getPath, true)
+      }
+    }
+  }
+
+  /** One micro-batch: preprocess → embed → cluster → upsert → trigger →
+    * summarize, reading state v(batchId-1) and writing v(batchId).
+    * Public so tests can drive replay semantics directly.
+    */
+  def processBatch(batch: DataFrame, batchId: Long, stateDir: String,
+                   cfg: Config = Config()): Unit = {
+    val spark = batch.sparkSession
+    val poolBase = s"$stateDir/pool"
+    val tableBase = s"$stateDir/table"
+    val pool = readVersion(spark, poolBase, batchId - 1, emptyPool(spark))
+    val table = readVersion(spark, tableBase, batchId - 1, ClusterTable.emptyTable(spark))
+
+    val prepped = Preprocess(batch, cfg.embedDim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (prepped.isEmpty) {
+        // still publish the state version so restore finds a contiguous chain
+        pool.write.mode("overwrite").parquet(versionPath(poolBase, batchId))
+        table.write.mode("overwrite").parquet(versionPath(tableBase, batchId))
+      } else {
+        val step = Clustering.step(
+          pool, prepped.select(col("id"), col("concat_embedding")),
+          Clustering.Config(eps = cfg.eps))
+        val ups = ClusterTable.upsertRows(table, step.assignments, prepped, cfg.clock)
+        val merged = ClusterTable.merge(table, ups)
+        val updated = step.assignments.select(col("cluster_id").as("PK")).distinct()
+        val next = ClusterTable.summarizePass(merged, updated, cfg.threshold)
+        step.pool.write.mode("overwrite").parquet(versionPath(poolBase, batchId))
+        next.write.mode("overwrite").parquet(versionPath(tableBase, batchId))
+      }
+      prune(spark, poolBase, batchId, cfg.retainVersions)
+      prune(spark, tableBase, batchId, cfg.retainVersions)
+    } finally prepped.unpersist()
+  }
+
+  /** Latest committed clusters table (the read path / A9 input). */
+  def latestTable(spark: SparkSession, stateDir: String): DataFrame = {
+    val base = new Path(s"$stateDir/table")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return ClusterTable.emptyTable(spark)
+    val versions = fs.listStatus(base).map(_.getPath.getName)
+      .filter(_.startsWith("v")).flatMap(_.drop(1).toLongOption)
+    if (versions.isEmpty) ClusterTable.emptyTable(spark)
+    else spark.read.parquet(versionPath(s"$stateDir/table", versions.max))
+  }
+
+  /** Start the stream: `articles` must be a streaming DataFrame with the
+    * raw-article schema. Offsets commit under `checkpointDir`; state
+    * versions land under `stateDir`.
+    */
+  def start(articles: DataFrame, stateDir: String, checkpointDir: String,
+            cfg: Config = Config(),
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    articles.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, stateDir, cfg)
+      }
+      .start()
+}

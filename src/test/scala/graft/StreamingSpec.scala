@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingPipeline
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeArticles(dir: String, name: String, arts: Seq[(String, String, String, String)]): Unit = {
+    val json = arts.map { case (id, text, title, date) =>
+      s"""{"id":"$id","text":"$text","title":"$title","date":"$date"}"""
+    }.mkString("\n")
+    Files.writeString(Paths.get(dir, name), json)
+  }
+
+  private def streamOnce(srcDir: String, stateDir: String, ckptDir: String): Unit = {
+    val articles = spark.readStream
+      .schema(graft.schemas.Schemas.rawArticle)
+      .option("maxFilesPerTrigger", "1") // one file = one micro-batch
+      .json(srcDir)
+    val q = StreamingPipeline.start(articles, stateDir, ckptDir,
+      StreamingPipeline.Config(threshold = 2))
+    q.awaitTermination(120000)
+  }
+
+  private def tableIds(stateDir: String): Set[String] =
+    StreamingPipeline.latestTable(spark, stateDir)
+      .filter(col("row_type") === "article")
+      .select("article_id").as[String].collect().toSet
+
+  test("ST1/ST3: file-source micro-batches cluster incrementally; " +
+    "restart from checkpoint processes only new files") {
+    val root = Files.createTempDirectory("graft-stream").toString
+    val src = s"$root/src"; val state = s"$root/state"; val ckpt = s"$root/ckpt"
+    Files.createDirectories(Paths.get(src))
+
+    // batch 1: two near articles (same planted token) + one far
+    writeArticles(src, "b1.json", Seq(
+      ("a1", "alpha alpha alpha alpha", "A one", "2024-01-01 10:00:00"),
+      ("a2", "alpha alpha alpha alpha x", "A two", "2024-01-01 11:00:00"),
+      ("z1", "omega omega omega omega", "Z one", "2024-01-01 12:00:00")))
+    streamOnce(src, state, ckpt)
+    assert(tableIds(state) == Set("a1", "a2", "z1"))
+    val t1 = StreamingPipeline.latestTable(spark, state)
+    val meta1 = t1.filter(col("row_type") === "metadata")
+      .select("PK", "is_cluster").as[(String, Boolean)].collect().toMap
+    assert(meta1.values.count(identity) == 1) // alpha-cluster only
+
+    // "kill" (stream already terminated) then add a new file and restart
+    // with the SAME checkpoint: only b2 is processed, and its article
+    // joins the existing alpha cluster from restored state
+    writeArticles(src, "b2.json", Seq(
+      ("a3", "alpha alpha alpha alpha y", "A three", "2024-01-02 10:00:00")))
+    streamOnce(src, state, ckpt)
+    assert(tableIds(state) == Set("a1", "a2", "a3", "z1"))
+    val t2 = StreamingPipeline.latestTable(spark, state)
+    val alphaPk = graft.operators.Clustering.clusterIdFor("a1")
+    val alphaArts = t2.filter(col("row_type") === "article" && col("PK") === alphaPk)
+      .select("article_id").as[String].collect().toSet
+    assert(alphaArts == Set("a1", "a2", "a3")) // cross-restart merge
+  }
+
+  test("replayed micro-batch is idempotent (exactly-once upsert)") {
+    val root = Files.createTempDirectory("graft-replay").toString
+    val state = s"$root/state"
+    val batch = Seq(
+      ("b1", "beta beta beta beta", "B one", "2024-01-01 10:00:00"),
+      ("b2", "beta beta beta beta z", "B two", "2024-01-01 11:00:00"))
+      .toDF("id", "text", "title", "date")
+
+    StreamingPipeline.processBatch(batch, 0L, state,
+      StreamingPipeline.Config(threshold = 2))
+    val once = StreamingPipeline.latestTable(spark, state).orderBy("PK", "SK").collect()
+    // crash-replay of the same batchId must not double-count
+    StreamingPipeline.processBatch(batch, 0L, state,
+      StreamingPipeline.Config(threshold = 2))
+    val twice = StreamingPipeline.latestTable(spark, state).orderBy("PK", "SK").collect()
+    assert(once.toSeq == twice.toSeq)
+    val n = StreamingPipeline.latestTable(spark, state)
+      .filter(col("row_type") === "metadata")
+      .select("number_of_articles").as[Int].head()
+    assert(n == 3) // A4: batch_new(2) + 1, not re-applied
+  }
+}
