@@ -229,6 +229,64 @@ object DedupQueries {
           round(col("common") * lit(1.0) / (col("sza") + col("szb") - col("common")), 6))
         .filter(col("jaccard") >= 0.5)
       jac.select(col("a"), col("b"), col("jaccard")).orderBy(col("a"), col("b"))
+    }),
+
+    // MinHash + LSH banding: 12 hashes (portable: string-min of seeded
+    // md5), 4 bands × 3 rows; candidate pairs = any shared band bucket.
+    // The shape that scales: signatures are one aggregation, candidates
+    // come from an equi-join on (band, hash) — never all-pairs.
+    "d3_minhash_pairs" -> ((s, dir) => {
+      val corpus = corpusWithNearDups(s, dir)
+      val sh = corpus.select(col("doc_id"),
+        explode(TextFns.wordShingles(col("text"), 3)).as("sh"))
+      val sigCols = (0 until 12).map(i =>
+        min(md5(concat(lit(i.toString), lit(":"), col("sh")))).as(s"mh$i"))
+      val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      val bandCols = (0 until 4).map(bi => struct(
+        lit(bi).as("bidx"),
+        md5(concat_ws(",",
+          col(s"mh${3 * bi}"), col(s"mh${3 * bi + 1}"), col(s"mh${3 * bi + 2}"))).as("bh")))
+      val banded = sigs
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+        .select(col("doc_id"), col("band.bidx").as("bidx"), col("band.bh").as("bh"))
+      banded.as("x").join(banded.as("y"),
+        col("x.bidx") === col("y.bidx") && col("x.bh") === col("y.bh"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // J5 TF-IDF near-dup within clusters (reference notebook
+    // remove_dup_article: cosine > 0.9 ⇒ drop the later member).
+    // Inverted-index join on (cluster, term) — pairs only materialize
+    // where documents share vocabulary inside one cluster.
+    "j5_tfidf_dedup" -> ((s, dir) => {
+      val corpus = corpusWithNearDups(s, dir)
+        .withColumn("cluster",
+          (when(col("doc_id") >= 1000000, col("doc_id") - 1000000)
+            .otherwise(col("doc_id")) % 101))
+      val toks = corpus.select(col("cluster"), col("doc_id"),
+        explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).as("t"))
+      val tf = toks.groupBy(col("cluster"), col("doc_id"), col("t"))
+        .agg(count(lit(1)).as("tf"))
+      val n = corpus.agg(countDistinct(col("doc_id")).as("nd"))
+      val dfreq = tf.groupBy(col("t")).agg(countDistinct(col("doc_id")).as("df"))
+      val w = tf.join(dfreq, "t").crossJoin(broadcast(n))
+        .withColumn("w", col("tf") * log(col("nd") / col("df")))
+      val norms = w.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("nrm"))
+      val dots = w.as("x").join(w.as("y"),
+        col("x.t") === col("y.t") && col("x.cluster") === col("y.cluster"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(sum(col("x.w") * col("y.w")).as("dot"))
+      dots
+        .join(norms.select(col("doc_id").as("a"), col("nrm").as("na")), "a")
+        .join(norms.select(col("doc_id").as("b"), col("nrm").as("nb")), "b")
+        .withColumn("cos", round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 4))
+        .filter(col("cos") > 0.9)
+        .select(col("a"), col("b"), col("cos"), col("b").as("drop_id"))
+        .orderBy(col("a"), col("b"))
     }))
 
   private val exactCorpusSql =
@@ -265,6 +323,46 @@ object DedupQueries {
          |SELECT a, b, round(common*1.0/(sa.sz + sb.sz - common), 6) AS jaccard
          |FROM pr JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
          |WHERE round(common*1.0/(sa.sz + sb.sz - common), 6) >= 0.5
+         |ORDER BY a, b""".stripMargin,
+    "d3_minhash_pairs" ->
+      s"""WITH $nearCorpusSql,
+         |norm AS (SELECT doc_id,
+         |  regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         |  FROM corpus),
+         |idx AS (SELECT doc_id, toks,
+         |  unnest(generate_series(1, greatest(len(toks)-3, 0)+1)) AS i FROM norm),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh FROM idx),
+         |seeds AS (SELECT unnest(generate_series(0, 11)) AS seed),
+         |sigs AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || sh)) AS mh
+         |         FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+         |bands AS (SELECT doc_id, seed // 3 AS bidx,
+         |          md5(string_agg(mh, ',' ORDER BY seed)) AS bh
+         |          FROM sigs GROUP BY doc_id, seed // 3)
+         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |FROM bands x JOIN bands y ON x.bidx = y.bidx AND x.bh = y.bh
+         |  AND x.doc_id < y.doc_id
+         |ORDER BY a, b""".stripMargin,
+    "j5_tfidf_dedup" ->
+      s"""WITH $nearCorpusSql,
+         |cl AS (SELECT doc_id,
+         |  (CASE WHEN doc_id >= 1000000 THEN doc_id - 1000000 ELSE doc_id END) % 101 AS cluster,
+         |  text FROM corpus),
+         |toks AS (SELECT cluster, doc_id,
+         |  unnest(regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t
+         |  FROM cl),
+         |tf AS (SELECT cluster, doc_id, t, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+         |nd AS (SELECT count(DISTINCT doc_id) AS nd FROM corpus),
+         |dfreq AS (SELECT t, count(DISTINCT doc_id) AS df FROM tf GROUP BY t),
+         |w AS (SELECT tf.cluster, tf.doc_id, tf.t, tf.tf * ln(nd.nd / dfreq.df) AS w
+         |      FROM tf JOIN dfreq USING (t) CROSS JOIN nd),
+         |norms AS (SELECT doc_id, sum(w*w) AS nrm FROM w GROUP BY doc_id),
+         |dots AS (SELECT x.doc_id AS a, y.doc_id AS b, sum(x.w * y.w) AS dot
+         |         FROM w x JOIN w y ON x.t = y.t AND x.cluster = y.cluster
+         |           AND x.doc_id < y.doc_id
+         |         GROUP BY 1, 2)
+         |SELECT a, b, round(dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 4) AS cos, b AS drop_id
+         |FROM dots JOIN norms na ON na.doc_id = a JOIN norms nb ON nb.doc_id = b
+         |WHERE round(dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 4) > 0.9
          |ORDER BY a, b""".stripMargin)
 }
 
@@ -302,6 +400,32 @@ object SimilarityQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // IVF-style bucketed ANN: coarse quantizer = nearest axis centroid
+    // (argmax |v_k| with sign ⇒ 2·dim fixed centroids); candidates come
+    // only from the query's bucket — the scale path where brute-force
+    // s1_knn is the baseline. Top-3 by rounded cosine within bucket.
+    "s2_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val labs = transform(col("embedding"), x => abs(x))
+      val bidx = array_position(labs, array_max(labs))
+      val bucketed = emb.select(
+        col("vec_id"), col("embedding"),
+        bidx.as("bidx"),
+        signum(element_at(col("embedding"), bidx.cast("int"))).cast("int").as("bsign"))
+      val q = bucketed.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("bidx"), col("bsign"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      broadcast(q).join(bucketed, Seq("bidx", "bsign"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("sim", round(VectorFns.dotProduct(col("qv"), col("embedding")), 4))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("vec_id"), col("sim"), col("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // A3 centroid mean per label (posexplode → per-dimension avg →
     // reassemble ordered); partial aggregation = map-side combine
     "a3_centroid" -> ((s, dir) =>
@@ -329,6 +453,22 @@ object SimilarityQueries {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE round(least(greatest(1 - list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 0), 1), 4) <= 0.55
         |ORDER BY a, b""".stripMargin,
+    "s2_ann_ivf" ->
+      """WITH l AS (SELECT vec_id, embedding,
+        |  list_transform(embedding, x -> abs(x)) AS labs FROM embeddings),
+        |e AS (SELECT vec_id, embedding,
+        |  list_position(labs, list_aggregate(labs, 'max')) AS bidx FROM l),
+        |bkt AS (SELECT vec_id, embedding, bidx,
+        |  sign(embedding[bidx])::INT AS bsign FROM e),
+        |q AS (SELECT vec_id AS qid, embedding AS qv, bidx, bsign FROM bkt
+        |      WHERE vec_id < 20),
+        |s AS (SELECT q.qid, c.vec_id,
+        |  round(list_dot_product(q.qv::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+        |  FROM q JOIN bkt c ON c.bidx = q.bidx AND c.bsign = q.bsign
+        |  WHERE c.vec_id <> q.qid),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM s)
+        |SELECT qid, vec_id, sim, rk FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
     "a3_centroid" ->
       """SELECT label, list(round(m, 6) ORDER BY idx) AS centroid FROM (
         |  SELECT label, idx, avg(v) AS m FROM (
