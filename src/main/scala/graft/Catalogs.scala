@@ -478,6 +478,37 @@ object SimilarityQueries {
         |GROUP BY label ORDER BY label""".stripMargin)
 }
 
+/** Multimodal media table: binary payloads + typed metadata. The
+  * SQL-checkable surface is the metadata/content-hash projection; the
+  * batched decode/feature operators are covered by MultimodalSpec.
+  */
+object MediaQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_media_meta" -> ((s, dir) =>
+      graft.operators.Multimodal.mediaFrom(Tables.documents(s, dir))
+        .select(
+          col("doc_id"),
+          col("modality"),
+          octet_length(col("payload")).as("n_bytes"),
+          md5(col("payload")).as("content_md5"),
+          col("meta.format").as("format"),
+          col("meta.width").as("width"))
+        .orderBy(col("doc_id"))))
+
+  val oracleSql: Map[String, String] = Map(
+    "m1_media_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  md5(text) AS content_md5,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+        |       WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'mp4' END AS format,
+        |  CAST(16 + doc_id % 64 AS INT) AS width
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
+
 /** The flagship A9 query over the full news pipeline, with a DuckDB
   * oracle that replays the ENTIRE pipeline in SQL: planted-group
   * clustering (groups are ε-separated by construction, so membership is

@@ -65,7 +65,8 @@ object QueryCatalog {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     baseQueries ++ TextQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries ++ EventQueries.queries ++ NewsQueries.queries
+      SimilarityQueries.queries ++ EventQueries.queries ++ NewsQueries.queries ++
+      MediaQueries.queries
 
   private val baseOracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -92,5 +93,6 @@ object QueryCatalog {
 
   val oracleSql: Map[String, String] =
     baseOracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++
-      SimilarityQueries.oracleSql ++ EventQueries.oracleSql ++ NewsQueries.oracleSql
+      SimilarityQueries.oracleSql ++ EventQueries.oracleSql ++ NewsQueries.oracleSql ++
+      MediaQueries.oracleSql
 }
