@@ -90,6 +90,22 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // S3 + P10: base64 envelope decode → JSON parse with malformed-skip
+    // (every 13th record is truncated mid-object and must drop out)
+    "p10_base64_json" -> ((s, dir) => {
+      val js = concat(lit("{\"id\":"), col("doc_id"), lit(",\"title\":\""),
+        substring(col("text"), 1, 20), lit("\"}"))
+      val corrupted = when(col("doc_id") % 13 === 0, substring(js, 1, 10)).otherwise(js)
+      val env = Tables.documents(s, dir)
+        .select(base64(corrupted.cast("binary")).as("env"))
+      val decoded = env.select(graft.operators.Ingest.decodeBase64(col("env")).as("js"))
+      graft.operators.Ingest.parseJson(decoded, "js",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("title", org.apache.spark.sql.types.StringType))))
+        .select(col("id"), col("title")).orderBy(col("id"))
+    }),
+
     // P13 ISO parse w/ Z-strip + P14 render, round-tripped from events.ts
     "p13_dates" -> ((s, dir) => {
       val iso = concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), lit("Z"))
@@ -169,6 +185,17 @@ object TextQueries {
         |       THEN regexp_extract(llm, '(?s)<summary>(.*?)</summary>', 1)
         |       ELSE llm END AS generated_summary
         |FROM t ORDER BY doc_id""".stripMargin,
+    "p10_base64_json" ->
+      """WITH j AS (SELECT doc_id,
+        |  '{"id":' || doc_id || ',"title":"' || substr(text, 1, 20) || '"}' AS js
+        |  FROM documents),
+        |c AS (SELECT CASE WHEN doc_id % 13 = 0 THEN substr(js, 1, 10) ELSE js END AS js
+        |      FROM j),
+        |env AS (SELECT to_base64(encode(js)) AS env FROM c),
+        |dec AS (SELECT decode(from_base64(env)) AS js FROM env)
+        |SELECT json_extract(js, '$.id')::BIGINT AS id,
+        |       json_extract_string(js, '$.title') AS title
+        |FROM dec WHERE try_cast(js AS JSON) IS NOT NULL ORDER BY id""".stripMargin,
     "p13_dates" ->
       """WITH t AS (SELECT event_id,
         |  strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z' AS iso FROM events)
@@ -257,6 +284,29 @@ object DedupQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // SimHash near-dup: 32-bit signature (bit-majority over md5 nibbles
+    // of every token), all-pairs Hamming ≤ 6. Signatures are one
+    // aggregation; the pair scan is integer xor/popcount — 8 bytes/doc
+    // of state, the cheapest near-dup at scale.
+    "d4_simhash_pairs" -> ((s, dir) => {
+      val corpus = corpusWithNearDups(s, dir)
+      val toks = corpus.select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+        .withColumn("h", md5(col("t")))
+      val bitSums = (0 until 32).map(j => sum(expr(
+        s"((instr('0123456789abcdef', substring(h, ${j / 4 + 1}, 1)) - 1) " +
+          s"div ${1 << (j % 4)}) % 2 * 2 - 1")).as(s"s$j"))
+      val sums = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      val sim = (0 until 32).map(j =>
+        when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+      val sigs = sums.select(col("doc_id"), sim.as("sim"))
+      sigs.as("x").join(sigs.as("y"), col("x.doc_id") < col("y.doc_id"))
+        .withColumn("hamming", expr("bit_count(x.sim ^ y.sim)"))
+        .filter(col("hamming") <= 6)
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("hamming"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // J5 TF-IDF near-dup within clusters (reference notebook
     // remove_dup_article: cosine > 0.9 ⇒ drop the later member).
     // Inverted-index join on (cluster, term) — pairs only materialize
@@ -342,6 +392,25 @@ object DedupQueries {
          |FROM bands x JOIN bands y ON x.bidx = y.bidx AND x.bh = y.bh
          |  AND x.doc_id < y.doc_id
          |ORDER BY a, b""".stripMargin,
+    "d4_simhash_pairs" -> {
+      val bitSums = (0 until 32).map(j =>
+        s"  sum(((strpos('0123456789abcdef', substring(h, ${j / 4 + 1}, 1)) - 1) " +
+          s"// ${1 << (j % 4)}) % 2 * 2 - 1) AS s$j").mkString(",\n")
+      val simExpr = (0 until 32)
+        .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $nearCorpusSql,
+         |toks AS (SELECT doc_id,
+         |  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t FROM corpus),
+         |sums AS (SELECT doc_id,
+         |$bitSums
+         |FROM (SELECT doc_id, md5(t) AS h FROM toks) GROUP BY doc_id),
+         |sigs AS (SELECT doc_id, $simExpr AS sim FROM sums)
+         |SELECT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.sim, y.sim)) AS hamming
+         |FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.sim, y.sim)) <= 6
+         |ORDER BY a, b""".stripMargin
+    },
     "j5_tfidf_dedup" ->
       s"""WITH $nearCorpusSql,
          |cl AS (SELECT doc_id,
