@@ -43,8 +43,21 @@ object Summarize {
     * the same tag-extraction path as the reference
     * (`summarization.py:121-127`).
     */
+  /** Articles admitted to one prompt. The 12 000-char prompt cap is
+    * reached within 600 minimal fragments ("title: , summary: \n" ≥ 20
+    * chars), so capping BEFORE `collect_list` changes nothing
+    * semantically — but stops a viral cluster from materializing its
+    * whole membership in one aggregation buffer (VERDICT r1 perf audit).
+    */
+  val PromptArticleCap = 640
+
   def summarizeClusters(articles: DataFrame, meta: DataFrame): DataFrame = {
+    val rankW = Window.partitionBy(col("PK"))
+      .orderBy(col("publication_date").asc, col("article_id").asc)
     val frags = articles
+      .withColumn("__rk", row_number().over(rankW))
+      .filter(col("__rk") <= PromptArticleCap)
+      .drop("__rk")
       .join(meta.select(col("PK"), col("summary_count")), "PK")
       .withColumn("frag",
         articleFragment(col("title"), col("summary"), col("summary_count") > 0))

@@ -77,7 +77,10 @@ object Schemas {
   val pool: StructType = StructType(Seq(
     StructField("seq", LongType, nullable = false),
     StructField("cluster_id", StringType, nullable = false),
+    // capped at Clustering.PoolIdCap — n_articles carries the true count
+    // so a viral cluster can't grow one row without bound
     StructField("article_ids", ArrayType(StringType), nullable = false),
+    StructField("n_articles", LongType, nullable = false),
     StructField("is_cluster", BooleanType, nullable = false),
     StructField("centroid", ArrayType(FloatType), nullable = false)))
 }
