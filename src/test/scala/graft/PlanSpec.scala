@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ClusterStore
+
+/** Physical-plan audits: the properties that matter at 100 TB, asserted
+  * on `explain` output so a regression that silently de-optimizes a scan
+  * or join fails CI, not a production run.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    QueryCatalog.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("p2_clean_text scan prunes to the two referenced columns") {
+    val p = plan("p2_clean_text")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"projection not pushed to parquet scan:\n$p")
+  }
+
+  test("q1_agg runs inside whole-stage codegen with partial aggregation") {
+    val df = QueryCatalog.queries("q1_agg")(spark, sf)
+    df.collect() // finalize the AQE plan in place
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("[codegen id :"), s"no whole-stage codegen span:\n$p")
+    // partial (map-side) aggregate before the exchange
+    assert(p.contains("partial_sum"))
+  }
+
+  test("j3_semi_join picks a broadcast join at small scale and pushes the key filter") {
+    val p = plan("j3_semi_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+  }
+
+  test("s1_knn broadcasts the query side (no shuffle of the corpus)") {
+    val p = plan("s1_knn")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("lineitem filter pushes predicates into the parquet scan") {
+    val p = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") > 40)
+      .select(col("l_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,"),
+      s"filter not pushed:\n$p")
+  }
+
+  test("ClusterStore point read carries a partition filter on bucket") {
+    val path = Files.createTempDirectory("graft-planstore").toString + "/t"
+    val store = new ClusterStore(spark, path, nBuckets = 8)
+    import spark.implicits._
+    store.merge(Seq(("c1", "M", "x"), ("c2", "M", "y")).toDF("PK", "SK", "d"))
+    val p = store.cluster("c1").queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && !p.contains("PartitionFilters: []"),
+      s"bucket partition filter missing:\n$p")
+  }
+}
