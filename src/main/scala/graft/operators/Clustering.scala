@@ -107,13 +107,29 @@ object Clustering {
         SimilarityJoin.exact(newVecs, poolVecs, "seq", "centroid", cfg.eps,
           broadcastLeft = true)
 
+    // Only pool entries adjacent to this batch can change: restrict the
+    // component search and the merge regroup to TOUCHED nodes (edge
+    // endpoints ∪ new entries, a batch-bounded set) and stream the
+    // untouched pool through untouched — the per-batch cost is
+    // O(batch + neighbors), independent of pool size.
+    val edgesP = edges.select(col("a"), col("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val touchedNodes = edgesP.select(col("a").as("node"))
+      .union(edgesP.select(col("b").as("node")))
+      .union(newEntries.select(col("seq").as("node")))
+      .distinct()
+    val touched = pool2.join(broadcast(touchedNodes),
+      pool2("seq") === touchedNodes("node"), "left_semi")
+    val untouched = pool2.join(broadcast(touchedNodes),
+      pool2("seq") === touchedNodes("node"), "left_anti")
+
     val comp = ConnectedComponents.run(
-      pool2.select(col("seq").as("node")),
-      edges.select(col("a").as("src"), col("b").as("dst")))
+      touchedNodes,
+      edgesP.select(col("a").as("src"), col("b").as("dst")))
 
-    val labeled = pool2.join(comp, pool2("seq") === comp("node")).drop("node")
+    val labeled = touched.join(comp, touched("seq") === comp("node")).drop("node")
 
-    val mergedPool = labeled
+    val mergedTouched = labeled
       .groupBy(col("component"))
       .agg(
         min(col("seq")).as("seq"),
@@ -128,6 +144,8 @@ object Clustering {
         graft.functions.VectorMean(col("centroid")).as("centroid"))
       .withColumn("is_cluster", col("n_articles") > 1)
       .select("seq", "cluster_id", "article_ids", "n_articles", "is_cluster", "centroid")
+
+    val mergedPool = untouched.unionByName(mergedTouched)
       .localCheckpoint(true) // truncate lineage across micro-batches
 
     // per-new-article assignment to its post-merge cluster
@@ -135,7 +153,7 @@ object Clustering {
       explode(col("article_ids")).as("article_id"), col("seq"))
     val newComp = newArticles.join(comp, newArticles("seq") === comp("node"))
       .select(col("article_id"), col("component"))
-    val clusterInfo = mergedPool
+    val clusterInfo = mergedTouched
       .join(labeled.groupBy(col("component")).agg(min(col("seq")).as("seq")), "seq")
       .select(
         col("component"),
@@ -154,6 +172,7 @@ object Clustering {
 
     newEntries.unpersist()
     pool2.unpersist()
+    edgesP.unpersist()
     StepResult(mergedPool, assignments)
   }
 
