@@ -495,6 +495,20 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // J2 id → payload lookup with miss tolerance (reference stub-row
+    // workaround, process_records.py:234-263): half the probe ids miss
+    "j2_lookup" -> ((s, dir) => {
+      val keys = Tables.embeddings(s, dir).select((col("vec_id") * 2).as("doc_id"))
+      keys.join(
+        Tables.documents(s, dir).select(col("doc_id"), col("text"), col("source")),
+        Seq("doc_id"), "left_outer")
+        .select(
+          col("doc_id"),
+          coalesce(col("source"), lit("")).as("source"),
+          coalesce(substring(col("text"), 1, 20), lit("<missing>")).as("payload"))
+        .orderBy(col("doc_id"))
+    }),
+
     // A3 centroid mean per label (posexplode → per-dimension avg →
     // reassemble ordered); partial aggregation = map-side combine
     "a3_centroid" -> ((s, dir) =>
@@ -538,6 +552,12 @@ object SimilarityQueries {
         |r AS (SELECT *, row_number() OVER
         |        (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM s)
         |SELECT qid, vec_id, sim, rk FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+    "j2_lookup" ->
+      """SELECT e.vec_id * 2 AS doc_id,
+        |  coalesce(d.source, '') AS source,
+        |  coalesce(substr(d.text, 1, 20), '<missing>') AS payload
+        |FROM embeddings e LEFT JOIN documents d ON d.doc_id = e.vec_id * 2
+        |ORDER BY doc_id""".stripMargin,
     "a3_centroid" ->
       """SELECT label, list(round(m, 6) ORDER BY idx) AS centroid FROM (
         |  SELECT label, idx, avg(v) AS m FROM (

@@ -78,6 +78,22 @@ class ClusteringSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 1L, 3L)))
   }
 
+  test("LSH path produces the same planted partition as the exact join") {
+    val mk = (g: Int, i: Int) => {
+      val v = Array.fill(8)(0.0)
+      v(g) = 1.0
+      v(7) = 0.01 * i
+      (s"g${g}_$i", unit(v.toSeq: _*))
+    }
+    val members = for (g <- 0 until 3; i <- 0 until 4) yield mk(g, i)
+    val batch = vecBatch(members: _*)
+    val exactPool = Clustering.step(emptyPool, batch).pool
+    val lshPool = Clustering.step(emptyPool, batch,
+      Clustering.Config(useLsh = true, lshTables = 8)).pool
+    assert(poolRows(lshPool) == poolRows(exactPool))
+    assert(poolRows(lshPool).map(_._2).size == 3)
+  }
+
   test("planted clusters across batches match the single-linkage oracle") {
     // 3 groups of unit vectors on distinct axes with small in-group jitter,
     // fed over 3 batches; expected partition = the groups
