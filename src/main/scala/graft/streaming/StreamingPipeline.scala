@@ -35,7 +35,16 @@ object StreamingPipeline {
       clock: String = "1970-01-01T00:00:00",
       /** state versions older than (latest - retain) are deleted —
         * the reference keeps one pickle; we keep a few for debugging */
-      retainVersions: Int = 3)
+      retainVersions: Int = 3,
+      /** when true, each batch appends its upsert rows to `<state>/cdc/
+        * v<batchId>` — the S14 change feed a downstream trigger consumes
+        * (reference DynamoDB Stream NEW_IMAGE, main.tf:85-93) */
+      emitCdc: Boolean = false,
+      /** optional serving-table sink: per-batch partition-pruned merge
+        * into a [[graft.operators.ClusterStore]] (the DynamoDB analog).
+        * Upsert rows are deterministic per batchId, so replayed merges
+        * are idempotent. */
+      servingStore: Option[graft.operators.ClusterStore] = None)
 
   def emptyPool(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Schemas.pool)
@@ -92,6 +101,11 @@ object StreamingPipeline {
         val next = ClusterTable.summarizePass(merged, updated, cfg.threshold)
         step.pool.write.mode("overwrite").parquet(versionPath(poolBase, batchId))
         next.write.mode("overwrite").parquet(versionPath(tableBase, batchId))
+        if (cfg.emitCdc)
+          ups.write.mode("overwrite").parquet(versionPath(s"$stateDir/cdc", batchId))
+        cfg.servingStore.foreach(_.merge(
+          spark.read.parquet(versionPath(tableBase, batchId))
+            .join(broadcast(updated), Seq("PK"), "left_semi")))
       }
       prune(spark, poolBase, batchId, cfg.retainVersions)
       prune(spark, tableBase, batchId, cfg.retainVersions)

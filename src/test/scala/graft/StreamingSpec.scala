@@ -64,6 +64,34 @@ class StreamingSpec extends SparkSpec {
     assert(alphaArts == Set("a1", "a2", "a3")) // cross-restart merge
   }
 
+  test("S14 CDC feed + serving-store sink track each batch's upserts") {
+    val root = Files.createTempDirectory("graft-cdc").toString
+    val state = s"$root/state"
+    val store = new graft.operators.ClusterStore(spark, s"$root/serve", nBuckets = 8)
+    val cfg = StreamingPipeline.Config(threshold = 2, emitCdc = true,
+      servingStore = Some(store))
+    val b0 = Seq(("c1", "gamma gamma gamma", "G1", "2024-01-01 10:00:00"),
+      ("c2", "gamma gamma gamma x", "G2", "2024-01-01 11:00:00"))
+      .toDF("id", "text", "title", "date")
+    StreamingPipeline.processBatch(b0, 0L, state, cfg)
+    val b1 = Seq(("c3", "delta delta delta", "D1", "2024-01-02 10:00:00"))
+      .toDF("id", "text", "title", "date")
+    StreamingPipeline.processBatch(b1, 1L, state, cfg)
+
+    // CDC: per-batch change feed holds exactly that batch's upsert rows
+    val cdc0 = spark.read.parquet(s"$state/cdc/v0")
+    val cdc1 = spark.read.parquet(s"$state/cdc/v1")
+    assert(cdc0.filter(col("row_type") === "article").count() == 2)
+    assert(cdc1.filter(col("row_type") === "article")
+      .select("article_id").as[String].collect().toSeq == Seq("c3"))
+
+    // serving store converges to the same table as the versioned state
+    val served = store.read().select("PK", "SK").as[(String, String)].collect().toSet
+    val truth = StreamingPipeline.latestTable(spark, state)
+      .select("PK", "SK").as[(String, String)].collect().toSet
+    assert(served == truth)
+  }
+
   test("replayed micro-batch is idempotent (exactly-once upsert)") {
     val root = Files.createTempDirectory("graft-replay").toString
     val state = s"$root/state"
