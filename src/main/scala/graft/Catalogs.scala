@@ -307,6 +307,22 @@ object DedupQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Embedding-cosine near-dup with the dedup DECISION: every vector
+    // within eps of a lower-id vector is dropped, keeping its nearest
+    // lowest-id representative (keep-first semantics on vec_id order)
+    "d5_embed_neardup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val a = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
+      val b = emb.select(col("vec_id").as("b"), col("embedding").as("vb"))
+      a.crossJoin(b).filter(col("a") < col("b"))
+        .withColumn("dist",
+          round(VectorFns.unitCosineDistance(col("va"), col("vb")), 4))
+        .filter(col("dist") <= 0.55)
+        .groupBy(col("b").as("drop_id"))
+        .agg(min(col("a")).as("kept_id"), min_by(col("dist"), col("a")).as("dist"))
+        .orderBy(col("drop_id"))
+    }),
+
     // J5 TF-IDF near-dup within clusters (reference notebook
     // remove_dup_article: cosine > 0.9 ⇒ drop the later member).
     // Inverted-index join on (cluster, term) — pairs only materialize
@@ -411,6 +427,13 @@ object DedupQueries {
          |WHERE bit_count(xor(x.sim, y.sim)) <= 6
          |ORDER BY a, b""".stripMargin
     },
+    "d5_embed_neardup" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b,
+        |    round(least(greatest(1 - list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 0), 1), 4) AS dist
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT b AS drop_id, min(a) AS kept_id, arg_min(dist, a) AS dist
+        |FROM p WHERE dist <= 0.55 GROUP BY b ORDER BY drop_id""".stripMargin,
     "j5_tfidf_dedup" ->
       s"""WITH $nearCorpusSql,
          |cl AS (SELECT doc_id,
