@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Greatest, Least, Literal, Subtract}
+
+import graft.functions.{FloatVectorDot, FloatVectorNormSq}
+
+/** Catalyst extension point: registers the engine's native vector
+  * expressions as SQL functions, so `spark.sql` text (and any BI layer
+  * speaking SQL to the session) gets the same codegen'd hot path as the
+  * Column API.
+  *
+  * Activate with `--conf spark.sql.extensions=graft.GraftExtensions`
+  * or `SparkSession.builder().withExtensions(new GraftExtensions)`;
+  * [[GraftExtensions.register]] injects into an already-running session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[FloatVectorDot].getName, null, name, usage, "")
+
+  private def unitCosineDistance(a: Expression, b: Expression): Expression =
+    Least(Seq(
+      Greatest(Seq(
+        Subtract(Literal(1.0), FloatVectorDot(a, b)),
+        Literal(0.0))),
+      Literal(1.0)))
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vector_dot"),
+      info("vector_dot", "vector_dot(a, b) - dot product of two array<float> vectors"),
+      (children: Seq[Expression]) => FloatVectorDot(children(0), children(1))),
+    (FunctionIdentifier("vector_norm_sq"),
+      info("vector_norm_sq", "vector_norm_sq(a) - squared L2 norm of an array<float> vector"),
+      (children: Seq[Expression]) => FloatVectorNormSq(children.head)),
+    (FunctionIdentifier("unit_cosine_distance"),
+      info("unit_cosine_distance",
+        "unit_cosine_distance(a, b) - cosine distance of unit vectors, clipped to [0,1]"),
+      (children: Seq[Expression]) => unitCosineDistance(children(0), children(1))))
+
+  /** Register into an existing session (tests, notebooks). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, inf, builder)
+    }
+}

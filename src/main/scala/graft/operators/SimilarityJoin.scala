@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFns
@@ -93,4 +93,57 @@ object SimilarityJoin {
               numHashTables: Int = 4, bucketLength: Double = 1.0): DataFrame =
     lsh(df, df, keyCol, vecCol, eps, numHashTables, bucketLength)
       .filter(col("a") < col("b"))
+
+  /** EXACT pivot-band ε-join — same results as `exact`, sub-quadratic
+    * plan. Angular distance to a fixed pivot is 1-Lipschitz in angular
+    * distance between points (triangle inequality on the sphere), so
+    * two unit vectors with cosine distance ≤ eps have per-pivot angle
+    * bands differing by at most 1. Build side: one band key per pivot
+    * tuple; probe side: the 3^pivots neighboring tuples. The cross join
+    * becomes an equi-join on the band key + the exact distance filter —
+    * zero recall loss, and Catalyst gets a shuffled hash join it can
+    * partition, instead of a nested loop.
+    *
+    * Pivots are coordinate axes (θ = acos(v[k])) — free to evaluate.
+    * Pruning power grows as eps shrinks (band width = θ_eps); at the
+    * clusterer's eps=0.10 each pivot yields ~7 bands.
+    */
+  def bandExact(left: DataFrame, right: DataFrame, keyCol: String, vecCol: String,
+                eps: Double, pivots: Int = 2): DataFrame = {
+    require(eps > 0 && eps < 2, s"eps out of range: $eps")
+    val thetaEps = math.acos(1.0 - math.min(eps, 1.0)) // cosine dist → angle
+    def theta(v: Column, k: Int): Column =
+      acos(least(greatest(element_at(v, k + 1).cast("double"), lit(-1.0)), lit(1.0)))
+    def bandOf(v: Column, k: Int): Column =
+      floor(theta(v, k) / lit(thetaEps)).cast("int")
+
+    // build side: single band tuple
+    val buildKey = concat_ws("|", (0 until pivots).map(k => bandOf(col("vb"), k)): _*)
+    val r = right.select(col(keyCol).as("b"), col(vecCol).as("vb"))
+      .withColumn("__band", buildKey)
+
+    // probe side: all neighbor tuples (±1 per pivot)
+    val offsets = (0 until pivots).foldLeft(Seq(Seq.empty[Int])) { (acc, _) =>
+      acc.flatMap(t => Seq(-1, 0, 1).map(o => t :+ o))
+    }
+    val probeKeys = array(offsets.map { off =>
+      concat_ws("|", off.zipWithIndex.map { case (o, k) =>
+        (bandOf(col("va"), k) + lit(o)).cast("int")
+      }: _*)
+    }: _*)
+    val l = left.select(col(keyCol).as("a"), col(vecCol).as("va"))
+      .withColumn("__band", explode(probeKeys))
+
+    l.join(r, "__band")
+      .filter(col("a") =!= col("b"))
+      .withColumn("dist", VectorFns.unitCosineDistance(col("va"), col("vb")))
+      .filter(col("dist") <= eps)
+      .select(col("a"), col("b"), col("dist"))
+      .distinct() // a pair can match through several neighbor tuples
+  }
+
+  /** Exact pivot-band self ε-join (unique unordered pairs). */
+  def bandExactSelf(df: DataFrame, keyCol: String, vecCol: String, eps: Double,
+                    pivots: Int = 2): DataFrame =
+    bandExact(df, df, keyCol, vecCol, eps, pivots).filter(col("a") < col("b"))
 }

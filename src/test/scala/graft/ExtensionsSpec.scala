@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("SQL surface exposes the native vector expressions") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  vector_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d,
+        |  vector_norm_sq(array(3.0F, 4.0F)) AS n,
+        |  unit_cosine_distance(array(1.0F, 0.0F), array(0.0F, 1.0F)) AS c
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 25.0)
+    assert(r.getDouble(2) == 1.0)
+  }
+
+  test("withExtensions wires the functions at session construction") {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val d = s2.sql("SELECT vector_dot(array(1.0F), array(5.0F)) AS d").head().getDouble(0)
+      assert(d == 5.0)
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}

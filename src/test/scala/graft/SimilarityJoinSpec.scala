@@ -39,6 +39,27 @@ class SimilarityJoinSpec extends SparkSpec {
     assert(miss == 0)
   }
 
+  test("bandExact returns exactly the same pairs as the cross-join exact " +
+    "(pivot bands are a lossless pre-filter) across random seeds") {
+    import scala.util.Random
+    for (seed <- Seq(3, 17)) {
+      val rnd = new Random(seed)
+      val vecs = (0 until 60).map { i =>
+        val v = Array.fill(8)(rnd.nextGaussian())
+        val n = math.sqrt(v.map(x => x * x).sum)
+        (i.toLong, v.map(x => (x / n).toFloat))
+      }
+      val df = vecs.toDF("k", "v")
+      for (eps <- Seq(0.05, 0.3, 0.8)) {
+        val want = SimilarityJoin.exactSelf(df, "k", "v", eps)
+          .select("a", "b").as[(Long, Long)].collect().toSet
+        val got = SimilarityJoin.bandExactSelf(df, "k", "v", eps, pivots = 2)
+          .select("a", "b").as[(Long, Long)].collect().toSet
+        assert(got == want, s"seed=$seed eps=$eps")
+      }
+    }
+  }
+
   test("asymmetric lsh finds the same new-vs-pool edges as exact on separated data") {
     val pool = Seq(
       (1L, unit(1, 0, 0, 0)), (2L, unit(1, 0.05, 0, 0)),
