@@ -479,14 +479,14 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rk"))
     }),
 
-    // exact ε-similarity pairs (J1 core semantics, unit-norm inputs)
+    // exact ε-similarity pairs (J1 core semantics, unit-norm inputs),
+    // served by the lossless pivot-band join — the pre-filter runs with
+    // a rounding margin so the rounded threshold can't disagree
     "j1_eps_pairs" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val a = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
-      val b = emb.select(col("vec_id").as("b"), col("embedding").as("vb"))
-      a.crossJoin(b).filter(col("a") < col("b"))
-        .withColumn("dist",
-          round(VectorFns.unitCosineDistance(col("va"), col("vb")), 4))
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      graft.operators.SimilarityJoin
+        .bandExactSelf(emb, "vec_id", "embedding", eps = 0.5501)
+        .withColumn("dist", round(col("dist"), 4))
         .filter(col("dist") <= 0.55)
         .select(col("a"), col("b"), col("dist"))
         .orderBy(col("a"), col("b"))

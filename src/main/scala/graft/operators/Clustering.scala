@@ -42,10 +42,27 @@ object Clustering {
     */
   val PoolIdCap = 1024
 
+  /** Physical strategy for the ε-edge join (one semantic contract). */
+  sealed trait JoinStrategy
+  /** Broadcast batch × streamed pool cross join — right when the batch
+    * is micro-batch-sized (the reference's own O(M·N) design). */
+  case object ExactJoin extends JoinStrategy
+  /** Lossless pivot-band equi-join — exact results, partitionable plan;
+    * right when both sides are large. */
+  case object BandJoin extends JoinStrategy
+  /** Approximate LSH — sub-quadratic with tunable recall; the extreme-
+    * scale escape hatch. */
+  case class LshJoin(numHashTables: Int = 4) extends JoinStrategy
+
   case class Config(
       eps: Double = DefaultEps,
+      strategy: JoinStrategy = ExactJoin,
+      /** legacy flag — overrides `strategy` with LshJoin(lshTables) */
       useLsh: Boolean = false,
-      lshTables: Int = 4)
+      lshTables: Int = 4) {
+    def effectiveStrategy: JoinStrategy =
+      if (useLsh) LshJoin(lshTables) else strategy
+  }
 
   /** Deterministic stand-in for the reference's `uuid4()` cluster ids. */
   def clusterIdFor(articleId: String): String =
@@ -102,13 +119,16 @@ object Clustering {
     // pool side streams through with no shuffle.
     val poolVecs = pool2.select(col("seq"), col("centroid"))
     val newVecs = newEntries.select(col("seq"), col("centroid"))
-    val edges =
-      if (cfg.useLsh)
+    val edges = cfg.effectiveStrategy match {
+      case LshJoin(tables) =>
         // asymmetric: candidates only for the new batch, never pool²
-        SimilarityJoin.lsh(newVecs, poolVecs, "seq", "centroid", cfg.eps, cfg.lshTables)
-      else
+        SimilarityJoin.lsh(newVecs, poolVecs, "seq", "centroid", cfg.eps, tables)
+      case BandJoin =>
+        SimilarityJoin.bandExact(newVecs, poolVecs, "seq", "centroid", cfg.eps)
+      case ExactJoin =>
         SimilarityJoin.exact(newVecs, poolVecs, "seq", "centroid", cfg.eps,
           broadcastLeft = true)
+    }
 
     // Only pool entries adjacent to this batch can change: restrict the
     // component search and the merge regroup to TOUCHED nodes (edge

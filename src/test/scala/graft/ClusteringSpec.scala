@@ -78,7 +78,7 @@ class ClusteringSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 1L, 3L)))
   }
 
-  test("LSH path produces the same planted partition as the exact join") {
+  test("LSH and band-join paths produce the same planted partition as exact") {
     val mk = (g: Int, i: Int) => {
       val v = Array.fill(8)(0.0)
       v(g) = 1.0
@@ -87,11 +87,14 @@ class ClusteringSpec extends SparkSpec {
     }
     val members = for (g <- 0 until 3; i <- 0 until 4) yield mk(g, i)
     val batch = vecBatch(members: _*)
-    val exactPool = Clustering.step(emptyPool, batch).pool
-    val lshPool = Clustering.step(emptyPool, batch,
-      Clustering.Config(useLsh = true, lshTables = 8)).pool
-    assert(poolRows(lshPool) == poolRows(exactPool))
-    assert(poolRows(lshPool).map(_._2).size == 3)
+    val exactPool = poolRows(Clustering.step(emptyPool, batch).pool)
+    val lshPool = poolRows(Clustering.step(emptyPool, batch,
+      Clustering.Config(useLsh = true, lshTables = 8)).pool)
+    val bandPool = poolRows(Clustering.step(emptyPool, batch,
+      Clustering.Config(strategy = Clustering.BandJoin)).pool)
+    assert(lshPool == exactPool)
+    assert(bandPool == exactPool)
+    assert(exactPool.map(_._2).size == 3)
   }
 
   test("planted clusters across batches match the single-linkage oracle") {
