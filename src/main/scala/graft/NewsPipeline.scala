@@ -63,6 +63,20 @@ object NewsPipeline {
     var pool = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], Schemas.pool)
 
+    // size the shuffle to the micro-batch, not the session default: a
+    // batch is bounded (~500-1000 rows), so dozens of 32-way exchanges
+    // per step are pure scheduling overhead. At 100 TB the same knob
+    // scales UP with batch volume.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try runBatches(spark, arts, table, pool)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  private def runBatches(spark: SparkSession, arts: DataFrame,
+                         table0: DataFrame, pool0: DataFrame): DataFrame = {
+    var table = table0
+    var pool = pool0
     for (b <- 0 until Batches) {
       val raw = arts.filter(col("batch") === b).drop("grp", "batch")
       val prepped = Preprocess(raw, EmbedDim)
