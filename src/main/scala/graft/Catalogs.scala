@@ -590,6 +590,127 @@ object SimilarityQueries {
         |GROUP BY label ORDER BY label""".stripMargin)
 }
 
+/** Training-corpus curation operators: the Gopher-style quality rules,
+  * repetition/boilerplate detection, PII scrubbing, sequence packing,
+  * and stratified sampling a pretraining data pipeline runs at corpus
+  * scale. Every one is codegen'd built-ins and oracle-checked.
+  */
+object TrainingQueries {
+
+  import org.apache.spark.sql.Column
+
+  private def stopList: String = TextFns.stopwordsEn.map(w => s"'$w'").mkString(", ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // repetition ratio over word bigrams (boilerplate signal)
+    "t4_repetition" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFns.repetitionRatio(col("text"), 2).as("rep2"))
+        .orderBy(col("doc_id"))),
+
+    // Gopher-style quality rule set with the pass verdict
+    "t5_gopher" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val nWords = size(toks).cast("long")
+      val hasStop = size(filter(split(lower(trim(col("text"))), "\\s+"),
+        t => t.isin(TextFns.stopwordsEn: _*))) > 0
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        TextFns.meanWordLength(col("text")).as("mean_wl"),
+        TextFns.symbolRatio(col("text")).as("symbol_ratio"),
+        hasStop.as("has_stopword"),
+        (nWords.between(5, 100000) &&
+          TextFns.meanWordLength(col("text")).between(2.0, 12.0) &&
+          TextFns.symbolRatio(col("text")) < 0.1 && hasStop).as("passes"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII/URL scrub (emails + links injected deterministically)
+    "t6_redact" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFns.redact(concat(
+          lit("Contact bob@example.com or https://ex.org/a?b=1 end "),
+          col("text"))).as("redacted"))
+        .orderBy(col("doc_id"))),
+
+    // greedy sequence packing: cumulative token count → 2048-token bins
+    "t7_pack_bins" -> ((s, dir) => {
+      val w = Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextFns.tokenCountWs(col("text")).cast("long").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("bin", floor((col("cum") - col("n_tok")) / 2048).cast("long"))
+        .select(col("doc_id"), col("n_tok"), col("bin"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // stratified sampling: portable md5-derived bucket, per-language rate
+    "t8_sample" -> ((s, dir) => {
+      val bucket = (expr("instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1") * 16 +
+        expr("instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 2, 1)) - 1")) % 100
+      val rate = when(col("lang") === "en", 50)
+        .when(col("lang") === "de", 30).otherwise(10)
+      Tables.documents(s, dir)
+        .filter(bucket < rate)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "t4_repetition" ->
+      """WITH norm AS (SELECT doc_id,
+        |  regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |idx AS (SELECT doc_id, toks,
+        |  unnest(generate_series(1, greatest(len(toks)-2, 0)+1)) AS i FROM norm),
+        |g AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g FROM idx)
+        |SELECT doc_id, round(1.0 - count(DISTINCT g)*1.0/count(g), 6) AS rep2
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t5_gopher" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |  len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_words,
+         |  round(length(regexp_replace(trim(text), '\\s+', '', 'g'))*1.0
+         |        / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS mean_wl,
+         |  round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))*1.0
+         |        / length(text), 6) AS symbol_ratio,
+         |  len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |      x -> x IN ($stopList))) > 0 AS has_stopword
+         |FROM documents)
+         |SELECT doc_id, n_words, mean_wl, symbol_ratio, has_stopword,
+         |  (n_words BETWEEN 5 AND 100000 AND mean_wl BETWEEN 2.0 AND 12.0
+         |   AND symbol_ratio < 0.1 AND has_stopword) AS passes
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "t6_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(
+        |    'Contact bob@example.com or https://ex.org/a?b=1 end ' || text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^\s]+', '<URL>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t7_pack_bins" ->
+      """WITH t AS (SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tok
+        |FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |  sum(n_tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |FROM t)
+        |SELECT doc_id, n_tok, CAST(floor((cum - n_tok) / 2048) AS BIGINT) AS bin
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "t8_sample" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16 +
+        |  (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1) AS bucket,
+        |  CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 30 ELSE 10 END AS rate
+        |FROM documents)
+        |SELECT doc_id, lang FROM t WHERE bucket % 100 < rate ORDER BY doc_id""".stripMargin)
+}
+
 /** Multimodal media table: binary payloads + typed metadata. The
   * SQL-checkable surface is the metadata/content-hash projection; the
   * batched decode/feature operators are covered by MultimodalSpec.

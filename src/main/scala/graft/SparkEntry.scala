@@ -74,7 +74,7 @@ object QueryCatalog {
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     baseQueries ++ TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ EventQueries.queries ++ NewsQueries.queries ++
-      MediaQueries.queries
+      MediaQueries.queries ++ TrainingQueries.queries
 
   private val baseOracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -106,5 +106,5 @@ object QueryCatalog {
   val oracleSql: Map[String, String] =
     baseOracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ EventQueries.oracleSql ++ NewsQueries.oracleSql ++
-      MediaQueries.oracleSql
+      MediaQueries.oracleSql ++ TrainingQueries.oracleSql
 }

@@ -121,6 +121,45 @@ object TextFns {
     }
   }
 
+  /** Repetition ratio: 1 − distinct(word n-grams)/count(word n-grams).
+    * High values flag boilerplate/spam (the Gopher-rules repetition
+    * signal). 0 for docs shorter than n words.
+    */
+  def repetitionRatio(c: Column, n: Int): Column = {
+    val toks = split(regexp_replace(lower(trim(c)), "\\s+", " "), " ")
+    val idx = sequence(lit(0), greatest(size(toks) - lit(n), lit(0)))
+    val grams = transform(idx, i => array_join(slice(toks, i + 1, lit(n)), " "))
+    when(size(grams) > 0,
+      round(lit(1.0) - size(array_distinct(grams)).cast("double")
+        / size(grams).cast("double"), 6))
+      .otherwise(lit(0.0))
+  }
+
+  /** Mean word length over whitespace tokens (Gopher-rules signal):
+    * non-whitespace char count / token count.
+    */
+  def meanWordLength(c: Column): Column = {
+    val toks = split(trim(c), "\\s+")
+    when(size(toks) > 0,
+      round(length(regexp_replace(trim(c), "\\s+", "")).cast("double")
+        / size(toks).cast("double"), 6))
+      .otherwise(lit(0.0))
+  }
+
+  /** Symbol ratio: fraction of characters outside [A-Za-z0-9\s]. */
+  def symbolRatio(c: Column): Column =
+    when(length(c) > 0,
+      round((length(c) - length(regexp_replace(c, "[^A-Za-z0-9\\s]", "")))
+        .cast("double") / length(c).cast("double"), 6))
+      .otherwise(lit(0.0))
+
+  /** Redact emails and URLs (PII scrub for training corpora). */
+  def redact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "https?://[^\\s]+", "<URL>")
+
   /** Character n-gram shingles of the normalized text (dedup feature). */
   def charShingles(c: Column, n: Int): Column = {
     val norm = regexp_replace(lower(trim(c)), "\\s+", " ")

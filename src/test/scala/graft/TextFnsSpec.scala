@@ -78,6 +78,21 @@ class TextFnsSpec extends SparkSpec {
     assert(df.head().getString(0) == "Organizations: Apple")
   }
 
+  test("training-curation signals: repetition, mean word length, symbols, redact") {
+    val rep = TextFns.repetitionRatio(col("s"), 2)
+    // "a b a b a b": bigrams = [a b, b a, a b, b a, a b] → 2 distinct / 5
+    val r = Seq("a b a b a b").toDF("s").select(rep.as("r")).head().getDouble(0)
+    assert(math.abs(r - 0.6) < 1e-9)
+    assert(one(TextFns.redact(col("s")),
+      "mail bob@x.co and see https://a.b/c?d=1 now") == "mail <EMAIL> and see <URL> now")
+    val mw = Seq("ab abcd").toDF("s")
+      .select(TextFns.meanWordLength(col("s"))).head().getDouble(0)
+    assert(mw == 3.0)
+    val sym = Seq("ab$%").toDF("s")
+      .select(TextFns.symbolRatio(col("s"))).head().getDouble(0)
+    assert(sym == 0.5)
+  }
+
   test("P6 concatForEmbedding joins with newlines, skips nulls") {
     val df = Seq(("t", null: String, "b")).toDF("a", "b", "c")
       .select(TextFns.concatForEmbedding(col("a"), col("b"), col("c")).as("r"))
