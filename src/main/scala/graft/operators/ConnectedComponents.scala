@@ -31,11 +31,12 @@ object ConnectedComponents {
   def run(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val spark = nodes.sparkSession
 
-    // symmetrize once; self-loops are harmless but dropped for volume
+    // symmetrize once; self-loops dropped. No distinct(): duplicate
+    // edges cannot change a min-aggregate, and the dedup shuffle costs
+    // more than the duplicates do.
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
-      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var labels = nodes.select(col("node"), col("node").as("component"))
@@ -50,6 +51,10 @@ object ConnectedComponents {
         .groupBy(col("src").as("node"))
         .agg(min(col("component")).as("nbrMin"))
 
+      // eager checkpoint per round: fully materializes the iteration
+      // (a lazily-cached label set would be only partially computed by
+      // the limit(1) convergence probe and recomputed downstream) and
+      // truncates the loop's plan growth
       val next = labels.join(viaNeighbors, Seq("node"), "left_outer")
         .select(
           col("node"),
