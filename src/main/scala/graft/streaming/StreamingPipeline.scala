@@ -84,7 +84,14 @@ object StreamingPipeline {
     val pool = readVersion(spark, poolBase, batchId - 1, emptyPool(spark))
     val table = readVersion(spark, tableBase, batchId - 1, ClusterTable.emptyTable(spark))
 
-    val prepped = Preprocess(batch, cfg.embedDim)
+    // P10: a JSON file source parses corrupt lines to all-null rows;
+    // drop records missing the required-field contract
+    // (README.md:204-221 — id/text/title/date) before processing
+    val valid = batch.filter(
+      col("id").isNotNull && col("text").isNotNull &&
+        col("title").isNotNull && col("date").isNotNull)
+
+    val prepped = Preprocess(valid, cfg.embedDim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (prepped.isEmpty) {

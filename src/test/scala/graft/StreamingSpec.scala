@@ -38,11 +38,14 @@ class StreamingSpec extends SparkSpec {
     val src = s"$root/src"; val state = s"$root/state"; val ckpt = s"$root/ckpt"
     Files.createDirectories(Paths.get(src))
 
-    // batch 1: two near articles (same planted token) + one far
+    // batch 1: two near articles (same planted token) + one far, plus a
+    // malformed line the P10 guard must drop
     writeArticles(src, "b1.json", Seq(
       ("a1", "alpha alpha alpha alpha", "A one", "2024-01-01 10:00:00"),
       ("a2", "alpha alpha alpha alpha x", "A two", "2024-01-01 11:00:00"),
       ("z1", "omega omega omega omega", "Z one", "2024-01-01 12:00:00")))
+    Files.writeString(Paths.get(src, "b1.json"),
+      Files.readString(Paths.get(src, "b1.json")) + "\n{\"id\":\"broken\",no")
     streamOnce(src, state, ckpt)
     assert(tableIds(state) == Set("a1", "a2", "z1"))
     val t1 = StreamingPipeline.latestTable(spark, state)
