@@ -602,11 +602,14 @@ object TrainingQueries {
   private def stopList: String = TextFns.stopwordsEn.map(w => s"'$w'").mkString(", ")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // repetition ratio over word bigrams (boilerplate signal)
+    // repetition ratio over word bigrams (boilerplate signal); tokens
+    // materialized once per row in their own projection
     "t4_repetition" -> ((s, dir) =>
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        TextFns.repetitionRatio(col("text"), 2).as("rep2"))
+      Tables.documents(s, dir)
+        .withColumn("__toks", TextFns.repetitionTokens(col("text")))
+        .select(
+          col("doc_id"),
+          TextFns.repetitionRatioTokens(col("__toks"), 2).as("rep2"))
         .orderBy(col("doc_id"))),
 
     // Gopher-style quality rule set with the pass verdict

@@ -125,15 +125,30 @@ object TextFns {
     * High values flag boilerplate/spam (the Gopher-rules repetition
     * signal). 0 for docs shorter than n words.
     */
-  def repetitionRatio(c: Column, n: Int): Column = {
-    val toks = split(regexp_replace(lower(trim(c)), "\\s+", " "), " ")
-    val idx = sequence(lit(0), greatest(size(toks) - lit(n), lit(0)))
-    val grams = transform(idx, i => array_join(slice(toks, i + 1, lit(n)), " "))
+  /** Tokenization for [[repetitionRatioTokens]] — materialize this in
+    * its own projection (`withColumn`) so the split runs once per row;
+    * a lambda referencing a non-trivial expression re-evaluates it per
+    * element.
+    */
+  def repetitionTokens(c: Column): Column =
+    split(regexp_replace(lower(trim(c)), "\\s+", " "), " ")
+
+  def repetitionRatioTokens(toks: Column, n: Int): Column = {
+    val idx = sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1)))
+    // element_at instead of slice: no per-gram array copy; concat_ws
+    // skips out-of-range nulls exactly like slice's short tail, so the
+    // gram strings are identical
+    val grams = transform(idx, i =>
+      concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*))
     when(size(grams) > 0,
       round(lit(1.0) - size(array_distinct(grams)).cast("double")
         / size(grams).cast("double"), 6))
       .otherwise(lit(0.0))
   }
+
+  /** Convenience single-expression form (inlines the tokenization). */
+  def repetitionRatio(c: Column, n: Int): Column =
+    repetitionRatioTokens(repetitionTokens(c), n)
 
   /** Mean word length over whitespace tokens (Gopher-rules signal):
     * non-whitespace char count / token count.
