@@ -242,8 +242,10 @@ object DedupQueries {
     // no all-pairs cross join
     "d2_jaccard_pairs" -> ((s, dir) => {
       val corpus = corpusWithNearDups(s, dir)
-      val sh = corpus.select(col("doc_id"),
-        explode(TextFns.wordShingles(col("text"), 3)).as("sh"))
+      val sh = corpus
+        .withColumn("__toks", TextFns.repetitionTokens(col("text")))
+        .select(col("doc_id"),
+          explode(TextFns.wordShinglesTokens(col("__toks"), 3)).as("sh"))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val pairs = sh.as("x").join(sh.as("y"), col("x.sh") === col("y.sh"))
         .filter(col("x.doc_id") < col("y.doc_id"))
@@ -264,8 +266,10 @@ object DedupQueries {
     // come from an equi-join on (band, hash) — never all-pairs.
     "d3_minhash_pairs" -> ((s, dir) => {
       val corpus = corpusWithNearDups(s, dir)
-      val sh = corpus.select(col("doc_id"),
-        explode(TextFns.wordShingles(col("text"), 3)).as("sh"))
+      val sh = corpus
+        .withColumn("__toks", TextFns.repetitionTokens(col("text")))
+        .select(col("doc_id"),
+          explode(TextFns.wordShinglesTokens(col("__toks"), 3)).as("sh"))
       val sigCols = (0 until 12).map(i =>
         min(md5(concat(lit(i.toString), lit(":"), col("sh")))).as(s"mh$i"))
       val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)

@@ -182,10 +182,17 @@ object TextFns {
     array_distinct(transform(idx, i => norm.substr(i, lit(n))))
   }
 
-  /** Word n-gram shingles. */
-  def wordShingles(c: Column, n: Int): Column = {
-    val toks = split(regexp_replace(lower(trim(c)), "\\s+", " "), " ")
-    val idx = sequence(lit(0), greatest(size(toks) - lit(n), lit(0)))
-    array_distinct(transform(idx, i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  /** Word n-gram shingles from a pre-split token column — materialize
+    * the tokens in their own projection (see [[repetitionTokens]]): a
+    * lambda referencing the split expression re-runs it per element.
+    */
+  def wordShinglesTokens(toks: Column, n: Int): Column = {
+    val idx = sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1)))
+    array_distinct(transform(idx, i =>
+      concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*)))
   }
+
+  /** Word n-gram shingles (single-expression convenience form). */
+  def wordShingles(c: Column, n: Int): Column =
+    wordShinglesTokens(repetitionTokens(c), n)
 }
