@@ -29,16 +29,20 @@ object TextQueries {
 
     // quality scoring (length/alpha/stopword blend)
     "t2_quality" -> ((s, dir) =>
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        TextFns.qualityScore(col("text")).as("quality"))
+      Tables.documents(s, dir)
+        .withColumn("__toks", TextFns.lowerTokens(col("text")))
+        .select(
+          col("doc_id"),
+          TextFns.qualityScoreTokens(col("text"), col("__toks")).as("quality"))
         .orderBy(col("doc_id"))),
 
     // language-ID heuristic
     "t3_lang_id" -> ((s, dir) =>
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        TextFns.langId(col("text")).as("lang_guess"))
+      Tables.documents(s, dir)
+        .withColumn("__toks", TextFns.lowerTokens(col("text")))
+        .select(
+          col("doc_id"),
+          TextFns.langIdTokens(col("__toks")).as("lang_guess"))
         .orderBy(col("doc_id"))),
 
     // P3 HTML strip + entity unescape round-trip (documents carry no

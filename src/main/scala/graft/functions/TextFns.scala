@@ -78,27 +78,36 @@ object TextFns {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "that", "for", "on", "with", "as", "was", "at", "by", "this")
 
-  /** Stopword ratio against a fixed English stopword list (quality
-    * signal; also the base feature of the language-ID heuristic).
+  /** Lower-cased whitespace tokens — materialize in a projection when
+    * feeding the token-input variants below (an expression referenced
+    * many times re-evaluates per reference).
     */
-  def stopwordRatio(c: Column): Column = {
-    val toks = split(lower(trim(c)), "\\s+")
+  def lowerTokens(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  def stopwordRatioTokens(toks: Column): Column = {
     val stops = filter(toks, t => t.isin(stopwordsEn: _*))
     when(size(toks) > 0, size(stops).cast("double") / size(toks).cast("double"))
       .otherwise(lit(0.0))
   }
 
+  /** Stopword ratio against a fixed English stopword list (quality
+    * signal; also the base feature of the language-ID heuristic).
+    */
+  def stopwordRatio(c: Column): Column = stopwordRatioTokens(lowerTokens(c))
+
   /** Quality score in [0,1]: blend of length, alpha ratio, and stopword
     * ratio — the standard cheap pre-filter of LLM data pipelines.
     */
-  def qualityScore(c: Column): Column = {
+  def qualityScoreTokens(c: Column, toks: Column): Column = {
     val len = length(c).cast("double")
     val lenScore = least(len / lit(500.0), lit(1.0))
     val alpha = length(regexp_replace(c, "[^A-Za-z ]", "")).cast("double")
     val alphaRatio = when(len > 0, alpha / len).otherwise(lit(0.0))
-    val stopScore = least(stopwordRatio(c) * lit(4.0), lit(1.0))
+    val stopScore = least(stopwordRatioTokens(toks) * lit(4.0), lit(1.0))
     round(lenScore * lit(0.4) + alphaRatio * lit(0.4) + stopScore * lit(0.2), 6)
   }
+
+  def qualityScore(c: Column): Column = qualityScoreTokens(c, lowerTokens(c))
 
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "is", "that", "with"),
@@ -110,8 +119,7 @@ object TextFns {
     * pick the argmax (ties broken by the fixed language order above),
     * "und" (undetermined) when nothing matches.
     */
-  def langId(c: Column): Column = {
-    val toks = split(lower(trim(c)), "\\s+")
+  def langIdTokens(toks: Column): Column = {
     val scores = langMarkers.map { case (lang, markers) =>
       lang -> size(filter(toks, t => t.isin(markers: _*)))
     }
@@ -120,6 +128,8 @@ object TextFns {
       when(s === best && s > 0, lit(lang)).otherwise(acc)
     }
   }
+
+  def langId(c: Column): Column = langIdTokens(lowerTokens(c))
 
   /** Repetition ratio: 1 − distinct(word n-grams)/count(word n-grams).
     * High values flag boilerplate/spam (the Gopher-rules repetition
