@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench/Verify stdout as JSON lines; sbt's default
+// LoggedOutput prefixes forked-process output with "[info] " which
+// breaks that parse (BENCH_r02 recorded parsed:null). Pass the forked
+// JVM's stdout/stderr straight through instead.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and keep sbt's "[success] Total time" epilogue off stdout so the
+// JSON line is the last thing a line-oriented parser sees.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -540,17 +540,18 @@ object SimilarityQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // A3 centroid mean per label (posexplode → per-dimension avg →
-    // reassemble ordered); partial aggregation = map-side combine
+    // A3 centroid mean per label (posexplode → per-dimension avg);
+    // partial aggregation = map-side combine. Emitted as exploded
+    // (label, idx, m) scalar rows — an array<double> result column is
+    // unhashable in the driver's comparator (ADVICE r2). idx is
+    // 1-based to match DuckDB generate_subscripts.
     "a3_centroid" -> ((s, dir) =>
       Tables.embeddings(s, dir)
-        .select(col("label"), posexplode(col("embedding")).as(Seq("idx", "v")))
-        .groupBy(col("label"), col("idx")).agg(avg(col("v")).as("m"))
-        .groupBy(col("label"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("idx"), col("m")))),
-          x => round(x.getField("m"), 6)).as("centroid"))
-        .orderBy(col("label"))))
+        .select(col("label"), posexplode(col("embedding")).as(Seq("p", "v")))
+        .select(col("label"), (col("p") + 1).as("idx"), col("v"))
+        .groupBy(col("label"), col("idx"))
+        .agg(round(avg(col("v")), 6).as("m"))
+        .orderBy(col("label"), col("idx"))))
 
   val oracleSql: Map[String, String] = Map(
     "s1_knn" ->
@@ -590,12 +591,10 @@ object SimilarityQueries {
         |FROM embeddings e LEFT JOIN documents d ON d.doc_id = e.vec_id * 2
         |ORDER BY doc_id""".stripMargin,
     "a3_centroid" ->
-      """SELECT label, list(round(m, 6) ORDER BY idx) AS centroid FROM (
-        |  SELECT label, idx, avg(v) AS m FROM (
-        |    SELECT label, unnest(embedding) AS v,
-        |           generate_subscripts(embedding, 1) AS idx FROM embeddings) u
-        |  GROUP BY label, idx) g
-        |GROUP BY label ORDER BY label""".stripMargin)
+      """SELECT label, idx, round(avg(v), 6) AS m FROM (
+        |  SELECT label, unnest(embedding) AS v,
+        |         generate_subscripts(embedding, 1) AS idx FROM embeddings) u
+        |GROUP BY label, idx ORDER BY label, idx""".stripMargin)
 }
 
 /** Training-corpus curation operators: the Gopher-style quality rules,

@@ -45,9 +45,19 @@ object GraftExtensions {
         "unit_cosine_distance(a, b) - cosine distance of unit vectors, clipped to [0,1]"),
       (children: Seq[Expression]) => unitCosineDistance(children(0), children(1))))
 
-  /** Register into an existing session (tests, notebooks). */
-  def register(spark: SparkSession): Unit =
+  /** Register into an existing session (tests, notebooks), and apply
+    * session-setup conf the engine relies on. This is the one setup
+    * chokepoint every graft entry point (Bench/Verify/tests) passes
+    * through — conf is set once here, up front, never mid-query
+    * (ADVICE r2: `Tables.events` used to flip `nanosAsLong` as a side
+    * effect of every call, racing concurrent queries).
+    */
+  def register(spark: SparkSession): Unit = {
+    // events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    // reader only accepts as raw longs; Tables.events truncates to µs.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     functions.foreach { case (ident, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, inf, builder)
     }
+  }
 }

@@ -26,12 +26,16 @@ object Tables {
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects; read it as raw nanos and truncate to microseconds
     * (exactly what DuckDB's ns→µs conversion does, so oracles agree).
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set once at
+    * session setup by [[GraftExtensions.register]] — deliberately NOT
+    * set here: a loader mutating session conf mid-flight changes how
+    * every other TIMESTAMP(NANOS) parquet reads for the rest of the
+    * session and races concurrent queries (ADVICE r2).
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, sfDir: String): DataFrame =
     load(spark, sfDir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 

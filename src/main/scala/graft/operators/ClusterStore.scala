@@ -46,6 +46,15 @@ final class ClusterStore(spark: SparkSession, path: String, nBuckets: Int = 64) 
 
   /** Upsert with last-writer-wins on (PK,SK), rewriting only the buckets
     * the upsert touches.
+    *
+    * NOT crash-atomic: the dynamic partition overwrite deletes then
+    * replaces whole buckets, so a crash mid-write can lose rows of
+    * other clusters co-located in a touched bucket, and replaying the
+    * same upserts merges against the truncated store and cannot restore
+    * them. Callers that own an authoritative copy of the table (the
+    * streaming pipeline's versioned state) should recover/write via
+    * [[rebuildBucketsFor]], which rewrites complete buckets from truth
+    * and is therefore self-healing under replay.
     */
   def merge(upserts: DataFrame): Unit = {
     val up = upserts.withColumn("bucket", bucketOf(col("PK")))
@@ -72,6 +81,33 @@ final class ClusterStore(spark: SparkSession, path: String, nBuckets: Int = 64) 
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
     } finally up.unpersist()
+  }
+
+  /** Rewrite, from an authoritative table, every bucket that `touched`
+    * rows land in. `truth` must contain ALL rows of the table (or at
+    * least of the touched buckets); only the touched buckets are read
+    * from it and rewritten — cost stays O(touched buckets), independent
+    * of table size. Unlike [[merge]] this never reads the store itself,
+    * so a replay after a crash mid-write restores complete bucket
+    * contents (including co-bucketed clusters a truncated write lost).
+    */
+  def rebuildBucketsFor(truth: DataFrame, touched: DataFrame): Unit = {
+    val touchedBuckets = touched.select(bucketOf(col("PK")).as("bucket"))
+      .distinct().as[Long].collect()
+    if (touchedBuckets.isEmpty) return
+    val rows = truth.withColumn("bucket", bucketOf(col("PK")))
+      .filter(col("bucket").isin(touchedBuckets: _*))
+    if (!exists) {
+      rows.write.partitionBy("bucket").mode("errorifexists").parquet(path)
+      return
+    }
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try rows.write.partitionBy("bucket").mode("overwrite").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
   }
 
   /** Data files per bucket partition — test/observability hook for

@@ -110,8 +110,14 @@ object SimilarityJoin {
     */
   def bandExact(left: DataFrame, right: DataFrame, keyCol: String, vecCol: String,
                 eps: Double, pivots: Int = 2): DataFrame = {
-    require(eps > 0 && eps < 2, s"eps out of range: $eps")
-    val thetaEps = math.acos(1.0 - math.min(eps, 1.0)) // cosine dist → angle
+    // eps ≤ 1 keeps the exactness contract: dist ≤ eps ⟺ angle ≤
+    // acos(1-eps) = thetaEps, so qualifying pairs differ by ≤ 1 band
+    // per pivot. For eps > 1 the qualifying angle can reach π > thetaEps
+    // and the ±1 neighbor window would silently drop pairs (ADVICE r2) —
+    // callers needing eps > 1 should use `exact` (every pair qualifies
+    // near eps=2 anyway, so banding buys nothing there).
+    require(eps > 0 && eps <= 1, s"eps out of range for bandExact: $eps")
+    val thetaEps = math.acos(1.0 - eps) // cosine dist → angle
     def theta(v: Column, k: Int): Column =
       acos(least(greatest(element_at(v, k + 1).cast("double"), lit(-1.0)), lit(1.0)))
     def bandOf(v: Column, k: Int): Column =

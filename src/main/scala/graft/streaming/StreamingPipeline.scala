@@ -40,10 +40,11 @@ object StreamingPipeline {
         * v<batchId>` — the S14 change feed a downstream trigger consumes
         * (reference DynamoDB Stream NEW_IMAGE, main.tf:85-93) */
       emitCdc: Boolean = false,
-      /** optional serving-table sink: per-batch partition-pruned merge
-        * into a [[graft.operators.ClusterStore]] (the DynamoDB analog).
-        * Upsert rows are deterministic per batchId, so replayed merges
-        * are idempotent. */
+      /** optional serving-table sink: per-batch partition-pruned bucket
+        * rebuild into a [[graft.operators.ClusterStore]] (the DynamoDB
+        * analog). Touched buckets are rewritten wholesale from the
+        * versioned table, so replays are idempotent and a crash mid-write
+        * is repaired by the replay (self-healing). */
       servingStore: Option[graft.operators.ClusterStore] = None)
 
   def emptyPool(spark: SparkSession): DataFrame =
@@ -110,22 +111,38 @@ object StreamingPipeline {
         next.write.mode("overwrite").parquet(versionPath(tableBase, batchId))
         if (cfg.emitCdc)
           ups.write.mode("overwrite").parquet(versionPath(s"$stateDir/cdc", batchId))
-        cfg.servingStore.foreach(_.merge(
-          spark.read.parquet(versionPath(tableBase, batchId))
-            .join(broadcast(updated), Seq("PK"), "left_semi")))
+        // Serving store: REBUILD the touched buckets wholesale from the
+        // versioned table (the source of truth) rather than merging the
+        // batch's upserts against the store's current content. A merge
+        // would not survive a crash mid-write: dynamic partition
+        // overwrite truncates whole buckets, and replaying only the
+        // batch's own upserts cannot reinstate OTHER clusters that
+        // shared a truncated bucket (ADVICE r2). Replaying a bucket
+        // rebuild is idempotent AND self-healing — it always rewrites
+        // the complete bucket contents from committed state.
+        cfg.servingStore.foreach { store =>
+          val truth = spark.read.parquet(versionPath(tableBase, batchId))
+          store.rebuildBucketsFor(
+            truth, truth.join(broadcast(updated), Seq("PK"), "left_semi"))
+        }
       }
       prune(spark, poolBase, batchId, cfg.retainVersions)
       prune(spark, tableBase, batchId, cfg.retainVersions)
     } finally prepped.unpersist()
   }
 
-  /** Latest committed clusters table (the read path / A9 input). */
+  /** Latest committed clusters table (the read path / A9 input).
+    * Only versions whose directory carries `_SUCCESS` are candidates —
+    * after a crash mid-write the highest v<N> may be partial, so we fall
+    * back to the newest fully-committed version (ADVICE r2).
+    */
   def latestTable(spark: SparkSession, stateDir: String): DataFrame = {
     val base = new Path(s"$stateDir/table")
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return ClusterTable.emptyTable(spark)
     val versions = fs.listStatus(base).map(_.getPath.getName)
       .filter(_.startsWith("v")).flatMap(_.drop(1).toLongOption)
+      .filter(v => fs.exists(new Path(versionPath(s"$stateDir/table", v), "_SUCCESS")))
     if (versions.isEmpty) ClusterTable.emptyTable(spark)
     else spark.read.parquet(versionPath(s"$stateDir/table", versions.max))
   }

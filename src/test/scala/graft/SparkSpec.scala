@@ -14,6 +14,8 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // one-time session setup: SQL functions + nanosAsLong (Tables.events)
+    GraftExtensions.register(s)
     s
   }
 }

@@ -116,4 +116,24 @@ class StreamingSpec extends SparkSpec {
       .select("number_of_articles").as[Int].head()
     assert(n == 3) // A4: batch_new(2) + 1, not re-applied
   }
+
+  test("latestTable skips a partial (no _SUCCESS) version after a crash") {
+    val root = Files.createTempDirectory("graft-partial").toString
+    val state = s"$root/state"
+    val batch = Seq(("p1", "theta theta theta", "T", "2024-01-01 10:00:00"))
+      .toDF("id", "text", "title", "date")
+    StreamingPipeline.processBatch(batch, 0L, state, StreamingPipeline.Config())
+    val committed = StreamingPipeline.latestTable(spark, state)
+      .orderBy("PK", "SK").collect().toSeq
+
+    // fake a crash mid-write of v1: directory with data but no _SUCCESS
+    val v1 = new org.apache.hadoop.fs.Path(s"$state/table/v1")
+    val fs = v1.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(s"$state/table/v0").write.parquet(v1.toString)
+    fs.delete(new org.apache.hadoop.fs.Path(v1, "_SUCCESS"), false)
+
+    val got = StreamingPipeline.latestTable(spark, state)
+      .orderBy("PK", "SK").collect().toSeq
+    assert(got == committed) // served v0, not the partial v1
+  }
 }
