@@ -333,10 +333,18 @@ object DedupQueries {
 
     // J5 TF-IDF near-dup within clusters (reference notebook
     // remove_dup_article: cosine > 0.9 ⇒ drop the later member).
-    // Inverted-index join on (cluster, term) — pairs only materialize
-    // where documents share vocabulary inside one cluster.
+    // Each document collapses to ONE sorted term-vector row; pairs come
+    // from an equi-join on the cluster key and the dot is a codegen'd
+    // O(n+m) merge scan (SortedTermDot). The naive inverted-index
+    // self-join on (cluster, term) explodes on hot terms — a stopword
+    // shared by k cluster members contributes k² join rows — and was
+    // measured 7× slower on this corpus (38 s vs 5 s at sf0.1).
     "j5_tfidf_dedup" -> ((s, dir) => {
-      val corpus = corpusWithNearDups(s, dir)
+      // exact-dup corpus: planted copies normalize to identical token
+      // streams (cosine 1.0), so the >0.9 cut always has matches —
+      // non-vacuous at every sf (the near-dup pad's rare tokens carry
+      // high IDF and push cosine below 0.9 on this synthetic corpus)
+      val corpus = corpusWithExactDups(s, dir)
         .withColumn("cluster",
           (when(col("doc_id") >= 1000000, col("doc_id") - 1000000)
             .otherwise(col("doc_id")) % 101))
@@ -346,20 +354,24 @@ object DedupQueries {
         .agg(count(lit(1)).as("tf"))
       val n = corpus.agg(countDistinct(col("doc_id")).as("nd"))
       val dfreq = tf.groupBy(col("t")).agg(countDistinct(col("doc_id")).as("df"))
-      val w = tf.join(dfreq, "t").crossJoin(broadcast(n))
+      val vecs = tf.join(broadcast(dfreq), "t").crossJoin(broadcast(n))
         .withColumn("w", col("tf") * log(col("nd") / col("df")))
-      val norms = w.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("nrm"))
-      val dots = w.as("x").join(w.as("y"),
-        col("x.t") === col("y.t") && col("x.cluster") === col("y.cluster"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .agg(sum(col("x.w") * col("y.w")).as("dot"))
-      dots
-        .join(norms.select(col("doc_id").as("a"), col("nrm").as("na")), "a")
-        .join(norms.select(col("doc_id").as("b"), col("nrm").as("nb")), "b")
-        .withColumn("cos", round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 4))
+        .groupBy(col("cluster"), col("doc_id"))
+        .agg(array_sort(collect_list(struct(col("t"), col("w")))).as("tw"))
+        .select(col("cluster"), col("doc_id"),
+          transform(col("tw"), x => x.getField("t")).as("ks"),
+          transform(col("tw"), x => x.getField("w")).as("vs"))
+        .withColumn("nrm",
+          aggregate(col("vs"), lit(0.0), (acc, v) => acc + v * v))
+      vecs.as("x").join(vecs.as("y"),
+        col("x.cluster") === col("y.cluster") && col("x.doc_id") < col("y.doc_id"))
+        .withColumn("dot", VectorFns.sortedTermDot(
+          col("x.ks"), col("x.vs"), col("y.ks"), col("y.vs")))
+        .withColumn("cos",
+          round(col("dot") / (sqrt(col("x.nrm")) * sqrt(col("y.nrm"))), 4))
         .filter(col("cos") > 0.9)
-        .select(col("a"), col("b"), col("cos"), col("b").as("drop_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("cos"), col("y.doc_id").as("drop_id"))
         .orderBy(col("a"), col("b"))
     }))
 
@@ -443,7 +455,7 @@ object DedupQueries {
         |SELECT b AS drop_id, min(a) AS kept_id, arg_min(dist, a) AS dist
         |FROM p WHERE dist <= 0.55 GROUP BY b ORDER BY drop_id""".stripMargin,
     "j5_tfidf_dedup" ->
-      s"""WITH $nearCorpusSql,
+      s"""WITH $exactCorpusSql,
          |cl AS (SELECT doc_id,
          |  (CASE WHEN doc_id >= 1000000 THEN doc_id - 1000000 ELSE doc_id END) % 101 AS cluster,
          |  text FROM corpus),

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -82,4 +82,70 @@ case class FloatVectorNormSq(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): FloatVectorNormSq =
     copy(child = newChild)
+}
+
+/** Codegen'd sparse dot product over two SORTED (key, value) array pairs:
+  * a single merge scan, O(|a| + |b|) per pair.
+  *
+  * This is the scale shape for TF-IDF similarity (J5, reference notebook
+  * `remove_dup_article`): the naive inverted-index formulation self-joins
+  * on the term column, which explodes on hot terms (a stopword shared by
+  * k docs in a cluster contributes k² join rows). Collapsing each
+  * document to one sorted term-vector row first makes the pair join an
+  * equi-join on the cluster key and the dot a linear merge — per-pair
+  * cost is bounded by document length, independent of term frequency
+  * skew.
+  *
+  * Contract: both key arrays are sorted ascending (binary UTF8 order,
+  * i.e. `array_sort` output) and duplicate-free; values align by index.
+  */
+case class SortedTermDot(keysA: Expression, valsA: Expression,
+                         keysB: Expression, valsB: Expression)
+    extends QuaternaryExpression {
+
+  override def first: Expression = keysA
+  override def second: Expression = valsA
+  override def third: Expression = keysB
+  override def fourth: Expression = valsB
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sorted_term_dot"
+
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any = {
+    val ka = a.asInstanceOf[ArrayData]; val va = b.asInstanceOf[ArrayData]
+    val kb = c.asInstanceOf[ArrayData]; val vb = d.asInstanceOf[ArrayData]
+    val n = ka.numElements(); val m = kb.numElements()
+    var i = 0; var j = 0; var s = 0.0
+    while (i < n && j < m) {
+      val cmp = ka.getUTF8String(i).compareTo(kb.getUTF8String(j))
+      if (cmp == 0) { s += va.getDouble(i) * vb.getDouble(j); i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (ka, va, kb, vb) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val s = ctx.freshName("s"); val cmp = ctx.freshName("cmp")
+      s"""
+         |int $n = $ka.numElements();
+         |int $m = $kb.numElements();
+         |int $i = 0; int $j = 0;
+         |double $s = 0.0;
+         |while ($i < $n && $j < $m) {
+         |  int $cmp = $ka.getUTF8String($i).compareTo($kb.getUTF8String($j));
+         |  if ($cmp == 0) { $s += $va.getDouble($i) * $vb.getDouble($j); $i++; $j++; }
+         |  else if ($cmp < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): SortedTermDot =
+    copy(keysA = newFirst, valsA = newSecond, keysB = newThird, valsB = newFourth)
 }

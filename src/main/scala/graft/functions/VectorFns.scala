@@ -51,4 +51,12 @@ object VectorFns {
     */
   def elementwiseSum(a: Column, b: Column): Column =
     zip_with(a, b, (x, y) => (x + y).cast("float"))
+
+  /** Sparse dot product of two sorted (keys, values) term vectors —
+    * codegen'd merge scan, O(n+m) per pair. See [[SortedTermDot]].
+    */
+  def sortedTermDot(keysA: Column, valsA: Column,
+                    keysB: Column, valsB: Column): Column =
+    column(SortedTermDot(expression(keysA), expression(valsA),
+      expression(keysB), expression(valsB)))
 }

@@ -45,6 +45,27 @@ class VectorSpec extends SparkSpec {
     assert(m == Seq(2f, 4f))
   }
 
+  test("SortedTermDot merges two sorted sparse vectors (skips, dups-free)") {
+    val df = Seq((
+      Array("alpha", "beta", "delta"), Array(1.0, 2.0, 3.0),
+      Array("beta", "delta", "gamma"), Array(10.0, 100.0, 99.0)
+    )).toDF("ka", "va", "kb", "vb")
+      .select(VectorFns.sortedTermDot(
+        col("ka"), col("va"), col("kb"), col("vb")).as("d"))
+    // beta: 2*10 + delta: 3*100; gamma unmatched
+    assert(df.head().getDouble(0) == 320.0)
+  }
+
+  test("SortedTermDot: empty and disjoint inputs give 0") {
+    val df = Seq(
+      (Array.empty[String], Array.empty[Double], Array("x"), Array(5.0)),
+      (Array("a"), Array(1.0), Array("b"), Array(2.0))
+    ).toDF("ka", "va", "kb", "vb")
+      .select(VectorFns.sortedTermDot(
+        col("ka"), col("va"), col("kb"), col("vb")).as("d"))
+    assert(df.collect().map(_.getDouble(0)).toSeq == Seq(0.0, 0.0))
+  }
+
   test("HashEmbed: deterministic, unit-norm, vocabulary-sensitive") {
     val a = HashEmbed.embed("spark cluster news article", 64)
     val b = HashEmbed.embed("spark cluster news article", 64)
