@@ -152,7 +152,10 @@ object Clustering {
 
     val labeled = touched.join(comp, touched("seq") === comp("node")).drop("node")
 
-    val mergedTouched = labeled
+    // component key retained through the merge aggregation — the
+    // per-article assignment path below reuses it directly instead of
+    // re-deriving component→seq with a second groupBy + join
+    val mergedTouchedC = labeled
       .groupBy(col("component"))
       .agg(
         min(col("seq")).as("seq"),
@@ -166,6 +169,8 @@ object Clustering {
         sum(col("n_articles")).as("n_articles"),
         graft.functions.VectorMean(col("centroid")).as("centroid"))
       .withColumn("is_cluster", col("n_articles") > 1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val mergedTouched = mergedTouchedC
       .select("seq", "cluster_id", "article_ids", "n_articles", "is_cluster", "centroid")
 
     val mergedPool = untouched.unionByName(mergedTouched)
@@ -176,8 +181,7 @@ object Clustering {
       explode(col("article_ids")).as("article_id"), col("seq"))
     val newComp = newArticles.join(comp, newArticles("seq") === comp("node"))
       .select(col("article_id"), col("component"))
-    val clusterInfo = mergedTouched
-      .join(labeled.groupBy(col("component")).agg(min(col("seq")).as("seq")), "seq")
+    val clusterInfo = mergedTouchedC
       .select(
         col("component"),
         col("cluster_id"),
@@ -196,6 +200,7 @@ object Clustering {
     newEntries.unpersist()
     pool2.unpersist()
     edgesP.unpersist()
+    mergedTouchedC.unpersist()
     StepResult(mergedPool, assignments)
   }
 

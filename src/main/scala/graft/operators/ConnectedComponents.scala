@@ -45,28 +45,33 @@ object ConnectedComponents {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // candidate label for each node = min over neighbors' labels
+      // candidate label for each node = min over neighbors' labels.
+      // labels is structurally small (the touched set, batch-bounded) —
+      // explicit broadcast keeps the join map-side even when the
+      // checkpointed frame carries no stats for AQE to size.
       val viaNeighbors = sym
-        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .join(broadcast(labels.withColumnRenamed("node", "dst")), "dst")
         .groupBy(col("src").as("node"))
         .agg(min(col("component")).as("nbrMin"))
 
       // eager checkpoint per round: fully materializes the iteration
       // (a lazily-cached label set would be only partially computed by
       // the limit(1) convergence probe and recomputed downstream) and
-      // truncates the loop's plan growth
-      val next = labels.join(viaNeighbors, Seq("node"), "left_outer")
+      // truncates the loop's plan growth. The OLD label rides along so
+      // the convergence probe is a narrow filter over the checkpointed
+      // partitions — no extra join/shuffle per round.
+      val next = labels.join(broadcast(viaNeighbors), Seq("node"), "left_outer")
         .select(
           col("node"),
           least(col("component"), coalesce(col("nbrMin"), col("component")))
-            .as("component"))
+            .as("component"),
+          col("component").as("old"))
         .localCheckpoint(eager = true)
 
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "node")
-        .filter(col("component") =!= col("old"))
+      val changed = next.filter(col("component") =!= col("old"))
         .limit(1).count()
 
-      labels = next
+      labels = next.select(col("node"), col("component"))
       converged = changed == 0
       iter += 1
     }
