@@ -59,4 +59,10 @@ object VectorFns {
                     keysB: Column, valsB: Column): Column =
     column(SortedTermDot(expression(keysA), expression(valsA),
       expression(keysB), expression(valsB)))
+
+  /** Intersection size of two sorted duplicate-free string arrays —
+    * codegen'd merge scan. See [[SortedIntersectCount]].
+    */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    column(SortedIntersectCount(expression(a), expression(b)))
 }

@@ -66,6 +66,16 @@ class VectorSpec extends SparkSpec {
     assert(df.collect().map(_.getDouble(0)).toSeq == Seq(0.0, 0.0))
   }
 
+  test("SortedIntersectCount counts common elements of sorted arrays") {
+    val df = Seq(
+      (Array("a", "b", "d", "f"), Array("b", "c", "d", "e", "f")),
+      (Array.empty[String], Array("x")),
+      (Array("q"), Array("q"))
+    ).toDF("x", "y")
+      .select(VectorFns.sortedIntersectCount(col("x"), col("y")).as("c"))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(3L, 0L, 1L))
+  }
+
   test("HashEmbed: deterministic, unit-norm, vocabulary-sensitive") {
     val a = HashEmbed.embed("spark cluster news article", 64)
     val b = HashEmbed.embed("spark cluster news article", 64)
