@@ -312,21 +312,22 @@ object DedupQueries {
 
     // MinHash + LSH banding: 12 hashes (portable: string-min of seeded
     // md5), 4 bands × 3 rows; candidate pairs = any shared band bucket.
-    // The shape that scales: signatures are one aggregation, candidates
-    // come from an equi-join on (band, hash) — never all-pairs.
+    // Signatures come from ONE native-expression pass per document
+    // (MinHashShingles — shingling fused in, no explode, no 12-way
+    // min-aggregation shuffle); candidates from an equi-join on
+    // (band, hash) — never all-pairs.
     "d3_minhash_pairs" -> ((s, dir) => {
       val corpus = corpusWithNearDups(s, dir)
-      val sh = corpus
+      val sigs = corpus
         .withColumn("__toks", TextFns.repetitionTokens(col("text")))
         .select(col("doc_id"),
-          explode(TextFns.wordShinglesTokens(col("__toks"), 3)).as("sh"))
-      val sigCols = (0 until 12).map(i =>
-        min(md5(concat(lit(i.toString), lit(":"), col("sh")))).as(s"mh$i"))
-      val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+          TextFns.minHashShingles(col("__toks"), 3, 12).as("mhs"))
       val bandCols = (0 until 4).map(bi => struct(
         lit(bi).as("bidx"),
         md5(concat_ws(",",
-          col(s"mh${3 * bi}"), col(s"mh${3 * bi + 1}"), col(s"mh${3 * bi + 2}"))).as("bh")))
+          element_at(col("mhs"), 3 * bi + 1),
+          element_at(col("mhs"), 3 * bi + 2),
+          element_at(col("mhs"), 3 * bi + 3))).as("bh")))
       val banded = sigs
         .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
         .select(col("doc_id"), col("band.bidx").as("bidx"), col("band.bh").as("bh"))
@@ -344,16 +345,11 @@ object DedupQueries {
     // of state, the cheapest near-dup at scale.
     "d4_simhash_pairs" -> ((s, dir) => {
       val corpus = corpusWithNearDups(s, dir)
-      val toks = corpus.select(col("doc_id"),
-        explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
-        .withColumn("h", md5(col("t")))
-      val bitSums = (0 until 32).map(j => sum(expr(
-        s"((instr('0123456789abcdef', substring(h, ${j / 4 + 1}, 1)) - 1) " +
-          s"div ${1 << (j % 4)}) % 2 * 2 - 1")).as(s"s$j"))
-      val sums = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      val sim = (0 until 32).map(j =>
-        when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-      val sigs = sums.select(col("doc_id"), sim.as("sim"))
+      // whole signature in one native-expression pass per document
+      // (TokenSimHash) — replaces explode + 32 bit-sum aggregations
+      val sigs = corpus
+        .withColumn("__toks", split(lower(trim(col("text"))), "\\s+"))
+        .select(col("doc_id"), TextFns.simHash(col("__toks"), 32).as("sim"))
       sigs.as("x").join(sigs.as("y"), col("x.doc_id") < col("y.doc_id"))
         .withColumn("hamming", expr("bit_count(x.sim ^ y.sim)"))
         .filter(col("hamming") <= 6)

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShims.{column, expression}
 import org.apache.spark.sql.functions._
 
 /** Per-record text operators (SURVEY §2.2), expressed as built-in SQL
@@ -145,11 +146,12 @@ object TextFns {
 
   def repetitionRatioTokens(toks: Column, n: Int): Column = {
     val idx = sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1)))
-    // element_at instead of slice: no per-gram array copy; concat_ws
+    // try_element_at instead of slice: no per-gram array copy; concat_ws
     // skips out-of-range nulls exactly like slice's short tail, so the
-    // gram strings are identical
+    // gram strings are identical (element_at would THROW past the end
+    // under ANSI mode — the short-tail case is size(toks) < n)
     val grams = transform(idx, i =>
-      concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*))
+      concat_ws(" ", (0 until n).map(o => try_element_at(toks, i + lit(o))): _*))
     when(size(grams) > 0,
       round(lit(1.0) - size(array_distinct(grams)).cast("double")
         / size(grams).cast("double"), 6))
@@ -199,10 +201,22 @@ object TextFns {
   def wordShinglesTokens(toks: Column, n: Int): Column = {
     val idx = sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1)))
     array_distinct(transform(idx, i =>
-      concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*)))
+      concat_ws(" ", (0 until n).map(o => try_element_at(toks, i + lit(o))): _*)))
   }
 
   /** Word n-gram shingles (single-expression convenience form). */
   def wordShingles(c: Column, n: Int): Column =
     wordShinglesTokens(repetitionTokens(c), n)
+
+  /** SimHash signature of a token array — one native-expression pass per
+    * document, no explode/shuffle. See [[TokenSimHash]].
+    */
+  def simHash(toks: Column, bits: Int = 32): Column =
+    column(TokenSimHash(expression(toks), bits))
+
+  /** MinHash signature array over word n-gram shingles of a token
+    * array — shingling fused into the expression. See [[MinHashShingles]].
+    */
+  def minHashShingles(toks: Column, n: Int = 3, seeds: Int = 12): Column =
+    column(MinHashShingles(expression(toks), n, seeds))
 }

@@ -98,4 +98,41 @@ class TextFnsSpec extends SparkSpec {
       .select(TextFns.concatForEmbedding(col("a"), col("b"), col("c")).as("r"))
     assert(df.head().getString(0) == "t\nb")
   }
+
+  test("TokenSimHash matches the portable per-bit SQL formulation") {
+    val docs = Seq((1L, "alpha beta gamma alpha"), (2L, "x")).toDF("doc_id", "text")
+    val native = docs
+      .withColumn("__toks", split(lower(trim(col("text"))), "\\s+"))
+      .select(col("doc_id"), TextFns.simHash(col("__toks"), 32).as("sim"))
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+      .withColumn("h", md5(col("t")))
+    val bitSums = (0 until 32).map(j => sum(expr(
+      s"((instr('0123456789abcdef', substring(h, ${j / 4 + 1}, 1)) - 1) " +
+        s"div ${1 << (j % 4)}) % 2 * 2 - 1")).as(s"s$j"))
+    val sim = (0 until 32).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    val sql = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sim.as("sim"))
+    assert(native.orderBy("doc_id").collect().toSeq ==
+      sql.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("MinHashShingles matches explode + seeded-md5 min aggregation") {
+    val docs = Seq((1L, "a b c d e"), (2L, "one two")).toDF("doc_id", "text")
+    val native = docs
+      .withColumn("__toks", TextFns.repetitionTokens(col("text")))
+      .select(col("doc_id"), TextFns.minHashShingles(col("__toks"), 3, 4).as("mhs"))
+    val sh = docs
+      .withColumn("__toks", TextFns.repetitionTokens(col("text")))
+      .select(col("doc_id"),
+        explode(TextFns.wordShinglesTokens(col("__toks"), 3)).as("sh"))
+    val sigCols = (0 until 4).map(i =>
+      min(md5(concat(lit(i.toString), lit(":"), col("sh")))).as(s"mh$i"))
+    val sql = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until 4).map(i => col(s"mh$i")): _*).as("mhs"))
+    assert(native.orderBy("doc_id").collect().map(_.getSeq[String](1)).toSeq ==
+      sql.orderBy("doc_id").collect().map(_.getSeq[String](1)).toSeq)
+  }
 }
