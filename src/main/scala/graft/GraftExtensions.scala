@@ -17,8 +17,13 @@ import graft.functions.{FloatVectorDot, FloatVectorNormSq}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // rewrite cartesian ε-similarity joins (crossJoin + cosine ≤ ε
+    // filter) into the exact pivot-band equi-join — see
+    // [[graft.plans.EpsilonJoinRewrite]]
+    ext.injectOptimizerRule(_ => graft.plans.EpsilonJoinRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -59,5 +64,13 @@ object GraftExtensions {
     functions.foreach { case (ident, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, inf, builder)
     }
+    // session-injection path for the ε-join rewrite. Note: experimental
+    // rules run AFTER the main optimizer batches, so the rewritten plan
+    // misses a second pushdown pass — sessions built via
+    // `withExtensions(new GraftExtensions)` get the rule inside the main
+    // fixed-point batch instead (preferred for production).
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.EpsilonJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.EpsilonJoinRewrite
   }
 }

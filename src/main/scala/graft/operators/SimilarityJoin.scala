@@ -140,12 +140,15 @@ object SimilarityJoin {
     val l = left.select(col(keyCol).as("a"), col(vecCol).as("va"))
       .withColumn("__band", explode(probeKeys))
 
+    // No dedup needed: for a fixed pair exactly ONE probe offset tuple
+    // can equal the build band tuple (o_k = bandOf(vb,k) − bandOf(va,k)
+    // is unique per pivot), so the equi-join emits each qualifying pair
+    // exactly once — a distinct() here would only buy a shuffle.
     l.join(r, "__band")
       .filter(col("a") =!= col("b"))
       .withColumn("dist", VectorFns.unitCosineDistance(col("va"), col("vb")))
       .filter(col("dist") <= eps)
       .select(col("a"), col("b"), col("dist"))
-      .distinct() // a pair can match through several neighbor tuples
   }
 
   /** Exact pivot-band self ε-join (unique unordered pairs). */

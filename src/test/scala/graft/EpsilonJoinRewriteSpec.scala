@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+
+class EpsilonJoinRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(ids: (Long, Array[Float])*): DataFrame =
+    ids.toSeq.toDF("vid", "vec")
+
+  private def fixture: (DataFrame, DataFrame) = {
+    val a = vecs(
+      1L -> unit(1, 0, 0), 2L -> unit(0.99, 0.14, 0), 3L -> unit(0, 1, 0))
+    val b = vecs(
+      10L -> unit(1, 0.05, 0), 11L -> unit(0, 0.98, 0.2), 12L -> unit(0, 0, 1))
+    (a, b)
+  }
+
+  private def crossQuery(a: DataFrame, b: DataFrame, eps: Double): DataFrame =
+    a.crossJoin(b.select(col("vid").as("wid"), col("vec").as("w")))
+      .filter(VectorFns.unitCosineDistance(col("vec"), col("w")) <= eps)
+      .select(col("vid"), col("wid"))
+
+  test("rewrites crossJoin + cosine filter into a band equi-join") {
+    val (a, b) = fixture
+    val q = crossQuery(a, b, 0.10)
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("__graft_band"),
+      s"expected band rewrite in:\n$optimized")
+    val physical = q.queryExecution.executedPlan.toString
+    assert(!physical.contains("BroadcastNestedLoopJoin") &&
+      !physical.contains("CartesianProduct"),
+      s"expected no cartesian operator in:\n$physical")
+  }
+
+  test("rewritten results are identical to the cartesian plan") {
+    val (a, b) = fixture
+    val eps = 0.15
+    val rewritten = crossQuery(a, b, eps).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = {
+      spark.conf.set(graft.plans.EpsilonJoinRewrite.ConfKey, "false")
+      try crossQuery(a, b, eps).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally spark.conf.unset(graft.plans.EpsilonJoinRewrite.ConfKey)
+    }
+    assert(rewritten == expected)
+    assert(expected.nonEmpty) // non-vacuous: some pairs qualify
+    assert(expected != Set((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (2L, 11L),
+      (2L, 12L), (3L, 10L), (3L, 11L), (3L, 12L))) // ... and some don't
+  }
+
+  test("no rewrite for eps > 1 or when disabled") {
+    val (a, b) = fixture
+    val wide = crossQuery(a, b, 1.5).queryExecution.optimizedPlan.toString
+    assert(!wide.contains("__graft_band"))
+    spark.conf.set(graft.plans.EpsilonJoinRewrite.ConfKey, "false")
+    try {
+      val off = crossQuery(a, b, 0.10).queryExecution.optimizedPlan.toString
+      assert(!off.contains("__graft_band"))
+    } finally spark.conf.unset(graft.plans.EpsilonJoinRewrite.ConfKey)
+  }
+
+  test("an explicit broadcast hint opts out of the rewrite") {
+    val (a, b) = fixture
+    val q = broadcast(a)
+      .crossJoin(b.select(col("vid").as("wid"), col("vec").as("w")))
+      .filter(VectorFns.unitCosineDistance(col("vec"), col("w")) <= 0.1)
+    assert(!q.queryExecution.optimizedPlan.toString.contains("__graft_band"))
+  }
+
+  test("equi-join conditions and other predicates are left untouched") {
+    val (a, b) = fixture
+    val q = a.join(b.select(col("vid").as("wid"), col("vec").as("w")),
+        col("vid") === col("wid"))
+      .filter(VectorFns.unitCosineDistance(col("vec"), col("w")) <= 0.1)
+    assert(!q.queryExecution.optimizedPlan.toString.contains("__graft_band"))
+  }
+}
