@@ -148,14 +148,12 @@ object ClusterTable {
         col("publication_date"), col("organizations"), col("locations"))
 
     val summaries = Summarize.summarizeClusters(arts, fired)
-    val locs = Summarize.mostCommon(arts, "locations")
-    val orgs = Summarize.mostCommon(arts, "organizations")
-    val dates = Summarize.dateRange(arts)
+    // A6 modes + A7 date range fused into one roll-up (two aggregations
+    // instead of three aggregations + two rank windows + three joins)
+    val stats = Summarize.clusterStats(arts)
 
     val updates = summaries
-      .join(locs, Seq("PK"), "left_outer")
-      .join(orgs, Seq("PK"), "left_outer")
-      .join(dates, Seq("PK"), "left_outer")
+      .join(stats, Seq("PK"), "left_outer")
       .select(
         col("PK"),
         col("description").as("u_desc"),

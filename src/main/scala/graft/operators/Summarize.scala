@@ -122,4 +122,39 @@ object Summarize {
       .agg(
         date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("earliest_date"),
         date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("latest_date"))
+
+  /** A6 + A7 in one pass — the per-batch roll-up the summarization
+    * writeback consumes. Same results as `mostCommon(locations)` ⊕
+    * `mostCommon(organizations)` ⊕ `dateRange`, but two aggregations
+    * instead of three aggregations + two rank windows + three joins:
+    * both arrays explode into (kind, value) rows (explode_outer keeps
+    * array-less articles so their dates still count; duplication can't
+    * move a min/max), and the mode is an arg-min over (−count, value) —
+    * the exact (count desc, value asc) tie rule of `mostCommon`, with
+    * null ordering skipping invalid rows for the other kind.
+    */
+  def clusterStats(articles: DataFrame): DataFrame = {
+    def tagged(c: String): Column =
+      coalesce(
+        transform(col(c), v => struct(lit(c).as("k"), v.as("v"))),
+        array().cast("array<struct<k:string,v:string>>"))
+    val kv = articles
+      .select(col("PK"),
+        to_timestamp(regexp_replace(col("publication_date"), "Z$", "")).as("ts"),
+        explode_outer(concat(tagged("locations"), tagged("organizations"))).as("e"))
+      .select(col("PK"), col("ts"), col("e.k").as("k"), col("e.v").as("v"))
+    val counts = kv
+      .groupBy(col("PK"), col("k"), col("v"))
+      .agg(
+        count(when(col("v").isNotNull && col("v") =!= "", 1)).as("c"),
+        min(col("ts")).as("mnts"), max(col("ts")).as("mxts"))
+    def modeOf(kind: String): Column =
+      min_by(col("v"), when(col("k") === kind && col("c") > 0,
+        struct((-col("c")).as("nc"), col("v"))))
+    counts.groupBy(col("PK")).agg(
+      modeOf("locations").as("most_common_locations"),
+      modeOf("organizations").as("most_common_organizations"),
+      date_format(min(col("mnts")), "yyyy-MM-dd HH:mm:ss").as("earliest_date"),
+      date_format(max(col("mxts")), "yyyy-MM-dd HH:mm:ss").as("latest_date"))
+  }
 }

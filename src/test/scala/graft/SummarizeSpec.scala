@@ -45,6 +45,33 @@ class SummarizeSpec extends SparkSpec {
     assert(r.getString(2) == "2024-12-31 23:59:59")
   }
 
+  test("clusterStats fused roll-up matches mostCommon x2 + dateRange") {
+    val arts = Seq(
+      ("c1", Seq("NY", "SF", "NY"), Seq("org1"), "2024-03-01T10:00:00Z"),
+      ("c1", Seq("LA"), Seq("org1", "org2"), "2024-02-01T09:30:00"),
+      ("c2", Seq.empty[String], Seq("", "x"), "2024-12-31T23:59:59Z"),
+      ("c3", Seq.empty[String], Seq.empty[String], "2024-06-01T00:00:00Z"),
+      ("c4", null.asInstanceOf[Seq[String]], null.asInstanceOf[Seq[String]],
+        "2024-07-01T00:00:00Z")
+    ).toDF("PK", "locations", "organizations", "publication_date")
+    val fused = Summarize.clusterStats(arts)
+      .orderBy("PK").collect().map(r => (r.getString(0),
+        (Option(r.getString(1)), Option(r.getString(2)), r.getString(3), r.getString(4))))
+      .toMap
+    val locs = Summarize.mostCommon(arts, "locations")
+      .as[(String, String)].collect().toMap
+    val orgs = Summarize.mostCommon(arts, "organizations")
+      .as[(String, String)].collect().toMap
+    val dates = Summarize.dateRange(arts)
+      .as[(String, String, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    for (pk <- Seq("c1", "c2", "c3", "c4")) {
+      val (l, o, ed, ld) = fused(pk)
+      assert(l == locs.get(pk), s"$pk locations")
+      assert(o == orgs.get(pk), s"$pk organizations")
+      assert((ed, ld) == dates(pk), s"$pk dates")
+    }
+  }
+
   test("A8/P11/P12 summarizeClusters: deterministic order, caps, tag round-trip") {
     val arts = Seq(
       ("c1", "a2", "Second title", "short summary two", "2024-01-02 00:00:00"),
