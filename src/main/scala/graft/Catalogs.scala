@@ -110,6 +110,21 @@ object TextQueries {
         .select(col("id"), col("title")).orderBy(col("id"))
     }),
 
+    // token-distribution entropy (training-data quality signal: gibberish
+    // and boilerplate sit at the entropy extremes). H = log2(N) − Σ c·log2(c)/N
+    // over unigram counts — exact and one aggregation chain.
+    "t9_entropy" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .withColumn("__toks", TextFns.repetitionTokens(col("text")))
+        .select(col("doc_id"), explode(col("__toks")).as("t"))
+      toks.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n"), sum(col("c") * log2(col("c"))).as("s"))
+        .select(col("doc_id"),
+          round(log2(col("n")) - col("s") / col("n"), 6).as("entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
     // P13 ISO parse w/ Z-strip + P14 render, round-tripped from events.ts
     "p13_dates" -> ((s, dir) => {
       val iso = concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), lit("Z"))
@@ -200,6 +215,14 @@ object TextQueries {
         |SELECT json_extract(js, '$.id')::BIGINT AS id,
         |       json_extract_string(js, '$.title') AS title
         |FROM dec WHERE try_cast(js AS JSON) IS NOT NULL ORDER BY id""".stripMargin,
+    "t9_entropy" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, sum(c) AS n, sum(c * log2(c)) AS s FROM tf GROUP BY doc_id)
+        |SELECT doc_id, round(log2(n) - s/n, 6) AS entropy
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "p13_dates" ->
       """WITH t AS (SELECT event_id,
         |  strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z' AS iso FROM events)
@@ -357,6 +380,29 @@ object DedupQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Dup GROUPS: connected components over the ε-near-dup graph — the
+    // transitive-closure dedup decision (a≈b, b≈c ⇒ {a,b,c} one group
+    // even when a–c alone misses the cut). Pairs from the lossless
+    // pivot-band join; components from the engine's iterative min-label
+    // CC operator (the DBSCAN(min_samples=2) core, here exercised as a
+    // first-class training-data dedup operator). keep = min-id member.
+    "d6_dup_groups" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val pairs = graft.operators.SimilarityJoin
+        .bandExactSelf(emb, "vec_id", "embedding", eps = 0.5501)
+        .withColumn("dist", round(col("dist"), 4))
+        .filter(col("dist") <= 0.55)
+        .select(col("a"), col("b"))
+      val comp = graft.operators.ConnectedComponents.run(
+        emb.select(col("vec_id").cast("long").as("node")),
+        pairs.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst")))
+      val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("group_size"))
+      comp.join(sizes.filter(col("group_size") > 1), "component")
+        .select(col("node").as("vec_id"), col("component"), col("group_size"),
+          (col("node") === col("component")).as("keep"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Embedding-cosine near-dup with the dedup DECISION: every vector
     // within eps of a lower-id vector is dropped, keeping its nearest
     // lowest-id representative (keep-first semantics on vec_id order)
@@ -489,6 +535,26 @@ object DedupQueries {
          |WHERE bit_count(xor(x.sim, y.sim)) <= 6
          |ORDER BY a, b""".stripMargin
     },
+    "d6_dup_groups" ->
+      """WITH RECURSIVE
+        |p AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b,
+        |    round(least(greatest(1 - list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 0), 1), 4) AS dist
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |e AS (SELECT a, b FROM p WHERE dist <= 0.55),
+        |edges AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+        |reach(n, m) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.n, e2.dst FROM reach r JOIN edges e2 ON r.m = e2.src),
+        |comp AS (
+        |  SELECT n AS vec_id, least(n, min(m)) AS component
+        |  FROM reach GROUP BY n),
+        |sized AS (
+        |  SELECT *, count(*) OVER (PARTITION BY component) AS group_size
+        |  FROM comp)
+        |SELECT vec_id, component, group_size, vec_id = component AS keep
+        |FROM sized WHERE group_size > 1 ORDER BY vec_id""".stripMargin,
     "d5_embed_neardup" ->
       """WITH p AS (
         |  SELECT a.vec_id AS a, b.vec_id AS b,
