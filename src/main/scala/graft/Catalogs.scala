@@ -364,12 +364,16 @@ object DedupQueries {
 
     // SimHash near-dup: 32-bit signature (bit-majority over md5 nibbles
     // of every token), all-pairs Hamming ≤ 6. Signatures are one
-    // aggregation; the pair scan is integer xor/popcount — 8 bytes/doc
-    // of state, the cheapest near-dup at scale.
+    // native-expression pass per document (TokenSimHash — replaces
+    // explode + 32 bit-sum aggregations); the pair scan is integer
+    // xor/popcount — 8 bytes/doc of state, the cheapest near-dup at
+    // scale. (A Hamming-band equi-join — pigeonhole over 7 disjoint
+    // bands — was measured 4× SLOWER here: this corpus's signatures are
+    // highly correlated, so band buckets go hot and the candidate join
+    // plus dedup dwarfs the cheap integer scan. On a diverse corpus the
+    // banding shape wins; it's a data-distribution knob, not a default.)
     "d4_simhash_pairs" -> ((s, dir) => {
       val corpus = corpusWithNearDups(s, dir)
-      // whole signature in one native-expression pass per document
-      // (TokenSimHash) — replaces explode + 32 bit-sum aggregations
       val sigs = corpus
         .withColumn("__toks", split(lower(trim(col("text"))), "\\s+"))
         .select(col("doc_id"), TextFns.simHash(col("__toks"), 32).as("sim"))
