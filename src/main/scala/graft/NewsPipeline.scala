@@ -71,7 +71,7 @@ object NewsPipeline {
     // the static planner falls back to sort-merge joins where AQE's
     // runtime sizing picks broadcast.)
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try runBatches(spark, arts, table, pool)
     finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
