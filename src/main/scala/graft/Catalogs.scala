@@ -624,6 +624,26 @@ object SimilarityQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // The same ε-pairs written the way a USER would write them — naive
+    // crossJoin + cosine filter — served fast only because the injected
+    // EpsilonJoinRewrite optimizer rule rebuilds the cartesian plan as
+    // the pivot-band equi-join. This oracle-checks (and benches) the
+    // rule itself: results must be bit-identical to j1's explicit band
+    // join. The pre-filter runs at 0.5501 (rounding margin) like j1.
+    "j6_eps_rewrite" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val a = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
+      val b = emb.select(col("vec_id").as("b"), col("embedding").as("vb"))
+      a.crossJoin(b)
+        .filter(col("a") < col("b") &&
+          VectorFns.unitCosineDistance(col("va"), col("vb")) <= 0.5501)
+        .withColumn("dist",
+          round(VectorFns.unitCosineDistance(col("va"), col("vb")), 4))
+        .filter(col("dist") <= 0.55)
+        .select(col("a"), col("b"), col("dist"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // IVF-style bucketed ANN: coarse quantizer = nearest axis centroid
     // (argmax |v_k| with sign ⇒ 2·dim fixed centroids); candidates come
     // only from the query's bucket — the scale path where brute-force
@@ -687,6 +707,12 @@ object SimilarityQueries {
         |      FROM s)
         |SELECT qid, vec_id, label, sim, rk FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     "j1_eps_pairs" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+        |  round(least(greatest(1 - list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 0), 1), 4) AS dist
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(least(greatest(1 - list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 0), 1), 4) <= 0.55
+        |ORDER BY a, b""".stripMargin,
+    "j6_eps_rewrite" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,
         |  round(least(greatest(1 - list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 0), 1), 4) AS dist
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -23,6 +23,13 @@ class PlanSpec extends SparkSpec {
       s"projection not pushed to parquet scan:\n$p")
   }
 
+  test("j6_eps_rewrite is served by the band rewrite, not a cartesian") {
+    val p = plan("j6_eps_rewrite")
+    assert(p.contains("__graft_band"), s"optimizer rewrite did not fire:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"cartesian operator survived:\n$p")
+  }
+
   test("q1_agg runs inside whole-stage codegen with partial aggregation") {
     val df = QueryCatalog.queries("q1_agg")(spark, sf)
     df.collect() // finalize the AQE plan in place
