@@ -887,9 +887,37 @@ object MediaQueries {
           md5(col("payload")).as("content_md5"),
           col("meta.format").as("format"),
           col("meta.width").as("width"))
-        .orderBy(col("doc_id"))))
+        .orderBy(col("doc_id"))),
+
+    // frame sampling over the video modality: every 4th 32-byte chunk of
+    // the payload is one "frame" (deterministic demux stub — the Spark
+    // side is the real mapPartitions dataflow a codec would plug into).
+    // Oracle parity relies on the corpus being ASCII (byte slice ≡ char
+    // slice; DuckDB 1.0 has no BLOB substring) — m1's whole-payload md5
+    // covers the non-sliced contract.
+    "m2_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val media = graft.operators.Multimodal
+        .mediaFrom(Tables.documents(s, dir))
+        .as[graft.operators.Multimodal.MediaRow]
+      graft.operators.Multimodal.sampleFrames(media)
+        .select(col("doc_id"), col("frame_idx"),
+          octet_length(col("frame")).as("frame_len"),
+          md5(col("frame")).as("frame_md5"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }))
 
   val oracleSql: Map[String, String] = Map(
+    "m2_frame_sample" ->
+      """WITH v AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+        |n AS (SELECT doc_id, text,
+        |      greatest(length(text) // 32, 1) AS nf FROM v),
+        |f AS (SELECT doc_id,
+        |      unnest(generate_series(0, nf - 1, 4)) AS frame_idx, text FROM n)
+        |SELECT doc_id, frame_idx::INT AS frame_idx,
+        |  length(substring(text, frame_idx * 32 + 1, 32))::INT AS frame_len,
+        |  md5(substring(text, frame_idx * 32 + 1, 32)) AS frame_md5
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "m1_media_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
