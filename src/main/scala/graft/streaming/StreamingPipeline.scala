@@ -103,11 +103,19 @@ object StreamingPipeline {
         val step = Clustering.step(
           pool, prepped.select(col("id"), col("concat_embedding")),
           Clustering.Config(eps = cfg.eps))
+        // A5 pool statistics as OBSERVED metrics (reference recalculated
+        // stats every batch, `process_records.py:313-319,427-434`):
+        // observe() piggybacks on the state write — zero extra jobs —
+        // and surfaces via QueryExecutionListener / the SQL metrics UI.
+        val observedPool = step.pool.observe("graft_pool_stats",
+          sum(when(col("is_cluster"), 1).otherwise(0)).as("n_clusters"),
+          sum(when(!col("is_cluster"), 1).otherwise(0)).as("n_singletons"),
+          sum(col("n_articles")).as("total_articles"))
         val ups = ClusterTable.upsertRows(table, step.assignments, prepped, cfg.clock)
         val merged = ClusterTable.merge(table, ups)
         val updated = step.assignments.select(col("cluster_id").as("PK")).distinct()
         val next = ClusterTable.summarizePass(merged, updated, cfg.threshold)
-        step.pool.write.mode("overwrite").parquet(versionPath(poolBase, batchId))
+        observedPool.write.mode("overwrite").parquet(versionPath(poolBase, batchId))
         next.write.mode("overwrite").parquet(versionPath(tableBase, batchId))
         if (cfg.emitCdc)
           ups.write.mode("overwrite").parquet(versionPath(s"$stateDir/cdc", batchId))

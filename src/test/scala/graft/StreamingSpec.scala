@@ -67,6 +67,40 @@ class StreamingSpec extends SparkSpec {
     assert(alphaArts == Set("a1", "a2", "a3")) // cross-restart merge
   }
 
+  test("A5 pool stats surface as observed metrics on the state write") {
+    val root = Files.createTempDirectory("graft-obs").toString
+    @volatile var seen: Option[org.apache.spark.sql.Row] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = {
+        qe.observedMetrics.get("graft_pool_stats").foreach(r => seen = Some(r))
+      }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val batch = Seq(
+        ("a1", "alpha alpha alpha alpha", "A one", "2024-01-01 10:00:00"),
+        ("a2", "alpha alpha alpha alpha x", "A two", "2024-01-01 11:00:00"),
+        ("z1", "omega omega omega omega", "Z one", "2024-01-01 12:00:00")
+      ).toDF("id", "text", "title", "date")
+      StreamingPipeline.processBatch(batch, 0L, s"$root/state",
+        StreamingPipeline.Config(threshold = 2))
+      // listener callbacks are delivered asynchronously on the bus
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(seen.isDefined, "no graft_pool_stats metrics observed")
+      val r = seen.get
+      // alpha pair merges to one cluster entry; omega stays a singleton
+      assert(r.getAs[Long]("n_clusters") == 1L)
+      assert(r.getAs[Long]("n_singletons") == 1L)
+      assert(r.getAs[Long]("total_articles") == 3L)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("S14 CDC feed + serving-store sink track each batch's upserts") {
     val root = Files.createTempDirectory("graft-cdc").toString
     val state = s"$root/state"
