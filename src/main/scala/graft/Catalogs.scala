@@ -796,14 +796,28 @@ object TrainingQueries {
           col("text"))).as("redacted"))
         .orderBy(col("doc_id"))),
 
-    // greedy sequence packing: cumulative token count → 2048-token bins
+    // greedy sequence packing: cumulative token count → 2048-token bins.
+    // Distributed two-level prefix sum: the per-document running total
+    // comes from a PARTITIONED window within id-range chunks plus a
+    // chunk offset computed from per-chunk totals — the only ordered
+    // global pass runs over #chunks rows (1/1000th of the corpus), not
+    // the corpus itself. (Recurse levels at extreme scale; a single
+    // global `Window.orderBy` would drag every row through one
+    // partition.) Results identical to the naive global cumsum.
     "t7_pack_bins" -> ((s, dir) => {
-      val w = Window.orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, dir)
+      val base = Tables.documents(s, dir)
         .select(col("doc_id"),
           TextFns.tokenCountWs(col("text")).cast("long").as("n_tok"))
-        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("chunk", floor(col("doc_id") / 1000).cast("long"))
+      val chunkW = Window.orderBy(col("chunk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offsets = base.groupBy(col("chunk")).agg(sum(col("n_tok")).as("ctot"))
+        .withColumn("coffset", sum(col("ctot")).over(chunkW) - col("ctot"))
+        .select(col("chunk"), col("coffset"))
+      val inW = Window.partitionBy(col("chunk")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.join(broadcast(offsets), "chunk")
+        .withColumn("cum", sum(col("n_tok")).over(inW) + col("coffset"))
         .withColumn("bin", floor((col("cum") - col("n_tok")) / 2048).cast("long"))
         .select(col("doc_id"), col("n_tok"), col("bin"))
         .orderBy(col("doc_id"))
