@@ -51,6 +51,32 @@ class EpsilonJoinRewriteSpec extends SparkSpec {
       (2L, 12L), (3L, 10L), (3L, 11L), (3L, 12L))) // ... and some don't
   }
 
+  test("property: rewrite agrees with the cartesian plan on random vectors") {
+    val rnd = new scala.util.Random(20260812L)
+    def randUnit(dim: Int): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    for (trial <- 0 until 5) {
+      val dim = 8 + rnd.nextInt(24)
+      val eps = 0.05 + rnd.nextDouble() * 0.9
+      val a = vecs((0 until 30).map(i => (i.toLong, randUnit(dim))): _*)
+      val b = vecs((0 until 30).map(i => (100L + i, randUnit(dim))): _*)
+      val q = crossQuery(a, b, eps)
+      assert(q.queryExecution.optimizedPlan.toString.contains("__graft_band"),
+        s"trial $trial (eps=$eps): rewrite did not fire")
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = {
+        spark.conf.set(graft.plans.EpsilonJoinRewrite.ConfKey, "false")
+        try crossQuery(a, b, eps).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        finally spark.conf.unset(graft.plans.EpsilonJoinRewrite.ConfKey)
+      }
+      assert(got == want, s"trial $trial (eps=$eps, dim=$dim): " +
+        s"missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
   test("no rewrite for eps > 1 or when disabled") {
     val (a, b) = fixture
     val wide = crossQuery(a, b, 1.5).queryExecution.optimizedPlan.toString
