@@ -23,13 +23,42 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
+  /** Size gate for the local union-find fast path: graphs at or below
+    * this many nodes AND edges are solved driver-side in one bounded
+    * collect instead of ~4 scheduled jobs per propagation round. The
+    * clusterer's touched set is batch-bounded by construction
+    * (micro-batch ∪ its ε-neighbors; edges can reach (batch/groups)² for
+    * within-batch cliques — ~10⁵ for a 1 000-article batch), so in
+    * steady state every batch takes this path; the probe is a
+    * `limit(gate+1)` collect — bounded memory (~16 MB of ids at the
+    * gate) even when the graph is huge — and anything larger falls back
+    * to the distributed propagation below.
+    */
+  val LocalGate = 1 << 20
+
   /** @param nodes single-column DataFrame `node: long`
     * @param edges  two-column DataFrame `src: long, dst: long`
     *               (undirected; both or one direction accepted)
+    * @param localGate union-find fast-path threshold; 0 forces the
+    *               distributed path (tests use this)
     * @return `node: long, component: long` — component = min node id
     */
-  def run(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def run(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25,
+          localGate: Int = LocalGate): DataFrame = {
     val spark = nodes.sparkSession
+
+    if (localGate > 0) {
+      val nodeProbe = nodes.select(col("node")).limit(localGate + 1).collect()
+      if (nodeProbe.length <= localGate) {
+        val edgeProbe = edges.select(col("src"), col("dst"))
+          .limit(localGate + 1).collect()
+        if (edgeProbe.length <= localGate) {
+          val ns = nodeProbe.map(_.getLong(0))
+          val es = edgeProbe.map(r => (r.getLong(0), r.getLong(1)))
+          return localUnionFind(spark, ns, es)
+        }
+      }
+    }
 
     // symmetrize once; self-loops dropped. No distinct(): duplicate
     // edges cannot change a min-aggregate, and the dedup shuffle costs
@@ -77,5 +106,36 @@ object ConnectedComponents {
     }
     sym.unpersist()
     labels
+  }
+
+  /** Path-compressed union-find with min-id roots — the local fast path.
+    * O((n+m)·α) on a batch-bounded graph; result parallelized back as a
+    * small DataFrame (downstream joins broadcast it).
+    */
+  private def localUnionFind(spark: SparkSession, nodes: Array[Long],
+                             edges: Array[(Long, Long)]): DataFrame = {
+    import scala.collection.mutable
+    val parent = mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        // min id wins the root, matching the propagation semantics
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    edges.foreach { case (s, d) => union(s, d) }
+    val rows = nodes.map(n => org.apache.spark.sql.Row(n, find(n)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("component", org.apache.spark.sql.types.LongType, nullable = false))))
   }
 }

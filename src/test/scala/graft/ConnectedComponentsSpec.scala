@@ -5,10 +5,11 @@ import graft.operators.ConnectedComponents
 class ConnectedComponentsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def cc(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] =
+  private def cc(nodes: Seq[Long], edges: Seq[(Long, Long)],
+                 localGate: Int = ConnectedComponents.LocalGate): Map[Long, Long] =
     ConnectedComponents.run(
       nodes.toDF("node"),
-      edges.toDF("src", "dst"))
+      edges.toDF("src", "dst"), localGate = localGate)
       .as[(Long, Long)].collect().toMap
 
   test("chain collapses to one component labeled by its min node") {
@@ -34,5 +35,23 @@ class ConnectedComponentsSpec extends SparkSpec {
     val fwd = cc(Seq(1L, 2L), Seq((1L, 2L)))
     val rev = cc(Seq(1L, 2L), Seq((2L, 1L)))
     assert(fwd == rev && fwd(2L) == 1L)
+  }
+
+  test("local union-find and distributed propagation agree") {
+    val rnd = new scala.util.Random(7L)
+    val nodes = (0L until 60L).toSeq
+    val edges = Seq.fill(50)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    val local = cc(nodes, edges) // under the gate → union-find
+    val dist = cc(nodes, edges, localGate = 0) // forced distributed path
+    assert(local == dist)
+  }
+
+  test("gate overflow falls back to the distributed path (results equal)") {
+    val nodes = (0L until 20L).toSeq
+    val edges = (0L until 19L).map(i => (i, i + 1))
+    // gate smaller than the graph: must still produce the single chain
+    val comp = cc(nodes, edges, localGate = 5)
+    assert(comp.values.toSet == Set(0L))
   }
 }
