@@ -141,14 +141,17 @@ object Clustering {
       .union(edgesP.select(col("b").as("node")))
       .union(newEntries.select(col("seq").as("node")))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK) // 3 consumers: CC + both splits
     val touched = pool2.join(broadcast(touchedNodes),
       pool2("seq") === touchedNodes("node"), "left_semi")
     val untouched = pool2.join(broadcast(touchedNodes),
       pool2("seq") === touchedNodes("node"), "left_anti")
 
-    val comp = ConnectedComponents.run(
+    // comp is touched-set-sized; when the union-find fast path returns a
+    // local relation it carries no stats, so broadcast explicitly
+    val comp = broadcast(ConnectedComponents.run(
       touchedNodes,
-      edgesP.select(col("a").as("src"), col("b").as("dst")))
+      edgesP.select(col("a").as("src"), col("b").as("dst"))))
 
     val labeled = touched.join(comp, touched("seq") === comp("node")).drop("node")
 
@@ -200,6 +203,7 @@ object Clustering {
     newEntries.unpersist()
     pool2.unpersist()
     edgesP.unpersist()
+    touchedNodes.unpersist()
     mergedTouchedC.unpersist()
     StepResult(mergedPool, assignments)
   }
