@@ -156,10 +156,14 @@ object EpsilonJoinRewrite extends Rule[LogicalPlan] {
                        va: Expression, vb: Expression, eps: Double): LogicalPlan = {
     val thetaEps = math.acos(1.0 - eps)
 
+    // failOnError=false: a vector shorter than the pivot count yields a
+    // null band (identically on both sides — coarser pruning, same
+    // results) instead of an ANSI out-of-bounds error the original
+    // cartesian plan would not have thrown
     def theta(v: Expression, k: Int): Expression =
       Acos(Least(Seq(
         Greatest(Seq(
-          Cast(ElementAt(v, Literal(k + 1)), DoubleType),
+          Cast(ElementAt(v, Literal(k + 1), None, failOnError = false), DoubleType),
           Literal(-1.0))),
         Literal(1.0))))
     def bandOf(v: Expression, k: Int): Expression =
@@ -176,11 +180,14 @@ object EpsilonJoinRewrite extends Rule[LogicalPlan] {
     val offsets = (0 until Pivots).foldLeft(Seq(Seq.empty[Int])) { (acc, _) =>
       acc.flatMap(t => Seq(-1, 0, 1).map(o => t :+ o))
     }
-    val probeKeys = CreateArray(offsets.map { off =>
+    // array_distinct: with well-formed vectors all 3^p neighbor keys are
+    // distinct (no-op); with null bands (short vectors) the keys
+    // collapse to one, preserving the emit-each-pair-once guarantee
+    val probeKeys = ArrayDistinct(CreateArray(offsets.map { off =>
       ConcatWs(Literal("|") +: off.zipWithIndex.map { case (o, k) =>
         Cast(Add(bandOf(va, k), Literal(o)), StringType)
       })
-    })
+    }))
     val probeAttr = AttributeReference("__graft_band_l", StringType, nullable = true)()
     val l2 = Generate(Explode(probeKeys), unrequiredChildIndex = Nil,
       outer = false, qualifier = None, generatorOutput = Seq(probeAttr), left)

@@ -88,6 +88,18 @@ class EpsilonJoinRewriteSpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.EpsilonJoinRewrite.ConfKey)
   }
 
+  test("degenerate vectors (shorter than the pivot count) stay correct") {
+    // dim-1 vectors: band expressions see out-of-bounds pivots — must
+    // neither throw under ANSI nor emit duplicate pairs
+    val a = vecs(1L -> Array(1f), 2L -> Array(-1f))
+    val b = vecs(10L -> Array(1f), 11L -> Array(-1f))
+    val q = crossQuery(a, b, 0.5)
+    assert(q.queryExecution.optimizedPlan.toString.contains("__graft_band"))
+    val rows = q.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == rows.distinct.length, s"duplicate pairs: ${rows.toSeq}")
+    assert(rows.toSet == Set((1L, 10L), (2L, 11L)))
+  }
+
   test("an explicit broadcast hint opts out of the rewrite") {
     val (a, b) = fixture
     val q = broadcast(a)
