@@ -118,8 +118,11 @@ object SimilarityJoin {
     // near eps=2 anyway, so banding buys nothing there).
     require(eps > 0 && eps <= 1, s"eps out of range for bandExact: $eps")
     val thetaEps = math.acos(1.0 - eps) // cosine dist → angle
+    // try_element_at: vectors shorter than the pivot count yield a null
+    // band identically on both sides (coarser pruning, same results)
+    // instead of an ANSI out-of-bounds error
     def theta(v: Column, k: Int): Column =
-      acos(least(greatest(element_at(v, k + 1).cast("double"), lit(-1.0)), lit(1.0)))
+      acos(least(greatest(try_element_at(v, lit(k + 1)).cast("double"), lit(-1.0)), lit(1.0)))
     def bandOf(v: Column, k: Int): Column =
       floor(theta(v, k) / lit(thetaEps)).cast("int")
 
@@ -132,11 +135,14 @@ object SimilarityJoin {
     val offsets = (0 until pivots).foldLeft(Seq(Seq.empty[Int])) { (acc, _) =>
       acc.flatMap(t => Seq(-1, 0, 1).map(o => t :+ o))
     }
-    val probeKeys = array(offsets.map { off =>
+    // array_distinct: all 3^p neighbor keys are distinct for well-formed
+    // vectors (no-op); null bands collapse them to one, preserving the
+    // emit-each-pair-once guarantee below
+    val probeKeys = array_distinct(array(offsets.map { off =>
       concat_ws("|", off.zipWithIndex.map { case (o, k) =>
         (bandOf(col("va"), k) + lit(o)).cast("int")
       }: _*)
-    }: _*)
+    }: _*))
     val l = left.select(col(keyCol).as("a"), col(vecCol).as("va"))
       .withColumn("__band", explode(probeKeys))
 
