@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFns, VectorFns}
-import graft.operators.Summarize
+import graft.operators.{Summarize, TemporalJoins}
 
 /** Oracle-checked query catalogs beyond the baseline four.
   *
@@ -133,7 +133,21 @@ object TextQueries {
         date_format(to_timestamp(regexp_replace(iso, "Z$", "")),
           "yyyy-MM-dd HH:mm:ss").as("rendered"))
         .orderBy(col("event_id"))
-    }))
+    }),
+
+    // corpus vocabulary build: top-500 tokens by total occurrences with
+    // document frequency — the tokenizer-training / vocab-prep pass.
+    // Map-side partial aggregation + one shuffle on the token; the
+    // top-k cut is a TakeOrdered (no global sort materialization), with
+    // a total order (n desc, token asc) so the boundary is engine-stable.
+    "t10_vocab" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("__toks", TextFns.repetitionTokens(col("text")))
+        .select(col("doc_id"), explode(col("__toks")).as("t"))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("n").desc, col("t").asc)
+        .limit(500)))
 
   val oracleSql: Map[String, String] = Map(
     "t1_token_stats" ->
@@ -229,7 +243,13 @@ object TextQueries {
         |SELECT event_id,
         |  strftime(strptime(regexp_replace(iso, 'Z$', ''), '%Y-%m-%dT%H:%M:%S'),
         |           '%Y-%m-%d %H:%M:%S') AS rendered
-        |FROM t ORDER BY event_id""".stripMargin)
+        |FROM t ORDER BY event_id""".stripMargin,
+    "t10_vocab" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS t
+        |  FROM documents)
+        |SELECT t, count(*) AS n, count(DISTINCT doc_id) AS df
+        |FROM toks GROUP BY t ORDER BY n DESC, t LIMIT 500""".stripMargin)
 }
 
 /** Exact + near-duplicate detection operators (training-data pipeline).
@@ -465,6 +485,28 @@ object DedupQueries {
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
           col("cos"), col("y.doc_id").as("drop_id"))
         .orderBy(col("a"), col("b"))
+    }),
+
+    // benchmark decontamination: flag training docs sharing any word
+    // 3-gram with a held-out eval set (doc_id % 50 — 2% of the corpus,
+    // the realistic shape: eval benchmarks are tiny next to the corpus).
+    // The eval shingle set is broadcast, so the corpus side never
+    // shuffles for the probe — contamination hits aggregate per doc on
+    // one shuffle. 257 contaminated docs at sf0.01.
+    "d7_decontaminate" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .withColumn("__toks", TextFns.repetitionTokens(col("text")))
+        .select(col("doc_id"),
+          explode(TextFns.wordShinglesTokens(col("__toks"), 3)).as("sh"))
+      val evalSh = sh.filter(col("doc_id") % 50 === 0)
+        .select(col("sh")).distinct()
+      // per-doc shingles are already distinct (wordShinglesTokens
+      // array_distincts), so count(*) == distinct contaminated shingles
+      sh.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(evalSh), "sh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .orderBy(col("doc_id"))
     }))
 
   private val exactCorpusSql =
@@ -587,7 +629,18 @@ object DedupQueries {
          |SELECT a, b, round(dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 4) AS cos, b AS drop_id
          |FROM dots JOIN norms na ON na.doc_id = a JOIN norms nb ON nb.doc_id = b
          |WHERE round(dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 4) > 0.9
-         |ORDER BY a, b""".stripMargin)
+         |ORDER BY a, b""".stripMargin,
+    "d7_decontaminate" ->
+      """WITH norm AS (SELECT doc_id,
+        |  regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |idx AS (SELECT doc_id, toks,
+        |  unnest(generate_series(1, greatest(len(toks)-3, 0)+1)) AS i FROM norm),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh FROM idx),
+        |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0)
+        |SELECT s.doc_id, count(*) AS n_hits
+        |FROM sh s JOIN ev USING (sh) WHERE s.doc_id % 50 <> 0
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)
 }
 
 /** Similarity search + vector aggregation over the embeddings table. */
@@ -1095,7 +1148,47 @@ object EventQueries {
         .withColumn("sc", (col("user_id") % 4).cast("int"))
         .withColumn("fired", Summarize.shouldSummarize(col("n"), col("sc"), 18))
         .select(col("user_id"), col("n"), col("sc"), col("fired"))
-        .orderBy(col("user_id"))))
+        .orderBy(col("user_id"))),
+
+    // backward as-of join: each purchase ← the latest prior click by the
+    // same user (inclusive). Union+running-last plan: one shuffle on
+    // user_id, no range join. 143/1981 purchases have no prior click at
+    // sf0.01 (null asof columns) — the outer branch is exercised.
+    "j7_asof" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"),
+          col("value"))
+      TemporalJoins.asofBackward(purchases, clicks,
+        keyCol = "user_id", tsCol = "ts",
+        leftIdCol = "purchase_id", rightIdCol = "click_id",
+        payloadCols = Seq("click_id", "value"))
+        .select(col("purchase_id"), col("user_id"),
+          col("asof_click_id").as("click_id"),
+          round(col("asof_value"), 2).as("click_value"))
+        .orderBy(col("purchase_id"))
+    }),
+
+    // interval-containment join: clicks falling inside 10-minute incident
+    // windows opened by error events. Slot-bucketed equi-join (slot width
+    // = window length ⇒ ≤ 2 index rows per interval) + exact residual
+    // filter — never a BroadcastNestedLoopJoin.
+    "j8_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val incidents = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("ts").as("win_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("win_end"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts"))
+      TemporalJoins.intervalJoin(incidents, clicks,
+        startCol = "win_start", endCol = "win_end", tsCol = "ts",
+        slotWidthSec = 600L)
+        .select(col("error_id"), col("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("win_start"))).as("gap_us"))
+        .orderBy(col("error_id"), col("click_id"))
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "a6_mode" ->
@@ -1123,5 +1216,34 @@ object EventQueries {
       """SELECT user_id, count(*) AS n, CAST(user_id % 4 AS INT) AS sc,
         |  (count(*) > (user_id % 4 + 1) * 18 AND
         |   (count(*) < 54 OR user_id % 4 = 0)) AS fired
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // same union+running-last formulation (portable; DuckDB ASOF JOIN
+    // would also agree but the window form pins tie-break semantics)
+    "j7_asof" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id AS pid, CAST(NULL AS BIGINT) AS cid,
+        |         CAST(NULL AS DOUBLE) AS cval, 1 AS kind
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, NULL, event_id, value, 0
+        |  FROM events WHERE event_type = 'click'
+        |), w AS (
+        |  SELECT pid, user_id,
+        |    last_value(cid IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, kind, coalesce(pid, cid)
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id,
+        |    last_value(cval IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, kind, coalesce(pid, cid)
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cval
+        |  FROM u)
+        |SELECT pid AS purchase_id, user_id, click_id,
+        |       round(cval, 2) AS click_value
+        |FROM w WHERE pid IS NOT NULL ORDER BY purchase_id""".stripMargin,
+    "j8_interval_join" ->
+      """SELECT e.event_id AS error_id, c.event_id AS click_id,
+        |       epoch_us(c.ts) - epoch_us(e.ts) AS gap_us
+        |FROM events e JOIN events c
+        |  ON e.event_type = 'error' AND c.event_type = 'click'
+        | AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 10 MINUTE
+        |ORDER BY error_id, click_id""".stripMargin)
 }

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark has no native physical strategy for:
+  * backward as-of join and interval (range-containment) join.
+  *
+  * Both avoid the naive `a.crossJoin(b).filter(range predicate)` plan,
+  * which Catalyst executes as BroadcastNestedLoopJoin — O(N·M) compare
+  * operations and a broadcast of one entire side, the classic 100 TB
+  * range-join trap. Instead:
+  *
+  *  - `asofBackward` is the union+running-last trick: tag both inputs,
+  *    union them, and run one `last(_, ignoreNulls)` window per payload
+  *    column partitioned by key ordered by time. ONE shuffle on the key,
+  *    per-partition sort, zero join — cost O((N+M) log batch), skew
+  *    bounded by the hottest key, exactly like the equivalent
+  *    sort-merge-join would be.
+  *  - `intervalJoin` buckets time into fixed-width slots: an interval
+  *    joins only the slots it overlaps (⌈len/width⌉+1 ≈ 2 rows for
+  *    width ≥ interval length), a point joins its slot. The range
+  *    predicate becomes a shuffled hash equi-join on the slot id plus an
+  *    exact residual filter — partitionable, AQE-skew-splittable, and
+  *    candidate count is bounded by slot co-occupancy, not |L|·|R|.
+  */
+object TemporalJoins {
+
+  /** Backward (last-value-before) as-of join.
+    *
+    * For each left row, attaches the payload of the latest right row with
+    * the same `keyCol` and `tsCol` ≤ the left row's time (inclusive; a
+    * right row at the exact same timestamp matches). Rows with no prior
+    * right match keep null payloads — the caller decides whether that is
+    * a left-outer keep or a filter.
+    *
+    * Determinism: right rows tie-broken by `rightIdCol` (latest id wins
+    * at equal timestamps), so results are stable across retries and
+    * engines — a requirement for the oracle hash-compare and for
+    * exactly-once replay.
+    *
+    * @param payloadCols right-side columns to attach, emitted as
+    *                    `asof_<name>`
+    */
+  def asofBackward(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+                   leftIdCol: String, rightIdCol: String,
+                   payloadCols: Seq[String]): DataFrame = {
+    val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
+    val leftTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
+
+    // left rows: kind=1 (sorts AFTER right at equal ts ⇒ inclusive match)
+    val lAligned = payloadCols.foldLeft(
+      left.withColumn("__kind", lit(1))
+        .withColumn("__tie", col(leftIdCol).cast("long"))) { (d, c) =>
+      d.withColumn(s"__p_$c", lit(null).cast(rightTypes(c)))
+    }
+
+    // right rows: kind=0, payload materialized, left-only columns nulled
+    val leftExtra = left.columns.filterNot(c => c == keyCol || c == tsCol)
+    val rBase = right.select(
+      Seq(col(keyCol), col(tsCol), lit(0).as("__kind"),
+        col(rightIdCol).cast("long").as("__tie")) ++
+        payloadCols.map(c => col(c).as(s"__p_$c")): _*)
+    val rAligned = leftExtra.foldLeft(rBase) { (d, c) =>
+      d.withColumn(c, lit(null).cast(leftTypes(c)))
+    }
+
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("__kind").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payloadCols.foldLeft(lAligned.unionByName(rAligned)) { (d, c) =>
+      d.withColumn(s"asof_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__kind") === 1)
+      .select(left.columns.map(col) ++ payloadCols.map(c => col(s"asof_$c")): _*)
+  }
+
+  /** Interval-containment join: pairs each `intervals` row with every
+    * `points` row satisfying `start ≤ ts < end` (end-exclusive).
+    *
+    * Slot width should be ≥ the typical interval length — each interval
+    * then lands in ≤ 2 slots. Longer intervals still join correctly
+    * (`sequence` emits every overlapped slot); they just fan out more
+    * index rows, which is the correct cost model — an interval spanning
+    * k slots genuinely is a candidate for k slots' worth of points.
+    *
+    * Output: all interval columns + all point columns.
+    */
+  def intervalJoin(intervals: DataFrame, points: DataFrame,
+                   startCol: String, endCol: String, tsCol: String,
+                   slotWidthSec: Long): DataFrame = {
+    val widthUs = slotWidthSec * 1000000L
+    def slotOf(t: org.apache.spark.sql.Column) = floor(unix_micros(t) / widthUs)
+    // end-exclusive ⇒ the slot containing `end` is still a candidate
+    // (a point at end-ε shares it); sequence is inclusive on both ends
+    val iv = intervals.withColumn("__slot",
+      explode(sequence(slotOf(col(startCol)), slotOf(col(endCol)))))
+    val pt = points.withColumn("__slot", slotOf(col(tsCol)))
+    iv.join(pt, "__slot")
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("__slot")
+  }
+}
