@@ -26,9 +26,16 @@ object Bench {
       f
       (System.nanoTime() - t0) / 1e9
     }
-    def materialize(name: String): Double = timed {
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
+    def materialize(name: String): Double = {
+      val sec = timed {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      // start every query cold: leftover caches/checkpoint blocks from
+      // the previous query would distort later numbers under memory
+      // pressure (cleanup time is deliberately OUTSIDE the measurement)
+      SparkHygiene.dropAllPersisted(spark)
+      sec
     }
 
     // warm the JVM/session once on the cheapest query so the first

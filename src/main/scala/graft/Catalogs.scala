@@ -147,7 +147,24 @@ object TextQueries {
         .groupBy(col("t"))
         .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
         .orderBy(col("n").desc, col("t").asc)
-        .limit(500)))
+        .limit(500)),
+
+    // per-language length-percentile trim (corpus curation: drop the
+    // shortest and longest decile within each language). ntile is the
+    // standard SQL distribution — deterministic under the (n, doc_id)
+    // total order, one shuffle on lang; per-language partitions sort
+    // independently, so skew is bounded by the hottest language, which
+    // is the honest cost of a per-language quantile.
+    "t11_length_filter" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n").asc, col("doc_id").asc)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(TextFns.repetitionTokens(col("text"))).cast("long").as("n"))
+        .withColumn("decile", ntile(10).over(w))
+        .filter(col("decile").between(2, 9))
+        .orderBy(col("doc_id"))
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "t1_token_stats" ->
@@ -249,7 +266,15 @@ object TextQueries {
         |  unnest(regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS t
         |  FROM documents)
         |SELECT t, count(*) AS n, count(DISTINCT doc_id) AS df
-        |FROM toks GROUP BY t ORDER BY n DESC, t LIMIT 500""".stripMargin)
+        |FROM toks GROUP BY t ORDER BY n DESC, t LIMIT 500""".stripMargin,
+    "t11_length_filter" ->
+      """WITH toks AS (SELECT doc_id, lang,
+        |  len(regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang, n,
+        |  ntile(10) OVER (PARTITION BY lang ORDER BY n, doc_id) AS decile FROM toks)
+        |SELECT doc_id, lang, n, decile FROM r
+        |WHERE decile BETWEEN 2 AND 9 ORDER BY doc_id""".stripMargin)
 }
 
 /** Exact + near-duplicate detection operators (training-data pipeline).
@@ -1188,6 +1213,25 @@ object EventQueries {
         .select(col("error_id"), col("click_id"),
           (unix_micros(col("ts")) - unix_micros(col("win_start"))).as("gap_us"))
         .orderBy(col("error_id"), col("click_id"))
+    }),
+
+    // the SAME interval join written the naive way (crossJoin + range
+    // filter) — a BroadcastNestedLoopJoin as authored; RangeJoinRewrite
+    // turns it into the slot equi-join at optimization time. Oracle
+    // equality with j8 proves the rewrite end-to-end (RangeJoinRewriteSpec
+    // asserts the plan shape).
+    "j9_range_rewrite" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val incidents = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("ts").as("win_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("win_end"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts"))
+      incidents.crossJoin(clicks)
+        .filter(col("ts") >= col("win_start") && col("ts") < col("win_end"))
+        .select(col("error_id"), col("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("win_start"))).as("gap_us"))
+        .orderBy(col("error_id"), col("click_id"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -1240,6 +1284,13 @@ object EventQueries {
         |       round(cval, 2) AS click_value
         |FROM w WHERE pid IS NOT NULL ORDER BY purchase_id""".stripMargin,
     "j8_interval_join" ->
+      """SELECT e.event_id AS error_id, c.event_id AS click_id,
+        |       epoch_us(c.ts) - epoch_us(e.ts) AS gap_us
+        |FROM events e JOIN events c
+        |  ON e.event_type = 'error' AND c.event_type = 'click'
+        | AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 10 MINUTE
+        |ORDER BY error_id, click_id""".stripMargin,
+    "j9_range_rewrite" ->
       """SELECT e.event_id AS error_id, c.event_id AS click_id,
         |       epoch_us(c.ts) - epoch_us(e.ts) AS gap_us
         |FROM events e JOIN events c

@@ -23,6 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // filter) into the exact pivot-band equi-join — see
     // [[graft.plans.EpsilonJoinRewrite]]
     ext.injectOptimizerRule(_ => graft.plans.EpsilonJoinRewrite)
+    // rewrite point-in-interval range joins into slot-bucketed
+    // equi-joins — see [[graft.plans.RangeJoinRewrite]]
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }
 
@@ -72,5 +75,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.EpsilonJoinRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.EpsilonJoinRewrite
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
   }
 }

@@ -86,12 +86,18 @@ object NewsPipeline {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val step = Clustering.step(
         pool, prepped.select(col("id"), col("concat_embedding")))
+      // step.pool is eagerly checkpointed — the previous pool state is
+      // superseded NOW, not whenever the ContextCleaner gets to it
+      SparkHygiene.freeCheckpoint(pool)
       pool = step.pool
       val ups = ClusterTable.upsertRows(table, step.assignments, prepped, Clock)
-      table = ClusterTable.merge(table, ups).localCheckpoint(eager = true)
+      val merged = ClusterTable.merge(table, ups).localCheckpoint(eager = true)
+      SparkHygiene.freeCheckpoint(table)
       val updated = step.assignments.select(col("cluster_id").as("PK")).distinct()
-      table = ClusterTable.summarizePass(table, updated, Threshold)
+      table = ClusterTable.summarizePass(merged, updated, Threshold)
         .localCheckpoint(eager = true)
+      SparkHygiene.freeCheckpoint(merged)
+      SparkHygiene.freeCheckpoint(step.assignments)
       prepped.unpersist()
     }
     table

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Block-manager hygiene for checkpoint-per-batch loops.
+  *
+  * `localCheckpoint(eager = true)` parks the materialized rows in the
+  * block manager; Spark frees them only when the ContextCleaner notices
+  * the RDD got garbage-collected — which under driver memory pressure
+  * lags arbitrarily. A micro-batch loop that checkpoints state every
+  * batch therefore accumulates every superseded state version until GC
+  * happens to run. These helpers free superseded checkpoints
+  * deterministically instead.
+  */
+object SparkHygiene {
+
+  /** Release the block-manager storage behind a `localCheckpoint`'d
+    * frame. No-op for frames that aren't checkpoint-backed (e.g. the
+    * empty bootstrap state), so callers can free unconditionally.
+    */
+  def freeCheckpoint(df: Dataset[_]): Unit = df.queryExecution.analyzed match {
+    case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+    case _ => ()
+  }
+
+  /** Free EVERY checkpoint block referenced anywhere in the frame's
+    * lineage. Only for frames whose entire lineage the caller owns and
+    * has finished consuming — a checkpoint shared with a live frame
+    * would lose its storage (it recomputes from lineage... which a
+    * checkpoint no longer has).
+    */
+  def freeCheckpointsIn(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.collect {
+      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+    }
+
+  /** Drop every persistent RDD still registered with the context —
+    * DataFrame caches AND checkpoint blocks. For harnesses (bench,
+    * verify) between independent queries: each query starts cold and no
+    * prior query's leftovers distort its memory budget.
+    */
+  def dropAllPersisted(spark: SparkSession): Unit = {
+    // blocking: an async drop races the NEXT query's memory allocation
+    // on the storage lock (measured: a 5× spike on the query after a
+    // large cache drop) — pay the removal here, outside any measurement
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    spark.sharedState.cacheManager.clearCache()
+  }
+}

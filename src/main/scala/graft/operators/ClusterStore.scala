@@ -76,9 +76,12 @@ final class ClusterStore(spark: SparkSession, path: String, nBuckets: Int = 64) 
       val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       try merged.write.partitionBy("bucket").mode("overwrite").parquet(path)
-      finally prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      finally {
+        graft.SparkHygiene.freeCheckpoint(merged)
+        prev match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
       }
     } finally up.unpersist()
   }

@@ -205,6 +205,9 @@ object Clustering {
     edgesP.unpersist()
     touchedNodes.unpersist()
     mergedTouchedC.unpersist()
+    // the CC labels checkpoint (distributed path only) is fully consumed:
+    // both step outputs are eagerly checkpointed above
+    graft.SparkHygiene.freeCheckpointsIn(comp)
     StepResult(mergedPool, assignments)
   }
 

@@ -70,6 +70,10 @@ object ConnectedComponents {
 
     var labels = nodes.select(col("node"), col("node").as("component"))
       .localCheckpoint(eager = true)
+    // the checkpoint each `labels` view rides on — freed as soon as the
+    // next round's checkpoint supersedes it (the ContextCleaner would
+    // otherwise hold every round's labels until a driver GC)
+    var labelsCk = labels
 
     var converged = false
     var iter = 0
@@ -101,6 +105,8 @@ object ConnectedComponents {
         .limit(1).count()
 
       labels = next.select(col("node"), col("component"))
+      graft.SparkHygiene.freeCheckpoint(labelsCk)
+      labelsCk = next
       converged = changed == 0
       iter += 1
     }
