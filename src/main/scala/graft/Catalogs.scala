@@ -532,6 +532,37 @@ object DedupQueries {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_hits"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Bloom-filter membership probe for cross-batch dedup: the history
+    // partition's fingerprints set k=4 seeded md5 positions in an
+    // M=256-bit filter; a probe doc is flagged iff ALL its positions are
+    // set. Deliberately small M so false positives are exercised and
+    // checked (~40 at sf0.01 alongside the 50 true dup hits — the
+    // `true_dup` column separates them). The bit set IS the distinct
+    // position set: built distributed (groupBy position), broadcast to
+    // the probe side, probe map-side — the same dataflow a compact
+    // bitmap broadcast (`DataFrameStatFunctions.bloomFilter`) executes,
+    // but with engine-portable hashes the oracle replays bit-for-bit.
+    "d8_bloom_dedup" -> ((s, dir) => {
+      val M = 256
+      val corpus = corpusWithExactDups(s, dir)
+        .select(col("doc_id"), TextFns.fingerprint(col("text")).as("f"))
+      val pos = corpus
+        .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("seed"), col("f"))
+        .withColumn("h", md5(concat(col("seed").cast("string"), lit(":"), col("f"))))
+        .withColumn("pos",
+          (expr("instr('0123456789abcdef', substring(h, 1, 1)) - 1") * 16 +
+            expr("instr('0123456789abcdef', substring(h, 2, 1)) - 1")) % M)
+      val hist = pos.filter(col("doc_id") % 10 === 0 && col("doc_id") < 1000000)
+        .select(col("pos")).distinct()
+      pos.filter(col("doc_id") % 10 =!= 0 || col("doc_id") >= 1000000)
+        .join(broadcast(hist), "pos")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("k_hits"))
+        .filter(col("k_hits") === 4)
+        .select(col("doc_id"), (col("doc_id") >= 1000000).as("true_dup"))
+        .orderBy(col("doc_id"))
     }))
 
   private val exactCorpusSql =
@@ -655,6 +686,21 @@ object DedupQueries {
          |FROM dots JOIN norms na ON na.doc_id = a JOIN norms nb ON nb.doc_id = b
          |WHERE round(dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 4) > 0.9
          |ORDER BY a, b""".stripMargin,
+    "d8_bloom_dedup" ->
+      s"""WITH $exactCorpusSql,
+         |fp AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+         |       FROM corpus),
+         |pos AS (SELECT fp.doc_id, fp.f, s.seed
+         |        FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS seed) s),
+         |p2 AS (SELECT doc_id, seed,
+         |  ((strpos('0123456789abcdef', substring(md5(seed::VARCHAR || ':' || f), 1, 1)) - 1) * 16 +
+         |   (strpos('0123456789abcdef', substring(md5(seed::VARCHAR || ':' || f), 2, 1)) - 1)) % 256 AS pos
+         |  FROM pos),
+         |hist AS (SELECT DISTINCT pos FROM p2 WHERE doc_id % 10 = 0 AND doc_id < 1000000)
+         |SELECT doc_id, doc_id >= 1000000 AS true_dup
+         |FROM p2 WHERE (doc_id % 10 <> 0 OR doc_id >= 1000000)
+         |  AND pos IN (SELECT pos FROM hist)
+         |GROUP BY doc_id HAVING count(*) = 4 ORDER BY doc_id""".stripMargin,
     "d7_decontaminate" ->
       """WITH norm AS (SELECT doc_id,
         |  regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks

@@ -48,6 +48,10 @@ object ConnectedComponents {
     val spark = nodes.sparkSession
 
     if (localGate > 0) {
+      // bounded-collect probes. Measured alternative (count-gate, then
+      // full collect) was WORSE — 4 actions/batch instead of 2, each
+      // paying its own AQE stage jobs; the limit escalation's extra
+      // probe jobs are cheaper than doubled actions.
       val nodeProbe = nodes.select(col("node")).limit(localGate + 1).collect()
       if (nodeProbe.length <= localGate) {
         val edgeProbe = edges.select(col("src"), col("dst"))
