@@ -123,10 +123,12 @@ object ClusterTable {
   }
 
   /** Merge upsert rows into the table: replaced keys drop out via
-    * left-anti, new rows union in. One shuffle on (PK,SK).
+    * left-anti, new rows union in. The upsert side is batch-bounded —
+    * broadcast it so the (big) table side streams through with no
+    * shuffle at any scale.
     */
   def merge(table: DataFrame, upserts: DataFrame): DataFrame =
-    table.join(upserts.select("PK", "SK"), Seq("PK", "SK"), "left_anti")
+    table.join(broadcast(upserts.select("PK", "SK")), Seq("PK", "SK"), "left_anti")
       .unionByName(upserts)
 
   /** ST5 + A8 + A6/A7 + S16: evaluate the trigger on freshly upserted
