@@ -66,14 +66,26 @@ object NewsPipeline {
     // size the shuffle to the micro-batch, not the session default: a
     // batch is bounded (~500-1000 rows), so dozens of 32-way exchanges
     // per step are pure scheduling overhead. At 100 TB the same knob
-    // scales UP with batch volume. (AQE stays ON: disabling it was
-    // measured SLOWER — the checkpointed state tables carry no stats, so
-    // the static planner falls back to sort-merge joins where AQE's
-    // runtime sizing picks broadcast.)
+    // scales UP with batch volume.
+    //
+    // AQE is OFF inside this loop (round-4 measurement: 110 jobs /
+    // ~16 s job time vs 216 / ~25 s with AQE, reproduced). Round 3
+    // measured the opposite — back then the stats-less checkpointed
+    // state made the static planner pick sort-merge joins. Every join
+    // in the loop now carries an explicit broadcast hint on its
+    // batch-bounded side, so static planning is already optimal and
+    // AQE's per-exchange stage materialization is pure scheduling
+    // overhead. The streaming wrapper keeps AQE: its state comes from
+    // parquet (real size stats) and batches there can be skewed.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try runBatches(spark, arts, table, pool)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   private def runBatches(spark: SparkSession, arts: DataFrame,
