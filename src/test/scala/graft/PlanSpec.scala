@@ -69,4 +69,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PartitionFilters: [") && !p.contains("PartitionFilters: []"),
       s"bucket partition filter missing:\n$p")
   }
+
+  test("j7_asof is one shuffle on the key — no join operator at all") {
+    val p = plan("j7_asof")
+    assert(!p.contains("Join"), s"as-of should be window-served, found a join:\n$p")
+    assert(p.contains("Window"), s"running-last window missing:\n$p")
+  }
+
+  test("j8/j9 interval joins never fall back to a nested loop") {
+    for (q <- Seq("j8_interval_join", "j9_range_rewrite")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q planned a cartesian operator:\n$p")
+    }
+    assert(plan("j9_range_rewrite").contains("__graft_slot"),
+      "range rewrite did not fire for j9")
+  }
+
+  test("d7 decontamination probes via a broadcast of the eval shingle set") {
+    val p = plan("d7_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"eval set not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus side should not shuffle for the probe:\n$p")
+  }
+
+  test("d8 bloom probe joins against a broadcast bit set") {
+    val p = plan("d8_bloom_dedup")
+    assert(p.contains("BroadcastHashJoin"), s"bit set not broadcast:\n$p")
+  }
 }
