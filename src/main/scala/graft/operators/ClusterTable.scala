@@ -46,11 +46,13 @@ object ClusterTable {
       else withOrgs.withColumn("locations", lit(null).cast("array<string>"))
     }
 
-    // J2: assignment → article payload lookup. Assignments are one batch
-    // (≤500 rows) — broadcast; misses tolerated with stub columns
-    // (reference bug-workaround `process_records.py:234-263`).
-    val articleRows = broadcast(assignments)
-      .join(arts.withColumnRenamed("id", "article_id"), Seq("article_id"), "left_outer")
+    // J2: assignment → article payload lookup. Both sides are one batch
+    // (≤500 rows); misses tolerated with stub columns (reference
+    // bug-workaround `process_records.py:234-263`). The hint goes on the
+    // RIGHT side: a left-outer BroadcastHashJoin can only build right —
+    // a build-left hint is silently ignored and falls back to SMJ.
+    val articleRows = assignments
+      .join(broadcast(arts.withColumnRenamed("id", "article_id")), Seq("article_id"), "left_outer")
       .select(
         col("cluster_id").as("PK"),
         concat(lit("ARTICLE#"), col("article_id")).as("SK"),
@@ -89,11 +91,19 @@ object ClusterTable {
         col("earliest_date").as("old_ed"),
         col("latest_date").as("old_ld"))
 
+    // Scale guard: `existingMeta` derives from the FULL table — at 100 TB
+    // that is every cluster ever seen. Semi-filter it to the batch's
+    // touched PKs first (broadcast-right semi: the big side streams with
+    // no shuffle), so the outer join below is batch-bounded × batch-
+    // bounded and the broadcast hint is actually honored (build right).
+    val touchedMeta = existingMeta
+      .join(broadcast(perCluster.select(col("cluster_id").as("PK"))), Seq("PK"), "left_semi")
+
     // A4 counter arithmetic — reference quirks preserved as spec
     // (`process_records.py:204-232`): existing meta += batch_new − 1;
     // new meta = batch_new + 1.
-    val metadataRows = broadcast(perCluster)
-      .join(existingMeta, perCluster("cluster_id") === existingMeta("PK"), "left_outer")
+    val metadataRows = perCluster
+      .join(broadcast(touchedMeta), perCluster("cluster_id") === touchedMeta("PK"), "left_outer")
       .select(
         col("cluster_id").as("PK"),
         concat(lit("#METADATA#"), col("cluster_id")).as("SK"),

@@ -126,11 +126,25 @@ object EpsilonJoinRewrite extends Rule[LogicalPlan] {
       else if (yr.subsetOf(left.outputSet) && xr.subsetOf(right.outputSet)) Some((y, x, eps))
       else None
     }
+    // half-ulp widening for `round(dist, k) <= eps`: round-half-up gives
+    // round(d,k) >= d - 0.5*10^-k, so any qualifying pair has
+    // d <= eps + 0.5*10^-k — band with the widened bound and let the
+    // original rounded predicate (re-applied on top) do the exact cut.
+    // Users write exactly this shape to stabilize float output; without
+    // this arm the rewrite silently degrades to a cartesian plan.
+    def widened(k: java.lang.Integer, eps: Double): Double =
+      if (k.intValue >= 0) eps + 0.5 * math.pow(10, -k.intValue) else eps
     split(cond).collectFirst(Function.unlift {
       case LessThanOrEqual(UnitCosineDist(x, y), Literal(v: java.lang.Double, DoubleType)) =>
         sided(x, y, v.doubleValue)
       case LessThan(UnitCosineDist(x, y), Literal(v: java.lang.Double, DoubleType)) =>
         sided(x, y, v.doubleValue)
+      case LessThanOrEqual(Round(UnitCosineDist(x, y), Literal(k: java.lang.Integer, IntegerType), _),
+                           Literal(v: java.lang.Double, DoubleType)) =>
+        sided(x, y, widened(k, v.doubleValue))
+      case LessThan(Round(UnitCosineDist(x, y), Literal(k: java.lang.Integer, IntegerType), _),
+                    Literal(v: java.lang.Double, DoubleType)) =>
+        sided(x, y, widened(k, v.doubleValue))
       case _ => None
     })
   }

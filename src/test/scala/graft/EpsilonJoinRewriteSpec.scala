@@ -77,6 +77,40 @@ class EpsilonJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  private def roundedQuery(a: DataFrame, b: DataFrame, eps: Double, k: Int): DataFrame =
+    a.crossJoin(b.select(col("vid").as("wid"), col("vec").as("w")))
+      .withColumn("dist", round(VectorFns.unitCosineDistance(col("vec"), col("w")), k))
+      .filter(col("dist") <= eps)
+      .select(col("vid"), col("wid"), col("dist"))
+
+  test("round(dist,k) <= eps fires the rewrite with the half-ulp widened bound") {
+    val (a, b) = fixture
+    val q = roundedQuery(a, b, 0.15, 4)
+    assert(q.queryExecution.optimizedPlan.toString.contains("__graft_band"),
+      s"round() wrapper blinded the rewrite:\n${q.queryExecution.optimizedPlan}")
+    assert(!q.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = {
+      spark.conf.set(graft.plans.EpsilonJoinRewrite.ConfKey, "false")
+      try roundedQuery(a, b, 0.15, 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      finally spark.conf.unset(graft.plans.EpsilonJoinRewrite.ConfKey)
+    }
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
+  test("round boundary: a distance that rounds DOWN onto eps is kept by the widened band") {
+    // band bound must be eps + 0.5*10^-k, not eps: craft a pair whose true
+    // distance is just above eps but rounds to exactly eps at k=2
+    val theta = math.acos(1.0 - 0.154) // dist 0.154 → round(.,2) = 0.15
+    val a = vecs(1L -> unit(1, 0, 0))
+    val b = vecs(10L -> unit(math.cos(theta), math.sin(theta), 0))
+    val q = roundedQuery(a, b, 0.15, 2)
+    assert(q.queryExecution.optimizedPlan.toString.contains("__graft_band"))
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 10L)))
+  }
+
   test("no rewrite for eps > 1 or when disabled") {
     val (a, b) = fixture
     val wide = crossQuery(a, b, 1.5).queryExecution.optimizedPlan.toString

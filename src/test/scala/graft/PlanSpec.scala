@@ -30,6 +30,14 @@ class PlanSpec extends SparkSpec {
       s"cartesian operator survived:\n$p")
   }
 
+  test("d5's user-written round(dist,k)<=eps crossJoin is band-rewritten, not cartesian") {
+    val p = plan("d5_embed_neardup")
+    assert(p.contains("__graft_band"),
+      s"rewrite did not see through the round() wrapper:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"cartesian operator survived in d5:\n$p")
+  }
+
   test("q1_agg runs inside whole-stage codegen with partial aggregation") {
     val df = QueryCatalog.queries("q1_agg")(spark, sf)
     df.collect() // finalize the AQE plan in place
@@ -90,6 +98,38 @@ class PlanSpec extends SparkSpec {
     val p = plan("d7_decontaminate")
     assert(p.contains("BroadcastHashJoin"), s"eval set not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus side should not shuffle for the probe:\n$p")
+  }
+
+  test("ClusterTable.upsertRows joins are all broadcast — no SMJ of the metadata side") {
+    import spark.implicits._
+    import graft.operators.ClusterTable
+    // parquet-backed table so planning sees a real scan, not a LocalRelation
+    val dir = Files.createTempDirectory("graft-upsert-plan").toString + "/t"
+    def assigns(rows: (String, String, Boolean, Int, Int)*) =
+      rows.toDF("article_id", "cluster_id", "is_cluster", "cluster_size", "batch_new")
+    def arts(rows: (String, String, String, String, String)*) =
+      rows.toDF("id", "title", "summary", "text", "publication_date")
+    val clock = "2024-06-01T00:00:00"
+    val t0 = ClusterTable.emptyTable(spark)
+    val seed = ClusterTable.upsertRows(t0,
+      assigns(("a1", "c1", true, 2, 2), ("a2", "c1", true, 2, 2)),
+      arts(("a1", "T1", "S1", "X1", "2024-01-01 00:00:00"),
+        ("a2", "T2", "S2", "X2", "2024-01-02 00:00:00")), clock)
+    ClusterTable.merge(t0, seed).write.mode("overwrite").parquet(dir)
+    val table = spark.read.parquet(dir)
+    val up = ClusterTable.upsertRows(table,
+      assigns(("a3", "c1", true, 3, 2), ("a4", "c2", true, 1, 1)),
+      arts(("a3", "T3", "S3", "X3", "2024-01-03 00:00:00"),
+        ("a4", "T4", "S4", "X4", "2024-01-04 00:00:00")), clock)
+    up.collect() // finalize any adaptive plan
+    val p = up.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"),
+      s"upsert fell back to SMJ — a broadcast hint is being ignored again:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    // counter semantics survived the plan change: c1 existed (2+1=3) → 3+(2-1)=4
+    val meta = up.filter(col("row_type") === "metadata")
+      .select("PK", "number_of_articles").as[(String, Int)].collect().toMap
+    assert(meta("c1") == 4 && meta("c2") == 2)
   }
 
   test("d8 bloom probe joins against a broadcast bit set") {
