@@ -408,24 +408,40 @@ object DedupQueries {
     }),
 
     // SimHash near-dup: 32-bit signature (bit-majority over md5 nibbles
-    // of every token), all-pairs Hamming ≤ 6. Signatures are one
+    // of every token), pairs at Hamming ≤ 6. Signatures are one
     // native-expression pass per document (TokenSimHash — replaces
-    // explode + 32 bit-sum aggregations); the pair scan is integer
-    // xor/popcount — 8 bytes/doc of state, the cheapest near-dup at
-    // scale. (A Hamming-band equi-join — pigeonhole over 7 disjoint
-    // bands — was measured 4× SLOWER here: this corpus's signatures are
-    // highly correlated, so band buckets go hot and the candidate join
-    // plus dedup dwarfs the cheap integer scan. On a diverse corpus the
-    // banding shape wins; it's a data-distribution knob, not a default.)
+    // explode + 32 bit-sum aggregations); the pair scan goes through
+    // SimHashJoin's size gate — the O(N²) integer scan only below the
+    // measured crossover, the lossless pigeonhole Hamming-band equi-join
+    // (partitionable: shuffle key = band value) beyond it. Identical
+    // results either way; the DuckDB oracle replays the all-pairs form.
     "d4_simhash_pairs" -> ((s, dir) => {
       val corpus = corpusWithNearDups(s, dir)
       val sigs = corpus
         .withColumn("__toks", split(lower(trim(col("text"))), "\\s+"))
         .select(col("doc_id"), TextFns.simHash(col("__toks"), 32).as("sim"))
-      sigs.as("x").join(sigs.as("y"), col("x.doc_id") < col("y.doc_id"))
-        .withColumn("hamming", expr("bit_count(x.sim ^ y.sim)"))
-        .filter(col("hamming") <= 6)
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("hamming"))
+      graft.operators.SimHashJoin
+        .selfPairs(sigs, "doc_id", "sim", maxHamming = 6, bits = 32)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // The SimHash configuration that actually scales: 64-bit signatures
+    // at Hamming ≤ 3 (Manku/WWW'07 parameter regime — radius a small
+    // fraction of the width), served by the pigeonhole Hamming-band
+    // equi-join: 4 disjoint 16-bit bands, so candidate buckets shrink
+    // by 2^16 and the shuffle key is the band value. Measured (probe,
+    // this corpus): banded 0.7 s vs all-pairs 1.8 s at 44k docs, gap
+    // growing quadratically — at 32-bit/6 (d4) banding CAN'T win (band
+    // width ≤ 5 bits caps bucket reduction at ~24× and this corpus has
+    // ~10% pair density, so the output itself is Θ(N²)).
+    "d9_simhash64_band" -> ((s, dir) => {
+      val corpus = corpusWithNearDups(s, dir)
+      val sigs = corpus
+        .withColumn("__toks", split(lower(trim(col("text"))), "\\s+"))
+        .select(col("doc_id"), TextFns.simHash(col("__toks"), 64).as("sim"))
+      graft.operators.SimHashJoin
+        .selfPairs(sigs, "doc_id", "sim", maxHamming = 3, bits = 64,
+          strategy = graft.operators.SimHashJoin.HammingBand)
         .orderBy(col("a"), col("b"))
     }),
 
@@ -635,6 +651,29 @@ object DedupQueries {
          |SELECT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.sim, y.sim)) AS hamming
          |FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
          |WHERE bit_count(xor(x.sim, y.sim)) <= 6
+         |ORDER BY a, b""".stripMargin
+    },
+    "d9_simhash64_band" -> {
+      val bitSums = (0 until 64).map(j =>
+        s"  sum(((strpos('0123456789abcdef', substring(h, ${j / 4 + 1}, 1)) - 1) " +
+          s"// ${1 << (j % 4)}) % 2 * 2 - 1) AS s$j").mkString(",\n")
+      // bit 63 is the sign bit: -(2^63) has no positive BIGINT literal,
+      // so it is spelled -9223372036854775807 - 1; the HUGEINT sum of the
+      // CASE terms is exactly the signed 64-bit pattern, cast back down
+      val simExpr = (0 until 64).map { j =>
+        val w = if (j == 63) "-9223372036854775807 - 1" else s"${1L << j}"
+        s"CASE WHEN s$j > 0 THEN $w ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH $nearCorpusSql,
+         |toks AS (SELECT doc_id,
+         |  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t FROM corpus),
+         |sums AS (SELECT doc_id,
+         |$bitSums
+         |FROM (SELECT doc_id, md5(t) AS h FROM toks) GROUP BY doc_id),
+         |sigs AS (SELECT doc_id, ($simExpr)::BIGINT AS sim FROM sums)
+         |SELECT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.sim, y.sim)) AS hamming
+         |FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.sim, y.sim)) <= 3
          |ORDER BY a, b""".stripMargin
     },
     "d6_dup_groups" ->

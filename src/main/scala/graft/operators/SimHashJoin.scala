@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SimHash near-duplicate pair scan with a selectable join strategy —
+  * the same shape-vs-scale trade the clusterer exposes via
+  * [[Clustering.JoinStrategy]].
+  *
+  * Reference analog: TF-IDF cosine near-dup detection (notebook
+  * `remove_dup_article`); SimHash is the training-data-scale variant
+  * (8 bytes of signature state per document).
+  *
+  * Strategies:
+  *  - [[AllPairs]]: O(N²/2) integer xor/popcount scan. No shuffle beyond
+  *    the self-join broadcast; unbeatable while N² pairs fit in CPU —
+  *    but quadratic, so it is a *small-N fast path*, never the default.
+  *  - [[HammingBand]]: pigeonhole banding. Split the `bits`-bit
+  *    signature into `maxHamming + 1` disjoint bit bands; two signatures
+  *    within Hamming distance `maxHamming` differ in at most `maxHamming`
+  *    bands, so at least one band is bit-identical — candidates come
+  *    from an equi-join on (band index, band value) and are verified
+  *    with one xor/popcount. Lossless by the pigeonhole argument, and
+  *    partitionable: the shuffle key is the band value, so the plan
+  *    scales out instead of up.
+  *  - [[Auto]]: size-gated pick between the two. The gate counts the id
+  *    column only (the signature expression is pruned away), so probing
+  *    the size does not pay for signatures twice.
+  */
+object SimHashJoin {
+
+  sealed trait Strategy
+  case object AllPairs extends Strategy
+  case object HammingBand extends Strategy
+  /** Gate measured on this corpus (Probe, sf0.01 vs sf0.1): the
+    * all-pairs scan wins below ~10⁴ docs where the candidate join's
+    * fixed shuffle cost dominates; banding wins beyond it because pair
+    * count grows quadratically while band candidates grow ~linearly for
+    * non-degenerate signature distributions.
+    */
+  case class Auto(threshold: Long = 10000L) extends Strategy
+
+  /** All (a, b, hamming) pairs with `a < b` and Hamming(sig_a, sig_b) <=
+    * maxHamming. Output columns are exactly `a`, `b`, `hamming`
+    * regardless of input names.
+    *
+    * @param sigs   one row per document: (idCol: integral, sigCol: long
+    *               signature in the low `bits` bits)
+    * @param bits   signature width; bands cover the low `bits` bits
+    */
+  def selfPairs(sigs: DataFrame, idCol: String, sigCol: String, maxHamming: Int,
+                bits: Int = 32, strategy: Strategy = Auto()): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < bits, "need 0 <= maxHamming < bits")
+    strategy match {
+      case AllPairs => allPairs(sigs, idCol, sigCol, maxHamming)
+      case HammingBand => banded(sigs, idCol, sigCol, maxHamming, bits)
+      case Auto(threshold) =>
+        // prune to the id column so the gate never evaluates signatures
+        val n = sigs.select(col(idCol)).count()
+        if (n <= threshold) allPairs(sigs, idCol, sigCol, maxHamming)
+        else banded(sigs, idCol, sigCol, maxHamming, bits)
+    }
+  }
+
+  private def allPairs(sigs: DataFrame, idCol: String, sigCol: String,
+                       maxHamming: Int): DataFrame =
+    sigs.as("x").join(sigs.as("y"), col(s"x.$idCol") < col(s"y.$idCol"))
+      .withColumn("hamming", bit_count(col(s"x.$sigCol").bitwiseXOR(col(s"y.$sigCol"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"), col("hamming"))
+
+  private def banded(sigs: DataFrame, idCol: String, sigCol: String,
+                     maxHamming: Int, bits: Int): DataFrame = {
+    val nBands = maxHamming + 1
+    // widths as even as possible: bits mod nBands bands get one extra bit
+    val base = bits / nBands
+    val widths = Array.tabulate(nBands)(k => if (k < bits % nBands) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    val bandCols = (0 until nBands).map { k =>
+      struct(lit(k).as("k"),
+        shiftrightunsigned(col("__sig"), offsets(k))
+          .bitwiseAND(lit((1L << widths(k)) - 1)).as("v"))
+    }
+    val bandedDf = sigs
+      .select(col(idCol).as("__id"), col(sigCol).as("__sig"))
+      .select(col("__id"), col("__sig"), explode(array(bandCols: _*)).as("__b"))
+      .select(col("__id"), col("__sig"),
+        col("__b.k").as("__bk"), col("__b.v").as("__bv"))
+    // equi-join on (band idx, band value); signatures ride along so the
+    // verify is a local xor — no lookup join. A pair within the radius
+    // matches in up to nBands bands; rather than a distinct() shuffle of
+    // the multiplied candidates (measured 10× the all-pairs cost on a
+    // dense corpus), keep a candidate only in the FIRST band where the
+    // signatures agree — a map-side integer predicate, so each pair
+    // leaves the join exactly once and no dedup exchange exists at all.
+    val xor = col("x.__sig").bitwiseXOR(col("y.__sig"))
+    def bandXor(k: Int) =
+      shiftrightunsigned(xor, offsets(k)).bitwiseAND(lit((1L << widths(k)) - 1))
+    val firstAgreeingBand = (0 until nBands).foldRight(lit(-1)) { (k, rest) =>
+      when(bandXor(k) === 0, lit(k)).otherwise(rest)
+    }
+    bandedDf.as("x").join(bandedDf.as("y"),
+        col("x.__bk") === col("y.__bk") && col("x.__bv") === col("y.__bv") &&
+          col("x.__id") < col("y.__id"))
+      .filter(col("x.__bk") === firstAgreeingBand)
+      .withColumn("hamming", bit_count(xor))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("x.__id").as("a"), col("y.__id").as("b"), col("hamming"))
+  }
+}

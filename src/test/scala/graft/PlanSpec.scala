@@ -132,6 +132,13 @@ class PlanSpec extends SparkSpec {
     assert(meta("c1") == 4 && meta("c2") == 2)
   }
 
+  test("d9 simhash64 pairs come from the band equi-join, not an all-pairs scan") {
+    val p = plan("d9_simhash64_band")
+    assert(p.contains("__bk"), s"expected Hamming-band keys in the plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"cartesian operator in the banded plan:\n$p")
+  }
+
   test("d8 bloom probe joins against a broadcast bit set") {
     val p = plan("d8_bloom_dedup")
     assert(p.contains("BroadcastHashJoin"), s"bit set not broadcast:\n$p")
