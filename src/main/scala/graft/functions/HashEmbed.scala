@@ -55,9 +55,41 @@ object HashEmbed {
     v(bucket) += sign
   }
 
+  /** The reference's endpoint batch cap: at most 200 articles per
+    * inference call (`iac/roots/main/variables.tf:103-107`,
+    * `embed_docs.py:67-68`). [[embedBatch]] enforces it so a real model
+    * swap-in inherits the contract.
+    */
+  val MaxBatch = 200
+
+  /** BATCHED embedding contract — the model seam. One call embeds one
+    * chunk (≤ [[MaxBatch]] texts); a real deployment replaces this body
+    * with one endpoint/model invocation per call and nothing upstream
+    * changes. Output order matches input order.
+    */
+  def embedBatch(texts: Seq[String], dim: Int = DefaultDim): Seq[Array[Float]] = {
+    require(texts.size <= MaxBatch,
+      s"embedBatch called with ${texts.size} texts; the endpoint contract caps at $MaxBatch")
+    texts.map(embed(_, dim))
+  }
+
+  /** Partition-level chunking shell: stream a partition through the
+    * batched seam in ≤ `batchSize` chunks (the `mapInPandas` batch
+    * shape, mirroring [[graft.operators.Multimodal.decodeImages]]).
+    */
+  def embedPartition(texts: Iterator[String], dim: Int = DefaultDim,
+                     batchSize: Int = MaxBatch,
+                     embedder: (Seq[String], Int) => Seq[Array[Float]] = embedBatch)
+      : Iterator[Array[Float]] = {
+    require(batchSize > 0 && batchSize <= MaxBatch)
+    texts.grouped(batchSize).flatMap(chunk => embedder(chunk, dim))
+  }
+
   def embedUdf(dim: Int = DefaultDim): UserDefinedFunction =
     udf((text: String) => embed(text, dim))
 
-  /** Column form: `embedColumn($"text")`. */
+  /** Column form: `embedColumn($"text")` — per-row scalar path, kept for
+    * ad-hoc column use; the pipeline stage goes through [[embedPartition]].
+    */
   def embedColumn(c: Column, dim: Int = DefaultDim): Column = embedUdf(dim)(c)
 }

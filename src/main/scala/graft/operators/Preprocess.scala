@@ -53,12 +53,34 @@ object Preprocess {
     * (reference `embed_docs.py:30-42,70-95`). `concat_embedding` is
     * `array<float>` with ‖v‖₂=1 (we flatten the reference's pointless
     * `[[...]]` nesting, `embed_docs.py:97-98`).
+    *
+    * BATCHED, not per-row: each partition streams through
+    * [[HashEmbed.embedPartition]] in ≤ `batchSize` chunks — the
+    * reference's 200-article endpoint cap (`variables.tf:103-107`) — so
+    * a real model gets one inference call per chunk. `embedder` is the
+    * model seam; the default is the deterministic hashing stub.
     */
-  def embed(df: DataFrame, dim: Int = HashEmbed.DefaultDim): DataFrame =
-    df.withColumn(
-      "concat_embedding",
-      HashEmbed.embedColumn(
-        TextFns.concatForEmbedding(col("title"), col("summary"), col("text")), dim))
+  def embed(df: DataFrame, dim: Int = HashEmbed.DefaultDim,
+            batchSize: Int = HashEmbed.MaxBatch,
+            embedder: (Seq[String], Int) => Seq[Array[Float]] = HashEmbed.embedBatch)
+      : DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, FloatType, StructField, StructType}
+    val withInput = df.withColumn("__embed_input",
+      TextFns.concatForEmbedding(col("title"), col("summary"), col("text")))
+    val inIdx = withInput.schema.fieldIndex("__embed_input")
+    val outSchema = StructType(df.schema.fields :+
+      StructField("concat_embedding", ArrayType(FloatType, containsNull = false)))
+    withInput.mapPartitions { rows =>
+      // buffer only one chunk at a time: zip the chunk back onto its rows
+      rows.grouped(batchSize).flatMap { chunk =>
+        val vecs = embedder(chunk.map(_.getString(inIdx)), dim)
+        chunk.iterator.zip(vecs.iterator).map { case (r, v) =>
+          Row.fromSeq(r.toSeq.patch(inIdx, Nil, 1) :+ v)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
 
   /** Full stateless stage: preprocess → dedup → guard → embed.
     * Dedup keeps the first occurrence in ARRIVAL order (reference

@@ -47,4 +47,42 @@ class PreprocessSpec extends SparkSpec {
     val n = math.sqrt(v.map(x => x.toDouble * x).sum)
     assert(math.abs(n - 1.0) < 1e-5)
   }
+
+  test("P7 embedding is BATCHED: the model seam sees <=batchSize chunks, order preserved") {
+    // the embedder closure is serialized to executor threads; the spy
+    // records through a JVM-singleton object so the driver sees the adds
+    EmbedSpy.seen.clear()
+    val df = (1 to 10).map(i => (i.toString, s"text $i", s"t$i", s"s$i"))
+      .toDF("id", "text", "title", "summary").repartition(1)
+    val out = Preprocess.embed(df, dim = 16, batchSize = 3,
+      embedder = EmbedSpy.spy).collect()
+    assert(out.length == 10)
+    val sizes = EmbedSpy.seen.toArray(Array.empty[Integer]).map(_.intValue).toSeq
+    assert(sizes.sorted == Seq(1, 3, 3, 3), s"chunk sizes were $sizes") // 10 rows / 3
+    // batched output identical to the scalar path, row by row
+    val scalar = (1 to 10).map(i => graft.functions.HashEmbed.embed(
+      s"t$i\ns$i\ntext $i", 16)) // concat_ws("\n", title, summary, text)
+    val byId = out.map(r => r.getString(0) ->
+      r.getSeq[Float](r.length - 1).toArray).toMap
+    for (i <- 1 to 10)
+      assert(byId(i.toString).sameElements(scalar(i - 1)), s"row $i diverged")
+  }
+
+  test("P7 embedBatch enforces the reference's 200-article endpoint cap") {
+    intercept[IllegalArgumentException] {
+      graft.functions.HashEmbed.embedBatch(Seq.fill(201)("x"), 16)
+    }
+  }
+}
+
+/** JVM-singleton spy for the batched-embedding seam: survives closure
+  * serialization in local mode (the deserialized lambda resolves the
+  * module, not a copied field).
+  */
+object EmbedSpy {
+  val seen = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+  val spy: (Seq[String], Int) => Seq[Array[Float]] = (texts, dim) => {
+    seen.add(texts.size)
+    graft.functions.HashEmbed.embedBatch(texts, dim)
+  }
 }
