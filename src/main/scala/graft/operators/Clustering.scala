@@ -69,7 +69,24 @@ object Clustering {
     UUID.nameUUIDFromBytes(("graft-cluster:" + articleId)
       .getBytes(StandardCharsets.UTF_8)).toString
 
-  private val clusterIdUdf = udf(clusterIdFor _)
+  /** Column form of [[clusterIdFor]] in pure built-ins (codegen'd — the
+    * former Scala UDF here was the last per-row UDF in the clustering hot
+    * path, VERDICT r4 #4). `UUID.nameUUIDFromBytes` is MD5 with two
+    * nibble patches: byte 6's high nibble := 3 (version, hex char 13) and
+    * byte 8's high nibble := (nibble & 0x3) | 0x8 (variant, hex char 17);
+    * the a9 oracle SQL applies the identical patching in DuckDB.
+    */
+  def clusterIdCol(articleId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = md5(concat(lit("graft-cluster:"), articleId))
+    val variantNibble = conv(substring(h, 17, 1), 16, 10).cast("int")
+    val variant = lower(conv((pmod(variantNibble, lit(4)) + lit(8)).cast("string"), 10, 16))
+    concat_ws("-",
+      substring(h, 1, 8),
+      substring(h, 9, 4),
+      concat(lit("3"), substring(h, 14, 3)),
+      concat(variant, substring(h, 18, 3)),
+      substring(h, 21, 12))
+  }
 
   /** Result of one micro-batch step.
     *
@@ -105,7 +122,7 @@ object Clustering {
       .crossJoin(broadcast(maxSeqDf))
       .select(
         (col("__rn").cast("long") + col("__maxSeq")).as("seq"),
-        clusterIdUdf(col("id")).as("cluster_id"),
+        clusterIdCol(col("id")).as("cluster_id"),
         array(col("id")).as("article_ids"),
         lit(1L).as("n_articles"),
         lit(false).as("is_cluster"),

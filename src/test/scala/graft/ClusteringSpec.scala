@@ -71,6 +71,19 @@ class ClusteringSpec extends SparkSpec {
     assert(pool(2L) == Clustering.clusterIdFor("b"))
   }
 
+  test("clusterIdCol (md5 built-ins) matches UUID.nameUUIDFromBytes for " +
+    "every variant nibble, and the clustering hot path carries no UDF") {
+    // 64 ids — enough draws that all 16 variant-nibble inputs occur w.h.p.
+    val ids = (0 until 64).map(i => f"art-$i%04d")
+    val idCol = ids.toDF("id")
+      .select(col("id"), Clustering.clusterIdCol(col("id")).as("cid"))
+    val got = idCol.as[(String, String)].collect().toMap
+    ids.foreach { id => assert(got(id) == Clustering.clusterIdFor(id)) }
+    // plan-level: the id expression is pure built-ins (codegen'd), no UDF
+    val plan = idCol.queryExecution.analyzed.toString
+    assert(!plan.contains("UDF"), s"UDF found in cluster-id plan:\n$plan")
+  }
+
   test("poolStats counts clusters, singletons, and total articles") {
     val s1 = Clustering.step(emptyPool, vecBatch(
       "a" -> unit(1, 0, 0, 0), "b" -> unit(1, 0.02, 0, 0), "c" -> unit(0, 0, 1, 0)))
