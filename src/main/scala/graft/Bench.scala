@@ -53,13 +53,50 @@ object Bench {
     val pipelineSec = results.toMap.getOrElse("a9_ui_clusters", -1.0)
     val aps = if (pipelineSec > 0) articles / pipelineSec else -1.0
 
+    // second pipeline figure: the SAME articles through the actual
+    // Structured Streaming wrapper — file-drop source, AvailableNow,
+    // offset checkpointing + versioned state on disk — so the articles/s
+    // claim covers the streaming machinery (offset log, state
+    // read/write per batch), not just the a9 driver loop.
+    val streamSec = try runStreaming(spark, sfDir)
+      catch { case _: Throwable => -1.0 }
+    val streamAps = if (streamSec > 0) articles / streamSec else -1.0
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
         f""""pipeline":{"articles":$articles,"seconds":$pipelineSec%.3f,"articles_per_sec":$aps%.1f},""" +
+        f""""pipeline_streaming":{"articles":$articles,"seconds":$streamSec%.3f,"articles_per_sec":$streamAps%.1f},""" +
         s""""sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** One AvailableNow pass of the streaming wrapper over the a9 article
+    * corpus dropped as one JSON file per micro-batch. Returns the
+    * measured span = stream start → termination (file writes excluded).
+    */
+  private def runStreaming(spark: SparkSession, sfDir: String): Double = {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("bench_stream").toString
+    val inDir = s"$tmp/in"
+    val arts = NewsPipeline.syntheticArticles(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    for (b <- 0 until NewsPipeline.Batches)
+      arts.filter(col("batch") === b).drop("grp", "batch")
+        .coalesce(1).write.mode("append").json(inDir)
+    val schema = arts.drop("grp", "batch").schema
+    val t0 = System.nanoTime()
+    streaming.StreamingPipeline.start(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").json(inDir),
+      s"$tmp/state", s"$tmp/ck",
+      streaming.StreamingPipeline.Config(
+        threshold = NewsPipeline.Threshold,
+        embedDim = NewsPipeline.EmbedDim,
+        clock = NewsPipeline.Clock))
+      .awaitTermination()
+    (System.nanoTime() - t0) / 1e9
   }
 }
