@@ -30,6 +30,11 @@ object StreamingPipeline {
 
   final case class Config(
       eps: Double = Clustering.DefaultEps,
+      /** physical strategy for the ε-edge join — ExactJoin (broadcast
+        * batch × streamed pool) for micro-batch-sized inputs, BandJoin /
+        * LshJoin when the pool is large enough that even the streamed
+        * cross pass matters (the 100 TB knob, same enum as batch use) */
+      strategy: Clustering.JoinStrategy = Clustering.ExactJoin,
       threshold: Int = 5,
       embedDim: Int = graft.functions.HashEmbed.DefaultDim,
       clock: String = "1970-01-01T00:00:00",
@@ -102,7 +107,7 @@ object StreamingPipeline {
       } else {
         val step = Clustering.step(
           pool, prepped.select(col("id"), col("concat_embedding")),
-          Clustering.Config(eps = cfg.eps))
+          Clustering.Config(eps = cfg.eps, strategy = cfg.strategy))
         // A5 pool statistics as OBSERVED metrics (reference recalculated
         // stats every batch, `process_records.py:313-319,427-434`):
         // observe() piggybacks on the state write — zero extra jobs —

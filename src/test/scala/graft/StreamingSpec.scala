@@ -151,6 +151,28 @@ class StreamingSpec extends SparkSpec {
     assert(n == 3) // A4: batch_new(2) + 1, not re-applied
   }
 
+  test("Config.strategy selects the ε-join plan through the wrapper: " +
+    "BandJoin converges to the same table as the ExactJoin default") {
+    val root = Files.createTempDirectory("graft-strategy").toString
+    val batches = Seq(
+      Seq(("s1", "kappa kappa kappa kappa", "K1", "2024-01-01 10:00:00"),
+        ("s2", "kappa kappa kappa kappa x", "K2", "2024-01-01 11:00:00"),
+        ("s3", "sigma sigma sigma sigma", "S1", "2024-01-01 12:00:00")),
+      Seq(("s4", "kappa kappa kappa kappa y", "K3", "2024-01-02 10:00:00")))
+    def runWith(cfg: StreamingPipeline.Config, state: String): Seq[org.apache.spark.sql.Row] = {
+      batches.zipWithIndex.foreach { case (b, i) =>
+        StreamingPipeline.processBatch(
+          b.toDF("id", "text", "title", "date"), i.toLong, state, cfg)
+      }
+      StreamingPipeline.latestTable(spark, state).orderBy("PK", "SK").collect().toSeq
+    }
+    val exact = runWith(StreamingPipeline.Config(threshold = 2), s"$root/exact")
+    val band = runWith(StreamingPipeline.Config(threshold = 2,
+      strategy = graft.operators.Clustering.BandJoin), s"$root/band")
+    assert(band == exact)
+    assert(exact.nonEmpty)
+  }
+
   test("latestTable skips a partial (no _SUCCESS) version after a crash") {
     val root = Files.createTempDirectory("graft-partial").toString
     val state = s"$root/state"
