@@ -445,6 +445,35 @@ object DedupQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Segment-level dedup (the CCNet/line-dedup shape with 10-token
+    // segments standing in for lines — this corpus has no newlines):
+    // hash-shuffle segments, count document frequency, report each doc's
+    // boilerplate ratio (segments shared with ≥1 other doc). Two
+    // shuffles total (segment df + doc regroup), no pairwise join — at
+    // 100 TB the segment key would be a 16-byte digest instead of the
+    // raw string (same plan, smaller exchange); the raw string keeps the
+    // oracle comparison digest-free here.
+    "d10_segment_dedup" -> ((s, dir) => {
+      val segLen = 10
+      val corpus = corpusWithNearDups(s, dir)
+      val nSeg = greatest(ceil(size(col("__toks")) / lit(segLen.toDouble)).cast("int"), lit(1))
+      val docSeg = corpus
+        .withColumn("__toks", split(trim(col("text")), "\\s+"))
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(0), nSeg - 1),
+            i => array_join(slice(col("__toks"), i * segLen + 1, lit(segLen)), " "))).as("seg"))
+        .distinct() // a segment repeated inside one doc counts once
+      val segDf = docSeg.groupBy(col("seg")).agg(count(lit(1)).as("df"))
+      docSeg.join(segDf, "seg")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_segments"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_boilerplate"))
+        .withColumn("boilerplate_ratio",
+          round(col("n_boilerplate") / col("n_segments"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
     // Dup GROUPS: connected components over the ε-near-dup graph — the
     // transitive-closure dedup decision (a≈b, b≈c ⇒ {a,b,c} one group
     // even when a–c alone misses the cut). Pairs from the lossless
@@ -676,6 +705,22 @@ object DedupQueries {
          |WHERE bit_count(xor(x.sim, y.sim)) <= 3
          |ORDER BY a, b""".stripMargin
     },
+    "d10_segment_dedup" ->
+      s"""WITH $nearCorpusSql,
+         |toks AS (SELECT doc_id,
+         |  regexp_split_to_array(trim(text), '\\s+') AS tk FROM corpus),
+         |idx AS (SELECT doc_id, tk,
+         |  unnest(generate_series(0,
+         |    greatest(ceil(len(tk) / 10.0)::INT - 1, 0))) AS i FROM toks),
+         |seg AS (SELECT DISTINCT doc_id,
+         |  array_to_string(tk[i*10+1 : i*10+10], ' ') AS seg FROM idx),
+         |dfx AS (SELECT seg, count(*) AS df FROM seg GROUP BY seg)
+         |SELECT s.doc_id,
+         |  count(*) AS n_segments,
+         |  CAST(sum(CASE WHEN dfx.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+         |  round(sum(CASE WHEN dfx.df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         |    AS boilerplate_ratio
+         |FROM seg s JOIN dfx USING (seg) GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "d6_dup_groups" ->
       """WITH RECURSIVE
         |p AS (
@@ -1020,6 +1065,22 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // unigram log-likelihood quality proxy (the KenLM-perplexity slot in
+    // a CCNet-style pipeline, with the corpus's own unigram distribution
+    // standing in for the LM): score = mean log p(token). Two shuffles
+    // (token freq + doc regroup); the frequency table is corpus-wide
+    // state a real deployment would broadcast from a vocab build (t10).
+    "t13_freq_quality" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir).select(col("doc_id"), explode(
+        split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).as("t"))
+      val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("n"))
+      val total = freq.agg(sum(col("n")).as("tot"))
+      tok.join(freq, "t").crossJoin(broadcast(total))
+        .groupBy(col("doc_id"))
+        .agg(round(avg(log(col("n") / col("tot"))), 6).as("log_p"))
+        .orderBy(col("doc_id"))
+    }),
+
     // stratified sampling: portable md5-derived bucket, per-language rate
     "t8_sample" -> ((s, dir) => {
       val bucket = (expr("instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1") * 16 +
@@ -1079,7 +1140,16 @@ object TrainingQueries {
         |  (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1) AS bucket,
         |  CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 30 ELSE 10 END AS rate
         |FROM documents)
-        |SELECT doc_id, lang FROM t WHERE bucket % 100 < rate ORDER BY doc_id""".stripMargin)
+        |SELECT doc_id, lang FROM t WHERE bucket % 100 < rate ORDER BY doc_id""".stripMargin,
+    "t13_freq_quality" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS t
+        |  FROM documents),
+        |freq AS (SELECT t, count(*) AS n FROM toks GROUP BY t),
+        |tot AS (SELECT sum(n) AS tot FROM freq)
+        |SELECT doc_id, round(avg(ln(n * 1.0 / tot)), 6) AS log_p
+        |FROM toks JOIN freq USING (t) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }
 
 /** Multimodal media table: binary payloads + typed metadata. The
