@@ -453,26 +453,10 @@ object DedupQueries {
     // 100 TB the segment key would be a 16-byte digest instead of the
     // raw string (same plan, smaller exchange); the raw string keeps the
     // oracle comparison digest-free here.
-    "d10_segment_dedup" -> ((s, dir) => {
-      val segLen = 10
-      val corpus = corpusWithNearDups(s, dir)
-      val nSeg = greatest(ceil(size(col("__toks")) / lit(segLen.toDouble)).cast("int"), lit(1))
-      val docSeg = corpus
-        .withColumn("__toks", split(trim(col("text")), "\\s+"))
-        .select(col("doc_id"), explode(
-          transform(sequence(lit(0), nSeg - 1),
-            i => array_join(slice(col("__toks"), i * segLen + 1, lit(segLen)), " "))).as("seg"))
-        .distinct() // a segment repeated inside one doc counts once
-      val segDf = docSeg.groupBy(col("seg")).agg(count(lit(1)).as("df"))
-      docSeg.join(segDf, "seg")
-        .groupBy(col("doc_id"))
-        .agg(
-          count(lit(1)).as("n_segments"),
-          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_boilerplate"))
-        .withColumn("boilerplate_ratio",
-          round(col("n_boilerplate") / col("n_segments"), 6))
-        .orderBy(col("doc_id"))
-    }),
+    "d10_segment_dedup" -> ((s, dir) =>
+      graft.operators.SegmentDedup
+        .stats(corpusWithNearDups(s, dir), "doc_id", "text", segLen = 10, minDf = 2)
+        .orderBy(col("doc_id"))),
 
     // Dup GROUPS: connected components over the ε-near-dup graph — the
     // transitive-closure dedup decision (a≈b, b≈c ⇒ {a,b,c} one group

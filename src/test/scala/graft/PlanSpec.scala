@@ -139,6 +139,15 @@ class PlanSpec extends SparkSpec {
       s"cartesian operator in the banded plan:\n$p")
   }
 
+  test("d10 segment dedup is shuffle-only — no pairwise join operator") {
+    val p = plan("d10_segment_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"segment dedup planned a cartesian operator:\n$p")
+    // the df count is a partial-aggregated hash shuffle, not a window
+    assert(p.contains("HashAggregate") && !p.contains("Window"),
+      s"expected pure aggregation plan:\n$p")
+  }
+
   test("d8 bloom probe joins against a broadcast bit set") {
     val p = plan("d8_bloom_dedup")
     assert(p.contains("BroadcastHashJoin"), s"bit set not broadcast:\n$p")

@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.SegmentDedup
+
+class SegmentDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("segments cut at fixed token boundaries and keep the partial tail") {
+    val df = Seq((1L, "a b c d e")).toDF("id", "text")
+    val segs = SegmentDedup.segments(df, "id", "text", segLen = 2)
+      .as[(Long, String)].collect().map(_._2).toSet
+    assert(segs == Set("a b", "c d", "e"))
+  }
+
+  test("a segment repeated WITHIN one doc counts once toward df") {
+    // "x y" appears twice in doc 1 but only doc 1 contains it → df = 1,
+    // so it must NOT be boilerplate at minDf = 2
+    val df = Seq(
+      (1L, "x y x y"),
+      (2L, "p q r s")).toDF("id", "text")
+    val stats = SegmentDedup.stats(df, "id", "text", segLen = 2, minDf = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(stats == Map(1L -> ((1L, 0L, 0.0)), 2L -> ((2L, 0L, 0.0))))
+  }
+
+  test("segments shared across docs are flagged; ratio reflects the mix") {
+    val df = Seq(
+      (1L, "c c c c u u"), // shares "c c c c"→segments "c c","c c"→distinct "c c"
+      (2L, "c c v v"),     // "c c" shared, "v v" unique
+      (3L, "w w w w")).toDF("id", "text")
+    val stats = SegmentDedup.stats(df, "id", "text", segLen = 2, minDf = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // doc 1: distinct segments {"c c", "u u"}; "c c" df=2 → 1 of 2
+    assert(stats(1L) == ((2L, 1L, 0.5)))
+    assert(stats(2L) == ((2L, 1L, 0.5)))
+    assert(stats(3L) == ((1L, 0L, 0.0)))
+  }
+}
