@@ -115,6 +115,13 @@ object ConnectedComponents {
       iter += 1
     }
     sym.unpersist()
+    // propagation needs `diameter` rounds; returning unconverged labels
+    // would be a silently-wrong partition (components split in two), so
+    // fail loudly instead — callers with genuinely deep graphs raise
+    // maxIter explicitly.
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge in $maxIter rounds — " +
+        "graph diameter exceeds maxIter; raise maxIter for deep chain graphs")
     labels
   }
 

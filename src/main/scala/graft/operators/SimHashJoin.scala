@@ -51,6 +51,17 @@ object SimHashJoin {
   def selfPairs(sigs: DataFrame, idCol: String, sigCol: String, maxHamming: Int,
                 bits: Int = 32, strategy: Strategy = Auto()): DataFrame = {
     require(maxHamming >= 0 && maxHamming < bits, "need 0 <= maxHamming < bits")
+    // maxHamming=0 at bits=64 degenerates the band mask (1L<<64 wraps):
+    // every band value collapses to 0, so HammingBand candidates become
+    // all-pairs. Results stay CORRECT (the final hamming filter verifies
+    // every candidate) but exact-duplicate detection at 64 bits is
+    // better served by a plain equi-join on the signature itself.
+    if (maxHamming == 0 && bits == 64)
+      return sigs.as("x").join(sigs.as("y"),
+          col(s"x.$sigCol") === col(s"y.$sigCol") &&
+            col(s"x.$idCol") < col(s"y.$idCol"))
+        .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"),
+          lit(0).as("hamming"))
     strategy match {
       case AllPairs => allPairs(sigs, idCol, sigCol, maxHamming)
       case HammingBand => banded(sigs, idCol, sigCol, maxHamming, bits)

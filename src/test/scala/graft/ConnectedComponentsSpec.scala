@@ -54,4 +54,21 @@ class ConnectedComponentsSpec extends SparkSpec {
     val comp = cc(nodes, edges, localGate = 5)
     assert(comp.values.toSet == Set(0L))
   }
+
+  test("distributed path FAILS LOUDLY instead of returning unconverged labels") {
+    // a 12-hop chain cannot converge in 3 rounds of min propagation;
+    // returning partial labels would silently split the component
+    val nodes = (0L until 12L).toSeq
+    val edges = (0L until 11L).map(i => (i, i + 1))
+    val ex = intercept[IllegalStateException] {
+      ConnectedComponents.run(
+        nodes.toDF("node"), edges.toDF("src", "dst"),
+        maxIter = 3, localGate = 0)
+        .collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // the same graph with enough rounds is fine
+    val ok = cc(nodes, edges, localGate = 0)
+    assert(ok.values.toSet == Set(0L))
+  }
 }

@@ -51,6 +51,18 @@ class SimHashJoinSpec extends SparkSpec {
     assert(large.queryExecution.executedPlan.toString.contains("__bk"))
   }
 
+  test("maxHamming=0 at bits=64 is served by a signature equi-join " +
+    "(the band mask would wrap at 1L<<64)") {
+    val df = sigsDf(1L -> Long.MinValue, 2L -> Long.MinValue, 3L -> 7L, 4L -> 7L, 5L -> 8L)
+    val out = SimHashJoin.selfPairs(df, "id", "sig", maxHamming = 0, bits = 64,
+      strategy = SimHashJoin.HammingBand)
+    assert(out.select("a", "b").as[(Long, Long)].collect().toSet ==
+      Set((1L, 2L), (3L, 4L)))
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("__bk") && !p.contains("BroadcastNestedLoopJoin"),
+      s"expected a plain signature equi-join:\n$p")
+  }
+
   test("banded join is an equi-join on the band key — no cartesian operator") {
     val df = sigsDf((0L until 100L).map(i => (i, i * 7L & 0xffffffffL)): _*)
     val p = SimHashJoin.selfPairs(df, "id", "sig", 6,
