@@ -118,11 +118,17 @@ object SimilarityJoin {
     // near eps=2 anyway, so banding buys nothing there).
     require(eps > 0 && eps <= 1, s"eps out of range for bandExact: $eps")
     val thetaEps = math.acos(1.0 - eps) // cosine dist → angle
-    // try_element_at: vectors shorter than the pivot count yield a null
-    // band identically on both sides (coarser pruning, same results)
-    // instead of an ANSI out-of-bounds error
+    // try_element_at + coalesce-to-0: a vector shorter than the pivot
+    // index banks on the dot product's own semantics — FloatVectorDot
+    // runs over min(length), i.e. ZERO-padding — so the missing
+    // component IS 0 and the axis angle is acos(0). (Clamping the null
+    // instead would assign acos(−1)=π — greatest() SKIPS nulls — and
+    // ragged-dimension pairs could band >1 apart yet sit within eps,
+    // silently dropping results the cross-join plan keeps.)
     def theta(v: Column, k: Int): Column =
-      acos(least(greatest(try_element_at(v, lit(k + 1)).cast("double"), lit(-1.0)), lit(1.0)))
+      acos(least(greatest(
+        coalesce(try_element_at(v, lit(k + 1)).cast("double"), lit(0.0)),
+        lit(-1.0)), lit(1.0)))
     def bandOf(v: Column, k: Int): Column =
       floor(theta(v, k) / lit(thetaEps)).cast("int")
 
@@ -135,9 +141,9 @@ object SimilarityJoin {
     val offsets = (0 until pivots).foldLeft(Seq(Seq.empty[Int])) { (acc, _) =>
       acc.flatMap(t => Seq(-1, 0, 1).map(o => t :+ o))
     }
-    // array_distinct: all 3^p neighbor keys are distinct for well-formed
-    // vectors (no-op); null bands collapse them to one, preserving the
-    // emit-each-pair-once guarantee below
+    // array_distinct: with bands defined for every vector (zero-padded
+    // semantics above) all 3^p neighbor keys are distinct — kept as a
+    // no-op safety net for the emit-each-pair-once guarantee below
     val probeKeys = array_distinct(array(offsets.map { off =>
       concat_ws("|", off.zipWithIndex.map { case (o, k) =>
         (bandOf(col("va"), k) + lit(o)).cast("int")

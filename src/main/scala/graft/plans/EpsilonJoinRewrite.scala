@@ -170,14 +170,18 @@ object EpsilonJoinRewrite extends Rule[LogicalPlan] {
                        va: Expression, vb: Expression, eps: Double): LogicalPlan = {
     val thetaEps = math.acos(1.0 - eps)
 
-    // failOnError=false: a vector shorter than the pivot count yields a
-    // null band (identically on both sides — coarser pruning, same
-    // results) instead of an ANSI out-of-bounds error the original
-    // cartesian plan would not have thrown
+    // failOnError=false + coalesce-to-0: a vector shorter than the pivot
+    // index contributes a ZERO component — exactly FloatVectorDot's
+    // min-length (zero-padding) semantics — so its axis angle is
+    // acos(0), not a null that Greatest would skip into an acos(−1)
+    // clamp. Keeps the rewrite exact for ragged-dimension inputs the
+    // cross-join plan accepts.
     def theta(v: Expression, k: Int): Expression =
       Acos(Least(Seq(
         Greatest(Seq(
-          Cast(ElementAt(v, Literal(k + 1), None, failOnError = false), DoubleType),
+          Coalesce(Seq(
+            Cast(ElementAt(v, Literal(k + 1), None, failOnError = false), DoubleType),
+            Literal(0.0))),
           Literal(-1.0))),
         Literal(1.0))))
     def bandOf(v: Expression, k: Int): Expression =

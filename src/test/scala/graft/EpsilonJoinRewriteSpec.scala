@@ -134,6 +134,26 @@ class EpsilonJoinRewriteSpec extends SparkSpec {
     assert(rows.toSet == Set((1L, 10L), (2L, 11L)))
   }
 
+  test("MIXED-dimension pairs match the cartesian plan (zero-padded axis bands)") {
+    // float_vector_dot runs over min(length) — zero-padding semantics —
+    // so a 1-dim vector can sit within eps of a 4-dim one. The band for
+    // the missing axis must be acos(0), NOT an acos(-1) clamp of the
+    // null (greatest() skips nulls): the clamp banded short-vs-long
+    // pairs >1 apart and silently dropped them (regression).
+    val a = vecs(1L -> Array(1f)) // 1-dim
+    val b = vecs(10L -> unit(1, 0.05, 0, 0), 11L -> unit(0, 1, 0, 0)) // 4-dim
+    val eps = 0.05
+    val got = crossQuery(a, b, eps)
+    assert(got.queryExecution.optimizedPlan.toString.contains("__graft_band"))
+    val want = {
+      spark.conf.set(graft.plans.EpsilonJoinRewrite.ConfKey, "false")
+      try crossQuery(a, b, eps).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally spark.conf.unset(graft.plans.EpsilonJoinRewrite.ConfKey)
+    }
+    assert(want == Set((1L, 10L))) // the qualifying mixed-dim pair exists
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == want)
+  }
+
   test("an explicit broadcast hint opts out of the rewrite") {
     val (a, b) = fixture
     val q = broadcast(a)

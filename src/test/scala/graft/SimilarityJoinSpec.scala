@@ -60,6 +60,24 @@ class SimilarityJoinSpec extends SparkSpec {
     }
   }
 
+  test("bandExact matches exact on MIXED-dimension vectors " +
+    "(missing pivot components band as zero, like the dot's zero-padding)") {
+    val df = Seq(
+      (1L, Array(1f)),                    // 1-dim
+      (2L, unit(1, 0.05, 0, 0)),          // 4-dim, within 0.05 of #1
+      (3L, unit(0, 1, 0, 0))).toDF("k", "v")
+    for (eps <- Seq(0.05, 0.3)) {
+      val want = SimilarityJoin.exactSelf(df, "k", "v", eps)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      val got = SimilarityJoin.bandExactSelf(df, "k", "v", eps)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      assert(got == want, s"eps=$eps")
+    }
+    // the short-vs-long pair really qualifies (non-vacuous regression)
+    assert(SimilarityJoin.exactSelf(df, "k", "v", 0.05)
+      .select("a", "b").as[(Long, Long)].collect().toSet == Set((1L, 2L)))
+  }
+
   test("asymmetric lsh finds the same new-vs-pool edges as exact on separated data") {
     val pool = Seq(
       (1L, unit(1, 0, 0, 0)), (2L, unit(1, 0.05, 0, 0)),
