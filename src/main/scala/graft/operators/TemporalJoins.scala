@@ -46,22 +46,29 @@ object TemporalJoins {
   def asofBackward(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
                    leftIdCol: String, rightIdCol: String,
                    payloadCols: Seq[String]): DataFrame = {
-    val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
+    import org.apache.spark.sql.types.StructType
     val leftTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
+    val payloadType = StructType(
+      payloadCols.map(c => right.schema(c)).toArray)
 
+    // The whole right payload rides in ONE struct per row: a right row
+    // whose payload FIELDS are null is still a non-null struct, so
+    // `last(_, ignoreNulls)` attaches THAT row's (null) values instead
+    // of skipping past it to an older row — and all asof_* columns are
+    // guaranteed to come from the SAME right row (per-column last() can
+    // mix rows when some fields are null).
+    //
     // left rows: kind=1 (sorts AFTER right at equal ts ⇒ inclusive match)
-    val lAligned = payloadCols.foldLeft(
-      left.withColumn("__kind", lit(1))
-        .withColumn("__tie", col(leftIdCol).cast("long"))) { (d, c) =>
-      d.withColumn(s"__p_$c", lit(null).cast(rightTypes(c)))
-    }
+    val lAligned = left.withColumn("__kind", lit(1))
+      .withColumn("__tie", col(leftIdCol).cast("long"))
+      .withColumn("__p", lit(null).cast(payloadType))
 
     // right rows: kind=0, payload materialized, left-only columns nulled
     val leftExtra = left.columns.filterNot(c => c == keyCol || c == tsCol)
     val rBase = right.select(
-      Seq(col(keyCol), col(tsCol), lit(0).as("__kind"),
-        col(rightIdCol).cast("long").as("__tie")) ++
-        payloadCols.map(c => col(c).as(s"__p_$c")): _*)
+      col(keyCol), col(tsCol), lit(0).as("__kind"),
+      col(rightIdCol).cast("long").as("__tie"),
+      struct(payloadCols.map(col): _*).as("__p"))
     val rAligned = leftExtra.foldLeft(rBase) { (d, c) =>
       d.withColumn(c, lit(null).cast(leftTypes(c)))
     }
@@ -69,11 +76,11 @@ object TemporalJoins {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col("__kind").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payloadCols.foldLeft(lAligned.unionByName(rAligned)) { (d, c) =>
-      d.withColumn(s"asof_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
-    }
+    val filled = lAligned.unionByName(rAligned)
+      .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
     filled.filter(col("__kind") === 1)
-      .select(left.columns.map(col) ++ payloadCols.map(c => col(s"asof_$c")): _*)
+      .select(left.columns.map(col) ++
+        payloadCols.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
 
   /** Interval-containment join: pairs each `intervals` row with every

@@ -36,7 +36,11 @@ import org.apache.spark.sql.types._
   * `spark.graft.rangeJoinRewrite.slotWidthSec` (timestamps, default
   * 3600) / `spark.graft.rangeJoinRewrite.slotWidth` (integral domains,
   * default 3600). Disable with
-  * `spark.graft.rangeJoinRewrite.enabled=false`.
+  * `spark.graft.rangeJoinRewrite.enabled=false`. Note the row-explosion
+  * bound: an interval spanning k slots emits k rows, so a pathological
+  * interval (centuries at the hourly default) hits Spark's sequence
+  * length limit with a clear error — raise the slot width for such
+  * domains, or disable the rule for that query.
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] {
 

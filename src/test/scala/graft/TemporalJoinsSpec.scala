@@ -52,6 +52,22 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(got == 999L)
   }
 
+  test("a latest right row with NULL payload fields is attached as-is, " +
+    "not skipped for an older non-null row (row-consistent asof)") {
+    // quote 105 is the latest before trade 10 but carries a null px; the
+    // asof must attach (105, null) — per-column last(ignoreNulls) would
+    // have mixed quote_id=105 with px=5.0 from quote 100
+    val q2 = quotes.unionByName(
+      Seq((105L, 1L, ts("2024-01-01 10:00:03"), Option.empty[Double]))
+        .toDF("quote_id", "sym", "ts", "px"))
+    val got = TemporalJoins.asofBackward(
+      trades.filter(col("trade_id") === 10), q2,
+      "sym", "ts", "trade_id", "quote_id", Seq("quote_id", "px"))
+      .select(col("asof_quote_id"), col("asof_px"))
+      .as[(Option[Long], Option[Double])].head()
+    assert(got == ((Some(105L), None)))
+  }
+
   test("asofBackward agrees with the naive range-join plan on random data") {
     val n = 400
     val left = spark.range(n).select(col("id").as("lid"), (col("id") % 7).as("k"),
