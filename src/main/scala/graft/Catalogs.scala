@@ -318,65 +318,17 @@ object DedupQueries {
     // join rows). Verification is an O(n+m) merge-scan intersect over
     // the full sorted shingle arrays — no re-explode, no per-pair
     // aggregation. Lossless: same result set as the naive index join.
-    "d2_jaccard_pairs" -> ((s, dir) => {
-      val t = 0.5
-      val corpus = corpusWithNearDups(s, dir)
-      // explode consumes the shingle transform DIRECTLY off the
-      // materialized __toks column (Project → Generate, never collapsed);
-      // routing it through an intermediate array column lets
-      // CollapseProject inline the token split into the transform lambda
-      // — re-split per element, measured 15 s just to explode. The
-      // sorted per-doc arrays are rebuilt by aggregation instead.
-      val sh = corpus
-        .withColumn("__toks", TextFns.repetitionTokens(col("text")))
-        .select(col("doc_id"),
-          explode(TextFns.wordShinglesTokens(col("__toks"), 3)).as("sh"))
-      // document frequency via window (no second scan of the shingle
-      // pipeline), then ONE aggregation yields both views of each doc:
-      // the rarest-first order (df asc, shingle asc — the canonical
-      // global order whose prefix carries the filter guarantee) and the
-      // binary-sorted array the merge-scan verifier needs. Persisted:
-      // three consumers (prefix index + both verify sides) read one
-      // computation instead of re-tokenizing the corpus each.
-      val dfw = Window.partitionBy(col("sh"))
-      val base = sh
-        .withColumn("df", count(lit(1)).over(dfw))
-        .groupBy(col("doc_id"))
-        .agg(
-          transform(array_sort(collect_list(struct(col("df"), col("sh")))),
-            x => x.getField("sh")).as("ord"),
-          count(lit(1)).as("sz"))
-        .select(col("doc_id"), col("sz"),
-          array_sort(col("ord")).as("shs"),
-          slice(col("ord"), lit(1),
-            (col("sz") - ceil(col("sz") * t) + 1).cast("int")).as("pref"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // materialize the cache before the plan fans out: the two broadcast
-      // builds and the index path otherwise race on the cold cache and
-      // each recompute the tokenize→window→agg chain
-      base.count()
-      val docs = base.select(col("doc_id"), col("shs"), col("sz"))
-      val psh = base.select(col("doc_id"), col("sz"), explode(col("pref")).as("sh"))
-      // length filter rides the index join: Jaccard ≥ t needs
-      // t·|x| ≤ |y| ≤ |x|/t — prune before the distinct
-      val cand = psh.as("x").join(psh.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id") &&
-          col("y.sz") * t <= col("x.sz") && col("x.sz") * t <= col("y.sz"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct()
-      // verification joins broadcast the doc vectors: candidates stay in
-      // place, the merge scan runs map-side. (At cluster scale the doc
-      // side shards by candidate partition instead — the dataflow shape
-      // is unchanged.)
-      cand
-        .join(broadcast(docs.select(col("doc_id").as("a"), col("shs").as("sha"), col("sz").as("sza"))), "a")
-        .join(broadcast(docs.select(col("doc_id").as("b"), col("shs").as("shb"), col("sz").as("szb"))), "b")
-        .withColumn("common", VectorFns.sortedIntersectCount(col("sha"), col("shb")))
+    "d2_jaccard_pairs" -> ((s, dir) =>
+      // PPJoin prefix-index candidates + merge-scan verify — the
+      // JaccardJoin operator; BroadcastDocs verify is the single-node
+      // choice, ShuffleDocs the cluster-scale one (JaccardJoinSpec pins
+      // both to identical results)
+      graft.operators.JaccardJoin
+        .selfPairs(corpusWithNearDups(s, dir), "doc_id", "text", t = 0.5)
         .withColumn("jaccard",
           round(col("common") * lit(1.0) / (col("sza") + col("szb") - col("common")), 6))
         .filter(col("jaccard") >= 0.5)
-        .select(col("a"), col("b"), col("jaccard")).orderBy(col("a"), col("b"))
-    }),
+        .select(col("a"), col("b"), col("jaccard")).orderBy(col("a"), col("b"))),
 
     // MinHash + LSH banding: 12 hashes (portable: string-min of seeded
     // md5), 4 bands × 3 rows; candidate pairs = any shared band bucket.

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFns, VectorFns}
+
+/** Word-shingle Jaccard near-duplicate self-join via a PREFIX-FILTERED
+  * inverted index (AllPairs/PPJoin lemma) — the library form of the d2
+  * catalog query (reference analog: the notebook's TF-IDF near-dup
+  * pass, generalized to set similarity for training-data dedup).
+  *
+  * Under any global shingle order, two sets with Jaccard ≥ t must share
+  * an element within the first |d| − ⌈t·|d|⌉ + 1 shingles of each — so
+  * the index holds only each document's rarest-first prefix and
+  * candidate pairs never join on hot shingles (a shingle shared by k
+  * docs otherwise contributes k² join rows). Verification is an O(n+m)
+  * merge-scan intersect over the full sorted shingle arrays
+  * ([[graft.functions.SortedIntersectCount]]) — no re-explode, no
+  * per-pair aggregation. Lossless: the same result set as the naive
+  * index join for any final filter at threshold ≥ t.
+  */
+object JaccardJoin {
+
+  /** How verified candidates meet the per-document shingle vectors. */
+  sealed trait VerifyStrategy
+  /** Broadcast the doc vectors to the candidates — candidates stay in
+    * place, the merge scan runs map-side. Right when the doc-vector
+    * frame fits a broadcast (single-node / modest corpora). */
+  case object BroadcastDocs extends VerifyStrategy
+  /** Shuffle-join candidates against the doc vectors on the id — the
+    * cluster-scale path: both exchanges are hash-partitioned on doc id,
+    * nothing is broadcast, skew bounded by the hottest candidate id. */
+  case object ShuffleDocs extends VerifyStrategy
+
+  /** Verified candidate pairs `(a, b, common, sza, szb)` with `a < b`:
+    * every pair sharing a prefix shingle, its exact shingle-set overlap
+    * and both set sizes. Complete for Jaccard ≥ `t` (prefix lemma) —
+    * the caller applies the final similarity filter, e.g.
+    * `common / (sza + szb − common) ≥ t`, rounding as needed.
+    *
+    * The per-doc index frame is persisted and materialized internally
+    * (three consumers would otherwise race on a cold cache and each
+    * recompute the tokenize→window→agg chain); the cache lives until
+    * the session drops it.
+    */
+  def selfPairs(corpus: DataFrame, idCol: String, textCol: String, t: Double,
+                shingleLen: Int = 3,
+                verify: VerifyStrategy = BroadcastDocs): DataFrame = {
+    require(t > 0 && t <= 1, s"threshold out of (0,1]: $t")
+    // explode consumes the shingle transform DIRECTLY off the
+    // materialized __toks column (Project → Generate, never collapsed);
+    // routing it through an intermediate array column lets
+    // CollapseProject inline the token split into the transform lambda
+    // — re-split per element. The sorted per-doc arrays are rebuilt by
+    // aggregation instead.
+    val sh = corpus
+      .withColumn("__toks", TextFns.repetitionTokens(col(textCol)))
+      .select(col(idCol).as("__id"),
+        explode(TextFns.wordShinglesTokens(col("__toks"), shingleLen)).as("sh"))
+    // document frequency via window (no second scan of the shingle
+    // pipeline), then ONE aggregation yields both views of each doc:
+    // the rarest-first order (df asc, shingle asc — the canonical
+    // global order whose prefix carries the filter guarantee) and the
+    // binary-sorted array the merge-scan verifier needs.
+    val dfw = Window.partitionBy(col("sh"))
+    val base = sh
+      .withColumn("df", count(lit(1)).over(dfw))
+      .groupBy(col("__id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("df"), col("sh")))),
+          x => x.getField("sh")).as("ord"),
+        count(lit(1)).as("sz"))
+      .select(col("__id"), col("sz"),
+        array_sort(col("ord")).as("shs"),
+        slice(col("ord"), lit(1),
+          (col("sz") - ceil(col("sz") * t) + 1).cast("int")).as("pref"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the cache before the plan fans out
+    base.count()
+    val docs = base.select(col("__id"), col("shs"), col("sz"))
+    val psh = base.select(col("__id"), col("sz"), explode(col("pref")).as("sh"))
+    // length filter rides the index join: Jaccard ≥ t needs
+    // t·|x| ≤ |y| ≤ |x|/t — prune before the distinct
+    val cand = psh.as("x").join(psh.as("y"),
+      col("x.sh") === col("y.sh") && col("x.__id") < col("y.__id") &&
+        col("y.sz") * t <= col("x.sz") && col("x.sz") * t <= col("y.sz"))
+      .select(col("x.__id").as("a"), col("y.__id").as("b"))
+      .distinct()
+    def side(n: String): DataFrame =
+      docs.select(col("__id").as(n), col("shs").as(s"sh$n"), col("sz").as(s"sz$n"))
+    def maybeBroadcast(d: DataFrame): DataFrame = verify match {
+      case BroadcastDocs => broadcast(d)
+      case ShuffleDocs => d
+    }
+    cand
+      .join(maybeBroadcast(side("a")), "a")
+      .join(maybeBroadcast(side("b")), "b")
+      .withColumn("common", VectorFns.sortedIntersectCount(col("sha"), col("shb")))
+      .select(col("a"), col("b"), col("common"),
+        col("sza").as("sza"), col("szb").as("szb"))
+  }
+}

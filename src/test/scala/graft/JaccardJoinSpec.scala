@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.JaccardJoin
+
+class JaccardJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Random corpus with PLANTED near-duplicates: every third doc gets a
+    * mutated copy (suffix pad / token tweak) so pairs genuinely land on
+    * both sides of the Jaccard threshold.
+    */
+  private def randomCorpus(seed: Int, n: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = (0 until 30).map(i => s"w$i")
+    val originals = (0 until n).map { i =>
+      val len = 8 + rnd.nextInt(10)
+      val toks = Seq.fill(len)(vocab(rnd.nextInt(vocab.size)))
+      (i.toLong, toks.mkString(" "))
+    }
+    val dups = originals.filter(_._1 % 3 == 0).map { case (id, text) =>
+      val pad = Seq.fill(1 + rnd.nextInt(4))(vocab(rnd.nextInt(vocab.size)))
+      (id + 1000L, text + " " + pad.mkString(" "))
+    }
+    originals ++ dups
+  }
+
+  /** Driver-side oracle: exact 3-shingle Jaccard over all pairs,
+    * replicating TextFns normalization (lower, whitespace split).
+    */
+  private def naivePairs(corpus: Seq[(Long, String)], t: Double): Set[(Long, Long)] = {
+    def shingles(text: String): Set[String] = {
+      val toks = text.toLowerCase.trim.split("\\s+").toSeq
+      if (toks.size < 3) Set(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = corpus.map { case (id, text) => id -> shingles(text) }
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      j = (sa & sb).size.toDouble / (sa | sb).size
+      if j >= t
+    } yield (a, b)).toSet
+  }
+
+  test("PPJoin prefix filtering is lossless vs the naive all-pairs oracle") {
+    for (seed <- Seq(5, 23)) {
+      val corpus = randomCorpus(seed, 40)
+      val t = 0.5
+      val got = JaccardJoin.selfPairs(corpus.toDF("doc_id", "text"), "doc_id", "text", t)
+        .withColumn("j", col("common") * lit(1.0) / (col("sza") + col("szb") - col("common")))
+        .filter(col("j") >= t)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      val want = naivePairs(corpus, t)
+      assert(want.nonEmpty, s"seed=$seed: vacuous fixture")
+      assert(got == want, s"seed=$seed missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
+  test("BroadcastDocs and ShuffleDocs verify strategies return identical rows") {
+    val corpus = randomCorpus(99, 40).toDF("doc_id", "text")
+    def rows(v: JaccardJoin.VerifyStrategy) =
+      JaccardJoin.selfPairs(corpus, "doc_id", "text", t = 0.5, verify = v)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val b = rows(JaccardJoin.BroadcastDocs)
+    val s = rows(JaccardJoin.ShuffleDocs)
+    assert(b == s)
+    assert(b.nonEmpty) // planted vocabulary guarantees collisions
+  }
+}
