@@ -336,28 +336,11 @@ object DedupQueries {
     // (MinHashShingles — shingling fused in, no explode, no 12-way
     // min-aggregation shuffle); candidates from an equi-join on
     // (band, hash) — never all-pairs.
-    "d3_minhash_pairs" -> ((s, dir) => {
-      val corpus = corpusWithNearDups(s, dir)
-      val sigs = corpus
-        .withColumn("__toks", TextFns.repetitionTokens(col("text")))
-        .select(col("doc_id"),
-          TextFns.minHashShingles(col("__toks"), 3, 12).as("mhs"))
-      val bandCols = (0 until 4).map(bi => struct(
-        lit(bi).as("bidx"),
-        md5(concat_ws(",",
-          element_at(col("mhs"), 3 * bi + 1),
-          element_at(col("mhs"), 3 * bi + 2),
-          element_at(col("mhs"), 3 * bi + 3))).as("bh")))
-      val banded = sigs
-        .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-        .select(col("doc_id"), col("band.bidx").as("bidx"), col("band.bh").as("bh"))
-      banded.as("x").join(banded.as("y"),
-        col("x.bidx") === col("y.bidx") && col("x.bh") === col("y.bh"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct()
-        .orderBy(col("a"), col("b"))
-    }),
+    "d3_minhash_pairs" -> ((s, dir) =>
+      graft.operators.MinHashJoin
+        .selfPairs(corpusWithNearDups(s, dir), "doc_id", "text",
+          shingleLen = 3, hashes = 12, bands = 4)
+        .orderBy(col("a"), col("b"))),
 
     // SimHash near-dup: 32-bit signature (bit-majority over md5 nibbles
     // of every token), pairs at Hamming ≤ 6. Signatures are one

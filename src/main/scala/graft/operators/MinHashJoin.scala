@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** MinHash + LSH banding near-duplicate candidate join — the library
+  * form of the d3 catalog query (classic Broder MinHash over word
+  * shingles, banded so candidates come from an equi-join and never an
+  * all-pairs scan).
+  *
+  * Signatures are ONE native-expression pass per document
+  * ([[graft.functions.MinHashShingles]] — shingling fused in, no
+  * explode, no per-seed min-aggregation shuffle); each signature splits
+  * into `bands` groups of `hashes / bands` rows, and any shared
+  * (band index, band hash) bucket yields a candidate pair. Probability
+  * a pair with Jaccard j surfaces: 1 − (1 − j^(hashes/bands))^bands —
+  * tune (hashes, bands) for the target similarity threshold.
+  *
+  * Output is CANDIDATES (a, b) with a < b — callers verify with the
+  * exact measure of their choice (e.g. [[JaccardJoin]] semantics or a
+  * direct shingle intersect) when false positives matter.
+  */
+object MinHashJoin {
+
+  def selfPairs(corpus: DataFrame, idCol: String, textCol: String,
+                shingleLen: Int = 3, hashes: Int = 12, bands: Int = 4): DataFrame = {
+    require(bands > 0 && hashes % bands == 0,
+      s"hashes ($hashes) must split evenly into bands ($bands)")
+    val rows = hashes / bands
+    val sigs = corpus
+      .withColumn("__toks", TextFns.repetitionTokens(col(textCol)))
+      .select(col(idCol).as("__id"),
+        TextFns.minHashShingles(col("__toks"), shingleLen, hashes).as("mhs"))
+    val bandCols = (0 until bands).map(bi => struct(
+      lit(bi).as("bidx"),
+      md5(concat_ws(",",
+        (0 until rows).map(r => element_at(col("mhs"), bi * rows + r + 1)): _*)).as("bh")))
+    val banded = sigs
+      .select(col("__id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("__id"), col("band.bidx").as("bidx"), col("band.bh").as("bh"))
+    banded.as("x").join(banded.as("y"),
+      col("x.bidx") === col("y.bidx") && col("x.bh") === col("y.bh"))
+      .filter(col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("a"), col("y.__id").as("b"))
+      .distinct()
+  }
+}
