@@ -33,17 +33,29 @@ object MinHashJoin {
       .withColumn("__toks", TextFns.repetitionTokens(col(textCol)))
       .select(col(idCol).as("__id"),
         TextFns.minHashShingles(col("__toks"), shingleLen, hashes).as("mhs"))
-    val bandCols = (0 until bands).map(bi => struct(
-      lit(bi).as("bidx"),
+    val bandHashes = array((0 until bands).map(bi =>
       md5(concat_ws(",",
-        (0 until rows).map(r => element_at(col("mhs"), bi * rows + r + 1)): _*)).as("bh")))
+        (0 until rows).map(r => element_at(col("mhs"), bi * rows + r + 1)): _*))): _*)
+    // every band hash rides along with each exploded band row so the
+    // post-join dedup is a map-side predicate, not an exchange
     val banded = sigs
-      .select(col("__id"), explode(array(bandCols: _*)).as("band"))
-      .select(col("__id"), col("band.bidx").as("bidx"), col("band.bh").as("bh"))
+      .select(col("__id"), bandHashes.as("__bhs"))
+      .select(col("__id"), col("__bhs"),
+        posexplode(col("__bhs")).as(Seq("__bk", "__bh")))
+    // A near-dup pair agrees in SEVERAL bands and would surface once per
+    // agreeing band; rather than a distinct() shuffle over the multiplied
+    // candidates (VERDICT r5 — the one avoidable exchange in this plan),
+    // keep a candidate only in the FIRST band where the band hashes agree
+    // (same trick as SimHashJoin.banded): each pair leaves the join
+    // exactly once and no dedup exchange exists at all.
+    val firstAgreeingBand = (0 until bands).foldRight(lit(-1)) { (k, rest) =>
+      when(element_at(col("x.__bhs"), k + 1) === element_at(col("y.__bhs"), k + 1),
+        lit(k)).otherwise(rest)
+    }
     banded.as("x").join(banded.as("y"),
-      col("x.bidx") === col("y.bidx") && col("x.bh") === col("y.bh"))
-      .filter(col("x.__id") < col("y.__id"))
+        col("x.__bk") === col("y.__bk") && col("x.__bh") === col("y.__bh") &&
+          col("x.__id") < col("y.__id"))
+      .filter(col("x.__bk") === firstAgreeingBand)
       .select(col("x.__id").as("a"), col("y.__id").as("b"))
-      .distinct()
   }
 }

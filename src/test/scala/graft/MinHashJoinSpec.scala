@@ -23,7 +23,9 @@ class MinHashJoinSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val rows = MinHashJoin.selfPairs(dup, "doc_id", "text")
       .as[(Long, Long)].collect()
-    assert(rows.toSeq == Seq((1L, 2L))) // distinct() collapses the 4 band hits
+    // the first-agreeing-band predicate collapses the 4 band hits
+    // map-side — no distinct() exchange exists in the plan (PlanSpec)
+    assert(rows.toSeq == Seq((1L, 2L)))
   }
 
   test("hashes must split evenly into bands") {

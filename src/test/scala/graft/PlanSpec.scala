@@ -139,6 +139,18 @@ class PlanSpec extends SparkSpec {
       s"cartesian operator in the banded plan:\n$p")
   }
 
+  test("d3 minhash candidate dedup is map-side — no aggregate exchange, no cartesian") {
+    val p = plan("d3_minhash_pairs")
+    // first-agreeing-band predicate replaced distinct(): the plan must
+    // carry NO aggregation at all (the corpus + signature path is pure
+    // projection/explode/join/sort)
+    assert(!p.contains("HashAggregate") && !p.contains("ObjectHashAggregate") &&
+      !p.contains("SortAggregate"),
+      s"aggregate (dedup) exchange survived in d3:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"cartesian operator in d3:\n$p")
+  }
+
   test("d10 segment dedup is shuffle-only — no pairwise join operator") {
     val p = plan("d10_segment_dedup")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
