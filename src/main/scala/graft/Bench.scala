@@ -1,5 +1,7 @@
 package graft
 
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: every catalog query is fully materialized
@@ -7,6 +9,13 @@ import org.apache.spark.sql.SparkSession
   * prune the projections under test — VERDICT r1 finding #7), plus the
   * end-to-end pipeline throughput in articles/s against BASELINE.md's
   * ≈25 articles/s envelope.
+  *
+  * Each query is measured TWICE: the first (cold) run pays page-cache /
+  * codegen-cache state, the second (warm) run measures the plan. The
+  * warm time is the headline `queries` entry — VERDICT r5 #1: the
+  * single-run gate recorded d3 at 18.4 s while three warm runs measured
+  * 2.4-2.5 s, i.e. the old number graded cache state, not plans. Cold
+  * times are published alongside in `queries_cold`.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -31,26 +40,30 @@ object Bench {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
       }
-      // start every query cold: leftover caches/checkpoint blocks from
-      // the previous query would distort later numbers under memory
-      // pressure (cleanup time is deliberately OUTSIDE the measurement)
+      // start every measured run without leftover caches/checkpoint
+      // blocks: state surviving a previous run would distort later
+      // numbers under memory pressure (cleanup time is deliberately
+      // OUTSIDE the measurement)
       SparkHygiene.dropAllPersisted(spark)
       sec
     }
 
     // warm the JVM/session once on the cheapest query so the first
-    // measured number isn't startup-dominated
+    // cold number isn't startup-dominated
     materialize("q1_agg")
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val sec = try materialize(name) catch { case _: Throwable => -1.0 }
-      name -> sec
+      val cold = try materialize(name) catch { case NonFatal(_) => -1.0 }
+      val warm = if (cold < 0) -1.0
+        else try materialize(name) catch { case NonFatal(_) => -1.0 }
+      (name, cold, warm)
     }
+    val warmByName = results.map { case (n, _, w) => n -> w }.toMap
 
     // pipeline throughput: a9_ui_clusters runs the full 5-micro-batch
     // news pipeline over one article per documents row
     val articles = spark.read.parquet(s"$sfDir/documents.parquet").count()
-    val pipelineSec = results.toMap.getOrElse("a9_ui_clusters", -1.0)
+    val pipelineSec = warmByName.getOrElse("a9_ui_clusters", -1.0)
     val aps = if (pipelineSec > 0) articles / pipelineSec else -1.0
 
     // second pipeline figure: the SAME articles through the actual
@@ -59,14 +72,18 @@ object Bench {
     // claim covers the streaming machinery (offset log, state
     // read/write per batch), not just the a9 driver loop.
     val streamSec = try runStreaming(spark, sfDir)
-      catch { case _: Throwable => -1.0 }
+      catch { case NonFatal(_) => -1.0 }
     val streamAps = if (streamSec > 0) articles / streamSec else -1.0
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    def jsonMap(vals: Seq[(String, Double)]): String =
+      vals.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+    val qs = jsonMap(results.map { case (n, _, w) => n -> w })
+    val qsCold = jsonMap(results.map { case (n, c, _) => n -> c })
+    val total = results.map(_._3).filter(_ >= 0).sum
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+        f""""queries_cold":$qsCold,""" +
         f""""pipeline":{"articles":$articles,"seconds":$pipelineSec%.3f,"articles_per_sec":$aps%.1f},""" +
         f""""pipeline_streaming":{"articles":$articles,"seconds":$streamSec%.3f,"articles_per_sec":$streamAps%.1f},""" +
         s""""sf":"$sfDir"}""")
@@ -75,28 +92,36 @@ object Bench {
 
   /** One AvailableNow pass of the streaming wrapper over the a9 article
     * corpus dropped as one JSON file per micro-batch. Returns the
-    * measured span = stream start → termination (file writes excluded).
+    * measured span = stream start → termination (file writes excluded);
+    * the temp corpus/state dirs are deleted before returning.
     */
   private def runStreaming(spark: SparkSession, sfDir: String): Double = {
     import org.apache.spark.sql.functions.col
-    val tmp = java.nio.file.Files.createTempDirectory("bench_stream").toString
-    val inDir = s"$tmp/in"
-    val arts = NewsPipeline.syntheticArticles(
-      spark.read.parquet(s"$sfDir/documents.parquet"))
-    for (b <- 0 until NewsPipeline.Batches)
-      arts.filter(col("batch") === b).drop("grp", "batch")
-        .coalesce(1).write.mode("append").json(inDir)
-    val schema = arts.drop("grp", "batch").schema
-    val t0 = System.nanoTime()
-    streaming.StreamingPipeline.start(
-      spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").json(inDir),
-      s"$tmp/state", s"$tmp/ck",
-      streaming.StreamingPipeline.Config(
-        threshold = NewsPipeline.Threshold,
-        embedDim = NewsPipeline.EmbedDim,
-        clock = NewsPipeline.Clock))
-      .awaitTermination()
-    (System.nanoTime() - t0) / 1e9
+    val tmp = java.nio.file.Files.createTempDirectory("bench_stream")
+    try {
+      val inDir = s"$tmp/in"
+      val arts = NewsPipeline.syntheticArticles(
+        spark.read.parquet(s"$sfDir/documents.parquet"))
+      for (b <- 0 until NewsPipeline.Batches)
+        arts.filter(col("batch") === b).drop("grp", "batch")
+          .coalesce(1).write.mode("append").json(inDir)
+      val schema = arts.drop("grp", "batch").schema
+      val t0 = System.nanoTime()
+      streaming.StreamingPipeline.start(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").json(inDir),
+        s"$tmp/state", s"$tmp/ck",
+        streaming.StreamingPipeline.Config(
+          threshold = NewsPipeline.Threshold,
+          embedDim = NewsPipeline.EmbedDim,
+          clock = NewsPipeline.Clock))
+        .awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    } finally {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      Files.walk(tmp).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
   }
 }
