@@ -45,6 +45,13 @@ object StreamingPipeline {
         * v<batchId>` — the S14 change feed a downstream trigger consumes
         * (reference DynamoDB Stream NEW_IMAGE, main.tf:85-93) */
       emitCdc: Boolean = false,
+      /** when false, the batch publishes its table version WITHOUT the
+        * summarize pass: summarization is then driven exclusively by a
+        * downstream [[CdcConsumer]] of the change feed (pair with
+        * `emitCdc = true`) — the reference's decoupled trigger seam,
+        * where the summarizer reacts to the stream instead of running
+        * inside the clustering batch */
+      inlineSummarize: Boolean = true,
       /** optional serving-table sink: per-batch partition-pruned bucket
         * rebuild into a [[graft.operators.ClusterStore]] (the DynamoDB
         * analog). Touched buckets are rewritten wholesale from the
@@ -119,7 +126,9 @@ object StreamingPipeline {
         val ups = ClusterTable.upsertRows(table, step.assignments, prepped, cfg.clock)
         val merged = ClusterTable.merge(table, ups)
         val updated = step.assignments.select(col("cluster_id").as("PK")).distinct()
-        val next = ClusterTable.summarizePass(merged, updated, cfg.threshold)
+        val next =
+          if (cfg.inlineSummarize) ClusterTable.summarizePass(merged, updated, cfg.threshold)
+          else merged
         observedPool.write.mode("overwrite").parquet(versionPath(poolBase, batchId))
         next.write.mode("overwrite").parquet(versionPath(tableBase, batchId))
         if (cfg.emitCdc)

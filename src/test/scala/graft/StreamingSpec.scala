@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.streaming.StreamingPipeline
+import graft.streaming.{CdcConsumer, StreamingPipeline}
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -127,6 +127,89 @@ class StreamingSpec extends SparkSpec {
     val truth = StreamingPipeline.latestTable(spark, state)
       .select("PK", "SK").as[(String, String)].collect().toSet
     assert(served == truth)
+  }
+
+  test("S14: decoupled CDC consumer drives summarization; table converges to the inline path") {
+    val root = Files.createTempDirectory("graft-cdc-consumer").toString
+    val batches = Seq(
+      Seq(("m1", "mu mu mu mu", "M1", "2024-01-01 10:00:00"),
+        ("m2", "mu mu mu mu x", "M2", "2024-01-01 11:00:00"),
+        ("n1", "nu nu nu nu", "N1", "2024-01-01 12:00:00")),
+      Seq(("m3", "mu mu mu mu y", "M3", "2024-01-02 10:00:00")))
+
+    // inline reference run
+    val inlineState = s"$root/inline"
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingPipeline.processBatch(b.toDF("id", "text", "title", "date"),
+        i.toLong, inlineState, StreamingPipeline.Config(threshold = 2))
+    }
+    val inline = StreamingPipeline.latestTable(spark, inlineState)
+      .orderBy("PK", "SK").collect().toSeq
+
+    // decoupled run: batches publish UN-summarized versions + the feed;
+    // the consumer alone drives summarizePass from cdc/v<N>
+    val state = s"$root/decoupled"
+    val cfg = StreamingPipeline.Config(threshold = 2,
+      emitCdc = true, inlineSummarize = false)
+    StreamingPipeline.processBatch(
+      batches(0).toDF("id", "text", "title", "date"), 0L, state, cfg)
+    // before the consumer runs: no summaries anywhere — summarization
+    // really is exclusively feed-driven
+    val preSum = StreamingPipeline.latestTable(spark, state)
+      .filter(col("row_type") === "metadata" && col("generated_summary") =!= "")
+    assert(preSum.isEmpty, "summaries appeared without the consumer")
+    assert(CdcConsumer.runOnce(spark, state, threshold = 2) == Seq(0L))
+    StreamingPipeline.processBatch(
+      batches(1).toDF("id", "text", "title", "date"), 1L, state, cfg)
+    assert(CdcConsumer.runOnce(spark, state, threshold = 2) == Seq(1L))
+
+    val decoupled = StreamingPipeline.latestTable(spark, state)
+      .orderBy("PK", "SK").collect().toSeq
+    assert(decoupled == inline)
+    // non-vacuous: the mu-cluster crossed the threshold and got summarized
+    assert(inline.exists(r =>
+      r.getAs[String]("row_type") == "metadata" &&
+        r.getAs[String]("generated_summary").nonEmpty))
+
+    // drained feed: a second consume is a no-op, consumed versions are
+    // marked so replays can't double-summarize
+    assert(CdcConsumer.runOnce(spark, state, threshold = 2).isEmpty)
+    assert(CdcConsumer.pending(spark, state).isEmpty)
+  }
+
+  test("CdcConsumer.recover finishes a marked promotion and rolls back an unmarked one") {
+    val root = Files.createTempDirectory("graft-cdc-recover").toString
+    val state = s"$root/state"
+    val cfg = StreamingPipeline.Config(threshold = 2,
+      emitCdc = true, inlineSummarize = false)
+    StreamingPipeline.processBatch(
+      Seq(("r1", "rho rho rho", "R1", "2024-01-01 10:00:00"))
+        .toDF("id", "text", "title", "date"), 0L, state, cfg)
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // crash AFTER markers, BEFORE the rename: staging complete + marker
+    // present, live version still the old content → recover promotes
+    val staged = spark.read.parquet(s"$state/table/v0")
+      .withColumn("generated_summary", lit("PROMOTED"))
+    staged.write.parquet(s"$state/table/v0x")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$state/cdc_done/v0"))
+    CdcConsumer.recover(spark, state)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$state/table/v0x")))
+    assert(StreamingPipeline.latestTable(spark, state)
+      .filter(col("generated_summary") === "PROMOTED").count() > 0)
+    assert(CdcConsumer.pending(spark, state).isEmpty) // marker consumed v0
+
+    // crash BEFORE the markers: unmarked staging is discarded, the live
+    // version is untouched
+    spark.read.parquet(s"$state/table/v0")
+      .withColumn("generated_summary", lit("PARTIAL"))
+      .write.parquet(s"$state/table/v0x")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$state/cdc_done/v0"), true)
+    CdcConsumer.recover(spark, state)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$state/table/v0x")))
+    assert(StreamingPipeline.latestTable(spark, state)
+      .filter(col("generated_summary") === "PARTIAL").isEmpty)
   }
 
   test("replayed micro-batch is idempotent (exactly-once upsert)") {
