@@ -35,6 +35,10 @@ object StreamingPipeline {
         * LshJoin when the pool is large enough that even the streamed
         * cross pass matters (the 100 TB knob, same enum as batch use) */
       strategy: Clustering.JoinStrategy = Clustering.ExactJoin,
+      /** opt-in singleton TTL in pool sequence numbers (see
+        * [[Clustering.Config.singletonTtl]]) — the 100 TB state-growth
+        * control; None = reference parity (state grows unboundedly) */
+      singletonTtl: Option[Long] = None,
       threshold: Int = 5,
       embedDim: Int = graft.functions.HashEmbed.DefaultDim,
       clock: String = "1970-01-01T00:00:00",
@@ -114,7 +118,8 @@ object StreamingPipeline {
       } else {
         val step = Clustering.step(
           pool, prepped.select(col("id"), col("concat_embedding")),
-          Clustering.Config(eps = cfg.eps, strategy = cfg.strategy))
+          Clustering.Config(eps = cfg.eps, strategy = cfg.strategy,
+            singletonTtl = cfg.singletonTtl))
         // A5 pool statistics as OBSERVED metrics (reference recalculated
         // stats every batch, `process_records.py:313-319,427-434`):
         // observe() piggybacks on the state write — zero extra jobs —

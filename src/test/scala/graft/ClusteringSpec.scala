@@ -132,4 +132,60 @@ class ClusteringSpec extends SparkSpec {
     val want = groups.map(g => members.filter(_._2 == g).map(_._1).sorted).toSet
     assert(got == want)
   }
+
+  test("singletonTtl bounds pool state under churn; evicted singletons can't be " +
+    "merged into; default keeps them forever (reference parity)") {
+    // orthogonal axes => nothing ever merges; every entry is a singleton
+    def axis(i: Int): Array[Float] = {
+      val v = Array.fill(16)(0.0); v(i) = 1.0; unit(v.toSeq: _*)
+    }
+    val ttlCfg = Clustering.Config(singletonTtl = Some(4L))
+
+    // churn: 4 batches of 2 orthogonal singletons each
+    var pool = emptyPool
+    for (b <- 0 until 4) {
+      pool = Clustering.step(pool,
+        vecBatch(s"s${2 * b}" -> axis(2 * b % 8), s"s${2 * b + 1}" -> axis((2 * b + 1) % 8)),
+        ttlCfg).pool
+    }
+    // seq high-water = 8, ttl 4 => only seq 5..8 (s4..s7) survive: state
+    // is bounded by the ttl window, not the stream length
+    val kept = pool.select(explode(col("article_ids"))).as[String].collect().toSet
+    assert(kept == Set("s4", "s5", "s6", "s7"), s"got $kept")
+
+    // an article identical to the EVICTED s0 (axis 0) forms a fresh
+    // singleton under its own id — the retired entry is gone from state,
+    // so nothing can merge into it
+    val s5 = Clustering.step(pool, vecBatch("fresh" -> axis(0)), ttlCfg)
+    val assign = s5.assignments
+      .select("article_id", "cluster_id", "is_cluster")
+      .as[(String, String, Boolean)].collect().toSeq
+    assert(assign == Seq(("fresh", Clustering.clusterIdFor("fresh"), false)))
+    assert(!s5.pool.select(explode(col("article_ids"))).as[String]
+      .collect().contains("s0"))
+
+    // clusters are NEVER evicted, however old: build a cluster first,
+    // then age it far past the ttl with churn
+    val near = unit(Seq(1.0, 0.05) ++ Seq.fill(14)(0.0): _*)
+    var pool2 = Clustering.step(emptyPool,
+      vecBatch("c1" -> axis(0), "c2" -> near), ttlCfg).pool
+    for (b <- 0 until 4) {
+      // distinct axes per batch — the churn must stay singleton-only
+      pool2 = Clustering.step(pool2,
+        vecBatch(s"x${2 * b}" -> axis(8 + 2 * b), s"x${2 * b + 1}" -> axis(9 + 2 * b)),
+        ttlCfg).pool
+    }
+    val clusters = pool2.filter(col("is_cluster"))
+      .select(explode(col("article_ids"))).as[String].collect().toSet
+    assert(clusters == Set("c1", "c2"))
+
+    // default (None): the same churn keeps every singleton — parity with
+    // the reference's unbounded embeds dict
+    var pool3 = emptyPool
+    for (b <- 0 until 4) {
+      pool3 = Clustering.step(pool3,
+        vecBatch(s"s${2 * b}" -> axis(2 * b % 8), s"s${2 * b + 1}" -> axis((2 * b + 1) % 8))).pool
+    }
+    assert(pool3.count() == 8)
+  }
 }
