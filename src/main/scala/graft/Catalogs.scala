@@ -384,13 +384,14 @@ object DedupQueries {
     // segments standing in for lines — this corpus has no newlines):
     // hash-shuffle segments, count document frequency, report each doc's
     // boilerplate ratio (segments shared with ≥1 other doc). Two
-    // shuffles total (segment df + doc regroup), no pairwise join — at
-    // 100 TB the segment key would be a 16-byte digest instead of the
-    // raw string (same plan, smaller exchange); the raw string keeps the
-    // oracle comparison digest-free here.
+    // shuffles total (segment df + doc regroup), no pairwise join — and
+    // run via the 100 TB digest path: both exchanges carry the 16-byte
+    // md5 of each segment, never the raw string (the oracle replays md5
+    // in DuckDB).
     "d10_segment_dedup" -> ((s, dir) =>
       graft.operators.SegmentDedup
-        .stats(corpusWithNearDups(s, dir), "doc_id", "text", segLen = 10, minDf = 2)
+        .stats(corpusWithNearDups(s, dir), "doc_id", "text", segLen = 10, minDf = 2,
+          digestKey = true)
         .orderBy(col("doc_id"))),
 
     // Dup GROUPS: connected components over the ε-near-dup graph — the
@@ -631,8 +632,9 @@ object DedupQueries {
          |idx AS (SELECT doc_id, tk,
          |  unnest(generate_series(0,
          |    greatest(ceil(len(tk) / 10.0)::INT - 1, 0))) AS i FROM toks),
-         |seg AS (SELECT DISTINCT doc_id,
+         |raw AS (SELECT DISTINCT doc_id,
          |  array_to_string(tk[i*10+1 : i*10+10], ' ') AS seg FROM idx),
+         |seg AS (SELECT doc_id, md5(seg) AS seg FROM raw),
          |dfx AS (SELECT seg, count(*) AS df FROM seg GROUP BY seg)
          |SELECT s.doc_id,
          |  count(*) AS n_segments,

@@ -10,9 +10,9 @@ import org.apache.spark.sql.functions._
   * shared with at least `minDf - 1` other documents).
   *
   * Plan shape: two hash shuffles (segment df, doc regroup), no pairwise
-  * join — corpus-linear at any scale. At 100 TB the exchange key would
-  * be a 16-byte segment digest rather than the raw string (same plan);
-  * the raw string here keeps the DuckDB oracle comparison digest-free.
+  * join — corpus-linear at any scale. At 100 TB pass `digestKey = true`:
+  * the exchange key becomes the 16-byte md5 of the segment rather than
+  * the raw string (same plan, far smaller exchange).
   */
 object SegmentDedup {
 
@@ -37,10 +37,19 @@ object SegmentDedup {
   /** Per-document boilerplate statistics: (id, n_segments,
     * n_boilerplate, boilerplate_ratio), where a segment is boilerplate
     * when its corpus document-frequency is ≥ `minDf`.
+    *
+    * `digestKey = true` is the 100 TB plan (SURVEY note above): both
+    * shuffles exchange 16-byte md5 digests instead of raw segment
+    * strings — identical results (collision probability negligible at
+    * any corpus size), exchange payload shrunk by ~an order of
+    * magnitude on prose segments.
     */
   def stats(corpus: DataFrame, idCol: String, textCol: String,
-            segLen: Int = 10, minDf: Int = 2): DataFrame = {
-    val docSeg = segments(corpus, idCol, textCol, segLen)
+            segLen: Int = 10, minDf: Int = 2,
+            digestKey: Boolean = false): DataFrame = {
+    val raw = segments(corpus, idCol, textCol, segLen)
+    val docSeg =
+      if (digestKey) raw.select(col(idCol), md5(col("seg")).as("seg")) else raw
     val segDf = docSeg.groupBy(col("seg")).agg(count(lit(1)).as("df"))
     docSeg.join(segDf, "seg")
       .groupBy(col(idCol))

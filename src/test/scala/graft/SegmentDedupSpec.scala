@@ -37,4 +37,21 @@ class SegmentDedupSpec extends SparkSpec {
     assert(stats(2L) == ((2L, 1L, 0.5)))
     assert(stats(3L) == ((1L, 0L, 0.0)))
   }
+
+  test("digestKey exchanges md5 digests but the statistics are identical") {
+    val rnd = new scala.util.Random(17)
+    val vocab = (0 until 20).map(i => s"t$i")
+    val docs = (0L until 30L).map { i =>
+      val shared = "b1 b2 b3 b4 b5" // planted boilerplate in every 3rd doc
+      val own = Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (i, if (i % 3 == 0) s"$shared $own" else own)
+    }.toDF("id", "text")
+    def rows(digest: Boolean) =
+      SegmentDedup.stats(docs, "id", "text", segLen = 5, minDf = 2, digestKey = digest)
+        .as[(Long, Long, Long, Double)].collect().toSet
+    val raw = rows(digest = false)
+    val dig = rows(digest = true)
+    assert(dig == raw)
+    assert(raw.exists(_._3 > 0)) // planted boilerplate makes it non-vacuous
+  }
 }
