@@ -33,15 +33,20 @@ object MinHashJoin {
       .withColumn("__toks", TextFns.repetitionTokens(col(textCol)))
       .select(col(idCol).as("__id"),
         TextFns.minHashShingles(col("__toks"), shingleLen, hashes).as("mhs"))
-    val bandHashes = array((0 until bands).map(bi =>
+    // every band hash rides along with each exploded band row (as FLAT
+    // columns — an array<string> payload here measured 1.8× the whole
+    // query: per-row UnsafeArrayData build/copy through project+join,
+    // while flat columns are plain codegen field refs) so the post-join
+    // dedup is a map-side predicate, not an exchange
+    val bandCols = (0 until bands).map(bi =>
       md5(concat_ws(",",
-        (0 until rows).map(r => element_at(col("mhs"), bi * rows + r + 1)): _*))): _*)
-    // every band hash rides along with each exploded band row so the
-    // post-join dedup is a map-side predicate, not an exchange
-    val banded = sigs
-      .select(col("__id"), bandHashes.as("__bhs"))
-      .select(col("__id"), col("__bhs"),
-        posexplode(col("__bhs")).as(Seq("__bk", "__bh")))
+        (0 until rows).map(r => element_at(col("mhs"), bi * rows + r + 1)): _*)).as(s"__b$bi"))
+    val withBands = sigs.select(col("__id") +: bandCols: _*)
+    val bandedCols: Seq[org.apache.spark.sql.Column] =
+      col("__id") +: (0 until bands).map(bi => col(s"__b$bi")) :+
+        posexplode(array((0 until bands).map(bi => col(s"__b$bi")): _*))
+          .as(Seq("__bk", "__bh"))
+    val banded = withBands.select(bandedCols: _*)
     // A near-dup pair agrees in SEVERAL bands and would surface once per
     // agreeing band; rather than a distinct() shuffle over the multiplied
     // candidates (VERDICT r5 — the one avoidable exchange in this plan),
@@ -49,8 +54,7 @@ object MinHashJoin {
     // (same trick as SimHashJoin.banded): each pair leaves the join
     // exactly once and no dedup exchange exists at all.
     val firstAgreeingBand = (0 until bands).foldRight(lit(-1)) { (k, rest) =>
-      when(element_at(col("x.__bhs"), k + 1) === element_at(col("y.__bhs"), k + 1),
-        lit(k)).otherwise(rest)
+      when(col(s"x.__b$k") === col(s"y.__b$k"), lit(k)).otherwise(rest)
     }
     banded.as("x").join(banded.as("y"),
         col("x.__bk") === col("y.__bk") && col("x.__bh") === col("y.__bh") &&
