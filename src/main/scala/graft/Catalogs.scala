@@ -814,6 +814,23 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // Multi-table random-hyperplane ANN (the recall path the signed-axis
+    // quantizer lacks — AnnSearchSpec measures recall@3 ≥ 0.8 on the
+    // gaussian form). This catalog entry runs the PORTABLE form: planes
+    // are dyadic uniforms derived from md5("hp:t:j:k"), so the DuckDB
+    // oracle rebuilds bit-identical doubles, codes, least-confident-bit
+    // flip probes and candidates from the same strings — the quantizer
+    // itself is inside the correctness gate, not just the dataflow.
+    "s4_ann_hyperplane" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.AnnSearch.hyperplaneTopKPortable(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", k = 3, tables = 8, bits = 6, flips = 3)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // J2 id → payload lookup with miss tolerance (reference stub-row
     // workaround, process_records.py:234-263): half the probe ids miss
     "j2_lookup" -> ((s, dir) => {
@@ -897,6 +914,50 @@ object SimilarityQueries {
         |r AS (SELECT *, row_number() OVER
         |        (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM s)
         |SELECT qid, vec_id, sim, rk FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+    "s4_ann_hyperplane" -> {
+      // u32 from the first 8 hex chars of md5 — the same dyadic-uniform
+      // derivation AnnSearch.portableHyperplanes performs in Scala
+      val u32 = (1 to 8).map(i =>
+        s"(strpos('0123456789abcdef', substring(hx, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}")
+        .mkString(" + ")
+      s"""WITH hp AS (
+         |  SELECT t, j, k, ($u32) / 4294967296.0 * 2 - 1 AS h
+         |  FROM (SELECT t, j, k,
+         |          md5('hp:' || t || ':' || j || ':' || k) AS hx
+         |        FROM generate_series(0, 7) gt(t),
+         |             generate_series(0, 5) gj(j),
+         |             generate_series(1, 64) gk(k))),
+         |dots AS (
+         |  SELECT e.vec_id, hp.t, hp.j,
+         |         sum(e.embedding[hp.k]::DOUBLE * hp.h) AS dot
+         |  FROM embeddings e, hp GROUP BY 1, 2, 3),
+         |codes AS (
+         |  SELECT vec_id, t,
+         |    CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS code
+         |  FROM dots GROUP BY 1, 2),
+         |fr AS (
+         |  SELECT vec_id, t, j,
+         |    row_number() OVER (PARTITION BY vec_id, t ORDER BY abs(dot), j) AS rn
+         |  FROM dots),
+         |probes AS (
+         |  SELECT vec_id AS qid, t, code FROM codes WHERE vec_id < 20
+         |  UNION
+         |  SELECT c.vec_id, c.t, xor(c.code, 1::BIGINT << f.j)
+         |  FROM codes c JOIN fr f ON f.vec_id = c.vec_id AND f.t = c.t
+         |  WHERE c.vec_id < 20 AND f.rn <= 3),
+         |cand AS (
+         |  SELECT DISTINCT p.qid, a.vec_id
+         |  FROM probes p JOIN codes a ON a.t = p.t AND a.code = p.code
+         |  WHERE a.vec_id <> p.qid),
+         |s AS (
+         |  SELECT c.qid, c.vec_id,
+         |    round(list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) AS sim
+         |  FROM cand c JOIN embeddings q ON q.vec_id = c.qid
+         |  JOIN embeddings e ON e.vec_id = c.vec_id),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM s)
+         |SELECT qid, vec_id, sim, rk FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
+    },
     "j2_lookup" ->
       """SELECT e.vec_id * 2 AS doc_id,
         |  coalesce(d.source, '') AS source,

@@ -113,20 +113,42 @@ object AnnSearch {
         col("__sim").as("sim"), col("__rk").as("rk"))
   }
 
-  /** Deterministic pseudo-random unit hyperplanes, identical on every
+  /** Deterministic pseudo-random hyperplanes, identical on every
     * executor/run for a given (dim, tables, bits, seed): hyperplanes are
     * driver-built literals riding the plan, not a trained model — no fit
     * job, no side channel. Gaussian entries give rotation-invariant
     * sign-codes (Charikar SimHash for real vectors).
     */
   private[graft] def hyperplanes(dim: Int, tables: Int, bits: Int,
-                                 seed: Long): Array[Array[Array[Float]]] = {
+                                 seed: Long): Array[Array[Array[Double]]] = {
     val rnd = new scala.util.Random(seed)
-    Array.fill(tables, bits, dim)(rnd.nextGaussian().toFloat)
+    Array.fill(tables, bits, dim)(rnd.nextGaussian())
   }
 
-  /** `vec · plane` as a codegen'd fold (plane is a literal array). */
-  private def planeDot(vec: Column, plane: Array[Float]): Column =
+  /** PORTABLE hyperplanes — each entry is a dyadic uniform in [-1, 1)
+    * derived from md5("hp:t:j:k") (first 8 hex chars as a u32, scaled
+    * by an exact power of two), so an external engine (the DuckDB
+    * oracle) reconstructs bit-identical doubles from the same strings.
+    * Uniform instead of gaussian costs rotation invariance, which
+    * sign-code LSH doesn't need.
+    */
+  private[graft] def portableHyperplanes(dim: Int, tables: Int,
+                                         bits: Int): Array[Array[Array[Double]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(tables, bits, dim) { (t, j, k0) =>
+      val hex = md.digest(s"hp:$t:$j:${k0 + 1}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+      u / 4294967296.0 * 2 - 1
+    }
+  }
+
+  /** `vec · plane` as a codegen'd fold (plane is a literal array).
+    * Products are float×double → double, summed left-to-right — the
+    * same IEEE ops the oracle's `v::DOUBLE * h` performs, so portable
+    * planes yield bit-identical dots up to summation order.
+    */
+  private def planeDot(vec: Column, plane: Array[Double]): Column =
     aggregate(zip_with(vec, typedlit(plane.toSeq), (x, h) => x * h),
       lit(0.0d), (acc, x) => acc + x)
 
@@ -137,7 +159,7 @@ object AnnSearch {
     * neighbor most plausibly disagrees on). `flips = 0` is the pure
     * assignment (corpus side).
     */
-  private[graft] def hyperplaneProbes(vec: Column, planes: Array[Array[Array[Float]]],
+  private[graft] def hyperplaneProbes(vec: Column, planes: Array[Array[Array[Double]]],
                                       flips: Int): Column = {
     val powers = typedlit(planes.head.indices.map(j => 1L << j))
     val perTable = planes.zipWithIndex.map { case (tablePlanes, t) =>
@@ -168,10 +190,7 @@ object AnnSearch {
                                         queries: DataFrame, qidCol: String, qvecCol: String,
                                         tables: Int, bits: Int, flips: Int,
                                         seed: Long): Long = {
-    val dim = corpus.select(col(vecCol)).head() match {
-      case org.apache.spark.sql.Row(v: scala.collection.Seq[_]) => v.size
-    }
-    val planes = hyperplanes(dim, tables, bits, seed)
+    val planes = hyperplanes(dimOf(corpus, vecCol), tables, bits, seed)
     val assigned = corpus
       .select(col(idCol).as("__cid"), col(vecCol).as("__v"))
       .withColumn("__p", explode(hyperplaneProbes(col("__v"), planes, flips = 0)))
@@ -198,15 +217,37 @@ object AnnSearch {
   def hyperplaneTopK(corpus: DataFrame, idCol: String, vecCol: String,
                      queries: DataFrame, qidCol: String, qvecCol: String,
                      k: Int, tables: Int = 8, bits: Int = 6, flips: Int = 3,
-                     seed: Long = 42L): DataFrame = {
+                     seed: Long = 42L): DataFrame =
+    topKWithPlanes(corpus, idCol, vecCol, queries, qidCol, qvecCol, k,
+      hyperplanes(dimOf(corpus, vecCol), tables, bits, seed), flips)
+
+  /** [[hyperplaneTopK]] under [[portableHyperplanes]] — the
+    * oracle-checkable form (s4_ann_hyperplane replays the same planes,
+    * codes and probes in DuckDB from the shared md5 derivation).
+    */
+  def hyperplaneTopKPortable(corpus: DataFrame, idCol: String, vecCol: String,
+                             queries: DataFrame, qidCol: String, qvecCol: String,
+                             k: Int, tables: Int = 8, bits: Int = 6,
+                             flips: Int = 3): DataFrame =
+    topKWithPlanes(corpus, idCol, vecCol, queries, qidCol, qvecCol, k,
+      portableHyperplanes(dimOf(corpus, vecCol), tables, bits), flips)
+
+  /** Vector width probed from one row — an O(1) driver action, same
+    * class as the documented size-gate probes. */
+  private def dimOf(corpus: DataFrame, vecCol: String): Int =
+    corpus.select(col(vecCol)).head() match {
+      case org.apache.spark.sql.Row(v: scala.collection.Seq[_]) => v.size
+    }
+
+  private def topKWithPlanes(corpus: DataFrame, idCol: String, vecCol: String,
+                             queries: DataFrame, qidCol: String, qvecCol: String,
+                             k: Int, planes: Array[Array[Array[Double]]],
+                             flips: Int): DataFrame = {
+    val (tables, bits) = (planes.length, planes.head.length)
     require(tables >= 1 && bits >= 1 && bits <= 62 && flips >= 0 && flips <= bits,
       s"bad quantizer shape: tables=$tables bits=$bits flips=$flips")
     require(!Set("qid", "sim", "rk").contains(idCol),
       s"idCol '$idCol' collides with a declared output column")
-    val dim = corpus.select(col(vecCol)).head() match {
-      case org.apache.spark.sql.Row(v: scala.collection.Seq[_]) => v.size
-    }
-    val planes = hyperplanes(dim, tables, bits, seed)
     val assigned = corpus
       .select(col(idCol).as("__cid"), col(vecCol).as("__v"))
       .withColumn("__p", explode(hyperplaneProbes(col("__v"), planes, flips = 0)))
