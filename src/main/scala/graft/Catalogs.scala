@@ -394,6 +394,18 @@ object DedupQueries {
           digestKey = true)
         .orderBy(col("doc_id"))),
 
+    // Cross-document SPAN detection (the Lee et al. exact-substring
+    // dedup shape at 8-gram granularity): longest run of consecutive
+    // shared grams per pair, measured on one diagonal via the islands
+    // trick — positioned gram-digest equi-join + one window + two
+    // aggregations, no suffix array, no per-pair alignment. Exchange
+    // keys are md5 digests (d10's digest-key plan).
+    "d11_span_pairs" -> ((s, dir) =>
+      graft.operators.SpanDedup
+        .selfPairs(corpusWithNearDups(s, dir), "doc_id", "text",
+          gramLen = 8, minSpan = 20)
+        .orderBy(col("a"), col("b"))),
+
     // Dup GROUPS: connected components over the ε-near-dup graph — the
     // transitive-closure dedup decision (a≈b, b≈c ⇒ {a,b,c} one group
     // even when a–c alone misses the cut). Pairs from the lossless
@@ -642,6 +654,23 @@ object DedupQueries {
          |  round(sum(CASE WHEN dfx.df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
          |    AS boilerplate_ratio
          |FROM seg s JOIN dfx USING (seg) GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "d11_span_pairs" ->
+      s"""WITH $nearCorpusSql,
+         |norm AS (SELECT doc_id,
+         |  regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         |  FROM corpus),
+         |g AS (SELECT doc_id, i, md5(array_to_string(toks[i:i+7], ' ')) AS gh
+         |      FROM (SELECT doc_id, toks,
+         |              unnest(generate_series(1, greatest(len(toks)-7, 1))) AS i
+         |            FROM norm)),
+         |m AS (SELECT x.doc_id AS a, y.doc_id AS b, x.i AS i, x.i - y.i AS diag
+         |      FROM g x JOIN g y ON x.gh = y.gh AND x.doc_id < y.doc_id),
+         |r AS (SELECT a, b, diag,
+         |        i - row_number() OVER (PARTITION BY a, b, diag ORDER BY i) AS grp
+         |      FROM m),
+         |runs AS (SELECT a, b, count(*) AS run FROM r GROUP BY a, b, diag, grp)
+         |SELECT a, b, CAST(max(run) + 7 AS BIGINT) AS span
+         |FROM runs GROUP BY a, b HAVING max(run) + 7 >= 20 ORDER BY a, b""".stripMargin,
     "d6_dup_groups" ->
       """WITH RECURSIVE
         |p AS (
