@@ -164,4 +164,18 @@ class PlanSpec extends SparkSpec {
     val p = plan("d8_bloom_dedup")
     assert(p.contains("BroadcastHashJoin"), s"bit set not broadcast:\n$p")
   }
+
+  test("s4 hyperplane ANN candidates come from the (table, code) equi-join") {
+    val p = plan("s4_ann_hyperplane")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"hyperplane search planned a cartesian operator:\n$p")
+    assert(p.contains("__code"), s"expected code-bucket join keys in the plan:\n$p")
+  }
+
+  test("d11 span detection is equi-join + window + aggregation — no cartesian") {
+    val p = plan("d11_span_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"span detection planned a cartesian operator:\n$p")
+    assert(p.contains("Window"), s"islands window missing:\n$p")
+  }
 }
