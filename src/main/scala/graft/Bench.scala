@@ -118,10 +118,18 @@ object Bench {
         .awaitTermination()
       (System.nanoTime() - t0) / 1e9
     } finally {
+      // close the walk stream, and never let cleanup failure mask the
+      // real streaming error (r6 review)
       import java.nio.file.{Files, Path}
       import java.util.Comparator
-      Files.walk(tmp).sorted(Comparator.reverseOrder[Path]())
-        .forEach(p => Files.deleteIfExists(p))
+      try {
+        val walk = Files.walk(tmp)
+        try walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      } catch { case NonFatal(e) =>
+        System.err.println(s"[bench] stream temp cleanup failed: $e")
+      }
     }
   }
 }

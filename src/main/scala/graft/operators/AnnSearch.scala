@@ -146,7 +146,15 @@ object AnnSearch {
   /** `vec · plane` as a codegen'd fold (plane is a literal array).
     * Products are float×double → double, summed left-to-right — the
     * same IEEE ops the oracle's `v::DOUBLE * h` performs, so portable
-    * planes yield bit-identical dots up to summation order.
+    * planes yield bit-identical dots up to summation order. Quantified
+    * (r6 review): reassociating a 64-term double sum of O(0.1) values
+    * perturbs the result by ≤ ~2e-14, which flips a sign bit only for
+    * |dot| below that (P ≈ 4e-14 per dot) and reorders an
+    * abs-confidence rank only for dots within 2e-14 of each other —
+    * total divergence odds ~1e-9 per full catalog run, orders below
+    * the md5-collision risk the oracle suite already carries. Do NOT
+    * "fix" by rounding: rounding to p digits creates boundary windows
+    * ~1e-14 wide every 10^-p, RAISING the risk by orders of magnitude.
     */
   private def planeDot(vec: Column, plane: Array[Double]): Column =
     aggregate(zip_with(vec, typedlit(plane.toSeq), (x, h) => x * h),
@@ -233,10 +241,19 @@ object AnnSearch {
       portableHyperplanes(dimOf(corpus, vecCol), tables, bits), flips)
 
   /** Vector width probed from one row — an O(1) driver action, same
-    * class as the documented size-gate probes. */
+    * class as the documented size-gate probes. Fails with a clear
+    * message on an empty corpus or a null leading vector (either would
+    * otherwise surface deep inside plan building, ADVICE-class r6
+    * review); vectors are assumed fixed-width, per the embedding
+    * contract (P7: `text → array<float>(dim)`).
+    */
   private def dimOf(corpus: DataFrame, vecCol: String): Int =
-    corpus.select(col(vecCol)).head() match {
-      case org.apache.spark.sql.Row(v: scala.collection.Seq[_]) => v.size
+    corpus.select(col(vecCol)).limit(1).collect().headOption match {
+      case Some(org.apache.spark.sql.Row(v: scala.collection.Seq[_])) => v.size
+      case Some(_) => throw new IllegalArgumentException(
+        s"'$vecCol' holds a null/non-array value in the first corpus row")
+      case None => throw new IllegalArgumentException(
+        s"cannot infer vector width: corpus is empty (column '$vecCol')")
     }
 
   private def topKWithPlanes(corpus: DataFrame, idCol: String, vecCol: String,

@@ -14,23 +14,33 @@ import graft.operators.{ClusterStore, ClusterTable, Summarize}
   * clustering batch (VERDICT r5 missing #1).
   *
   * Contract: the producer runs with `emitCdc = true` and
-  * `inlineSummarize = false`; each batch then publishes its table
-  * version un-summarized plus its upsert rows under `cdc/v<N>`. The
-  * consumer folds pending feed versions into ONE summarize pass against
-  * the newest committed table version and republishes it — the trigger
-  * predicate is level-based (articles since last summary vs threshold),
-  * so a lagging consumer converges to the same summaries as an
-  * in-step one.
+  * `inlineSummarize = false`; each batch publishes its table version
+  * un-summarized plus its upsert rows under `cdc/v<N>`. The consumer
+  * folds every pending feed version into ONE summarize pass against the
+  * NEWEST committed table version and publishes the result as that
+  * version's summarized OVERLAY (`table/v<N>s`) — readers
+  * ([[StreamingPipeline.latestTable]] and the producer's state read)
+  * prefer a committed overlay, and the base version is never touched,
+  * so no crash window can make state disappear.
   *
-  * Exactly-once promotion protocol (all under the state dir):
-  *   1. write the summarized table to the staging dir `table/v<N>x`
-  *      (unparseable as a version — invisible to latestTable/prune);
-  *   2. write `cdc_done/v<M>` markers for every consumed feed version;
-  *   3. delete `table/v<N>`, rename the staging dir over it.
-  * [[recover]] finishes or rolls back an interrupted promotion from the
-  * marker + staging state, so every crash window replays cleanly:
-  * before the markers the staging dir is discarded and the pass redone
-  * from the intact `v<N>`; after them the rename is completed.
+  * Why this converges (r6 review hardening):
+  *  - the trigger predicate is LEVEL-based (articles since last summary
+  *    vs threshold), so a lagging consumer — or one whose feed versions
+  *    outlived their pruned table versions — just evaluates the same
+  *    predicate against newer state; old feeds' PKs remain valid names;
+  *  - the overlay CHAINS: a pass reads the existing committed overlay
+  *    (not the raw base) when one exists, so re-consuming a subset of
+  *    feeds after a crash mid-marker-write is monotone — previously
+  *    summarized clusters keep their summaries and counts;
+  *  - markers (`cdc_done/v<M>`) are written only AFTER the overlay
+  *    commits: every crash window therefore replays as "consume the
+  *    unmarked feeds against the committed overlay", which the chained
+  *    input makes a no-op for already-summarized clusters.
+  * The overlay swap (delete old overlay, rename staging over it) has a
+  * transient no-overlay window; readers fall back to the base version
+  * for its duration — stale summaries for one read, never missing
+  * state. One consumer instance at a time is assumed (the reference's
+  * trigger is similarly serialized per stream shard).
   */
 object CdcConsumer {
 
@@ -40,9 +50,12 @@ object CdcConsumer {
   private def committed(spark: SparkSession, base: Path): Seq[Long] = {
     val f = fsOf(spark, base)
     if (!f.exists(base)) return Nil
-    f.listStatus(base).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("v")).flatMap(_.drop(1).toLongOption)
-      .filter(v => f.exists(new Path(new Path(base, s"v$v"), "_SUCCESS")))
+    f.listStatus(base).toSeq.flatMap { st =>
+      StreamingPipeline.parseVersionDir(st.getPath.getName) match {
+        case Some((v, "")) if f.exists(new Path(st.getPath, "_SUCCESS")) => Some(v)
+        case _ => None
+      }
+    }
   }
 
   private def markerPath(stateDir: String, v: Long) =
@@ -56,72 +69,71 @@ object CdcConsumer {
       .sorted
   }
 
-  /** Finish (markers present, staging complete) or roll back any
-    * interrupted promotion left by a crash. Idempotent.
+  /** Delete stray overlay-staging dirs (`table/v<N>st`) left by a crash
+    * mid-pass. Always safe: staging is never read, and an interrupted
+    * pass replays in full from the committed overlay/base. Idempotent.
     */
   def recover(spark: SparkSession, stateDir: String): Unit = {
     val tableBase = new Path(s"$stateDir/table")
     val f = fsOf(spark, tableBase)
     if (!f.exists(tableBase)) return
     f.listStatus(tableBase).foreach { st =>
-      val name = st.getPath.getName
-      if (name.startsWith("v") && name.endsWith("x")) {
-        name.drop(1).dropRight(1).toLongOption.foreach { v =>
-          val staged = st.getPath
-          val live = new Path(tableBase, s"v$v")
-          val promotable = f.exists(new Path(staged, "_SUCCESS")) &&
-            f.exists(markerPath(stateDir, v))
-          if (promotable) {
-            f.delete(live, true)
-            f.rename(staged, live)
-          } else f.delete(staged, true)
-        }
+      StreamingPipeline.parseVersionDir(st.getPath.getName) match {
+        case Some((_, "st")) => f.delete(st.getPath, true)
+        case _ => ()
       }
     }
   }
 
   /** Consume all pending feed versions: run the summarize trigger pass
     * for their PKs against the newest committed table version and
-    * republish it (and refresh the serving store's fired buckets, when
-    * given). Returns the versions consumed this call — empty when the
-    * feed is drained.
+    * publish its summarized overlay (refreshing the serving store's
+    * fired buckets, when given). Returns the versions consumed this
+    * call — empty when the feed is drained.
     */
   def runOnce(spark: SparkSession, stateDir: String, threshold: Int = 5,
               store: Option[ClusterStore] = None,
               retainVersions: Int = 3): Seq[Long] = {
     recover(spark, stateDir)
-    val tables = committed(spark, new Path(s"$stateDir/table"))
-    val p = pending(spark, stateDir).filter(v => tables.contains(v))
-    if (p.isEmpty) return Nil
-    val target = p.max
+    val tableBase = s"$stateDir/table"
+    val tables = committed(spark, new Path(tableBase))
+    val p = pending(spark, stateDir)
+    if (p.isEmpty || tables.isEmpty) return Nil
+    // newest committed state — feeds older than it (even ones whose own
+    // table version was pruned) fold in here: their PKs still name the
+    // same clusters and the trigger predicate is level-based
+    val target = tables.max
     val f = fsOf(spark, new Path(stateDir))
 
+    val input = StreamingPipeline.readVersion(spark, tableBase, target,
+      ClusterTable.emptyTable(spark))
     val pks = p.map(v => spark.read.parquet(s"$stateDir/cdc/v$v").select(col("PK")))
       .reduce(_ unionByName _).distinct()
-    val table = spark.read.parquet(s"$stateDir/table/v$target")
-    val fired = table.filter(col("row_type") === "metadata")
+    // fired PKs are COLLECTED before any overlay swap: the lazy plan
+    // reads the pre-pass overlay files, which the swap below replaces
+    // (bounded: clusters crossing the trigger this pass)
+    val firedPks = input.filter(col("row_type") === "metadata")
       .join(broadcast(pks), Seq("PK"), "left_semi")
       .filter(Summarize.shouldSummarize(
         col("number_of_articles"), col("summary_count"), threshold))
-      .select(col("PK"))
-    if (fired.isEmpty) {
-      // nothing crosses the trigger — consume the feed without touching
-      // the table (the common steady-state path)
-      p.foreach(v => f.mkdirs(markerPath(stateDir, v)))
-    } else {
-      val staged = new Path(s"$stateDir/table/v${target}x")
-      ClusterTable.summarizePass(table, pks, threshold)
+      .select(col("PK")).as(org.apache.spark.sql.Encoders.STRING).collect().toSeq
+
+    if (firedPks.nonEmpty) {
+      val staged = new Path(StreamingPipeline.overlayPath(tableBase, target) + "t")
+      ClusterTable.summarizePass(input, pks, threshold)
         .write.mode("overwrite").parquet(staged.toString)
-      p.foreach(v => f.mkdirs(markerPath(stateDir, v)))
-      val live = new Path(s"$stateDir/table/v$target")
+      val live = new Path(StreamingPipeline.overlayPath(tableBase, target))
       f.delete(live, true)
       f.rename(staged, live)
       store.foreach { s =>
         val truth = spark.read.parquet(live.toString)
-        s.rebuildBucketsFor(truth,
-          truth.join(broadcast(fired), Seq("PK"), "left_semi"))
+        s.rebuildBucketsFor(truth, truth.filter(col("PK").isin(firedPks: _*)))
       }
     }
+    // markers AFTER the overlay commit: a crash above replays the whole
+    // pass; a crash below re-consumes unmarked feeds against the
+    // committed overlay — monotone either way
+    p.foreach(v => f.mkdirs(markerPath(stateDir, v)))
     // retire consumed feeds + markers the same way the producer prunes
     // its state versions (list the markers — never a 0..target sweep)
     val doneBase = new Path(s"$stateDir/cdc_done")

@@ -68,12 +68,40 @@ object StreamingPipeline {
 
   private def versionPath(base: String, v: Long) = s"$base/v$v"
 
-  private def readVersion(spark: SparkSession, base: String, v: Long,
-                          empty: => DataFrame): DataFrame = {
+  /** The [[CdcConsumer]]'s summarized OVERLAY of a table version: same
+    * content as `v<N>` plus the summarize pass. Readers prefer a
+    * committed overlay; the base version is never deleted, so no crash
+    * or race window can make state disappear (an interrupted overlay
+    * write just leaves readers on the base version).
+    */
+  private[streaming] def overlayPath(base: String, v: Long) = s"$base/v${v}s"
+
+  /** (version, isOverlay) parsed from a state dir name — `v<N>`,
+    * `v<N>s` (overlay) or `v<N>st` (overlay staging; never read). */
+  private[streaming] def parseVersionDir(name: String): Option[(Long, String)] = {
+    if (!name.startsWith("v")) return None
+    val digits = name.drop(1).takeWhile(_.isDigit)
+    val suffix = name.drop(1 + digits.length)
+    if (digits.isEmpty || !Set("", "s", "st").contains(suffix)) None
+    else Some((digits.toLong, suffix))
+  }
+
+  private def committed(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Boolean =
+    fs.exists(new Path(dir, "_SUCCESS"))
+
+  private[streaming] def readVersion(spark: SparkSession, base: String, v: Long,
+                                     empty: => DataFrame): DataFrame = {
     if (v < 0) return empty
     val p = new Path(versionPath(base, v))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(p, "_SUCCESS"))) spark.read.parquet(p.toString) else empty
+    val over = new Path(overlayPath(base, v))
+    // prefer the committed overlay; fall back to the base version if the
+    // consumer is mid-rewrite (its _SUCCESS vanishes during the swap)
+    if (committed(fs, over)) {
+      try return spark.read.parquet(over.toString)
+      catch { case scala.util.control.NonFatal(_) => }
+    }
+    if (committed(fs, p)) spark.read.parquet(p.toString) else empty
   }
 
   private def prune(spark: SparkSession, base: String, latest: Long, retain: Int): Unit = {
@@ -81,9 +109,7 @@ object StreamingPipeline {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return
     fs.listStatus(p).foreach { st =>
-      val name = st.getPath.getName
-      if (name.startsWith("v")) {
-        val v = name.drop(1).toLongOption.getOrElse(Long.MaxValue)
+      parseVersionDir(st.getPath.getName).foreach { case (v, _) =>
         if (v <= latest - retain) fs.delete(st.getPath, true)
       }
     }
@@ -161,17 +187,26 @@ object StreamingPipeline {
   /** Latest committed clusters table (the read path / A9 input).
     * Only versions whose directory carries `_SUCCESS` are candidates —
     * after a crash mid-write the highest v<N> may be partial, so we fall
-    * back to the newest fully-committed version (ADVICE r2).
+    * back to the newest fully-committed version (ADVICE r2). A committed
+    * summarized overlay (`v<N>s`) outranks its base version; staging
+    * dirs are never read.
     */
   def latestTable(spark: SparkSession, stateDir: String): DataFrame = {
     val base = new Path(s"$stateDir/table")
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return ClusterTable.emptyTable(spark)
-    val versions = fs.listStatus(base).map(_.getPath.getName)
-      .filter(_.startsWith("v")).flatMap(_.drop(1).toLongOption)
-      .filter(v => fs.exists(new Path(versionPath(s"$stateDir/table", v), "_SUCCESS")))
-    if (versions.isEmpty) ClusterTable.emptyTable(spark)
-    else spark.read.parquet(versionPath(s"$stateDir/table", versions.max))
+    val cands = fs.listStatus(base).map(_.getPath.getName).flatMap { n =>
+      parseVersionDir(n) match {
+        case Some((v, suffix)) if suffix != "st" &&
+          committed(fs, new Path(base, n)) => Some((v, suffix == "s", n))
+        case _ => None
+      }
+    }
+    if (cands.isEmpty) ClusterTable.emptyTable(spark)
+    else {
+      val (_, _, name) = cands.maxBy { case (v, over, _) => (v, over) }
+      spark.read.parquet(new Path(base, name).toString)
+    }
   }
 
   /** Start the stream: `articles` must be a streaming DataFrame with the

@@ -177,39 +177,80 @@ class StreamingSpec extends SparkSpec {
     assert(CdcConsumer.pending(spark, state).isEmpty)
   }
 
-  test("CdcConsumer.recover finishes a marked promotion and rolls back an unmarked one") {
-    val root = Files.createTempDirectory("graft-cdc-recover").toString
+  test("CdcConsumer overlays: staging cleaned, partial overlays invisible, " +
+    "replay after a lost marker is monotone (no double summarization)") {
+    val root = Files.createTempDirectory("graft-cdc-overlay").toString
     val state = s"$root/state"
     val cfg = StreamingPipeline.Config(threshold = 2,
       emitCdc = true, inlineSummarize = false)
-    StreamingPipeline.processBatch(
-      Seq(("r1", "rho rho rho", "R1", "2024-01-01 10:00:00"))
-        .toDF("id", "text", "title", "date"), 0L, state, cfg)
+    StreamingPipeline.processBatch(Seq(
+      ("o1", "phi phi phi phi", "P1", "2024-01-01 10:00:00"),
+      ("o2", "phi phi phi phi x", "P2", "2024-01-01 11:00:00"))
+      .toDF("id", "text", "title", "date"), 0L, state, cfg)
     val fs = new org.apache.hadoop.fs.Path(state)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    // crash AFTER markers, BEFORE the rename: staging complete + marker
-    // present, live version still the old content → recover promotes
-    val staged = spark.read.parquet(s"$state/table/v0")
-      .withColumn("generated_summary", lit("PROMOTED"))
-    staged.write.parquet(s"$state/table/v0x")
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$state/cdc_done/v0"))
-    CdcConsumer.recover(spark, state)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$state/table/v0x")))
-    assert(StreamingPipeline.latestTable(spark, state)
-      .filter(col("generated_summary") === "PROMOTED").count() > 0)
-    assert(CdcConsumer.pending(spark, state).isEmpty) // marker consumed v0
+    // a stray overlay-staging dir from a crashed pass is deleted, then
+    // the pass publishes the summarized overlay WITHOUT touching v0
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$state/table/v0st"))
+    assert(CdcConsumer.runOnce(spark, state, threshold = 2) == Seq(0L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$state/table/v0st")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$state/table/v0/_SUCCESS")),
+      "base version must never be deleted")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$state/table/v0s/_SUCCESS")))
+    val summarized = StreamingPipeline.latestTable(spark, state)
+      .orderBy("PK", "SK").collect().toSeq
+    assert(summarized.exists(r => r.getAs[String]("row_type") == "metadata" &&
+      r.getAs[String]("generated_summary").nonEmpty))
+    // the base version stays un-summarized — the overlay is what readers see
+    assert(spark.read.parquet(s"$state/table/v0")
+      .filter(col("generated_summary") =!= "").isEmpty)
 
-    // crash BEFORE the markers: unmarked staging is discarded, the live
-    // version is untouched
-    spark.read.parquet(s"$state/table/v0")
-      .withColumn("generated_summary", lit("PARTIAL"))
-      .write.parquet(s"$state/table/v0x")
-    fs.delete(new org.apache.hadoop.fs.Path(s"$state/cdc_done/v0"), true)
-    CdcConsumer.recover(spark, state)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$state/table/v0x")))
+    // an uncommitted overlay for a newer version is invisible to readers
+    spark.read.parquet(s"$state/table/v0").write.parquet(s"$state/table/v5s")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$state/table/v5s/_SUCCESS"), false)
     assert(StreamingPipeline.latestTable(spark, state)
-      .filter(col("generated_summary") === "PARTIAL").isEmpty)
+      .orderBy("PK", "SK").collect().toSeq == summarized)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$state/table/v5s"), true)
+
+    // crash between overlay commit and marker write: the feed replays,
+    // but the chained overlay input keeps the pass monotone — same
+    // table, summary_count not bumped twice
+    fs.delete(new org.apache.hadoop.fs.Path(s"$state/cdc_done/v0"), true)
+    assert(CdcConsumer.runOnce(spark, state, threshold = 2) == Seq(0L))
+    val replayed = StreamingPipeline.latestTable(spark, state)
+      .orderBy("PK", "SK").collect().toSeq
+    assert(replayed == summarized)
+    assert(replayed.collect {
+      case r if r.getAs[String]("row_type") == "metadata" &&
+        r.getAs[String]("generated_summary").nonEmpty => r.getAs[Int]("summary_count")
+    }.forall(_ == 1))
+  }
+
+  test("a LAGGING CdcConsumer folds several pending feeds into one pass " +
+    "against the newest table and still summarizes") {
+    val root = Files.createTempDirectory("graft-cdc-lag").toString
+    val state = s"$root/state"
+    val cfg = StreamingPipeline.Config(threshold = 2,
+      emitCdc = true, inlineSummarize = false)
+    // two producer batches run BEFORE the consumer ever does
+    StreamingPipeline.processBatch(Seq(
+      ("l1", "chi chi chi chi", "C1", "2024-01-01 10:00:00"),
+      ("l2", "chi chi chi chi x", "C2", "2024-01-01 11:00:00"))
+      .toDF("id", "text", "title", "date"), 0L, state, cfg)
+    StreamingPipeline.processBatch(Seq(
+      ("l3", "chi chi chi chi y", "C3", "2024-01-02 10:00:00"))
+      .toDF("id", "text", "title", "date"), 1L, state, cfg)
+    assert(CdcConsumer.pending(spark, state) == Seq(0L, 1L))
+    // one pass consumes both feeds against table v1 (the newest)
+    assert(CdcConsumer.runOnce(spark, state, threshold = 2) == Seq(0L, 1L))
+    assert(CdcConsumer.pending(spark, state).isEmpty)
+    val table = StreamingPipeline.latestTable(spark, state)
+    val meta = table.filter(col("row_type") === "metadata")
+      .select("generated_summary", "summary_count", "number_of_articles")
+      .as[(String, Int, Int)].collect()
+    assert(meta.length == 1 && meta.head._1.nonEmpty && meta.head._2 == 1)
+    assert(meta.head._3 == 3) // A4 quirk: 2+1 at batch 0, then += 1−1 at batch 1
   }
 
   test("replayed micro-batch is idempotent (exactly-once upsert)") {
