@@ -1092,6 +1092,33 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Bigram LM scoring — one rung up from t13's unigram fill of the
+    // KenLM-perplexity slot: per-doc mean log P(w2|w1) under corpus
+    // bigram counts with add-0.5 smoothing (V = distinct continuations).
+    // Plan: bigram explode is map-side (zip_with over the token array,
+    // no re-tokenize); two count shuffles over the bigram/prefix vocab;
+    // the per-doc join is hash-partitioned on bounded-cardinality keys.
+    "t12_bigram_lm" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir).select(col("doc_id"),
+        split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ").as("t"))
+      val pairs = zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))
+      val big = toks.filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(pairs).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      val pc = big.groupBy(col("w1")).agg(count(lit(1)).as("pre"))
+      val vocab = big.agg(countDistinct(col("w2")).as("v"))
+      big.join(bc, Seq("w1", "w2")).join(pc, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(log((col("c") + 0.5) / (col("pre") + col("v") * 0.5))), 6).as("log_p"))
+        .orderBy(col("doc_id"))
+    }),
+
     // stratified sampling: portable md5-derived bucket, per-language rate
     "t8_sample" -> ((s, dir) => {
       val bucket = (expr("instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1") * 16 +
@@ -1152,6 +1179,20 @@ object TrainingQueries {
         |  CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 30 ELSE 10 END AS rate
         |FROM documents)
         |SELECT doc_id, lang FROM t WHERE bucket % 100 < rate ORDER BY doc_id""".stripMargin,
+    "t12_bigram_lm" ->
+      """WITH toks AS (SELECT doc_id,
+        |  regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |big AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+        |              FROM toks WHERE len(t) >= 2)),
+        |bc AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+        |pc AS (SELECT w1, count(*) AS pre FROM big GROUP BY w1),
+        |v AS (SELECT count(DISTINCT w2) AS v FROM big)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(avg(ln((c + 0.5) / (pre + 0.5 * v))), 6) AS log_p
+        |FROM big JOIN bc USING (w1, w2) JOIN pc USING (w1) CROSS JOIN v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t13_freq_quality" ->
       """WITH toks AS (SELECT doc_id,
         |  unnest(regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS t
