@@ -1420,6 +1420,16 @@ object EventQueries {
     // same user (inclusive). Union+running-last plan: one shuffle on
     // user_id, no range join. 143/1981 purchases have no prior click at
     // sf0.01 (null asof columns) — the outer branch is exercised.
+    // Gap-based sessionization (30-min inactivity cut per user): one
+    // shuffle on the key, one window pass (lag + running break-sum),
+    // one roll-up — the event-telemetry shape every training-data
+    // pipeline ends up needing
+    "w6_sessionize" -> ((s, dir) =>
+      graft.operators.Sessionize.stats(Tables.events(s, dir),
+        keyCol = "user_id", tsCol = "ts", idCol = "event_id",
+        valueCol = "value", gapSec = 1800L)
+        .orderBy(col("user_id"), col("session_idx"))),
+
     "j7_asof" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -1504,6 +1514,21 @@ object EventQueries {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // same union+running-last formulation (portable; DuckDB ASOF JOIN
     // would also agree but the window form pins tie-break semantics)
+    "w6_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER
+        |              (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) > 1800000000
+        |       THEN 1 ELSE 0 END AS brk,
+        |  epoch_us(ts) AS us
+        |  FROM events),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |      FROM e)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(event_id) AS first_event, max(event_id) AS last_event,
+        |  round(sum(value), 2) AS total_value
+        |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
     "j7_asof" ->
       """WITH u AS (
         |  SELECT user_id, ts, event_id AS pid, CAST(NULL AS BIGINT) AS cid,
