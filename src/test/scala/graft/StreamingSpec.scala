@@ -297,6 +297,30 @@ class StreamingSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("singletonTtl flows through the streaming Config and bounds pool state") {
+    val root = Files.createTempDirectory("graft-ttl").toString
+    def run(cfg: StreamingPipeline.Config, state: String): Long = {
+      val batches = Seq(
+        Seq(("t1", "aaa aaa aaa", "T1", "2024-01-01 10:00:00"),
+          ("t2", "bbb bbb bbb", "T2", "2024-01-01 10:01:00")),
+        Seq(("t3", "ccc ccc ccc", "T3", "2024-01-01 11:00:00"),
+          ("t4", "ddd ddd ddd", "T4", "2024-01-01 11:01:00")),
+        Seq(("t5", "eee eee eee", "T5", "2024-01-01 12:00:00"),
+          ("t6", "fff fff fff", "T6", "2024-01-01 12:01:00")))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        StreamingPipeline.processBatch(
+          b.toDF("id", "text", "title", "date"), i.toLong, state, cfg)
+      }
+      spark.read.parquet(s"$state/pool/v2").count()
+    }
+    // distinct-vocabulary articles never merge: all six stay singletons…
+    val unbounded = run(StreamingPipeline.Config(), s"$root/off")
+    assert(unbounded == 6L)
+    // …but with ttl=2 only the newest window survives each batch
+    val bounded = run(StreamingPipeline.Config(singletonTtl = Some(2L)), s"$root/on")
+    assert(bounded == 2L, s"pool not bounded by the ttl window: $bounded rows")
+  }
+
   test("latestTable skips a partial (no _SUCCESS) version after a crash") {
     val root = Files.createTempDirectory("graft-partial").toString
     val state = s"$root/state"
