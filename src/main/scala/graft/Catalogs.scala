@@ -406,6 +406,31 @@ object DedupQueries {
           gramLen = 8, minSpan = 20)
         .orderBy(col("a"), col("b"))),
 
+    // The END-TO-END dedup DECISION — "give me the surviving corpus":
+    // verified Jaccard near-dup pairs (the d2 PPJoin operator) →
+    // transitive closure (the d6 CC operator) → keep-first per group.
+    // One row per SURVIVING document with how many it absorbed
+    // (n_absorbed = 1 ⇔ unique). This is the composition a training-data
+    // pipeline actually ships: candidates, exact verify, grouping and
+    // the keep rule in one query, every stage the scale-shaped plan the
+    // component operators carry individually.
+    "d12_dedup_corpus" -> ((s, dir) => {
+      val corpus = corpusWithNearDups(s, dir)
+      val pairs = graft.operators.JaccardJoin
+        .selfPairs(corpus, "doc_id", "text", t = 0.5)
+        .withColumn("jaccard",
+          round(col("common") * lit(1.0) / (col("sza") + col("szb") - col("common")), 6))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("a"), col("b"))
+      val comp = graft.operators.ConnectedComponents.run(
+        corpus.select(col("doc_id").as("node")),
+        pairs.select(col("a").as("src"), col("b").as("dst")))
+      // components are labeled by their min member — the keeper
+      comp.groupBy(col("component")).agg(count(lit(1)).as("n_absorbed"))
+        .select(col("component").as("doc_id"), col("n_absorbed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Dup GROUPS: connected components over the ε-near-dup graph — the
     // transitive-closure dedup decision (a≈b, b≈c ⇒ {a,b,c} one group
     // even when a–c alone misses the cut). Pairs from the lossless
@@ -654,6 +679,30 @@ object DedupQueries {
          |  round(sum(CASE WHEN dfx.df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
          |    AS boilerplate_ratio
          |FROM seg s JOIN dfx USING (seg) GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "d12_dedup_corpus" ->
+      s"""WITH RECURSIVE $nearCorpusSql,
+         |norm AS (SELECT doc_id,
+         |  regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         |  FROM corpus),
+         |idx AS (SELECT doc_id, toks,
+         |  unnest(generate_series(1, greatest(len(toks)-3, 0)+1)) AS i FROM norm),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh FROM idx),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |pr AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+         |       FROM sh x JOIN sh y USING (sh) WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+         |e AS (SELECT a, b FROM pr
+         |      JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+         |      WHERE round(common*1.0/(sa.sz + sb.sz - common), 6) >= 0.5),
+         |edges AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+         |reach(n, m) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.n, e2.dst FROM reach r JOIN edges e2 ON r.m = e2.src),
+         |comp0 AS (SELECT n, least(n, min(m)) AS component FROM reach GROUP BY n),
+         |comp AS (SELECT c.doc_id AS n, coalesce(c0.component, c.doc_id) AS component
+         |         FROM corpus c LEFT JOIN comp0 c0 ON c0.n = c.doc_id)
+         |SELECT component AS doc_id, count(*) AS n_absorbed
+         |FROM comp GROUP BY component ORDER BY doc_id""".stripMargin,
     "d11_span_pairs" ->
       s"""WITH $nearCorpusSql,
          |norm AS (SELECT doc_id,
