@@ -1149,7 +1149,7 @@ object TrainingQueries {
     // the per-doc join is hash-partitioned on bounded-cardinality keys.
     "t12_bigram_lm" -> ((s, dir) => {
       val toks = Tables.documents(s, dir).select(col("doc_id"),
-        split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ").as("t"))
+        TextFns.repetitionTokens(col("text")).as("t"))
       val pairs = zip_with(
         slice(col("t"), lit(1), size(col("t")) - 1),
         slice(col("t"), lit(2), size(col("t")) - 1),

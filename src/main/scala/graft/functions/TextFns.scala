@@ -144,14 +144,22 @@ object TextFns {
   def repetitionTokens(c: Column): Column =
     split(regexp_replace(lower(trim(c)), "\\s+", " "), " ")
 
-  def repetitionRatioTokens(toks: Column, n: Int): Column = {
+  /** Positioned (non-distinct) word n-grams of a token array, in
+    * document order; docs shorter than `n` yield one clamped whole-doc
+    * gram. try_element_at instead of slice: no per-gram array copy;
+    * concat_ws skips out-of-range nulls exactly like slice's short
+    * tail, so the gram strings are identical (element_at would THROW
+    * past the end under ANSI mode — the short-tail case is
+    * size(toks) < n).
+    */
+  def wordGramsTokens(toks: Column, n: Int): Column = {
     val idx = sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1)))
-    // try_element_at instead of slice: no per-gram array copy; concat_ws
-    // skips out-of-range nulls exactly like slice's short tail, so the
-    // gram strings are identical (element_at would THROW past the end
-    // under ANSI mode — the short-tail case is size(toks) < n)
-    val grams = transform(idx, i =>
+    transform(idx, i =>
       concat_ws(" ", (0 until n).map(o => try_element_at(toks, i + lit(o))): _*))
+  }
+
+  def repetitionRatioTokens(toks: Column, n: Int): Column = {
+    val grams = wordGramsTokens(toks, n)
     when(size(grams) > 0,
       round(lit(1.0) - size(array_distinct(grams)).cast("double")
         / size(grams).cast("double"), 6))
@@ -198,11 +206,8 @@ object TextFns {
     * the tokens in their own projection (see [[repetitionTokens]]): a
     * lambda referencing the split expression re-runs it per element.
     */
-  def wordShinglesTokens(toks: Column, n: Int): Column = {
-    val idx = sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1)))
-    array_distinct(transform(idx, i =>
-      concat_ws(" ", (0 until n).map(o => try_element_at(toks, i + lit(o))): _*)))
-  }
+  def wordShinglesTokens(toks: Column, n: Int): Column =
+    array_distinct(wordGramsTokens(toks, n))
 
   /** Word n-gram shingles (single-expression convenience form). */
   def wordShingles(c: Column, n: Int): Column =

@@ -190,6 +190,21 @@ object AnnSearch {
     concat(perTable.toIndexedSeq: _*)
   }
 
+  /** Rows exploded to their (table, code) buckets under `planes`:
+    * (idOut[, vecOut], __tbl, __code) — `flips = 0` is the assignment
+    * side, `flips > 0` the probe side; the vector rides along only when
+    * the caller still needs it for verification.
+    */
+  private def codeBuckets(df: DataFrame, idCol: String, vecCol: String,
+                          idOut: String, vecOut: String,
+                          planes: Array[Array[Array[Double]]], flips: Int,
+                          carryVec: Boolean): DataFrame = {
+    val keep = if (carryVec) Seq(col(idOut), col(vecOut)) else Seq(col(idOut))
+    df.select(col(idCol).as(idOut), col(vecCol).as(vecOut))
+      .withColumn("__p", explode(hyperplaneProbes(col(vecOut), planes, flips)))
+      .select(keep :+ col("__p.tbl").as("__tbl") :+ col("__p.code").as("__code"): _*)
+  }
+
   /** Distinct (query, candidate) pairs the hyperplane search would
     * verify — the bucket-restriction measurement the recall spec asserts
     * against (candidates ≪ corpus = the whole point of the quantizer).
@@ -199,14 +214,10 @@ object AnnSearch {
                                         tables: Int, bits: Int, flips: Int,
                                         seed: Long): Long = {
     val planes = hyperplanes(dimOf(corpus, vecCol), tables, bits, seed)
-    val assigned = corpus
-      .select(col(idCol).as("__cid"), col(vecCol).as("__v"))
-      .withColumn("__p", explode(hyperplaneProbes(col("__v"), planes, flips = 0)))
-      .select(col("__cid"), col("__p.tbl").as("__tbl"), col("__p.code").as("__code"))
-    val probed = queries
-      .select(col(qidCol).as("__qid"), col(qvecCol).as("__qv"))
-      .withColumn("__p", explode(hyperplaneProbes(col("__qv"), planes, flips)))
-      .select(col("__qid"), col("__p.tbl").as("__tbl"), col("__p.code").as("__code"))
+    val assigned = codeBuckets(corpus, idCol, vecCol, "__cid", "__v",
+      planes, flips = 0, carryVec = false)
+    val probed = codeBuckets(queries, qidCol, qvecCol, "__qid", "__qv",
+      planes, flips, carryVec = false)
     broadcast(probed).join(assigned, Seq("__tbl", "__code"))
       .filter(col("__cid") =!= col("__qid"))
       .select(col("__qid"), col("__cid")).distinct().count()
@@ -265,16 +276,10 @@ object AnnSearch {
       s"bad quantizer shape: tables=$tables bits=$bits flips=$flips")
     require(!Set("qid", "sim", "rk").contains(idCol),
       s"idCol '$idCol' collides with a declared output column")
-    val assigned = corpus
-      .select(col(idCol).as("__cid"), col(vecCol).as("__v"))
-      .withColumn("__p", explode(hyperplaneProbes(col("__v"), planes, flips = 0)))
-      .select(col("__cid"), col("__v"),
-        col("__p.tbl").as("__tbl"), col("__p.code").as("__code"))
-    val probed = queries
-      .select(col(qidCol).as("__qid"), col(qvecCol).as("__qv"))
-      .withColumn("__p", explode(hyperplaneProbes(col("__qv"), planes, flips)))
-      .select(col("__qid"), col("__qv"),
-        col("__p.tbl").as("__tbl"), col("__p.code").as("__code"))
+    val assigned = codeBuckets(corpus, idCol, vecCol, "__cid", "__v",
+      planes, flips = 0, carryVec = true)
+    val probed = codeBuckets(queries, qidCol, qvecCol, "__qid", "__qv",
+      planes, flips, carryVec = true)
     val w = Window.partitionBy(col("__qid"))
       .orderBy(col("__sim").desc, col("__cid").asc)
     broadcast(probed).join(assigned, Seq("__tbl", "__code"))

@@ -40,15 +40,12 @@ object SpanDedup {
                 maxGramDf: Option[Long] = None): DataFrame = {
     require(gramLen >= 2, s"gramLen must be >= 2, got $gramLen")
     require(minSpan >= gramLen, s"minSpan ($minSpan) must be >= gramLen ($gramLen)")
-    val toks = TextFns.repetitionTokens(col(textCol))
-    // positioned grams (NOT distinct — runs need every occurrence);
-    // try_element_at + concat_ws reproduce the clamped short-doc tail
-    val idx = sequence(lit(1), greatest(size(col("__toks")) - lit(gramLen - 1), lit(1)))
-    val gramArr = transform(idx, i =>
-      concat_ws(" ", (0 until gramLen).map(o => try_element_at(col("__toks"), i + lit(o))): _*))
+    // positioned grams (NOT distinct — runs need every occurrence)
     val grams0 = corpus
-      .withColumn("__toks", toks)
-      .select(col(idCol).as("__id"), posexplode(gramArr).as(Seq("__p", "__g")))
+      .withColumn("__toks", TextFns.repetitionTokens(col(textCol)))
+      .select(col(idCol).as("__id"),
+        posexplode(TextFns.wordGramsTokens(col("__toks"), gramLen))
+          .as(Seq("__p", "__g")))
       .select(col("__id"), (col("__p") + 1).as("__i"), md5(col("__g")).as("__gh"))
     val grams = maxGramDf match {
       case Some(cap) =>
