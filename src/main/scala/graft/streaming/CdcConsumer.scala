@@ -85,6 +85,31 @@ object CdcConsumer {
     }
   }
 
+  /** The "second stream" form of the consumer (reference: the Lambda is
+    * an event-source mapping on the DynamoDB Stream): a Structured
+    * Streaming watch on the feed directories that folds a [[runOnce]]
+    * pass per micro-batch. The watched rows are only a SIGNAL (file
+    * sources ignore `_SUCCESS` markers as hidden, so the watch lists
+    * the feed's parquet parts) — each pass re-derives pending versions
+    * from the consumed markers itself, so duplicate triggers, replays
+    * after checkpoint recovery, and stale file listings are all no-ops.
+    * The feed root must exist (run after the producer's first batch).
+    */
+  def stream(spark: SparkSession, stateDir: String, checkpointDir: String,
+             threshold: Int = 5, store: Option[ClusterStore] = None,
+             trigger: org.apache.spark.sql.streaming.Trigger =
+               org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(graft.schemas.Schemas.clusters)
+      .parquet(s"$stateDir/cdc/*")
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        runOnce(spark, stateDir, threshold, store); ()
+      }
+      .start()
+
   /** Consume all pending feed versions: run the summarize trigger pass
     * for their PKs against the newest committed table version and
     * publish its summarized overlay (refreshing the serving store's

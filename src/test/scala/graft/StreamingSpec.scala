@@ -297,6 +297,37 @@ class StreamingSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("CdcConsumer.stream: a second stream watching the feed markers drives " +
+    "summarization to the same result as direct runOnce calls") {
+    val root = Files.createTempDirectory("graft-cdc-stream").toString
+    val state = s"$root/state"
+    val cfg = StreamingPipeline.Config(threshold = 2,
+      emitCdc = true, inlineSummarize = false)
+    StreamingPipeline.processBatch(Seq(
+      ("q1", "psi psi psi psi", "Q1", "2024-01-01 10:00:00"),
+      ("q2", "psi psi psi psi x", "Q2", "2024-01-01 11:00:00"))
+      .toDF("id", "text", "title", "date"), 0L, state, cfg)
+    StreamingPipeline.processBatch(Seq(
+      ("q3", "psi psi psi psi y", "Q3", "2024-01-02 10:00:00"))
+      .toDF("id", "text", "title", "date"), 1L, state, cfg)
+
+    val q = CdcConsumer.stream(spark, state, s"$root/ck", threshold = 2)
+    q.awaitTermination(120000)
+    assert(CdcConsumer.pending(spark, state).isEmpty)
+    val meta = StreamingPipeline.latestTable(spark, state)
+      .filter(col("row_type") === "metadata")
+      .select("generated_summary", "summary_count").as[(String, Int)].collect()
+    assert(meta.length == 1 && meta.head._1.nonEmpty && meta.head._2 == 1)
+
+    // restarting the watch with the same checkpoint replays nothing new
+    val before = StreamingPipeline.latestTable(spark, state)
+      .orderBy("PK", "SK").collect().toSeq
+    val q2 = CdcConsumer.stream(spark, state, s"$root/ck", threshold = 2)
+    q2.awaitTermination(120000)
+    assert(StreamingPipeline.latestTable(spark, state)
+      .orderBy("PK", "SK").collect().toSeq == before)
+  }
+
   test("singletonTtl flows through the streaming Config and bounds pool state") {
     val root = Files.createTempDirectory("graft-ttl").toString
     def run(cfg: StreamingPipeline.Config, state: String): Long = {
