@@ -267,6 +267,91 @@ object AnnSearch {
         s"cannot infer vector width: corpus is empty (column '$vecCol')")
     }
 
+  /** Lightweight k-means coarse quantizer — the TRAINED alternative to
+    * the signed-axis and hyperplane quantizers (all three share the
+    * bucket-restricted search dataflow). `iters` Lloyd steps run as
+    * DataFrame jobs: assignment is an argmax-dot expression over the
+    * centroid literals, means come from the engine's [[graft.functions.VectorMean]]
+    * aggregator; the model (k×dim floats) is collected to the driver
+    * each step — the documented bounded-model exception to the
+    * no-driver-loops rule (k centroids, not corpus rows). Deterministic:
+    * init picks the `k` lowest xxhash64(id) rows, ties impossible on
+    * unique ids. Returned centroids are L2-normalized so assignment by
+    * max dot IS nearest-cosine.
+    */
+  private[graft] def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                                     k: Int, iters: Int): Array[Array[Double]] = {
+    require(k >= 1 && iters >= 0, s"bad kmeans shape: k=$k iters=$iters")
+    def normalized(c: Array[Double]): Array[Double] = {
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0) c else c.map(_ / n)
+    }
+    var centroids = corpus
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .orderBy(xxhash64(col("__id")), col("__id"))
+      .limit(k)
+      .select(col("__v")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(normalized)
+    for (_ <- 0 until iters) {
+      val assigned = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+        .withColumn("__c", nearestCentroid(col("__v"), centroids))
+      val means = assigned.groupBy(col("__c"))
+        .agg(graft.functions.VectorMean(col("__v")).as("__m"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+        .toMap
+      // a centroid that lost every member keeps its previous position
+      centroids = centroids.indices
+        .map(i => normalized(means.getOrElse(i, centroids(i)))).toArray
+    }
+    centroids
+  }
+
+  /** 0-based index of the max-dot centroid (ties → lowest index): sort
+    * (−dot, idx) structs and take the head — same linear-size trick as
+    * [[signedAxisProbes]]. */
+  private def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    centroidRanks(vec, centroids).getItem(0).getField("idx").cast("int")
+
+  private def centroidRanks(vec: Column, centroids: Array[Array[Double]]): Column =
+    array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct((-planeDot(vec, c)).as("nd"), lit(i).as("idx"))
+    }.toIndexedSeq: _*))
+
+  /** Top-`k` neighbors per query under the k-means quantizer: corpus
+    * rows live in ONE centroid bucket; a query probes its `nprobe` best
+    * centroids. Same broadcast-probes / partitioned-corpus dataflow as
+    * [[ivfTopK]]; no candidate dedup needed (buckets are disjoint).
+    */
+  def kmeansTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                 queries: DataFrame, qidCol: String, qvecCol: String,
+                 k: Int, nCentroids: Int = 32, iters: Int = 3,
+                 nprobe: Int = 4): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nCentroids,
+      s"nprobe must be in [1, $nCentroids], got $nprobe")
+    require(!Set("qid", "sim", "rk").contains(idCol),
+      s"idCol '$idCol' collides with a declared output column")
+    val centroids = kmeansCentroids(corpus, idCol, vecCol, nCentroids, iters)
+    val assigned = corpus
+      .select(col(idCol).as("__cid"), col(vecCol).as("__v"))
+      .withColumn("__b", nearestCentroid(col("__v"), centroids))
+    val probed = queries
+      .select(col(qidCol).as("__qid"), col(qvecCol).as("__qv"))
+      .withColumn("__b", explode(transform(
+        slice(centroidRanks(col("__qv"), centroids), 1, nprobe),
+        s => s.getField("idx").cast("int"))))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("__sim").desc, col("__cid").asc)
+    broadcast(probed).join(assigned, Seq("__b"))
+      .filter(col("__cid") =!= col("__qid"))
+      .withColumn("__sim", round(VectorFns.dotProduct(col("__qv"), col("__v")), 4))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("__qid").as("qid"), col("__cid").as(idCol),
+        col("__sim").as("sim"), col("__rk").as("rk"))
+  }
+
   private def topKWithPlanes(corpus: DataFrame, idCol: String, vecCol: String,
                              queries: DataFrame, qidCol: String, qvecCol: String,
                              k: Int, planes: Array[Array[Array[Double]]],

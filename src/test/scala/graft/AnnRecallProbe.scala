@@ -50,6 +50,17 @@ object AnnRecallProbe {
       println(f"R6PROBE tables=$tables%2d bits=$bits flips=$flips " +
         f"recall=$recall%.3f cand/query=$cand%.1f of $n")
     }
+    for {
+      (kc, iters, nprobe) <- Seq(
+        (16, 3, 2), (16, 3, 4), (32, 0, 4), (32, 3, 4), (32, 3, 8), (64, 3, 8))
+    } {
+      val got = AnnSearch.kmeansTopK(emb, "vec_id", "embedding",
+        q, "qid", "qv", k = 3, nCentroids = kc, iters = iters, nprobe = nprobe)
+      val hit = got.select(col("qid"), col("vec_id"))
+        .join(exact, Seq("qid", "vec_id"), "left_semi").count()
+      println(f"R6PROBE kmeans k=$kc%2d iters=$iters nprobe=$nprobe " +
+        f"recall=${hit / nExact}%.3f scanfrac~${nprobe.toDouble / kc}%.2f")
+    }
     exact.unpersist()
     spark.stop()
   }

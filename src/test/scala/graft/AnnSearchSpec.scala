@@ -132,4 +132,42 @@ class AnnSearchSpec extends SparkSpec {
       f"candidate scan $avgCand%.1f not bucket-restricted vs $corpusN%.0f")
     exact.unpersist()
   }
+
+  test("k-means quantizer: Lloyd training EARNS recall over untrained centroids, " +
+    "nprobe climbs it, and the (32,3,8) config clears 0.6 at a ~25% scan") {
+    // the TRAINED coarse-quantizer path (VERDICT r5 named it as the
+    // alternative to hyperplane tables). Grid (AnnRecallProbe):
+    // k=32 iters=0 nprobe=4 → 0.317; iters=3 → 0.517 (training pays at a
+    // fixed scan budget); k=32 iters=3 nprobe=8 → 0.683.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpusN = emb.count().toDouble
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val exact = broadcast(q).crossJoin(emb)
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", round(VectorFns.dotProduct(col("qv"), col("embedding")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("vec_id"))
+      .persist()
+    val nExact = exact.count().toDouble
+
+    def recallOf(iters: Int, nprobe: Int): Double =
+      AnnSearch.kmeansTopK(emb, "vec_id", "embedding", q, "qid", "qv",
+          k = 3, nCentroids = 32, iters = iters, nprobe = nprobe)
+        .select(col("qid"), col("vec_id"))
+        .join(exact, Seq("qid", "vec_id"), "left_semi").count() / nExact
+
+    val untrained = recallOf(iters = 0, nprobe = 4)
+    val trained = recallOf(iters = 3, nprobe = 4)
+    val wide = recallOf(iters = 3, nprobe = 8)
+    info(f"kmeans recall@3: untrained $untrained%.3f, trained $trained%.3f, nprobe=8 $wide%.3f")
+    assert(trained > untrained,
+      f"Lloyd training did not improve recall: $trained%.3f <= $untrained%.3f")
+    assert(wide >= trained, f"recall fell with more probes: $wide%.3f < $trained%.3f")
+    assert(wide >= 0.6, f"recall@3 $wide%.3f below the 0.6 floor at (32,3,8)")
+    exact.unpersist()
+  }
 }
