@@ -13,6 +13,26 @@ import graft.operators.{Summarize, TemporalJoins}
   * rounding, same tie-breaks) so the driver's hash compare is exact.
   * Floats are rounded on BOTH sides; rankings order by the ROUNDED value
   * with an id tie-break so rank boundaries can't diverge between engines.
+  *
+  * PORTABLE-AGGREGATION CONVENTION (round-7, after the w6 flake): double
+  * addition is not associative, so any multi-row `sum`/`avg` over doubles
+  * whose result is compared exactly depends on the partial-aggregation
+  * combine order — Spark (parallel, task-completion order) and DuckDB
+  * (its own order) can land on opposite sides of a rounding boundary,
+  * and the SAME engine can flip run-to-run. Every such roll-up therefore
+  * sums in decimal — `sum(x.cast("decimal(p,s)"))` / DuckDB
+  * `sum(CAST(x AS DECIMAL(p,s)))` — which is exact and order-independent,
+  * then casts back to double after the `round` (means: decimal sum cast
+  * to double, divided by the count in double). Applied to q1_agg, a3,
+  * t9, t12, t13, w6. Single-value `round(expr)` projections and integer
+  * sums are order-safe and stay in double. The remaining audited
+  * exceptions are the dot products inside the s1-s4/j1/j5/d5/d6 oracles:
+  * those sum over one BOUNDED per-key vector (≤ dim elements, exact
+  * bit-identical inputs on both sides), not over data-scale row sets,
+  * and the result is rounded at 4 dp against ≤ dim·ulp ≈ 1e-13
+  * accumulation error, so a boundary hit needs an input constructed for
+  * it — accepted and documented rather than rewritten, since decimal
+  * list-folds are not expressible in DuckDB's list_dot_product form.
   */
 object TextQueries {
 
@@ -119,7 +139,11 @@ object TextQueries {
         .select(col("doc_id"), explode(col("__toks")).as("t"))
       toks.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
-        .agg(sum(col("c")).as("n"), sum(col("c") * log2(col("c"))).as("s"))
+        // c·log2(c) summed in decimal: order-independent (portable-agg
+        // convention, Catalogs header)
+        .agg(sum(col("c")).as("n"),
+          sum((col("c") * log2(col("c"))).cast("decimal(38,18)"))
+            .cast("double").as("s"))
         .select(col("doc_id"),
           round(log2(col("n")) - col("s") / col("n"), 6).as("entropy"))
         .orderBy(col("doc_id"))
@@ -251,7 +275,9 @@ object TextQueries {
         |  unnest(regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS t
         |  FROM documents),
         |tf AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY 1, 2),
-        |agg AS (SELECT doc_id, sum(c) AS n, sum(c * log2(c)) AS s FROM tf GROUP BY doc_id)
+        |agg AS (SELECT doc_id, sum(c) AS n,
+        |        CAST(sum(CAST(c * log2(c) AS DECIMAL(38,18))) AS DOUBLE) AS s
+        |        FROM tf GROUP BY doc_id)
         |SELECT doc_id, round(log2(n) - s/n, 6) AS entropy
         |FROM agg ORDER BY doc_id""".stripMargin,
     "p13_dates" ->
@@ -933,7 +959,9 @@ object SimilarityQueries {
         .select(col("label"), posexplode(col("embedding")).as(Seq("p", "v")))
         .select(col("label"), (col("p") + 1).as("idx"), col("v"))
         .groupBy(col("label"), col("idx"))
-        .agg(round(avg(col("v")), 6).as("m"))
+        // portable mean: decimal sum (order-independent) / count in double
+        .agg(round(sum(col("v").cast("double").cast("decimal(38,18)"))
+          .cast("double") / count(lit(1)), 6).as("m"))
         .orderBy(col("label"), col("idx"))))
 
   val oracleSql: Map[String, String] = Map(
@@ -1043,7 +1071,9 @@ object SimilarityQueries {
         |FROM embeddings e LEFT JOIN documents d ON d.doc_id = e.vec_id * 2
         |ORDER BY doc_id""".stripMargin,
     "a3_centroid" ->
-      """SELECT label, idx, round(avg(v), 6) AS m FROM (
+      """SELECT label, idx,
+        |  round(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
+        |        / count(*), 6) AS m FROM (
         |  SELECT label, unnest(embedding) AS v,
         |         generate_subscripts(embedding, 1) AS idx FROM embeddings) u
         |GROUP BY label, idx ORDER BY label, idx""".stripMargin)
@@ -1137,7 +1167,9 @@ object TrainingQueries {
       val total = freq.agg(sum(col("n")).as("tot"))
       tok.join(freq, "t").crossJoin(broadcast(total))
         .groupBy(col("doc_id"))
-        .agg(round(avg(log(col("n") / col("tot"))), 6).as("log_p"))
+        // portable mean of log-probs: decimal sum / count (see header)
+        .agg(round(sum(log(col("n") / col("tot")).cast("decimal(38,18)"))
+          .cast("double") / count(lit(1)), 6).as("log_p"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1164,7 +1196,10 @@ object TrainingQueries {
         .crossJoin(broadcast(vocab))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
-          round(avg(log((col("c") + 0.5) / (col("pre") + col("v") * 0.5))), 6).as("log_p"))
+          // portable mean of log-probs: decimal sum / count (see header)
+          round(sum(log((col("c") + 0.5) / (col("pre") + col("v") * 0.5))
+            .cast("decimal(38,18)")).cast("double") / count(lit(1)), 6)
+            .as("log_p"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1239,7 +1274,8 @@ object TrainingQueries {
         |pc AS (SELECT w1, count(*) AS pre FROM big GROUP BY w1),
         |v AS (SELECT count(DISTINCT w2) AS v FROM big)
         |SELECT doc_id, count(*) AS n_bigrams,
-        |  round(avg(ln((c + 0.5) / (pre + 0.5 * v))), 6) AS log_p
+        |  round(CAST(sum(CAST(ln((c + 0.5) / (pre + 0.5 * v)) AS DECIMAL(38,18))) AS DOUBLE)
+        |        / count(*), 6) AS log_p
         |FROM big JOIN bc USING (w1, w2) JOIN pc USING (w1) CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t13_freq_quality" ->
@@ -1248,7 +1284,9 @@ object TrainingQueries {
         |  FROM documents),
         |freq AS (SELECT t, count(*) AS n FROM toks GROUP BY t),
         |tot AS (SELECT sum(n) AS tot FROM freq)
-        |SELECT doc_id, round(avg(ln(n * 1.0 / tot)), 6) AS log_p
+        |SELECT doc_id,
+        |  round(CAST(sum(CAST(ln(n * 1.0 / tot) AS DECIMAL(38,18))) AS DOUBLE)
+        |        / count(*), 6) AS log_p
         |FROM toks JOIN freq USING (t) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }
@@ -1576,7 +1614,7 @@ object EventQueries {
         |      FROM e)
         |SELECT user_id, session_idx, count(*) AS n_events,
         |  min(event_id) AS first_event, max(event_id) AS last_event,
-        |  round(sum(value), 2) AS total_value
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
     "j7_asof" ->
       """WITH u AS (

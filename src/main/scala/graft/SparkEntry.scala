@@ -36,10 +36,17 @@ object QueryCatalog {
     "q1_agg" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
+        // portable-aggregation convention (see Catalogs.scala): sum
+        // doubles in decimal (associative ⇒ order-independent), cast
+        // back to double after the round; means divide the decimal sum
+        // as double by the count
         .agg(
-          round(sum(col("l_quantity")), 4).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 4).as("sum_price"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
+          round(sum(col("l_quantity").cast("decimal(18,6)")), 4)
+            .cast("double").as("sum_qty"),
+          round(sum(col("l_extendedprice").cast("decimal(18,6)")), 4)
+            .cast("double").as("sum_price"),
+          round(sum(col("l_discount").cast("decimal(18,6)")).cast("double")
+            / count(lit(1)), 6).as("avg_disc"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
@@ -79,9 +86,9 @@ object QueryCatalog {
   private val baseOracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 4) AS sum_qty,
-        |  round(sum(l_extendedprice), 4) AS sum_price,
-        |  round(avg(l_discount), 6) AS avg_disc,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_price,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,

@@ -33,6 +33,13 @@ object Sessionize {
 
   /** Per-session roll-up: (key, session_idx, n_events, first/last event
     * id, total value).
+    *
+    * `total_value` sums in decimal(18,6), not double: double addition is
+    * not associative, so `round(sum(double), 2)` depends on the partial-
+    * aggregation combine order and can land on either side of a .005
+    * boundary run-to-run (the round-6 w6 flake). Decimal addition is
+    * exact and order-independent; the final cast back to double keeps
+    * the public schema.
     */
   def stats(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
             valueCol: String, gapSec: Long): DataFrame =
@@ -42,5 +49,6 @@ object Sessionize {
         count(lit(1)).as("n_events"),
         min(col(idCol)).as("first_event"),
         max(col(idCol)).as("last_event"),
-        round(sum(col(valueCol)), 2).as("total_value"))
+        round(sum(col(valueCol).cast("decimal(18,6)")), 2)
+          .cast("double").as("total_value"))
 }
