@@ -48,9 +48,51 @@ object Bench {
       sec
     }
 
-    // warm the JVM/session once on the cheapest query so the first
-    // cold number isn't startup-dominated
-    materialize("q1_agg")
+    // warm the JVM/session on a NON-catalog job exercising the same
+    // paths (parquet scan, shuffle, codegen, noop sink) — warming on
+    // q1_agg made its published cold time actually warm (ADVICE r6)
+    val warmupSec = timed {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").count()
+        .write.format("noop").mode("overwrite").save()
+    }
+    SparkHygiene.dropAllPersisted(spark)
+
+    val articles = spark.read.parquet(s"$sfDir/documents.parquet").count()
+
+    // streaming wrapper figure FIRST, before the 112 catalog
+    // materializations: the SAME articles through the actual Structured
+    // Streaming path — file-drop source, AvailableNow, offset
+    // checkpointing + versioned state on disk — so the articles/s claim
+    // covers the streaming machinery (offset log, state read/write per
+    // batch), not just the a9 driver loop. Measuring it after the full
+    // sweep graded accumulated JVM/memory state, not the plan: the r6
+    // official figure (52.5 a/s) disagreed 2.5× with every isolated run
+    // (131-151 a/s).
+    // The wrapper's wall-clock is high-variance run-to-run (r7 A/B: the
+    // UNCHANGED r5 commit measured 105.3/93.5/46.7 a/s in three isolated
+    // fresh-JVM runs — r5's official 131.3 and r6's 52.5 were both draws
+    // from that distribution, not a code change). The official figure is
+    // therefore the MEDIAN of `SPARK_GRAFT_STREAM_RUNS` (default 3)
+    // runs, each against fresh state/checkpoint dirs.
+    val streamOnly = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("stream-only")
+    val streamRuns = sys.env.getOrElse("SPARK_GRAFT_STREAM_RUNS", "3").toInt
+    val streamSecs = (1 to streamRuns).map { _ =>
+      val s = try runStreaming(spark, sfDir) catch { case NonFatal(_) => -1.0 }
+      SparkHygiene.dropAllPersisted(spark)
+      s
+    }
+    val streamSec = {
+      val ok = streamSecs.filter(_ > 0).sorted
+      if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+    }
+    val streamAps = if (streamSec > 0) articles / streamSec else -1.0
+    val runsJson = streamSecs.map(s => f"$s%.2f").mkString("[", ",", "]")
+    if (streamOnly) {
+      println(f"""{"metric":"pipeline_streaming","articles":$articles,"seconds":$streamSec%.3f,"articles_per_sec":$streamAps%.1f,"runs_sec":$runsJson,"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val cold = try materialize(name) catch { case NonFatal(_) => -1.0 }
@@ -62,28 +104,26 @@ object Bench {
 
     // pipeline throughput: a9_ui_clusters runs the full 5-micro-batch
     // news pipeline over one article per documents row
-    val articles = spark.read.parquet(s"$sfDir/documents.parquet").count()
     val pipelineSec = warmByName.getOrElse("a9_ui_clusters", -1.0)
     val aps = if (pipelineSec > 0) articles / pipelineSec else -1.0
 
-    // second pipeline figure: the SAME articles through the actual
-    // Structured Streaming wrapper — file-drop source, AvailableNow,
-    // offset checkpointing + versioned state on disk — so the articles/s
-    // claim covers the streaming machinery (offset log, state
-    // read/write per batch), not just the a9 driver loop.
-    val streamSec = try runStreaming(spark, sfDir)
-      catch { case NonFatal(_) => -1.0 }
-    val streamAps = if (streamSec > 0) articles / streamSec else -1.0
-
     def jsonMap(vals: Seq[(String, Double)]): String =
-      vals.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      vals.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
         .mkString("{", ",", "}")
-    val qs = jsonMap(results.map { case (n, _, w) => n -> w })
     val qsCold = jsonMap(results.map { case (n, c, _) => n -> c })
+    // auxiliary line first (no "metric" key, so a grep for the result
+    // line can't match it); it is allowed to fall off the driver's tail
+    // capture
+    println(s"""{"aux":"queries_cold","warmup_sec":${f"$warmupSec%.2f"},"stream_runs_sec":$runsJson,"queries_cold":$qsCold}""")
+
+    // the ONE official result line, LAST and compact (2-dp warm values,
+    // ~1.4 KB) so it always fits the driver's bounded tail capture —
+    // BENCH_r06.json was parsed:null because one giant line with both
+    // maps outgrew it
+    val qs = jsonMap(results.map { case (n, _, w) => n -> w })
     val total = results.map(_._3).filter(_ >= 0).sum
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-        f""""queries_cold":$qsCold,""" +
         f""""pipeline":{"articles":$articles,"seconds":$pipelineSec%.3f,"articles_per_sec":$aps%.1f},""" +
         f""""pipeline_streaming":{"articles":$articles,"seconds":$streamSec%.3f,"articles_per_sec":$streamAps%.1f},""" +
         s""""sf":"$sfDir"}""")
