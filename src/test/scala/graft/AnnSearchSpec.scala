@@ -133,6 +133,40 @@ class AnnSearchSpec extends SparkSpec {
     exact.unpersist()
   }
 
+  test("caller frames carrying sim/qid/rk/bidx columns do not collide with " +
+    "internal working columns (ADVICE r5 regression spec)") {
+    // all working state is __-prefixed, so a corpus that already has the
+    // non-output names must produce the SAME result as a clean corpus
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val dirty = emb
+      .withColumn("sim", lit(-99.0))
+      .withColumn("qid", lit(-1L))
+      .withColumn("rk", lit(0))
+      .withColumn("bidx", lit(7L))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("queryId"), col("embedding").as("qv"))
+      .withColumn("sim", lit(-99.0)) // query side too
+    def run(corpus: org.apache.spark.sql.DataFrame) = Seq(
+      AnnSearch.ivfTopK(corpus, "vec_id", "embedding", q, "queryId", "qv",
+        k = 3, nprobe = 4),
+      AnnSearch.hyperplaneTopK(corpus, "vec_id", "embedding", q, "queryId", "qv",
+        k = 3, tables = 4, bits = 5, flips = 1),
+      AnnSearch.kmeansTopK(corpus, "vec_id", "embedding", q, "queryId", "qv",
+        k = 3, nCentroids = 8, iters = 1, nprobe = 2))
+    run(emb).zip(run(dirty)).zipWithIndex.foreach { case ((clean, d), i) =>
+      assert(d.columns.toSeq == Seq("qid", "vec_id", "sim", "rk"), s"path $i schema")
+      assert(clean.exceptAll(d).isEmpty && d.exceptAll(clean).isEmpty,
+        s"path $i differs between clean and name-colliding corpus")
+    }
+    // the declared reserved names still fail loudly when used as idCol
+    val ex = intercept[IllegalArgumentException] {
+      AnnSearch.ivfTopK(emb.withColumnRenamed("vec_id", "sim"), "sim",
+        "embedding", q, "queryId", "qv", k = 3, nprobe = 4)
+    }
+    assert(ex.getMessage.contains("collides"))
+  }
+
   test("k-means quantizer: Lloyd training EARNS recall over untrained centroids, " +
     "nprobe climbs it, and the (32,3,8) config clears 0.6 at a ~25% scan") {
     // the TRAINED coarse-quantizer path (VERDICT r5 named it as the
