@@ -36,10 +36,12 @@ import graft.operators.{ClusterStore, ClusterTable, Summarize}
   *    commits: every crash window therefore replays as "consume the
   *    unmarked feeds against the committed overlay", which the chained
   *    input makes a no-op for already-summarized clusters.
-  * The overlay swap (delete old overlay, rename staging over it) has a
-  * transient no-overlay window; readers fall back to the base version
-  * for its duration — stale summaries for one read, never missing
-  * state. One consumer instance at a time is assumed (the reference's
+  * Each pass publishes a FRESH overlay pass dir (`v<N>s`, `v<N>s1`, …;
+  * [[StreamingPipeline.overlayPassPath]]) and never renames or deletes
+  * the pass a reader may have planned against: the previous pass
+  * survives one extra pass as a grace window before pruning (ADVICE r6
+  * — the old delete-then-rename swap could FileNotFound an in-flight
+  * reader). One consumer instance at a time is assumed (the reference's
   * trigger is similarly serialized per stream shard).
   */
 object CdcConsumer {
@@ -144,14 +146,21 @@ object CdcConsumer {
       .select(col("PK")).as(org.apache.spark.sql.Encoders.STRING).collect().toSeq
 
     if (firedPks.nonEmpty) {
-      val staged = new Path(StreamingPipeline.overlayPath(tableBase, target) + "t")
+      // publish a FRESH pass dir — `overwrite` clears a partial dir from
+      // a crashed attempt at the same pass number (no committed pass is
+      // ever written over); its _SUCCESS is the commit point
+      val passes = StreamingPipeline.overlayPasses(spark, tableBase, target)
+      val next = passes.lastOption.fold(0L)(_ + 1L)
+      val dest = new Path(StreamingPipeline.overlayPassPath(tableBase, target, next))
       ClusterTable.summarizePass(input, pks, threshold)
-        .write.mode("overwrite").parquet(staged.toString)
-      val live = new Path(StreamingPipeline.overlayPath(tableBase, target))
-      f.delete(live, true)
-      f.rename(staged, live)
+        .write.mode("overwrite").parquet(dest.toString)
+      // grace-window prune: keep the new pass and its predecessor so a
+      // reader that planned against the previous pass still executes
+      passes.filter(_ < next - 1L).foreach { p0 =>
+        f.delete(new Path(StreamingPipeline.overlayPassPath(tableBase, target, p0)), true)
+      }
       store.foreach { s =>
-        val truth = spark.read.parquet(live.toString)
+        val truth = spark.read.parquet(dest.toString)
         s.rebuildBucketsFor(truth, truth.filter(col("PK").isin(firedPks: _*)))
       }
     }

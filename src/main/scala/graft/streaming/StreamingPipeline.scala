@@ -69,37 +69,75 @@ object StreamingPipeline {
   private def versionPath(base: String, v: Long) = s"$base/v$v"
 
   /** The [[CdcConsumer]]'s summarized OVERLAY of a table version: same
-    * content as `v<N>` plus the summarize pass. Readers prefer a
-    * committed overlay; the base version is never deleted, so no crash
-    * or race window can make state disappear (an interrupted overlay
-    * write just leaves readers on the base version).
+    * content as `v<N>` plus the summarize pass. Each consumer pass
+    * publishes a FRESH pass dir — `v<N>s` (pass 0), `v<N>s1`, `v<N>s2`,
+    * … — committed by its `_SUCCESS`; readers resolve the newest
+    * committed pass. Nothing is renamed or deleted under a reader: the
+    * previous pass survives one extra pass as a grace window (ADVICE
+    * r6 — the old delete-then-rename swap could FileNotFound a reader
+    * that had planned against the live overlay), and the base version
+    * is never deleted, so no crash or race window can make state
+    * disappear.
     */
   private[streaming] def overlayPath(base: String, v: Long) = s"$base/v${v}s"
 
-  /** (version, isOverlay) parsed from a state dir name — `v<N>`,
-    * `v<N>s` (overlay) or `v<N>st` (overlay staging; never read). */
+  private[streaming] def overlayPassPath(base: String, v: Long, pass: Long) =
+    if (pass == 0L) overlayPath(base, v) else s"${overlayPath(base, v)}$pass"
+
+  /** Overlay pass number from a parsed dir suffix: `s` → 0, `s<P>` → P;
+    * base (``""``) and legacy staging (`st`) are not overlays. */
+  private[streaming] def overlayPass(suffix: String): Option[Long] =
+    if (suffix == "s") Some(0L)
+    else if (suffix.length > 1 && suffix != "st" && suffix.head == 's')
+      suffix.tail.toLongOption.filter(_ > 0L)
+    else None
+
+  /** (version, suffix) parsed from a state dir name — `v<N>`,
+    * `v<N>s`/`v<N>s<P>` (overlay passes) or `v<N>st` (legacy overlay
+    * staging; never read). `toLongOption`: a stray >19-digit dir name is
+    * junk to skip, not a NumberFormatException that kills listings
+    * (ADVICE r6). */
   private[streaming] def parseVersionDir(name: String): Option[(Long, String)] = {
     if (!name.startsWith("v")) return None
     val digits = name.drop(1).takeWhile(_.isDigit)
     val suffix = name.drop(1 + digits.length)
-    if (digits.isEmpty || !Set("", "s", "st").contains(suffix)) None
-    else Some((digits.toLong, suffix))
+    val suffixOk = suffix == "" || suffix == "st" || overlayPass(suffix).isDefined
+    if (digits.isEmpty || !suffixOk) None
+    else digits.toLongOption.map((_, suffix))
   }
 
   private def committed(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Boolean =
     fs.exists(new Path(dir, "_SUCCESS"))
+
+  /** Committed overlay pass numbers for table version `v`, ascending. */
+  private[streaming] def overlayPasses(spark: SparkSession, base: String,
+                                       v: Long): Seq[Long] = {
+    val p = new Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    fs.listStatus(p).toSeq.flatMap { st =>
+      parseVersionDir(st.getPath.getName) match {
+        case Some((ver, sfx)) if ver == v && committed(fs, st.getPath) =>
+          overlayPass(sfx)
+        case _ => None
+      }
+    }.sorted
+  }
 
   private[streaming] def readVersion(spark: SparkSession, base: String, v: Long,
                                      empty: => DataFrame): DataFrame = {
     if (v < 0) return empty
     val p = new Path(versionPath(base, v))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val over = new Path(overlayPath(base, v))
-    // prefer the committed overlay; fall back to the base version if the
-    // consumer is mid-rewrite (its _SUCCESS vanishes during the swap)
-    if (committed(fs, over)) {
-      try return spark.read.parquet(over.toString)
-      catch { case scala.util.control.NonFatal(_) => }
+    // prefer the newest committed overlay pass; older committed passes
+    // (the grace window) and then the base version are the fallbacks if
+    // a pass was pruned between listing and read
+    overlayPasses(spark, base, v).reverse.foreach { pass =>
+      val over = new Path(overlayPassPath(base, v, pass))
+      if (committed(fs, over)) {
+        try return spark.read.parquet(over.toString)
+        catch { case scala.util.control.NonFatal(_) => }
+      }
     }
     if (committed(fs, p)) spark.read.parquet(p.toString) else empty
   }
@@ -188,8 +226,8 @@ object StreamingPipeline {
     * Only versions whose directory carries `_SUCCESS` are candidates —
     * after a crash mid-write the highest v<N> may be partial, so we fall
     * back to the newest fully-committed version (ADVICE r2). A committed
-    * summarized overlay (`v<N>s`) outranks its base version; staging
-    * dirs are never read.
+    * summarized overlay pass (`v<N>s`, `v<N>s<P>`) outranks its base
+    * version, newer passes outrank older; staging dirs are never read.
     */
   def latestTable(spark: SparkSession, stateDir: String): DataFrame = {
     val base = new Path(s"$stateDir/table")
@@ -198,13 +236,15 @@ object StreamingPipeline {
     val cands = fs.listStatus(base).map(_.getPath.getName).flatMap { n =>
       parseVersionDir(n) match {
         case Some((v, suffix)) if suffix != "st" &&
-          committed(fs, new Path(base, n)) => Some((v, suffix == "s", n))
+          committed(fs, new Path(base, n)) =>
+          // rank: base = 0, overlay pass P = P + 1
+          Some((v, overlayPass(suffix).fold(0L)(_ + 1L), n))
         case _ => None
       }
     }
     if (cands.isEmpty) ClusterTable.emptyTable(spark)
     else {
-      val (_, _, name) = cands.maxBy { case (v, over, _) => (v, over) }
+      val (_, _, name) = cands.maxBy { case (v, rank, _) => (v, rank) }
       spark.read.parquet(new Path(base, name).toString)
     }
   }

@@ -227,6 +227,49 @@ class StreamingSpec extends SparkSpec {
     }.forall(_ == 1))
   }
 
+  test("CdcConsumer passes are non-destructive for in-flight readers: a " +
+    "pre-existing overlay pass survives the next pass (grace window), " +
+    "newer passes outrank older, and only pass N-2 is pruned") {
+    val root = Files.createTempDirectory("graft-cdc-pass").toString
+    val state = s"$root/state"
+    val cfg = StreamingPipeline.Config(threshold = 2,
+      emitCdc = true, inlineSummarize = false)
+    StreamingPipeline.processBatch(Seq(
+      ("g1", "rho rho rho rho", "G1", "2024-01-01 10:00:00"),
+      ("g2", "rho rho rho rho x", "G2", "2024-01-01 11:00:00"))
+      .toDF("id", "text", "title", "date"), 0L, state, cfg)
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // hand-write a committed pass-0 overlay that is an UN-summarized copy
+    // of the base: the trigger still fires on the chained input, so the
+    // pass publishes pass 1 — and must NOT touch pass 0 (a reader that
+    // planned against v0s mid-pass keeps executing; the old
+    // delete-then-rename swap would FileNotFound it)
+    spark.read.parquet(s"$state/table/v0")
+      .write.parquet(s"$state/table/v0s")
+    assert(CdcConsumer.runOnce(spark, state, threshold = 2) == Seq(0L))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$state/table/v0s/_SUCCESS")),
+      "previous pass must survive as the grace window")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$state/table/v0s1/_SUCCESS")))
+    // latestTable resolves the NEWEST pass — the summarized one
+    assert(StreamingPipeline.latestTable(spark, state)
+      .filter(col("row_type") === "metadata")
+      .filter(col("generated_summary") =!= "").count() > 0)
+    assert(spark.read.parquet(s"$state/table/v0s")
+      .filter(col("generated_summary") =!= "").isEmpty,
+      "pass 0 content untouched")
+    // a third pass prunes pass 0 but keeps pass 1 as the new grace window
+    fs.delete(new org.apache.hadoop.fs.Path(s"$state/cdc_done/v0"), true)
+    spark.read.parquet(s"$state/table/v0").write.mode("overwrite")
+      .parquet(s"$state/table/v0s2")
+    assert(CdcConsumer.runOnce(spark, state, threshold = 2) == Seq(0L))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$state/table/v0s3/_SUCCESS")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$state/table/v0s2/_SUCCESS")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$state/table/v0s")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$state/table/v0s1")),
+      "passes older than N-1 are pruned")
+  }
+
   test("a LAGGING CdcConsumer folds several pending feeds into one pass " +
     "against the newest table and still summarizes") {
     val root = Files.createTempDirectory("graft-cdc-lag").toString
