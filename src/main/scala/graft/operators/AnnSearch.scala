@@ -352,6 +352,110 @@ object AnnSearch {
         col("__sim").as("sim"), col("__rk").as("rk"))
   }
 
+  /** Fixed-point quantization for the PORTABLE k-means path:
+    * `floor(x × 2^20)` per component as bigint. float→double is exact,
+    * ×2^20 scales the exponent only, and floor is engine-independent —
+    * so Spark and the DuckDB oracle derive IDENTICAL integer vectors,
+    * and every training-time comparison below is exact integer
+    * arithmetic (associative: no summation-order hazard anywhere in
+    * init, assignment, or the Lloyd update — the property the float
+    * path's means cannot give an exact-hash oracle).
+    */
+  private[graft] def quantize(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * lit(1048576.0)).cast("long"))
+
+  /** `qvec · c` over bigint vectors — exact (|x| ≤ 2^20, dim ≤ 2^6 keeps
+    * the sum under 2^47, far inside bigint). */
+  private def dotLong(qvec: Column, c: Array[Long]): Column =
+    aggregate(zip_with(qvec, typedlit(c.toSeq), (x, h) => x * h),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Centroids ranked by squared Euclidean distance to `qvec`, nearest
+    * first (idx-asc tie-break): ‖q − c‖² − ‖q‖² = ‖c‖² − 2·q·c, and the
+    * ‖q‖² term is constant per row — so the rank key is exact bigint.
+    */
+  private def quantCentroidRanks(qvec: Column, cents: Array[Array[Long]]): Column =
+    array_sort(array(cents.zipWithIndex.map { case (c, i) =>
+      val nsq = c.map(x => x * x).sum
+      struct((lit(nsq) - lit(2L) * dotLong(qvec, c)).as("d"), lit(i).as("idx"))
+    }.toIndexedSeq: _*))
+
+  private def quantNearest(qvec: Column, cents: Array[Array[Long]]): Column =
+    quantCentroidRanks(qvec, cents).getItem(0).getField("idx").cast("int")
+
+  /** PORTABLE k-means training: Lloyd over the [[quantize]]d vectors.
+    * Init = the `k` rows with lowest `(md5("km:" || id), id)` — the same
+    * md5-derivation trick as [[portableHyperplanes]]; assignment =
+    * exact-integer Euclidean argmin; update = `floor(sum / n)` per
+    * dimension, where the bigint sum is exact and the single IEEE
+    * division + floor is bit-identical on any engine. An empty centroid
+    * keeps its position. The DuckDB oracle (s5_ann_kmeans) replays init
+    * and both Lloyd steps from the same parquet with zero float
+    * sensitivity — the trained model is INSIDE the correctness gate.
+    * Model is k×dim longs collected per step (the documented
+    * bounded-model exception, as [[kmeansCentroids]]).
+    */
+  private[graft] def kmeansCentroidsQuantized(corpus: DataFrame, idCol: String,
+                                              vecCol: String, k: Int,
+                                              iters: Int): Array[Array[Long]] = {
+    require(k >= 1 && iters >= 0, s"bad kmeans shape: k=$k iters=$iters")
+    val q = corpus.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
+    var cents = q
+      .orderBy(md5(concat(lit("km:"), col("__id").cast("string"))), col("__id"))
+      .limit(k)
+      .select(col("__q")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    for (_ <- 0 until iters) {
+      val stats = q.withColumn("__c", quantNearest(col("__q"), cents))
+        .select(col("__c"), posexplode(col("__q")).as(Seq("__d", "__x")))
+        .groupBy(col("__c"), col("__d"))
+        .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
+        .collect()
+      val next = cents.map(_.clone())
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) =
+          math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** [[kmeansTopK]] under the [[kmeansCentroidsQuantized]] trained model
+    * — the oracle-checkable form (s5_ann_kmeans replays training and
+    * search in DuckDB). Search dataflow is identical: corpus rows in ONE
+    * centroid bucket, queries probe their `nprobe` nearest centroids,
+    * final sim on the ORIGINAL float vectors (rounded 4 dp, id
+    * tie-break) like every other s-query.
+    */
+  def kmeansTopKPortable(corpus: DataFrame, idCol: String, vecCol: String,
+                         queries: DataFrame, qidCol: String, qvecCol: String,
+                         k: Int, nCentroids: Int = 8, iters: Int = 2,
+                         nprobe: Int = 2): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nCentroids,
+      s"nprobe must be in [1, $nCentroids], got $nprobe")
+    require(!Set("qid", "sim", "rk").contains(idCol),
+      s"idCol '$idCol' collides with a declared output column")
+    val cents = kmeansCentroidsQuantized(corpus, idCol, vecCol, nCentroids, iters)
+    val assigned = corpus
+      .select(col(idCol).as("__cid"), col(vecCol).as("__v"))
+      .withColumn("__b", quantNearest(quantize(col("__v")), cents))
+    val probed = queries
+      .select(col(qidCol).as("__qid"), col(qvecCol).as("__qv"))
+      .withColumn("__b", explode(transform(
+        slice(quantCentroidRanks(quantize(col("__qv")), cents), 1, nprobe),
+        s => s.getField("idx").cast("int"))))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("__sim").desc, col("__cid").asc)
+    broadcast(probed).join(assigned, Seq("__b"))
+      .filter(col("__cid") =!= col("__qid"))
+      .withColumn("__sim", round(VectorFns.dotProduct(col("__qv"), col("__v")), 4))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("__qid").as("qid"), col("__cid").as(idCol),
+        col("__sim").as("sim"), col("__rk").as("rk"))
+  }
+
   private def topKWithPlanes(corpus: DataFrame, idCol: String, vecCol: String,
                              queries: DataFrame, qidCol: String, qvecCol: String,
                              k: Int, planes: Array[Array[Array[Double]]],

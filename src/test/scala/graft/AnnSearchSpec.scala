@@ -204,4 +204,39 @@ class AnnSearchSpec extends SparkSpec {
     assert(wide >= 0.6, f"recall@3 $wide%.3f below the 0.6 floor at (32,3,8)")
     exact.unpersist()
   }
+
+  test("PORTABLE fixed-point k-means (s5 oracle form) keeps useful recall " +
+    "at a 2-of-8-bucket scan and trains deterministically") {
+    // the exact-integer variant trades the float path's gaussian-ish
+    // means for oracle replayability; recall at the catalog config
+    // (8 centroids, 2 Lloyd iters, nprobe=2 ⇒ ~25% scan) must still
+    // beat the scan fraction by a wide margin or the quantizer learned
+    // nothing. Measured: 0.550 on the sf0.001 fixture (scan 25%).
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val exact = broadcast(q).crossJoin(emb)
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", round(VectorFns.dotProduct(col("qv"), col("embedding")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("vec_id"))
+      .persist()
+    val nExact = exact.count().toDouble
+    val got = AnnSearch.kmeansTopKPortable(emb, "vec_id", "embedding",
+      q, "qid", "qv", k = 3, nCentroids = 8, iters = 2, nprobe = 2).persist()
+    val recall = got.select(col("qid"), col("vec_id"))
+      .join(exact, Seq("qid", "vec_id"), "left_semi").count() / nExact
+    info(f"portable kmeans recall@3 $recall%.3f")
+    assert(recall >= 0.5, f"recall@3 $recall%.3f below the 0.5 floor at (8,2,2)")
+    // training is exact integer arithmetic end to end: a second training
+    // run must produce the identical model (same assignments, same sims)
+    val again = AnnSearch.kmeansTopKPortable(emb, "vec_id", "embedding",
+      q, "qid", "qv", k = 3, nCentroids = 8, iters = 2, nprobe = 2)
+    assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty,
+      "portable k-means training is not deterministic")
+    got.unpersist(); exact.unpersist()
+  }
 }
