@@ -35,11 +35,16 @@ object JaccardJoin {
   case object ShuffleDocs extends VerifyStrategy
   /** Size-gated pick (the same Auto treatment SimHashJoin got, VERDICT
     * r5 #3): BroadcastDocs at or below `threshold` corpus docs,
-    * ShuffleDocs above. The gate counts the id column only — the
-    * shingle pipeline is never evaluated for the probe. The default
-    * reflects the broadcast payload being FULL shingle arrays (~10-20 KB
-    * per doc on prose corpora): ~20k docs ≈ a few hundred MB broadcast,
-    * the sane ceiling; beyond it the hash-partitioned verify join wins.
+    * ShuffleDocs above. NOTE: the gate runs ONE eager, bounded Spark job
+    * at plan-construction time — a `limit(threshold + 1)` count over the
+    * id column only (ADVICE r6: a full count() re-evaluated computed
+    * input frames wholesale; the limit probe evaluates at most
+    * threshold + 1 rows of them, and the shingle pipeline is never
+    * touched). Callers that must stay lazy pass an explicit strategy.
+    * The default reflects the broadcast payload being FULL shingle
+    * arrays (~10-20 KB per doc on prose corpora): ~20k docs ≈ a few
+    * hundred MB broadcast, the sane ceiling; beyond it the
+    * hash-partitioned verify join wins.
     */
   case class Auto(threshold: Long = 20000L) extends VerifyStrategy
 
@@ -68,8 +73,11 @@ object JaccardJoin {
     require(t > 0 && t <= 1, s"threshold out of (0,1]: $t")
     val resolved = verify match {
       case Auto(threshold) =>
-        // prune to the id column so the gate never pays for shingles
-        if (corpus.select(col(idCol)).count() <= threshold) BroadcastDocs
+        // bounded probe: evaluate at most threshold + 1 ids — cheap even
+        // when `corpus` is a computed frame (ADVICE r6), and the shingle
+        // pipeline is never evaluated for the gate
+        val cap = math.min(threshold, Int.MaxValue - 1L).toInt + 1
+        if (corpus.select(col(idCol)).limit(cap).count() <= threshold) BroadcastDocs
         else ShuffleDocs
       case v => v
     }
