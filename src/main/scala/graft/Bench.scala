@@ -88,8 +88,22 @@ object Bench {
     }
     val streamAps = if (streamSec > 0) articles / streamSec else -1.0
     val runsJson = streamSecs.map(s => f"$s%.2f").mkString("[", ",", "]")
+
+    // DECOUPLED mode (VERDICT r6 #8): producer publishes un-summarized
+    // versions + the cdc feed; the CdcConsumer second-stream drains the
+    // feed and publishes summarized overlays. The span covers BOTH
+    // streams — the full decoupled path a real deployment runs.
+    val decoupledSec = {
+      val s = try runStreaming(spark, sfDir, decoupled = true)
+              catch { case NonFatal(_) => -1.0 }
+      SparkHygiene.dropAllPersisted(spark)
+      s
+    }
+    val decoupledAps = if (decoupledSec > 0) articles / decoupledSec else -1.0
+    def decoupledJson =
+      f""""pipeline_streaming_decoupled":{"seconds":$decoupledSec%.3f,"articles_per_sec":$decoupledAps%.1f}"""
     if (streamOnly) {
-      println(f"""{"metric":"pipeline_streaming","articles":$articles,"seconds":$streamSec%.3f,"articles_per_sec":$streamAps%.1f,"runs_sec":$runsJson,"sf":"$sfDir"}""")
+      println(f"""{"metric":"pipeline_streaming","articles":$articles,"seconds":$streamSec%.3f,"articles_per_sec":$streamAps%.1f,"runs_sec":$runsJson,$decoupledJson,"sf":"$sfDir"}""")
       spark.stop()
       return
     }
@@ -126,6 +140,7 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
         f""""pipeline":{"articles":$articles,"seconds":$pipelineSec%.3f,"articles_per_sec":$aps%.1f},""" +
         f""""pipeline_streaming":{"articles":$articles,"seconds":$streamSec%.3f,"articles_per_sec":$streamAps%.1f},""" +
+        decoupledJson + "," +
         s""""sf":"$sfDir"}""")
     spark.stop()
   }
@@ -134,8 +149,14 @@ object Bench {
     * corpus dropped as one JSON file per micro-batch. Returns the
     * measured span = stream start → termination (file writes excluded);
     * the temp corpus/state dirs are deleted before returning.
+    * `decoupled = true` runs the producer with `inlineSummarize = false,
+    * emitCdc = true` and then drains the change feed with the
+    * [[graft.streaming.CdcConsumer.stream]] second-stream — the span
+    * covers both streams, so the figure is the end-to-end decoupled
+    * cost, comparable to the inline figure.
     */
-  private def runStreaming(spark: SparkSession, sfDir: String): Double = {
+  private def runStreaming(spark: SparkSession, sfDir: String,
+                           decoupled: Boolean = false): Double = {
     import org.apache.spark.sql.functions.col
     val tmp = java.nio.file.Files.createTempDirectory("bench_stream")
     try {
@@ -154,8 +175,14 @@ object Bench {
         streaming.StreamingPipeline.Config(
           threshold = NewsPipeline.Threshold,
           embedDim = NewsPipeline.EmbedDim,
-          clock = NewsPipeline.Clock))
+          clock = NewsPipeline.Clock,
+          inlineSummarize = !decoupled,
+          emitCdc = decoupled))
         .awaitTermination()
+      if (decoupled)
+        streaming.CdcConsumer.stream(spark, s"$tmp/state", s"$tmp/ck2",
+          threshold = NewsPipeline.Threshold)
+          .awaitTermination()
       (System.nanoTime() - t0) / 1e9
     } finally {
       // close the walk stream, and never let cleanup failure mask the
