@@ -172,6 +172,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("__code"), s"expected code-bucket join keys in the plan:\n$p")
   }
 
+  test("s5 trained k-means search is the broadcast-probes bucket equi-join " +
+    "— no cartesian, probes broadcast, corpus never shuffled for the join") {
+    val p = plan("s5_ann_kmeans")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"k-means search planned a cartesian operator:\n$p")
+    assert(p.contains("__b"), s"expected centroid-bucket join key in the plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query probes should broadcast against the assigned corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus side must not shuffle for the probe join:\n$p")
+  }
+
   test("d11 span detection is equi-join + window + aggregation — no cartesian") {
     val p = plan("d11_span_pairs")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
