@@ -826,6 +826,43 @@ object DedupQueries {
 /** Similarity search + vector aggregation over the embeddings table. */
 object SimilarityQueries {
 
+  // ---- shared DuckDB replay of AnnSearch.kmeansCentroidsQuantized ----
+  // (s5_ann_kmeans and d13_semdedup train the same portable model)
+  // One Lloyd round over the fixed-point vectors: centroid norms +
+  // exact-integer dots → Euclidean argmin assignment (rn = 1) → new
+  // centroids floor(sum/n), empty centroids keeping their position.
+  // All comparisons are bigint, the one division is a single IEEE op —
+  // the replay is exact.
+  private def kmRank(i: Int) =
+    s"""n$i AS (SELECT cidx, sum(x*x) AS nsq FROM c$i GROUP BY cidx),
+       |dot$i AS (SELECT qd.vec_id, c.cidx, sum(qd.x * c.x) AS dp
+       |          FROM qd JOIN c$i c ON c.d = qd.d GROUP BY 1, 2),
+       |rk$i AS (SELECT d.vec_id, d.cidx, row_number() OVER
+       |           (PARTITION BY d.vec_id ORDER BY n.nsq - 2*d.dp, d.cidx) AS rn
+       |         FROM dot$i d JOIN n$i n USING (cidx)),""".stripMargin
+  private def kmUpdate(i: Int) =
+    s"""${kmRank(i)}
+       |m$i AS (SELECT a.cidx, qd.d,
+       |          CAST(floor(CAST(sum(qd.x) AS DOUBLE) / count(*)) AS BIGINT) AS x
+       |        FROM (SELECT vec_id, cidx FROM rk$i WHERE rn = 1) a
+       |        JOIN qd ON qd.vec_id = a.vec_id GROUP BY 1, 2),
+       |c${i + 1} AS (SELECT c.cidx, c.d, coalesce(m.x, c.x) AS x
+       |        FROM c$i c LEFT JOIN m$i m ON m.cidx = c.cidx AND m.d = c.d),""".stripMargin
+  /** Quantize + md5-ordered init + 2 Lloyd iterations; leaves `rk2`
+    * (final centroid ranks per row) in scope for the query tail. */
+  private def kmTrained: String =
+    s"""WITH qv AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1048576) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |qd AS (SELECT vec_id, unnest(q) AS x, generate_subscripts(q, 1) AS d FROM qv),
+       |c0 AS (SELECT s.rn - 1 AS cidx, qd.d, qd.x FROM (
+       |         SELECT vec_id, row_number() OVER
+       |           (ORDER BY md5('km:' || vec_id), vec_id) AS rn
+       |         FROM embeddings) s JOIN qd ON qd.vec_id = s.vec_id WHERE s.rn <= 8),
+       |${kmUpdate(0)}
+       |${kmUpdate(1)}
+       |${kmRank(2)}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // brute-force cosine top-k: rank by ROUNDED sim + vec_id tie-break so
     // the cut is engine-stable
@@ -953,6 +990,19 @@ object SimilarityQueries {
         "qid", "qv", k = 3, nCentroids = 8, iters = 2, nprobe = 2)
         .orderBy(col("qid"), col("rk"))
     }),
+
+    // Semantic dedup, SemDeDup shape (Abbas et al. 2023): k-means-bucket
+    // the embedding space with the SAME portable trained quantizer as
+    // s5, then within each bucket drop rows with a lower-id neighbor at
+    // cosine ≥ τ — keep-first per semantic neighborhood. All pairwise
+    // work is bucket-bounded ((N/k)² per bucket — the published
+    // algorithm's trade), and the DuckDB oracle replays training,
+    // buckets, and the keep/drop verdict exactly.
+    "d13_semdedup" -> ((s, dir) =>
+      graft.operators.SemDedup.semanticDedup(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        tau = 0.45, nCentroids = 8, iters = 2)
+        .orderBy(col("vec_id"))),
 
     // J2 id → payload lookup with miss tolerance (reference stub-row
     // workaround, process_records.py:234-263): half the probe ids miss
@@ -1083,38 +1133,8 @@ object SimilarityQueries {
          |        (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM s)
          |SELECT qid, vec_id, sim, rk FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
     },
-    "s5_ann_kmeans" -> {
-      // One Lloyd round over the fixed-point vectors: centroid norms +
-      // exact-integer dots → Euclidean argmin assignment (rk = 1) → new
-      // centroids floor(sum/n), empty centroids keeping their position.
-      // All comparisons are bigint, the one division is a single IEEE op
-      // — the replay is exact, mirroring AnnSearch.kmeansCentroidsQuantized.
-      def rank(i: Int) =
-        s"""n$i AS (SELECT cidx, sum(x*x) AS nsq FROM c$i GROUP BY cidx),
-           |dot$i AS (SELECT qd.vec_id, c.cidx, sum(qd.x * c.x) AS dp
-           |          FROM qd JOIN c$i c ON c.d = qd.d GROUP BY 1, 2),
-           |rk$i AS (SELECT d.vec_id, d.cidx, row_number() OVER
-           |           (PARTITION BY d.vec_id ORDER BY n.nsq - 2*d.dp, d.cidx) AS rn
-           |         FROM dot$i d JOIN n$i n USING (cidx)),""".stripMargin
-      def update(i: Int) =
-        s"""${rank(i)}
-           |m$i AS (SELECT a.cidx, qd.d,
-           |          CAST(floor(CAST(sum(qd.x) AS DOUBLE) / count(*)) AS BIGINT) AS x
-           |        FROM (SELECT vec_id, cidx FROM rk$i WHERE rn = 1) a
-           |        JOIN qd ON qd.vec_id = a.vec_id GROUP BY 1, 2),
-           |c${i + 1} AS (SELECT c.cidx, c.d, coalesce(m.x, c.x) AS x
-           |        FROM c$i c LEFT JOIN m$i m ON m.cidx = c.cidx AND m.d = c.d),""".stripMargin
-      s"""WITH qv AS (SELECT vec_id,
-         |  list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1048576) AS BIGINT)) AS q
-         |  FROM embeddings),
-         |qd AS (SELECT vec_id, unnest(q) AS x, generate_subscripts(q, 1) AS d FROM qv),
-         |c0 AS (SELECT s.rn - 1 AS cidx, qd.d, qd.x FROM (
-         |         SELECT vec_id, row_number() OVER
-         |           (ORDER BY md5('km:' || vec_id), vec_id) AS rn
-         |         FROM embeddings) s JOIN qd ON qd.vec_id = s.vec_id WHERE s.rn <= 8),
-         |${update(0)}
-         |${update(1)}
-         |${rank(2)}
+    "s5_ann_kmeans" ->
+      s"""$kmTrained
          |prb AS (SELECT vec_id AS qid, cidx FROM rk2 WHERE rn <= 2 AND vec_id < 20),
          |sc AS (SELECT p.qid, a.vec_id,
          |         round(list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) AS sim
@@ -1125,8 +1145,18 @@ object SimilarityQueries {
          |       JOIN embeddings e ON e.vec_id = a.vec_id),
          |r AS (SELECT *, row_number() OVER
          |        (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM sc)
-         |SELECT qid, vec_id, sim, rk FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
-    },
+         |SELECT qid, vec_id, sim, rk FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+    "d13_semdedup" ->
+      s"""$kmTrained
+         |asg AS (SELECT vec_id, cidx FROM rk2 WHERE rn = 1),
+         |dropped AS (SELECT DISTINCT b.vec_id
+         |  FROM asg a JOIN asg b ON a.cidx = b.cidx AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |  WHERE round(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) >= 0.45)
+         |SELECT g.vec_id, g.cidx AS bucket, d.vec_id IS NULL AS kept
+         |FROM asg g LEFT JOIN dropped d ON d.vec_id = g.vec_id
+         |ORDER BY g.vec_id""".stripMargin,
     "j2_lookup" ->
       """SELECT e.vec_id * 2 AS doc_id,
         |  coalesce(d.source, '') AS source,

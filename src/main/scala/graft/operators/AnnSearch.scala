@@ -380,7 +380,7 @@ object AnnSearch {
       struct((lit(nsq) - lit(2L) * dotLong(qvec, c)).as("d"), lit(i).as("idx"))
     }.toIndexedSeq: _*))
 
-  private def quantNearest(qvec: Column, cents: Array[Array[Long]]): Column =
+  private[operators] def quantNearest(qvec: Column, cents: Array[Array[Long]]): Column =
     quantCentroidRanks(qvec, cents).getItem(0).getField("idx").cast("int")
 
   /** PORTABLE k-means training: Lloyd over the [[quantize]]d vectors.
