@@ -1306,7 +1306,18 @@ object TrainingQueries {
         .filter(bucket < rate)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
-    }))
+    }),
+
+    // deterministic global shuffle + fixed shard layout (the training
+    // last mile): shard and in-shard order both derive from one portable
+    // md5 key, so the permutation is a pure function of (seed, id) —
+    // reproducible across runs/cluster sizes and replayable by the
+    // oracle. ONE hash shuffle + per-shard local sort; never a global
+    // sort/range exchange (ShardingSpec pins the plan).
+    "t14_shard_shuffle" -> ((s, dir) =>
+      graft.operators.Sharding.shuffleShards(
+        Tables.documents(s, dir), "doc_id", nShards = 8)
+        .orderBy(col("shard"), col("pos"))))
 
   val oracleSql: Map[String, String] = Map(
     "t4_repetition" ->
@@ -1356,6 +1367,17 @@ object TrainingQueries {
         |  CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 30 ELSE 10 END AS rate
         |FROM documents)
         |SELECT doc_id, lang FROM t WHERE bucket % 100 < rate ORDER BY doc_id""".stripMargin,
+    "t14_shard_shuffle" -> {
+      // u32 of the first 8 hex chars — same digit-sum idiom as s4
+      val u32 = (1 to 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}")
+        .mkString(" + ")
+      s"""WITH k AS (SELECT doc_id, md5('shard:' || doc_id) AS h FROM documents),
+         |s AS (SELECT doc_id, h, CAST(($u32) % 8 AS INT) AS shard FROM k)
+         |SELECT doc_id, shard,
+         |  row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+         |FROM s ORDER BY shard, pos""".stripMargin
+    },
     "t12_bigram_lm" ->
       """WITH toks AS (SELECT doc_id,
         |  regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
