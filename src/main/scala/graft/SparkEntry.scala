@@ -63,6 +63,22 @@ object QueryCatalog {
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
         .orderBy(col("o_orderkey"))),
 
+    // the salted skew join IN the oracle gate (the one component that
+    // was spec-only): saltedJoin is result-identical to the plain
+    // equi-join by construction, so the oracle IS the plain join —
+    // this row proves the salt/replicate/drop mechanics lose and invent
+    // nothing; SkewToolsSpec covers the partition-spread mechanics
+    "j10_salted_join" -> ((s, dir) => {
+      val facts = Tables.lineitem(s, dir)
+        .filter(col("l_quantity") >= 49)
+        .select(col("l_partkey").as("partkey"), col("l_orderkey"), col("l_quantity"))
+      val dim = Tables.part(s, dir)
+        .select(col("p_partkey").as("partkey"), col("p_brand"))
+      graft.operators.SkewTools.saltedJoin(facts, dim, "partkey", salts = 8)
+        .select(col("l_orderkey"), col("partkey"), col("l_quantity"), col("p_brand"))
+        .orderBy(col("l_orderkey"), col("partkey"))
+    }),
+
     // includes an injected non-ASCII row so the two engines' regex
     // character-class semantics are proven to agree beyond ASCII
     // (VERDICT r1 "what's wrong" #3)
@@ -100,6 +116,11 @@ object QueryCatalog {
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+    "j10_salted_join" ->
+      """SELECT l_orderkey, l_partkey AS partkey, l_quantity, p_brand
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_quantity >= 49
+        |ORDER BY l_orderkey, partkey""".stripMargin,
     "p2_clean_text" ->
       """WITH src AS (
         |  SELECT doc_id, text FROM documents
