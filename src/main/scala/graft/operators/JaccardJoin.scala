@@ -75,10 +75,15 @@ object JaccardJoin {
       case Auto(threshold) =>
         // bounded probe: evaluate at most threshold + 1 ids — cheap even
         // when `corpus` is a computed frame (ADVICE r6), and the shingle
-        // pipeline is never evaluated for the gate
-        val cap = math.min(threshold, Int.MaxValue - 1L).toInt + 1
-        if (corpus.select(col(idCol)).limit(cap).count() <= threshold) BroadcastDocs
-        else ShuffleDocs
+        // pipeline is never evaluated for the gate. limit() takes an Int,
+        // so a threshold beyond Int.MaxValue falls back to the full count
+        // (a saturated limit probe would silently pick BroadcastDocs for
+        // ANY corpus — r7 review)
+        val ids = corpus.select(col(idCol))
+        val probed =
+          if (threshold < Int.MaxValue) ids.limit(threshold.toInt + 1).count()
+          else ids.count()
+        if (probed <= threshold) BroadcastDocs else ShuffleDocs
       case v => v
     }
     // explode consumes the shingle transform DIRECTLY off the

@@ -62,8 +62,10 @@ object SemDedup {
       .filter(col("__aid") < col("__bid") &&
         round(VectorFns.dotProduct(col("__va"), col("__vb")), 4) >= tau)
       .select(col("__bid")).distinct()
-    assigned
-      .join(dropped, assigned("__id") === dropped("__bid"), "left_outer")
+    // verdict join carries only (id, bucket) — the embedding array must
+    // not ride this exchange (PERF lesson #10: array payloads cost ~1.8×)
+    assigned.select(col("__id"), col("__b"))
+      .join(dropped, col("__id") === dropped("__bid"), "left_outer")
       .select(col("__id").as(idCol), col("__b").as("bucket"),
         col("__bid").isNull.as("kept"))
   }

@@ -39,13 +39,16 @@ object Sharding {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     require(!Set("shard", "pos").contains(idCol),
       s"idCol '$idCol' collides with a declared output column")
-    val key = md5(concat(lit(s"$seed:"), col(idCol).cast("string")))
-    val w = Window.partitionBy(col("shard"))
-      .orderBy(col("__key"), col(idCol))
-    df.select(col(idCol))
-      .withColumn("__key", key)
-      .withColumn("shard", (u32(col("__key")) % nShards).cast("int"))
-      .withColumn("pos", row_number().over(w))
-      .select(col(idCol), col("shard"), col("pos"))
+    // rename the id FIRST so internal working names can never collide
+    // with a caller column (the ADVICE-r5 convention: only declared
+    // output names are reserved)
+    val w = Window.partitionBy(col("__shard"))
+      .orderBy(col("__key"), col("__id"))
+    df.select(col(idCol).as("__id"))
+      .withColumn("__key", md5(concat(lit(s"$seed:"), col("__id").cast("string"))))
+      .withColumn("__shard", (u32(col("__key")) % nShards).cast("int"))
+      .withColumn("__pos", row_number().over(w))
+      .select(col("__id").as(idCol), col("__shard").as("shard"),
+        col("__pos").as("pos"))
   }
 }

@@ -37,12 +37,17 @@ import graft.operators.{ClusterStore, ClusterTable, Summarize}
   *    unmarked feeds against the committed overlay", which the chained
   *    input makes a no-op for already-summarized clusters.
   * Each pass publishes a FRESH overlay pass dir (`v<N>s`, `v<N>s1`, …;
-  * [[StreamingPipeline.overlayPassPath]]) and never renames or deletes
-  * the pass a reader may have planned against: the previous pass
-  * survives one extra pass as a grace window before pruning (ADVICE r6
-  * — the old delete-then-rename swap could FileNotFound an in-flight
-  * reader). One consumer instance at a time is assumed (the reference's
-  * trigger is similarly serialized per stream shard).
+  * [[StreamingPipeline.overlayPassPath]]) instead of renaming over the
+  * live one (ADVICE r6: the old delete-then-rename swap could
+  * FileNotFound an in-flight reader immediately). Prior passes survive
+  * `gracePasses` further consumer passes before pruning — a reader is
+  * safe iff its job finishes within that many passes of the one it
+  * planned against; a reader that outlives the window can still lose
+  * its files mid-scan (raise `gracePasses` where consumer passes are
+  * much faster than reader jobs). The BASE version is never deleted, so
+  * state never disappears — a raced reader fails one job and replans.
+  * One consumer instance at a time is assumed (the reference's trigger
+  * is similarly serialized per stream shard).
   */
 object CdcConsumer {
 
@@ -120,7 +125,7 @@ object CdcConsumer {
     */
   def runOnce(spark: SparkSession, stateDir: String, threshold: Int = 5,
               store: Option[ClusterStore] = None,
-              retainVersions: Int = 3): Seq[Long] = {
+              retainVersions: Int = 3, gracePasses: Int = 1): Seq[Long] = {
     recover(spark, stateDir)
     val tableBase = s"$stateDir/table"
     val tables = committed(spark, new Path(tableBase))
@@ -136,9 +141,9 @@ object CdcConsumer {
       ClusterTable.emptyTable(spark))
     val pks = p.map(v => spark.read.parquet(s"$stateDir/cdc/v$v").select(col("PK")))
       .reduce(_ unionByName _).distinct()
-    // fired PKs are COLLECTED before any overlay swap: the lazy plan
-    // reads the pre-pass overlay files, which the swap below replaces
-    // (bounded: clusters crossing the trigger this pass)
+    // fired PKs are collected EAGERLY because they gate whether a pass
+    // is published at all (and drive the serving-store refresh below);
+    // bounded: clusters crossing the trigger this pass
     val firedPks = input.filter(col("row_type") === "metadata")
       .join(broadcast(pks), Seq("PK"), "left_semi")
       .filter(Summarize.shouldSummarize(
@@ -154,9 +159,10 @@ object CdcConsumer {
       val dest = new Path(StreamingPipeline.overlayPassPath(tableBase, target, next))
       ClusterTable.summarizePass(input, pks, threshold)
         .write.mode("overwrite").parquet(dest.toString)
-      // grace-window prune: keep the new pass and its predecessor so a
-      // reader that planned against the previous pass still executes
-      passes.filter(_ < next - 1L).foreach { p0 =>
+      // grace-window prune: keep the new pass and its `gracePasses`
+      // predecessors so a reader that planned against a recent pass
+      // still executes (see the object doc for the window's bound)
+      passes.filter(_ < next - gracePasses).foreach { p0 =>
         f.delete(new Path(StreamingPipeline.overlayPassPath(tableBase, target, p0)), true)
       }
       store.foreach { s =>

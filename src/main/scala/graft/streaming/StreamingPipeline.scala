@@ -72,12 +72,13 @@ object StreamingPipeline {
     * content as `v<N>` plus the summarize pass. Each consumer pass
     * publishes a FRESH pass dir — `v<N>s` (pass 0), `v<N>s1`, `v<N>s2`,
     * … — committed by its `_SUCCESS`; readers resolve the newest
-    * committed pass. Nothing is renamed or deleted under a reader: the
-    * previous pass survives one extra pass as a grace window (ADVICE
-    * r6 — the old delete-then-rename swap could FileNotFound a reader
-    * that had planned against the live overlay), and the base version
-    * is never deleted, so no crash or race window can make state
-    * disappear.
+    * committed pass. Nothing is renamed or overwritten under a reader
+    * (ADVICE r6 — the old delete-then-rename swap could FileNotFound a
+    * reader that had planned against the live overlay): prior passes
+    * survive the consumer's `gracePasses` window (default 1 — see
+    * [[CdcConsumer]] for the bound's honest statement), and the base
+    * version is never deleted, so no crash or race window can make
+    * state disappear.
     */
   private[streaming] def overlayPath(base: String, v: Long) = s"$base/v${v}s"
 

@@ -45,7 +45,7 @@ class ShardingSpec extends SparkSpec {
     val df = Sharding.shuffleShards(docs, "doc_id", nShards = 8)
     df.collect() // finalize AQE
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("hashpartitioning(shard"),
+    assert(p.contains("hashpartitioning(__shard"),
       s"expected the shard hash exchange:\n$p")
     assert(!p.toLowerCase.contains("rangepartitioning"),
       s"global sort exchange in the shard plan:\n$p")
