@@ -184,6 +184,14 @@ class PlanSpec extends SparkSpec {
       s"corpus side must not shuffle for the probe join:\n$p")
   }
 
+  test("d13 semantic dedup candidate pairs come from the centroid-bucket " +
+    "equi-join — no cartesian, no global pair materialization") {
+    val p = plan("d13_semdedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"SemDeDup planned a cartesian operator:\n$p")
+    assert(p.contains("__b"), s"expected the bucket join key in the plan:\n$p")
+  }
+
   test("d11 span detection is equi-join + window + aggregation — no cartesian") {
     val p = plan("d11_span_pairs")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
