@@ -457,6 +457,37 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Quality-aware survivor selection — the keep rule production
+    // pipelines actually ship: within each transitive dup group (the
+    // exact d12 machinery), keep the HIGHEST-QUALITY member (t2's
+    // quality blend; id-asc tie-break after the 6-dp round), not the
+    // lowest id. Plan = d12's plans + one quality projection + one
+    // window over components — the survivor rule changes, the scale
+    // shape doesn't.
+    "d14_dedup_best" -> ((s, dir) => {
+      val corpus = corpusWithNearDups(s, dir)
+      val pairs = graft.operators.JaccardJoin
+        .selfPairs(corpus, "doc_id", "text", t = 0.5)
+        .withColumn("jaccard",
+          round(col("common") * lit(1.0) / (col("sza") + col("szb") - col("common")), 6))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("a"), col("b"))
+      val comp = graft.operators.ConnectedComponents.run(
+        corpus.select(col("doc_id").as("node")),
+        pairs.select(col("a").as("src"), col("b").as("dst")))
+      val qual = corpus.select(col("doc_id").as("node"),
+        TextFns.qualityScore(col("text")).as("quality"))
+      val w = Window.partitionBy(col("component"))
+        .orderBy(col("quality").desc, col("node").asc)
+      val sized = comp.groupBy(col("component")).agg(count(lit(1)).as("n_absorbed"))
+      comp.join(qual, "node")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .join(sized, "component")
+        .select(col("node").as("doc_id"), col("quality"), col("n_absorbed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Dup GROUPS: connected components over the ε-near-dup graph — the
     // transitive-closure dedup decision (a≈b, b≈c ⇒ {a,b,c} one group
     // even when a–c alone misses the cut). Pairs from the lossless
@@ -607,6 +638,9 @@ object DedupQueries {
       |  SELECT doc_id + 1000000, text || ' qq zz near dup pad' FROM documents
       |  WHERE doc_id % 10 = 0)""".stripMargin
 
+  private def stopList: String =
+    TextFns.stopwordsEn.map(w => s"'$w'").mkString(", ")
+
   val oracleSql: Map[String, String] = Map(
     "d1_exact_dedup" ->
       s"""WITH $exactCorpusSql
@@ -729,6 +763,46 @@ object DedupQueries {
          |         FROM corpus c LEFT JOIN comp0 c0 ON c0.n = c.doc_id)
          |SELECT component AS doc_id, count(*) AS n_absorbed
          |FROM comp GROUP BY component ORDER BY doc_id""".stripMargin,
+    "d14_dedup_best" ->
+      s"""WITH RECURSIVE $nearCorpusSql,
+         |norm AS (SELECT doc_id,
+         |  regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         |  FROM corpus),
+         |idx AS (SELECT doc_id, toks,
+         |  unnest(generate_series(1, greatest(len(toks)-3, 0)+1)) AS i FROM norm),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh FROM idx),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |pr AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+         |       FROM sh x JOIN sh y USING (sh) WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+         |e AS (SELECT a, b FROM pr
+         |      JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+         |      WHERE round(common*1.0/(sa.sz + sb.sz - common), 6) >= 0.5),
+         |edges AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+         |reach(n, m) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.n, e2.dst FROM reach r JOIN edges e2 ON r.m = e2.src),
+         |comp0 AS (SELECT n, least(n, min(m)) AS component FROM reach GROUP BY n),
+         |comp AS (SELECT c.doc_id AS n, coalesce(c0.component, c.doc_id) AS component
+         |         FROM corpus c LEFT JOIN comp0 c0 ON c0.n = c.doc_id),
+         |qt AS (SELECT doc_id, text,
+         |  regexp_split_to_array(lower(trim(text)), '\\s+') AS qtoks FROM corpus),
+         |q AS (SELECT doc_id, round(
+         |  least(length(text)/500.0, 1.0)*0.4 +
+         |  (CASE WHEN length(text) > 0
+         |        THEN length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))*1.0/length(text)
+         |        ELSE 0.0 END)*0.4 +
+         |  least((CASE WHEN len(qtoks) > 0
+         |              THEN len(list_filter(qtoks, x -> x IN ($stopList)))*1.0/len(qtoks)
+         |              ELSE 0.0 END)*4.0, 1.0)*0.2, 6) AS quality
+         |FROM qt),
+         |rk AS (SELECT c.component, c.n, q.quality,
+         |         row_number() OVER (PARTITION BY c.component
+         |           ORDER BY q.quality DESC, c.n) AS rk
+         |       FROM comp c JOIN q ON q.doc_id = c.n),
+         |szc AS (SELECT component, count(*) AS n_absorbed FROM comp GROUP BY component)
+         |SELECT rk.n AS doc_id, rk.quality, szc.n_absorbed
+         |FROM rk JOIN szc USING (component) WHERE rk.rk = 1 ORDER BY doc_id""".stripMargin,
     "d11_span_pairs" ->
       s"""WITH $nearCorpusSql,
          |norm AS (SELECT doc_id,
