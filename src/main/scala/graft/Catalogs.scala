@@ -1046,6 +1046,22 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // int8-quantized vector search: clamp(floor(x·127)) codes, ranked by
+    // the EXACT integer dot — the 4× storage/IO compression path for
+    // 100 TB vector scans, with zero float anywhere in ranking or
+    // output (bit-stable on any engine). Recall vs the float baseline
+    // is the spec's measurement; the oracle replays codes + dots
+    // exactly.
+    "s6_knn_int8" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.AnnSearch.int8TopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", k = 10)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // TRAINED k-means coarse quantizer (the third quantizer family next
     // to signed-axis s2/s3 and hyperplane s4). This entry runs the
     // PORTABLE form: vectors quantized to fixed-point bigints
@@ -1207,6 +1223,18 @@ object SimilarityQueries {
          |        (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM s)
          |SELECT qid, vec_id, sim, rk FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
     },
+    "s6_knn_int8" ->
+      """WITH q8 AS (SELECT vec_id,
+        |  list_transform(embedding, x ->
+        |    greatest(-127, least(127, CAST(floor(x::DOUBLE * 127) AS BIGINT)))) AS c
+        |  FROM embeddings),
+        |s AS (SELECT q.vec_id AS qid, e.vec_id,
+        |        list_dot_product(q.c, e.c)::BIGINT AS qsim
+        |      FROM q8 q CROSS JOIN q8 e
+        |      WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY qid ORDER BY qsim DESC, vec_id) AS rk FROM s)
+        |SELECT qid, vec_id, qsim, rk FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     "s5_ann_kmeans" ->
       s"""$kmTrained
          |prb AS (SELECT vec_id AS qid, cidx FROM rk2 WHERE rn <= 2 AND vec_id < 20),

@@ -456,6 +456,47 @@ object AnnSearch {
         col("__sim").as("sim"), col("__rk").as("rk"))
   }
 
+  /** int8 quantization of a unit-norm embedding: `clamp(floor(x·127),
+    * −127, 127)` per component — the standard 4× storage/IO compression
+    * for vector scans (at 100 TB the scan is IO-bound, so the quantized
+    * corpus reads 4× faster and holds 4× more vectors per executor).
+    * floor + clamp are engine-independent (same argument as
+    * [[quantize]]), so the s6 oracle replays the codes exactly.
+    */
+  private[graft] def int8Quantize(vec: Column): Column =
+    transform(vec, x =>
+      greatest(lit(-127L), least(lit(127L),
+        floor(x.cast("double") * lit(127.0)))).cast("long"))
+
+  /** Brute-force top-`k` per query over the int8-quantized corpus,
+    * ranked by the EXACT integer dot product (`qsim`, id-asc
+    * tie-break) — no float appears anywhere in ranking or output, so
+    * the result is bit-stable on any engine and any summation order.
+    * The quality trade (quantization error vs the float ranking) is
+    * measured by the spec as recall against the s1 exact baseline.
+    */
+  def int8TopK(corpus: DataFrame, idCol: String, vecCol: String,
+               queries: DataFrame, qidCol: String, qvecCol: String,
+               k: Int): DataFrame = {
+    require(!Set("qid", "qsim", "rk").contains(idCol),
+      s"idCol '$idCol' collides with a declared output column")
+    val q8 = queries.select(col(qidCol).as("__qid"),
+      int8Quantize(col(qvecCol)).as("__qq"))
+    val c8 = corpus.select(col(idCol).as("__cid"),
+      int8Quantize(col(vecCol)).as("__cq"))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("__qsim").desc, col("__cid").asc)
+    broadcast(q8).crossJoin(c8)
+      .filter(col("__cid") =!= col("__qid"))
+      .withColumn("__qsim", aggregate(
+        zip_with(col("__qq"), col("__cq"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("__qid").as("qid"), col("__cid").as(idCol),
+        col("__qsim").as("qsim"), col("__rk").as("rk"))
+  }
+
   private def topKWithPlanes(corpus: DataFrame, idCol: String, vecCol: String,
                              queries: DataFrame, qidCol: String, qvecCol: String,
                              k: Int, planes: Array[Array[Array[Double]]],

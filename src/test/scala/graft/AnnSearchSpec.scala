@@ -205,6 +205,31 @@ class AnnSearchSpec extends SparkSpec {
     exact.unpersist()
   }
 
+  test("int8-quantized search (s6 oracle form) tracks the float ranking: " +
+    "recall@10 vs the exact baseline clears 0.9") {
+    // 8-bit codes cost 4x less storage/IO; the spec measures what the
+    // quantization error costs in ranking fidelity on unit vectors
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val exact = broadcast(q).crossJoin(emb)
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", round(VectorFns.dotProduct(col("qv"), col("embedding")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("qid"), col("vec_id"))
+      .persist()
+    val nExact = exact.count().toDouble
+    val recall = AnnSearch.int8TopK(emb, "vec_id", "embedding", q, "qid", "qv", k = 10)
+      .select(col("qid"), col("vec_id"))
+      .join(exact, Seq("qid", "vec_id"), "left_semi").count() / nExact
+    info(f"int8 recall@10 $recall%.3f")
+    assert(recall >= 0.9, f"int8 recall@10 $recall%.3f below the 0.9 floor")
+    exact.unpersist()
+  }
+
   test("PORTABLE fixed-point k-means (s5 oracle form) keeps useful recall " +
     "at a 2-of-8-bucket scan and trains deterministically") {
     // the exact-integer variant trades the float path's gaussian-ish
