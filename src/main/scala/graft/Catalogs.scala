@@ -1419,7 +1419,33 @@ object TrainingQueries {
     "t14_shard_shuffle" -> ((s, dir) =>
       graft.operators.Sharding.shuffleShards(
         Tables.documents(s, dir), "doc_id", nShards = 8)
-        .orderBy(col("shard"), col("pos"))))
+        .orderBy(col("shard"), col("pos"))),
+
+    // temperature-scaled domain mixing (the multilingual up-sampling /
+    // mixture-weights shape, cf. XLM-R exponentiated smoothing): keep
+    // probability per language p_d ∝ n_d^(α−1) with α = 0.5, normalized
+    // so the rarest language keeps everything — accept rate
+    // r_d = floor(10000·sqrt(n_min/n_d)) out of 10000 md5 buckets.
+    // PORTABLE: IEEE-754 requires /, sqrt and * to be exactly rounded,
+    // so both engines compute the identical double before floor.
+    // Plan: one tiny count shuffle on lang + a broadcast join back —
+    // the corpus never shuffles; accept is a map-side bucket filter
+    // (same idiom as t8).
+    "t15_mixing" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_d"))
+      val rates = counts.crossJoin(broadcast(counts.agg(min(col("n_d")).as("n_min"))))
+        .select(col("lang"),
+          floor(sqrt(col("n_min").cast("double") / col("n_d").cast("double")) * 10000)
+            .cast("long").as("rate"))
+      def hx(i: Int) = expr(
+        s"instr('0123456789abcdef', substring(md5(concat('mix:', cast(doc_id as string))), $i, 1)) - 1")
+      val bucket = (hx(1) * 4096 + hx(2) * 256 + hx(3) * 16 + hx(4)) % 10000
+      docs.join(broadcast(rates), Seq("lang"))
+        .filter(bucket < col("rate"))
+        .select(col("doc_id"), col("lang"), col("rate"))
+        .orderBy(col("doc_id"))
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "t4_repetition" ->
@@ -1479,6 +1505,18 @@ object TrainingQueries {
          |SELECT doc_id, shard,
          |  row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
          |FROM s ORDER BY shard, pos""".stripMargin
+    },
+    "t15_mixing" -> {
+      val hx = (1 to 4).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5('mix:' || doc_id::VARCHAR), $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")
+        .mkString(" + ")
+      s"""WITH c AS (SELECT lang, count(*)::BIGINT AS n_d FROM documents GROUP BY lang),
+         |m AS (SELECT min(n_d) AS n_min FROM c),
+         |r AS (SELECT lang, CAST(floor(sqrt(n_min::DOUBLE / n_d::DOUBLE) * 10000) AS BIGINT) AS rate
+         |      FROM c CROSS JOIN m),
+         |b AS (SELECT doc_id, lang, ($hx) % 10000 AS bucket FROM documents)
+         |SELECT b.doc_id, b.lang, r.rate FROM b JOIN r USING (lang)
+         |WHERE b.bucket < r.rate ORDER BY b.doc_id""".stripMargin
     },
     "t12_bigram_lm" ->
       """WITH toks AS (SELECT doc_id,
