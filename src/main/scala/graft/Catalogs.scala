@@ -1445,7 +1445,16 @@ object TrainingQueries {
         .filter(bucket < col("rate"))
         .select(col("doc_id"), col("lang"), col("rate"))
         .orderBy(col("doc_id"))
-    }))
+    }),
+
+    // winnowing document fingerprints (Schleimer et al., the MOSS
+    // local fingerprint): k=8 char-gram 28-bit md5 hashes, window w=4,
+    // min per window with rightmost tie-break. See operators/Winnowing
+    // for the portable argmin encoding and the one-exchange plan.
+    "t16_fingerprint" -> ((s, dir) =>
+      graft.operators.Winnowing.fingerprints(
+        Tables.documents(s, dir), "doc_id", "text", k = 8, w = 4)
+        .orderBy(col("doc_id"), col("pos"), col("fp"))))
 
   val oracleSql: Map[String, String] = Map(
     "t4_repetition" ->
@@ -1517,6 +1526,33 @@ object TrainingQueries {
          |b AS (SELECT doc_id, lang, ($hx) % 10000 AS bucket FROM documents)
          |SELECT b.doc_id, b.lang, r.rate FROM b JOIN r USING (lang)
          |WHERE b.bucket < r.rate ORDER BY b.doc_id""".stripMargin
+    },
+    "t16_fingerprint" -> {
+      // 28-bit u-int from the first 7 hex digits of md5 — digit-sum
+      // idiom as in s4/t14; tie-break encoded as h*2^32 + (2^32-1-pos)
+      // exactly like Winnowing.fingerprints
+      val h7 = (1 to 7).map(i =>
+        s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1) * ${math.pow(16, 7 - i).toLong}")
+        .mkString(" + ")
+      s"""WITH n AS (SELECT doc_id,
+         |  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM documents),
+         |p AS (SELECT doc_id, unnest(generate_series(1, length(t) - 7)) AS pos, t
+         |      FROM n WHERE length(t) >= 11),
+         |g AS (SELECT doc_id, pos, md5(substr(t, pos::INT, 8)) AS hx FROM p),
+         |v AS (SELECT doc_id, pos,
+         |        ($h7) * 4294967296 + (4294967295 - pos) AS v FROM g),
+         |m AS (SELECT doc_id, pos, min(v) OVER (PARTITION BY doc_id
+         |        ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS vmin
+         |      FROM v),
+         |s AS (SELECT doc_id, pos AS wend,
+         |        4294967295 - (vmin % 4294967296) AS pos,
+         |        vmin // 4294967296 AS fp
+         |      FROM m WHERE pos >= 4),
+         |d AS (SELECT doc_id, pos, fp,
+         |        lag(pos) OVER (PARTITION BY doc_id ORDER BY wend) AS prev
+         |      FROM s)
+         |SELECT doc_id, pos, fp FROM d WHERE prev IS NULL OR pos <> prev
+         |ORDER BY doc_id, pos, fp""".stripMargin
     },
     "t12_bigram_lm" ->
       """WITH toks AS (SELECT doc_id,
