@@ -488,6 +488,17 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Containment pairs via winnowing fingerprints (Schleimer et al.):
+    // documents sharing selected k-gram hashes, scored by
+    // shared/min(|fp_a|,|fp_b|) — catches a short doc EMBEDDED in a
+    // long one, which symmetric Jaccard dilutes. df-capped fp equi-join
+    // (the d11 boilerplate hazard); see operators/Winnowing.
+    "d15_containment" -> ((s, dir) =>
+      graft.operators.Winnowing.containmentPairs(
+        corpusWithNearDups(s, dir), "doc_id", "text",
+        k = 8, w = 4, tau = 0.5, maxDf = 1000L)
+        .orderBy(col("a"), col("b"))),
+
     // Dup GROUPS: connected components over the ε-near-dup graph — the
     // transitive-closure dedup decision (a≈b, b≈c ⇒ {a,b,c} one group
     // even when a–c alone misses the cut). Pairs from the lossless
@@ -763,6 +774,37 @@ object DedupQueries {
          |         FROM corpus c LEFT JOIN comp0 c0 ON c0.n = c.doc_id)
          |SELECT component AS doc_id, count(*) AS n_absorbed
          |FROM comp GROUP BY component ORDER BY doc_id""".stripMargin,
+    "d15_containment" -> {
+      // same 28-bit md5 digit-sum + argmin encoding as t16_fingerprint
+      val h7 = (1 to 7).map(i =>
+        s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1) * ${math.pow(16, 7 - i).toLong}")
+        .mkString(" + ")
+      s"""WITH $nearCorpusSql,
+         |n AS (SELECT doc_id,
+         |  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM corpus),
+         |p AS (SELECT doc_id, unnest(generate_series(1, length(t) - 7)) AS pos, t
+         |      FROM n WHERE length(t) >= 11),
+         |g AS (SELECT doc_id, pos, md5(substr(t, pos::INT, 8)) AS hx FROM p),
+         |v AS (SELECT doc_id, pos,
+         |        ($h7) * 4294967296 + (4294967295 - pos) AS v FROM g),
+         |m AS (SELECT doc_id, pos, min(v) OVER (PARTITION BY doc_id
+         |        ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS vmin
+         |      FROM v),
+         |sel AS (SELECT DISTINCT doc_id, vmin // 4294967296 AS fp
+         |        FROM m WHERE pos >= 4),
+         |kept AS (SELECT doc_id, fp FROM (
+         |        SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM sel)
+         |        WHERE df <= 1000),
+         |sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+         |pr AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+         |       FROM kept x JOIN kept y USING (fp) WHERE x.doc_id < y.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT a, b, shared, sa.n AS fpa, sb.n AS fpb,
+         |       round(shared*1.0/least(sa.n, sb.n), 6) AS containment
+         |FROM pr JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+         |WHERE round(shared*1.0/least(sa.n, sb.n), 6) >= 0.5
+         |ORDER BY a, b""".stripMargin
+    },
     "d14_dedup_best" ->
       s"""WITH RECURSIVE $nearCorpusSql,
          |norm AS (SELECT doc_id,

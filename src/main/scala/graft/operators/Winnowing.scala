@@ -72,4 +72,49 @@ object Winnowing {
       .filter(col("__prev").isNull || col("__prev") =!= col("pos"))
       .select(id, col("pos"), col("fp"))
   }
+
+  /** Containment pairs `(a, b, shared, fpa, fpb, containment)` with
+    * `a < b`: documents sharing ≥ 1 winnowing fingerprint, scored by
+    * `shared / min(fpa, fpb)` — the asymmetric-overlap measure that
+    * catches a short document EMBEDDED in a long one, which symmetric
+    * Jaccard dilutes away. The winnowing guarantee makes this sound:
+    * any shared substring of ≥ k + w − 1 characters contributes at
+    * least one common fingerprint.
+    *
+    * `maxDf` drops fingerprints selected in more than that many
+    * documents before pairing — 28-bit hashes of COMMON k-grams
+    * ("the and…", site boilerplate) would otherwise each fan out df²
+    * candidate pairs; capping df bounds the join's hot keys, exactly
+    * the d11 `maxGramDf` hazard. Sizes `fpa`/`fpb` count the SAME
+    * capped set, so containment stays a ratio over one universe
+    * (a boilerplate-only document simply exits the query).
+    *
+    * Plan shape: the fingerprint pass (one per-doc exchange), a
+    * distinct + df aggregate on `fp`, then ONE fp equi-join whose key
+    * cardinality is bounded by `maxDf` — corpus-linear candidates, no
+    * cartesian, partitionable at 100 TB.
+    */
+  def containmentPairs(corpus: DataFrame, idCol: String, textCol: String,
+                       k: Int = 8, w: Int = 4, tau: Double = 0.5,
+                       maxDf: Long = 1000L): DataFrame = {
+    val fps = fingerprints(corpus, idCol, textCol, k, w)
+      .select(col(idCol).as("__id"), col("fp")).distinct()
+    val kept = fps
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("__df") <= maxDf)
+      .select(col("__id"), col("fp"))
+    val sizes = kept.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+    val shared = kept.select(col("__id").as("a"), col("fp"))
+      .join(kept.select(col("__id").as("b"), col("fp")), "fp")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("__id").as("a"), col("__n").as("fpa")), "a")
+      .join(sizes.select(col("__id").as("b"), col("__n").as("fpb")), "b")
+      .withColumn("containment",
+        round(col("shared") * lit(1.0) / least(col("fpa"), col("fpb")), 6))
+      .filter(col("containment") >= tau)
+      .select(col("a"), col("b"), col("shared"), col("fpa"), col("fpb"),
+        col("containment"))
+  }
 }

@@ -71,6 +71,48 @@ class WinnowingSpec extends SparkSpec {
         s"window ending at $end has no selected fingerprint")
   }
 
+  private def pairs(docs: Seq[(Long, String)], tau: Double = 0.5,
+                    maxDf: Long = 1000L): Map[(Long, Long), Double] =
+    Winnowing.containmentPairs(docs.toDF("id", "text"), "id", "text",
+        tau = tau, maxDf = maxDf)
+      .select("a", "b", "containment")
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+
+  test("a short doc embedded in a long one scores high containment where Jaccard dilutes") {
+    val short_ = "breaking: the central bank raised its policy rate by fifty basis points today"
+    val filler = (1 to 40).map(i => s"unrelated filler sentence number $i about various topics").mkString(". ")
+    val docs = Seq(1L -> short_, 2L -> s"$filler. $short_. $filler")
+    val got = pairs(docs)
+    assert(got.contains((1L, 2L)), s"expected the embedded pair, got $got")
+    assert(got((1L, 2L)) >= 0.9, s"containment should be ~1 for full embedding: $got")
+    // symmetric Jaccard over the same pair is tiny — the measure d15 exists to beat
+    val jac = graft.operators.JaccardJoin
+      .selfPairs(docs.toDF("id", "text"), "id", "text", t = 0.1)
+      .selectExpr("CAST(common AS DOUBLE) / (sza + szb - common) AS j")
+      .as[Double].collect()
+    assert(jac.isEmpty || jac.forall(_ < 0.2),
+      s"Jaccard should dilute the embedded doc: ${jac.toSeq}")
+  }
+
+  test("unrelated documents do not pair") {
+    val docs = Seq(
+      1L -> "completely distinct text about astronomy telescopes and distant galaxies tonight",
+      2L -> "a recipe for sourdough bread with a long fermentation and careful shaping")
+    assert(pairs(docs).isEmpty)
+  }
+
+  test("maxDf drops boilerplate fingerprints from pairing and sizes") {
+    val boiler = "standard legal disclaimer shared by every single document in this corpus"
+    val docs = (1L to 6L).map(i =>
+      i -> s"$boiler. unique body $i with its own words ${"x" + i} ${"y" + i} distinct content here")
+    // with the cap at df<=2 the shared boilerplate can't pair all 15 combos
+    val capped = pairs(docs, tau = 0.3, maxDf = 2)
+    val uncapped = pairs(docs, tau = 0.3, maxDf = 1000)
+    assert(uncapped.size >= capped.size)
+    assert(capped.isEmpty, s"boilerplate-only overlap must not survive the df cap: $capped")
+  }
+
   test("short documents yield no fingerprints") {
     assert(run(Seq(1L -> "tiny", 2L -> "exactly 10")).isEmpty)
     // k + w - 1 = 11 normalized chars is the minimum for one window
