@@ -34,9 +34,43 @@ import graft.operators.{Summarize, TemporalJoins}
   * it — accepted and documented rather than rewritten, since decimal
   * list-folds are not expressible in DuckDB's list_dot_product form.
   */
+/** SQL fragments shared by several catalogs' oracles — one source of
+  * truth for idioms that MUST stay bit-identical across queries.
+  */
+private[graft] object OracleSqlParts {
+
+  /** Quoted stopword list for DuckDB `IN (...)` — quoting lives here
+    * once so an apostrophe ever added to TextFns.stopwordsEn is fixed
+    * in one place. */
+  val stopList: String = TextFns.stopwordsEn.map(w => s"'$w'").mkString(", ")
+
+  /** Winnowing CTE chain (k=8, w=4) over `src(doc_id, text)`, replaying
+    * operators/Winnowing.fingerprints digit-for-digit: 28-bit md5 gram
+    * hashes and the argmin encoding v = h·2^32 + (2^32−1−pos). Emits
+    * CTEs n/p/g/v/m; consumers read window minima from
+    * m(doc_id, pos, vmin) (rows with pos ≥ 4 are full windows). Shared
+    * by t16_fingerprint and d15_containment so the encoding cannot
+    * drift between their oracles. */
+  def winnowingCtes(src: String): String = {
+    val h7 = (1 to 7).map(i =>
+      s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1) * ${math.pow(16, 7 - i).toLong}")
+      .mkString(" + ")
+    s"""n AS (SELECT doc_id,
+       |  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM $src),
+       |p AS (SELECT doc_id, unnest(generate_series(1, length(t) - 7)) AS pos, t
+       |      FROM n WHERE length(t) >= 11),
+       |g AS (SELECT doc_id, pos, md5(substr(t, pos::INT, 8)) AS hx FROM p),
+       |v AS (SELECT doc_id, pos,
+       |        ($h7) * 4294967296 + (4294967295 - pos) AS v FROM g),
+       |m AS (SELECT doc_id, pos, min(v) OVER (PARTITION BY doc_id
+       |        ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS vmin
+       |      FROM v)""".stripMargin
+  }
+}
+
 object TextQueries {
 
-  private def stopList: String = TextFns.stopwordsEn.map(w => s"'$w'").mkString(", ")
+  private def stopList: String = OracleSqlParts.stopList
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token counting (whitespace + BPE-ish subword regex)
@@ -326,6 +360,24 @@ object DedupQueries {
     docs.unionByName(dups)
   }
 
+  /** The shared d12/d14 dup-group machinery: PPJoin candidates, exact
+    * Jaccard ≥ 0.5 verify, transitive closure. Returns
+    * (node, component) for EVERY corpus doc (singletons are their own
+    * component). One definition so the survivor-rule queries can never
+    * disagree on what a dup group is. */
+  private def dupComponents(s: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusWithNearDups(s, dir)
+    val pairs = graft.operators.JaccardJoin
+      .selfPairs(corpus, "doc_id", "text", t = 0.5)
+      .withColumn("jaccard",
+        round(col("common") * lit(1.0) / (col("sza") + col("szb") - col("common")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a"), col("b"))
+    graft.operators.ConnectedComponents.run(
+      corpus.select(col("doc_id").as("node")),
+      pairs.select(col("a").as("src"), col("b").as("dst")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: normalized-text fingerprint, keep-first (min id), count
     "d1_exact_dedup" -> ((s, dir) =>
@@ -440,22 +492,12 @@ object DedupQueries {
     // pipeline actually ships: candidates, exact verify, grouping and
     // the keep rule in one query, every stage the scale-shaped plan the
     // component operators carry individually.
-    "d12_dedup_corpus" -> ((s, dir) => {
-      val corpus = corpusWithNearDups(s, dir)
-      val pairs = graft.operators.JaccardJoin
-        .selfPairs(corpus, "doc_id", "text", t = 0.5)
-        .withColumn("jaccard",
-          round(col("common") * lit(1.0) / (col("sza") + col("szb") - col("common")), 6))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("a"), col("b"))
-      val comp = graft.operators.ConnectedComponents.run(
-        corpus.select(col("doc_id").as("node")),
-        pairs.select(col("a").as("src"), col("b").as("dst")))
+    "d12_dedup_corpus" -> ((s, dir) =>
       // components are labeled by their min member — the keeper
-      comp.groupBy(col("component")).agg(count(lit(1)).as("n_absorbed"))
+      dupComponents(s, dir)
+        .groupBy(col("component")).agg(count(lit(1)).as("n_absorbed"))
         .select(col("component").as("doc_id"), col("n_absorbed"))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
 
     // Quality-aware survivor selection — the keep rule production
     // pipelines actually ship: within each transitive dup group (the
@@ -465,17 +507,8 @@ object DedupQueries {
     // window over components — the survivor rule changes, the scale
     // shape doesn't.
     "d14_dedup_best" -> ((s, dir) => {
-      val corpus = corpusWithNearDups(s, dir)
-      val pairs = graft.operators.JaccardJoin
-        .selfPairs(corpus, "doc_id", "text", t = 0.5)
-        .withColumn("jaccard",
-          round(col("common") * lit(1.0) / (col("sza") + col("szb") - col("common")), 6))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("a"), col("b"))
-      val comp = graft.operators.ConnectedComponents.run(
-        corpus.select(col("doc_id").as("node")),
-        pairs.select(col("a").as("src"), col("b").as("dst")))
-      val qual = corpus.select(col("doc_id").as("node"),
+      val comp = dupComponents(s, dir)
+      val qual = corpusWithNearDups(s, dir).select(col("doc_id").as("node"),
         TextFns.qualityScore(col("text")).as("quality"))
       val w = Window.partitionBy(col("component"))
         .orderBy(col("quality").desc, col("node").asc)
@@ -649,8 +682,33 @@ object DedupQueries {
       |  SELECT doc_id + 1000000, text || ' qq zz near dup pad' FROM documents
       |  WHERE doc_id % 10 = 0)""".stripMargin
 
-  private def stopList: String =
-    TextFns.stopwordsEn.map(w => s"'$w'").mkString(", ")
+  private def stopList: String = OracleSqlParts.stopList
+
+  /** SQL replay of [[dupComponents]] — CTEs norm…comp over `corpus`;
+    * consumers read comp(n, component). Shared by the d12/d14 oracles
+    * (they must agree on what a dup group is, so the chain exists once;
+    * requires WITH RECURSIVE for `reach`). */
+  private val dupComponentsSql =
+    """norm AS (SELECT doc_id,
+      |  regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM corpus),
+      |idx AS (SELECT doc_id, toks,
+      |  unnest(generate_series(1, greatest(len(toks)-3, 0)+1)) AS i FROM norm),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh FROM idx),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |pr AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+      |       FROM sh x JOIN sh y USING (sh) WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+      |e AS (SELECT a, b FROM pr
+      |      JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+      |      WHERE round(common*1.0/(sa.sz + sb.sz - common), 6) >= 0.5),
+      |edges AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+      |reach(n, m) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.n, e2.dst FROM reach r JOIN edges e2 ON r.m = e2.src),
+      |comp0 AS (SELECT n, least(n, min(m)) AS component FROM reach GROUP BY n),
+      |comp AS (SELECT c.doc_id AS n, coalesce(c0.component, c.doc_id) AS component
+      |         FROM corpus c LEFT JOIN comp0 c0 ON c0.n = c.doc_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "d1_exact_dedup" ->
@@ -752,44 +810,12 @@ object DedupQueries {
          |FROM seg s JOIN dfx USING (seg) GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "d12_dedup_corpus" ->
       s"""WITH RECURSIVE $nearCorpusSql,
-         |norm AS (SELECT doc_id,
-         |  regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
-         |  FROM corpus),
-         |idx AS (SELECT doc_id, toks,
-         |  unnest(generate_series(1, greatest(len(toks)-3, 0)+1)) AS i FROM norm),
-         |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh FROM idx),
-         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-         |pr AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
-         |       FROM sh x JOIN sh y USING (sh) WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
-         |e AS (SELECT a, b FROM pr
-         |      JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
-         |      WHERE round(common*1.0/(sa.sz + sb.sz - common), 6) >= 0.5),
-         |edges AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
-         |reach(n, m) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.n, e2.dst FROM reach r JOIN edges e2 ON r.m = e2.src),
-         |comp0 AS (SELECT n, least(n, min(m)) AS component FROM reach GROUP BY n),
-         |comp AS (SELECT c.doc_id AS n, coalesce(c0.component, c.doc_id) AS component
-         |         FROM corpus c LEFT JOIN comp0 c0 ON c0.n = c.doc_id)
+         |$dupComponentsSql
          |SELECT component AS doc_id, count(*) AS n_absorbed
          |FROM comp GROUP BY component ORDER BY doc_id""".stripMargin,
-    "d15_containment" -> {
-      // same 28-bit md5 digit-sum + argmin encoding as t16_fingerprint
-      val h7 = (1 to 7).map(i =>
-        s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1) * ${math.pow(16, 7 - i).toLong}")
-        .mkString(" + ")
+    "d15_containment" ->
       s"""WITH $nearCorpusSql,
-         |n AS (SELECT doc_id,
-         |  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM corpus),
-         |p AS (SELECT doc_id, unnest(generate_series(1, length(t) - 7)) AS pos, t
-         |      FROM n WHERE length(t) >= 11),
-         |g AS (SELECT doc_id, pos, md5(substr(t, pos::INT, 8)) AS hx FROM p),
-         |v AS (SELECT doc_id, pos,
-         |        ($h7) * 4294967296 + (4294967295 - pos) AS v FROM g),
-         |m AS (SELECT doc_id, pos, min(v) OVER (PARTITION BY doc_id
-         |        ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS vmin
-         |      FROM v),
+         |${OracleSqlParts.winnowingCtes("corpus")},
          |sel AS (SELECT DISTINCT doc_id, vmin // 4294967296 AS fp
          |        FROM m WHERE pos >= 4),
          |kept AS (SELECT doc_id, fp FROM (
@@ -803,30 +829,10 @@ object DedupQueries {
          |       round(shared*1.0/least(sa.n, sb.n), 6) AS containment
          |FROM pr JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
          |WHERE round(shared*1.0/least(sa.n, sb.n), 6) >= 0.5
-         |ORDER BY a, b""".stripMargin
-    },
+         |ORDER BY a, b""".stripMargin,
     "d14_dedup_best" ->
       s"""WITH RECURSIVE $nearCorpusSql,
-         |norm AS (SELECT doc_id,
-         |  regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
-         |  FROM corpus),
-         |idx AS (SELECT doc_id, toks,
-         |  unnest(generate_series(1, greatest(len(toks)-3, 0)+1)) AS i FROM norm),
-         |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh FROM idx),
-         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-         |pr AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
-         |       FROM sh x JOIN sh y USING (sh) WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
-         |e AS (SELECT a, b FROM pr
-         |      JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
-         |      WHERE round(common*1.0/(sa.sz + sb.sz - common), 6) >= 0.5),
-         |edges AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
-         |reach(n, m) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.n, e2.dst FROM reach r JOIN edges e2 ON r.m = e2.src),
-         |comp0 AS (SELECT n, least(n, min(m)) AS component FROM reach GROUP BY n),
-         |comp AS (SELECT c.doc_id AS n, coalesce(c0.component, c.doc_id) AS component
-         |         FROM corpus c LEFT JOIN comp0 c0 ON c0.n = c.doc_id),
+         |$dupComponentsSql,
          |qt AS (SELECT doc_id, text,
          |  regexp_split_to_array(lower(trim(text)), '\\s+') AS qtoks FROM corpus),
          |q AS (SELECT doc_id, round(
@@ -1325,7 +1331,7 @@ object TrainingQueries {
 
   import org.apache.spark.sql.Column
 
-  private def stopList: String = TextFns.stopwordsEn.map(w => s"'$w'").mkString(", ")
+  private def stopList: String = OracleSqlParts.stopList
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // repetition ratio over word bigrams (boilerplate signal); tokens
@@ -1440,14 +1446,18 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // stratified sampling: portable md5-derived bucket, per-language rate
+    // stratified sampling: portable md5-derived bucket, per-language
+    // rate. Accept is the EXACT integer cross-multiply
+    // bucket/256 < rate/100 (a modulo fold `bucket % 100 < rate` is
+    // biased: low residues occur 3/256, high ones 2/256, so rate 50
+    // would actually keep 58.6%).
     "t8_sample" -> ((s, dir) => {
-      val bucket = (expr("instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1") * 16 +
-        expr("instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 2, 1)) - 1")) % 100
-      val rate = when(col("lang") === "en", 50)
-        .when(col("lang") === "de", 30).otherwise(10)
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("long")
+      val rate = when(col("lang") === "en", 50L)
+        .when(col("lang") === "de", 30L).otherwise(10L)
       Tables.documents(s, dir)
-        .filter(bucket < rate)
+        .filter(bucket * lit(100L) < rate * lit(256L))
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }),
@@ -1467,9 +1477,14 @@ object TrainingQueries {
     // mixture-weights shape, cf. XLM-R exponentiated smoothing): keep
     // probability per language p_d ∝ n_d^(α−1) with α = 0.5, normalized
     // so the rarest language keeps everything — accept rate
-    // r_d = floor(10000·sqrt(n_min/n_d)) out of 10000 md5 buckets.
+    // r_d = floor(10000·sqrt(n_min/n_d)) per 10000.
     // PORTABLE: IEEE-754 requires /, sqrt and * to be exactly rounded,
     // so both engines compute the identical double before floor.
+    // Accept is the EXACT integer cross-multiply bucket/65536 <
+    // rate/10000 over the full 16-bit md5 bucket — a `% 10000` fold of
+    // the bucket is modulo-biased (low residues 7/65536, high 6/65536,
+    // distorting mid-rate languages by up to ~7% relative), and ONE
+    // conv() call per row beats four digit extractions.
     // Plan: one tiny count shuffle on lang + a broadcast join back —
     // the corpus never shuffles; accept is a map-side bucket filter
     // (same idiom as t8).
@@ -1480,11 +1495,11 @@ object TrainingQueries {
         .select(col("lang"),
           floor(sqrt(col("n_min").cast("double") / col("n_d").cast("double")) * 10000)
             .cast("long").as("rate"))
-      def hx(i: Int) = expr(
-        s"instr('0123456789abcdef', substring(md5(concat('mix:', cast(doc_id as string))), $i, 1)) - 1")
-      val bucket = (hx(1) * 4096 + hx(2) * 256 + hx(3) * 16 + hx(4)) % 10000
+      val bucket = conv(
+        substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+        .cast("long")
       docs.join(broadcast(rates), Seq("lang"))
-        .filter(bucket < col("rate"))
+        .filter(bucket * lit(10000L) < col("rate") * lit(65536L))
         .select(col("doc_id"), col("lang"), col("rate"))
         .orderBy(col("doc_id"))
     }),
@@ -1545,7 +1560,7 @@ object TrainingQueries {
         |  (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1) AS bucket,
         |  CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 30 ELSE 10 END AS rate
         |FROM documents)
-        |SELECT doc_id, lang FROM t WHERE bucket % 100 < rate ORDER BY doc_id""".stripMargin,
+        |SELECT doc_id, lang FROM t WHERE bucket * 100 < rate * 256 ORDER BY doc_id""".stripMargin,
     "t14_shard_shuffle" -> {
       // u32 of the first 8 hex chars — same digit-sum idiom as s4
       val u32 = (1 to 8).map(i =>
@@ -1565,27 +1580,12 @@ object TrainingQueries {
          |m AS (SELECT min(n_d) AS n_min FROM c),
          |r AS (SELECT lang, CAST(floor(sqrt(n_min::DOUBLE / n_d::DOUBLE) * 10000) AS BIGINT) AS rate
          |      FROM c CROSS JOIN m),
-         |b AS (SELECT doc_id, lang, ($hx) % 10000 AS bucket FROM documents)
+         |b AS (SELECT doc_id, lang, ($hx) AS bucket FROM documents)
          |SELECT b.doc_id, b.lang, r.rate FROM b JOIN r USING (lang)
-         |WHERE b.bucket < r.rate ORDER BY b.doc_id""".stripMargin
+         |WHERE b.bucket * 10000 < r.rate * 65536 ORDER BY b.doc_id""".stripMargin
     },
-    "t16_fingerprint" -> {
-      // 28-bit u-int from the first 7 hex digits of md5 — digit-sum
-      // idiom as in s4/t14; tie-break encoded as h*2^32 + (2^32-1-pos)
-      // exactly like Winnowing.fingerprints
-      val h7 = (1 to 7).map(i =>
-        s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1) * ${math.pow(16, 7 - i).toLong}")
-        .mkString(" + ")
-      s"""WITH n AS (SELECT doc_id,
-         |  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM documents),
-         |p AS (SELECT doc_id, unnest(generate_series(1, length(t) - 7)) AS pos, t
-         |      FROM n WHERE length(t) >= 11),
-         |g AS (SELECT doc_id, pos, md5(substr(t, pos::INT, 8)) AS hx FROM p),
-         |v AS (SELECT doc_id, pos,
-         |        ($h7) * 4294967296 + (4294967295 - pos) AS v FROM g),
-         |m AS (SELECT doc_id, pos, min(v) OVER (PARTITION BY doc_id
-         |        ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS vmin
-         |      FROM v),
+    "t16_fingerprint" ->
+      s"""WITH ${OracleSqlParts.winnowingCtes("documents")},
          |s AS (SELECT doc_id, pos AS wend,
          |        4294967295 - (vmin % 4294967296) AS pos,
          |        vmin // 4294967296 AS fp
@@ -1594,8 +1594,7 @@ object TrainingQueries {
          |        lag(pos) OVER (PARTITION BY doc_id ORDER BY wend) AS prev
          |      FROM s)
          |SELECT doc_id, pos, fp FROM d WHERE prev IS NULL OR pos <> prev
-         |ORDER BY doc_id, pos, fp""".stripMargin
-    },
+         |ORDER BY doc_id, pos, fp""".stripMargin,
     "t12_bigram_lm" ->
       """WITH toks AS (SELECT doc_id,
         |  regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
