@@ -198,4 +198,21 @@ class PlanSpec extends SparkSpec {
       s"span detection planned a cartesian operator:\n$p")
     assert(p.contains("Window"), s"islands window missing:\n$p")
   }
+
+  test("t16 winnowing is per-document windows — no join operator at all") {
+    val p = plan("t16_fingerprint")
+    assert(p.contains("Window"), s"winnowing window pass missing:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"fingerprinting must not shuffle documents against each other:\n$p")
+  }
+
+  test("d15 containment candidates come from the fp equi-join, not a cartesian") {
+    val p = plan("d15_containment")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"containment planned a cartesian operator:\n$p")
+    // the pairing join keys on the fingerprint value
+    assert(p.contains("SortMergeJoin [fp") || p.contains("ShuffledHashJoin [fp")
+        || p.contains("BroadcastHashJoin [fp"),
+      s"no fp-keyed equi-join found:\n$p")
+  }
 }
