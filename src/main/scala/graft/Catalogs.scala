@@ -44,26 +44,26 @@ private[graft] object OracleSqlParts {
     * in one place. */
   val stopList: String = TextFns.stopwordsEn.map(w => s"'$w'").mkString(", ")
 
-  /** Winnowing CTE chain (k=8, w=4) over `src(doc_id, text)`, replaying
+  /** Winnowing CTE chain over `src(doc_id, text)`, replaying
     * operators/Winnowing.fingerprints digit-for-digit: 28-bit md5 gram
     * hashes and the argmin encoding v = h·2^32 + (2^32−1−pos). Emits
     * CTEs n/p/g/v/m; consumers read window minima from
-    * m(doc_id, pos, vmin) (rows with pos ≥ 4 are full windows). Shared
+    * m(doc_id, pos, vmin) (rows with pos ≥ w are full windows). Shared
     * by t16_fingerprint and d15_containment so the encoding cannot
     * drift between their oracles. */
-  def winnowingCtes(src: String): String = {
+  def winnowingCtes(src: String, k: Int, w: Int): String = {
     val h7 = (1 to 7).map(i =>
       s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1) * ${math.pow(16, 7 - i).toLong}")
       .mkString(" + ")
     s"""n AS (SELECT doc_id,
        |  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM $src),
-       |p AS (SELECT doc_id, unnest(generate_series(1, length(t) - 7)) AS pos, t
-       |      FROM n WHERE length(t) >= 11),
-       |g AS (SELECT doc_id, pos, md5(substr(t, pos::INT, 8)) AS hx FROM p),
+       |p AS (SELECT doc_id, unnest(generate_series(1, length(t) - ${k - 1})) AS pos, t
+       |      FROM n WHERE length(t) >= ${k + w - 1}),
+       |g AS (SELECT doc_id, pos, md5(substr(t, pos::INT, $k)) AS hx FROM p),
        |v AS (SELECT doc_id, pos,
        |        ($h7) * 4294967296 + (4294967295 - pos) AS v FROM g),
        |m AS (SELECT doc_id, pos, min(v) OVER (PARTITION BY doc_id
-       |        ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS vmin
+       |        ORDER BY pos ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS vmin
        |      FROM v)""".stripMargin
   }
 }
@@ -524,12 +524,18 @@ object DedupQueries {
     // Containment pairs via winnowing fingerprints (Schleimer et al.):
     // documents sharing selected k-gram hashes, scored by
     // shared/min(|fp_a|,|fp_b|) — catches a short doc EMBEDDED in a
-    // long one, which symmetric Jaccard dilutes. df-capped fp equi-join
-    // (the d11 boilerplate hazard); see operators/Winnowing.
+    // long one, which symmetric Jaccard dilutes. k = 24 (not t16's 8):
+    // winnowing SELECTS minimum hashes, so short grams bias selections
+    // toward corpus-common text and the fp join's keys go hot — probed
+    // at sf0.1, k=8 gives sum(df²) = 232M candidate rows (max df 3716)
+    // vs 454k at k=24 (max df 16), a 500× join-work cut that loses
+    // none of the planted clone pairs; detection floor is shared runs
+    // ≥ k+w−1 = 31 chars. maxDf stays as the boilerplate safety valve
+    // (the d11 hazard); see operators/Winnowing.
     "d15_containment" -> ((s, dir) =>
       graft.operators.Winnowing.containmentPairs(
         corpusWithNearDups(s, dir), "doc_id", "text",
-        k = 8, w = 4, tau = 0.5, maxDf = 1000L)
+        k = 24, w = 8, tau = 0.5, maxDf = 1000L)
         .orderBy(col("a"), col("b"))),
 
     // Dup GROUPS: connected components over the ε-near-dup graph — the
@@ -815,9 +821,9 @@ object DedupQueries {
          |FROM comp GROUP BY component ORDER BY doc_id""".stripMargin,
     "d15_containment" ->
       s"""WITH $nearCorpusSql,
-         |${OracleSqlParts.winnowingCtes("corpus")},
+         |${OracleSqlParts.winnowingCtes("corpus", k = 24, w = 8)},
          |sel AS (SELECT DISTINCT doc_id, vmin // 4294967296 AS fp
-         |        FROM m WHERE pos >= 4),
+         |        FROM m WHERE pos >= 8),
          |kept AS (SELECT doc_id, fp FROM (
          |        SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM sel)
          |        WHERE df <= 1000),
@@ -1585,7 +1591,7 @@ object TrainingQueries {
          |WHERE b.bucket * 10000 < r.rate * 65536 ORDER BY b.doc_id""".stripMargin
     },
     "t16_fingerprint" ->
-      s"""WITH ${OracleSqlParts.winnowingCtes("documents")},
+      s"""WITH ${OracleSqlParts.winnowingCtes("documents", k = 8, w = 4)},
          |s AS (SELECT doc_id, pos AS wend,
          |        4294967295 - (vmin % 4294967296) AS pos,
          |        vmin // 4294967296 AS fp

@@ -89,6 +89,15 @@ object Winnowing {
     * capped set, so containment stays a ratio over one universe
     * (a boilerplate-only document simply exits the query).
     *
+    * Choosing `k`: winnowing selects MINIMUM hashes, so selections are
+    * biased toward whatever grams are corpus-common — on repetitive
+    * corpora a short `k` makes most selected fingerprints hot keys and
+    * the df cap starts deciding results instead of guarding them
+    * (measured at sf0.1: k=8 → sum(df²) 232M candidate rows, k=24 →
+    * 454k). For containment detection prefer k large enough that a
+    * k-gram is distinctive (16-32 chars); the detection floor is
+    * shared runs of k + w − 1 characters.
+    *
     * Plan shape: the fingerprint pass (one per-doc exchange), a
     * distinct + df aggregate on `fp`, then ONE fp equi-join whose key
     * cardinality is bounded by `maxDf` — corpus-linear candidates, no

@@ -50,6 +50,17 @@ class WinnowingSpec extends SparkSpec {
         s"doc $id fingerprints diverge from the reference algorithm")
   }
 
+  test("matches the paper algorithm at the catalog's containment parameters (k=24, w=8)") {
+    val docs = Seq(
+      1L -> ("Quarterly earnings exceeded analyst expectations across every " +
+        "segment, with cloud revenue growing fastest for the third year running."),
+      2L -> "bbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbb") // degenerate at long k too
+    val got = run(docs, k = 24, w = 8)
+    for ((id, text) <- docs)
+      assert(got.getOrElse(id, Seq.empty) == naive(text, 24, 8).sortBy(_._1),
+        s"doc $id fingerprints diverge from the reference algorithm at k=24")
+  }
+
   test("identical normalized text yields identical fingerprints (case/whitespace invariant)") {
     val docs = Seq(
       1L -> "Shared   Body OF text long enough to fingerprint reliably",
