@@ -44,6 +44,21 @@ private[graft] object OracleSqlParts {
     * in one place. */
   val stopList: String = TextFns.stopwordsEn.map(w => s"'$w'").mkString(", ")
 
+  /** Quality-score blend over (text, toks) columns — shared by
+    * t2_quality and t17_source_cap so the expression cannot drift
+    * between their oracles. Mirrors TextFns.qualityScoreTokens
+    * digit-for-digit (same IEEE ops, same 6-dp round).
+    */
+  def qualitySql(textCol: String, toksCol: String): String =
+    s"""round(
+       |  least(length($textCol)/500.0, 1.0)*0.4 +
+       |  (CASE WHEN length($textCol) > 0
+       |        THEN length(regexp_replace($textCol, '[^A-Za-z ]', '', 'g'))*1.0/length($textCol)
+       |        ELSE 0.0 END)*0.4 +
+       |  least((CASE WHEN len($toksCol) > 0
+       |              THEN len(list_filter($toksCol, x -> x IN ($stopList)))*1.0/len($toksCol)
+       |              ELSE 0.0 END)*4.0, 1.0)*0.2, 6)""".stripMargin
+
   /** Winnowing CTE chain over `src(doc_id, text)`, replaying
     * operators/Winnowing.fingerprints digit-for-digit: 28-bit md5 gram
     * hashes and the argmin encoding v = h·2^32 + (2^32−1−pos). Emits
@@ -89,6 +104,27 @@ object TextQueries {
           col("doc_id"),
           TextFns.qualityScoreTokens(col("text"), col("__toks")).as("quality"))
         .orderBy(col("doc_id"))),
+
+    // per-source quality cap (domain rebalancing): keep each source's
+    // top-10 documents by quality — the CC-pipeline curation step that
+    // stops boilerplate-heavy hosts dominating a corpus. One hash
+    // shuffle on the source key + one window pass; the rank orders by
+    // the ROUNDED score with a doc_id tie-break (portable-ranking
+    // convention, file header). Catalyst plans the rank<=cap filter as
+    // a map-side WindowGroupLimit BELOW the exchange (PlanSpec-pinned),
+    // so each input partition ships at most cap rows per source — a hot
+    // host cannot flood a shuffle partition at 100 TB.
+    "t17_source_cap" -> ((s, dir) => {
+      val byQuality = Window.partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      Tables.documents(s, dir)
+        .withColumn("__toks", TextFns.lowerTokens(col("text")))
+        .select(col("doc_id"), col("source"),
+          TextFns.qualityScoreTokens(col("text"), col("__toks")).as("quality"))
+        .withColumn("rank_in_source", row_number().over(byQuality).cast("long"))
+        .filter(col("rank_in_source") <= 10)
+        .orderBy(col("doc_id"))
+    }),
 
     // language-ID heuristic
     "t3_lang_id" -> ((s, dir) =>
@@ -233,15 +269,19 @@ object TextQueries {
     "t2_quality" ->
       s"""WITH t AS (SELECT doc_id, text,
          |  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents)
-         |SELECT doc_id, round(
-         |  least(length(text)/500.0, 1.0)*0.4 +
-         |  (CASE WHEN length(text) > 0
-         |        THEN length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))*1.0/length(text)
-         |        ELSE 0.0 END)*0.4 +
-         |  least((CASE WHEN len(toks) > 0
-         |              THEN len(list_filter(toks, x -> x IN ($stopList)))*1.0/len(toks)
-         |              ELSE 0.0 END)*4.0, 1.0)*0.2, 6) AS quality
+         |SELECT doc_id, ${OracleSqlParts.qualitySql("text", "toks")} AS quality
          |FROM t ORDER BY doc_id""".stripMargin,
+    "t17_source_cap" ->
+      s"""WITH t AS (SELECT doc_id, source, text,
+         |  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |q AS (SELECT doc_id, source,
+         |  ${OracleSqlParts.qualitySql("text", "toks")} AS quality FROM t),
+         |r AS (SELECT doc_id, source, quality,
+         |  row_number() OVER (PARTITION BY source
+         |                     ORDER BY quality DESC, doc_id) AS rank_in_source
+         |  FROM q)
+         |SELECT doc_id, source, quality, rank_in_source FROM r
+         |WHERE rank_in_source <= 10 ORDER BY doc_id""".stripMargin,
     "t3_lang_id" -> {
       val markers = TextFns.langMarkers.map { case (lang, ws) =>
         lang -> ws.map(w => s"'$w'").mkString(", ")

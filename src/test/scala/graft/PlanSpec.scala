@@ -206,6 +206,18 @@ class PlanSpec extends SparkSpec {
       s"fingerprinting must not shuffle documents against each other:\n$p")
   }
 
+  test("t17 source cap sheds rows map-side via WindowGroupLimit before " +
+    "the source-key exchange") {
+    val p = plan("t17_source_cap")
+    // Catalyst pushes the rank<=10 filter below the window as a partial
+    // group limit: each input partition forwards at most 10 rows per
+    // source into the shuffle, so a hot source cannot flood a partition
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter not pushed below the window:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+      s"scan does not prune to the three referenced columns:\n$p")
+  }
+
   test("d15 containment candidates come from the fp equi-join, not a cartesian") {
     val p = plan("d15_containment")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
