@@ -1031,6 +1031,47 @@ object SimilarityQueries {
        |${kmUpdate(1)}
        |${kmRank(2)}""".stripMargin
 
+  // ---- DuckDB replay of AnnSearch.pqCodebooks + pqTopK (s7_ann_pq) ----
+  // The per-subspace form of kmRank/kmUpdate: every CTE carries the
+  // subspace id `s` in its keys (16 subspaces of 4 dims, trained
+  // simultaneously); otherwise the Lloyd replay is identical to s5's.
+  private def pqRank(i: Int) =
+    s"""pn$i AS (SELECT s, cidx, sum(x*x) AS nsq FROM pc$i GROUP BY 1, 2),
+       |pdot$i AS (SELECT m.vec_id, m.s, c.cidx, sum(m.x * c.x) AS dp
+       |           FROM sv m JOIN pc$i c ON c.s = m.s AND c.ld = m.ld
+       |           GROUP BY 1, 2, 3),
+       |prk$i AS (SELECT d.vec_id, d.s, d.cidx, row_number() OVER
+       |            (PARTITION BY d.vec_id, d.s ORDER BY n.nsq - 2*d.dp, d.cidx) AS rn
+       |          FROM pdot$i d JOIN pn$i n ON n.s = d.s AND n.cidx = d.cidx),""".stripMargin
+  private def pqUpdate(i: Int) =
+    s"""${pqRank(i)}
+       |pm$i AS (SELECT a.s, a.cidx, m.ld,
+       |           CAST(floor(CAST(sum(m.x) AS DOUBLE) / count(*)) AS BIGINT) AS x
+       |         FROM (SELECT vec_id, s, cidx FROM prk$i WHERE rn = 1) a
+       |         JOIN sv m ON m.vec_id = a.vec_id AND m.s = a.s
+       |         GROUP BY 1, 2, 3),
+       |pc${i + 1} AS (SELECT c.cidx, c.s, c.ld, coalesce(u.x, c.x) AS x
+       |         FROM pc$i c LEFT JOIN pm$i u
+       |           ON u.s = c.s AND u.cidx = c.cidx AND u.ld = c.ld),""".stripMargin
+  /** Quantize + subspace split (width `sub`) + shared md5-ordered init
+    * (`k` centroids) + 2 Lloyd iterations per subspace; leaves `prk2`
+    * (final per-subspace centroid ranks — codes at rn=1), `pc2` (final
+    * codebooks) and `pn2` (their squared norms) in scope for the ADC
+    * tail. */
+  private def pqTrained(sub: Int, k: Int): String =
+    s"""WITH qv AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1048576) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |qd AS (SELECT vec_id, unnest(q) AS x, generate_subscripts(q, 1) AS d FROM qv),
+       |sv AS (SELECT vec_id, x, (d - 1) // $sub AS s, (d - 1) % $sub AS ld FROM qd),
+       |ini AS (SELECT vec_id, row_number() OVER
+       |          (ORDER BY md5('pq:' || vec_id), vec_id) AS rn FROM embeddings),
+       |pc0 AS (SELECT i.rn - 1 AS cidx, m.s, m.ld, m.x
+       |        FROM ini i JOIN sv m USING (vec_id) WHERE i.rn <= $k),
+       |${pqUpdate(0)}
+       |${pqUpdate(1)}
+       |${pqRank(2)}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // brute-force cosine top-k: rank by ROUNDED sim + vec_id tie-break so
     // the cut is engine-stable
@@ -1172,6 +1213,28 @@ object SimilarityQueries {
         emb.filter(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("embedding").as("qv")),
         "qid", "qv", k = 3, nCentroids = 8, iters = 2, nprobe = 2)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // Product-quantization ANN (Jégou et al., TPAMI 2011): 16
+    // per-subspace codebooks trained with the SAME exact fixed-point
+    // Lloyd as s5 on the 4-dim slices; corpus stored as 16 centroid
+    // codes per vector (the m-bytes-per-vector compression path beyond
+    // s6's int8); queries score every code string through per-query
+    // bigint ADC distance tables, then the top-100 shortlist re-ranks
+    // by exact float cosine (the standard two-stage PQ search).
+    // Training, encoding, and both ranking stages are exact/portable,
+    // so the oracle replays the WHOLE path bit-identically — the
+    // trained codebooks are inside the correctness gate like s5's
+    // model.
+    "s7_ann_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.AnnSearch.pqTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", k = 10, m = 16, nCentroids = 16, iters = 2,
+        shortlist = 100)
         .orderBy(col("qid"), col("rk"))
     }),
 
@@ -1342,6 +1405,26 @@ object SimilarityQueries {
          |r AS (SELECT *, row_number() OVER
          |        (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM sc)
          |SELECT qid, vec_id, sim, rk FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+    "s7_ann_pq" ->
+      s"""${pqTrained(sub = 4, k = 16)}
+         |code AS (SELECT vec_id, s, cidx FROM prk2 WHERE rn = 1),
+         |tab AS (SELECT m.vec_id AS qid, c.s, c.cidx,
+         |          any_value(n.nsq) - 2 * sum(m.x * c.x) AS dt
+         |        FROM sv m JOIN pc2 c ON c.s = m.s AND c.ld = m.ld
+         |        JOIN pn2 n ON n.s = c.s AND n.cidx = c.cidx
+         |        WHERE m.vec_id < 20 GROUP BY 1, 2, 3),
+         |sc AS (SELECT t.qid, co.vec_id, sum(t.dt) AS adc
+         |       FROM code co JOIN tab t ON t.s = co.s AND t.cidx = co.cidx
+         |       WHERE co.vec_id <> t.qid GROUP BY 1, 2),
+         |sl AS (SELECT *, row_number() OVER
+         |         (PARTITION BY qid ORDER BY adc ASC, vec_id) AS srk FROM sc),
+         |rr AS (SELECT s.qid, s.vec_id,
+         |         round(list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) AS sim
+         |       FROM sl s JOIN embeddings q ON q.vec_id = s.qid
+         |       JOIN embeddings e ON e.vec_id = s.vec_id WHERE s.srk <= 100),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM rr)
+         |SELECT qid, vec_id, sim, rk FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     "d13_semdedup" ->
       s"""$kmTrained
          |asg AS (SELECT vec_id, cidx FROM rk2 WHERE rn = 1),
