@@ -258,7 +258,30 @@ object TextQueries {
         .withColumn("decile", ntile(10).over(w))
         .filter(col("decile").between(2, 9))
         .orderBy(col("doc_id"))
-    }))
+    }),
+
+    // t18: per-language corpus length profile with EXACT percentiles
+    // (median / p90 of whitespace-token counts). Complements t11: ntile
+    // answers the per-doc "which decile am I in" form; `percentile` is
+    // the exact aggregate form for a BOUNDED group count (languages).
+    // Spark's partial aggregation keeps one (lang → value buffer) per
+    // task — never a global sort — and at 100 TB the group cardinality
+    // (languages), not the row count, bounds reduce-side state. Linear
+    // interpolation semantics match DuckDB's quantile_cont; the inputs
+    // are exact int64 token counts, so both engines interpolate the
+    // same two integers (round(4) absorbs the final-division ulp).
+    "t18_percentiles" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          size(TextFns.repetitionTokens(col("text"))).cast("long").as("n"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("n")).as("min_toks"),
+          round(percentile(col("n"), lit(0.5)), 4).as("p50_toks"),
+          round(percentile(col("n"), lit(0.9)), 4).as("p90_toks"),
+          max(col("n")).as("max_toks"))
+        .orderBy(col("lang"))))
 
   val oracleSql: Map[String, String] = Map(
     "t1_token_stats" ->
@@ -374,7 +397,16 @@ object TextQueries {
         |r AS (SELECT doc_id, lang, n,
         |  ntile(10) OVER (PARTITION BY lang ORDER BY n, doc_id) AS decile FROM toks)
         |SELECT doc_id, lang, n, decile FROM r
-        |WHERE decile BETWEEN 2 AND 9 ORDER BY doc_id""".stripMargin)
+        |WHERE decile BETWEEN 2 AND 9 ORDER BY doc_id""".stripMargin,
+    "t18_percentiles" ->
+      """WITH toks AS (SELECT lang,
+        |  len(regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs, min(n) AS min_toks,
+        |  round(quantile_cont(n, 0.5), 4) AS p50_toks,
+        |  round(quantile_cont(n, 0.9), 4) AS p90_toks,
+        |  max(n) AS max_toks
+        |FROM toks GROUP BY lang ORDER BY lang""".stripMargin)
 }
 
 /** Exact + near-duplicate detection operators (training-data pipeline).
@@ -2031,6 +2063,30 @@ object EventQueries {
         .select(col("error_id"), col("click_id"),
           (unix_micros(col("ts")) - unix_micros(col("win_start"))).as("gap_us"))
         .orderBy(col("error_id"), col("click_id"))
+    }),
+
+    // W7 bounded sliding frame: per-user 7-row rolling sum/mean of
+    // `value` (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) — the running-
+    // metric shape event telemetry needs that w6's gap-sessionize and
+    // the unbounded running forms don't cover. One shuffle on user_id,
+    // then a single streaming frame pass per partition: no self-join,
+    // no explode, state bounded by the frame width. DuckDB evaluates
+    // sliding sums with a segment tree (different addition order), so
+    // both sides sum in decimal per the portable-aggregation convention.
+    "w7_rolling" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-6, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("__dec", col("value").cast("decimal(18,6)"))
+        .withColumn("n_frame", count(lit(1)).over(w))
+        .withColumn("roll_sum", round(sum(col("__dec")).over(w), 4)
+          .cast("double"))
+        .withColumn("roll_avg",
+          round(sum(col("__dec")).over(w).cast("double") / col("n_frame"), 6))
+        .select(col("user_id"), col("event_id"), col("n_frame"),
+          col("roll_sum"), col("roll_avg"))
+        .orderBy(col("user_id"), col("event_id"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -2110,5 +2166,15 @@ object EventQueries {
         |FROM events e JOIN events c
         |  ON e.event_type = 'error' AND c.event_type = 'click'
         | AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 10 MINUTE
-        |ORDER BY error_id, click_id""".stripMargin)
+        |ORDER BY error_id, click_id""".stripMargin,
+    "w7_rolling" ->
+      """SELECT user_id, event_id,
+        |  count(*) OVER w AS n_frame,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER w, 4) AS DOUBLE) AS roll_sum,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        |        / (count(*) OVER w), 6) AS roll_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin)
 }

@@ -92,6 +92,36 @@ object QueryCatalog {
           col("doc_id"),
           TextFns.cleanText(col("text")).as("cleaned"))
         .orderBy(col("doc_id"))
+    }),
+
+    // TPC-H Q3-shaped shipping-priority top-k: the canonical two-join +
+    // aggregate + top-k reporting plan. The filtered customer dim is
+    // broadcast (no shuffle on the fact side for it); orders⋈lineitem
+    // shuffles once on the order key; revenue is partially aggregated
+    // map-side before the top-10. Selections are pushed to the parquet
+    // scans (date/segment predicates in PushedFilters). Revenue is
+    // summed in decimal per the portable-aggregation convention.
+    "q3_topk_join" -> ((s, dir) => {
+      val cutoff = lit("1998-06-01").cast("timestamp")
+      val cust = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < cutoff)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > cutoff)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,6)") *
+            (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))), 4)
+          .cast("double").as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
     }))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -129,7 +159,20 @@ object QueryCatalog {
         |SELECT doc_id,
         |  regexp_replace(regexp_replace(text, '&quot;', '"', 'g'),
         |                 '[^:a-zA-Z0-9\s"''-]', '', 'g') AS cleaned
-        |FROM src ORDER BY doc_id""".stripMargin)
+        |FROM src ORDER BY doc_id""".stripMargin,
+    "q3_topk_join" ->
+      """SELECT l_orderkey,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,6)))), 4) AS DOUBLE) AS revenue,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+        |FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
 
   val oracleSql: Map[String, String] =
     baseOracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++

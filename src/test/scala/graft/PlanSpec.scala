@@ -227,4 +227,37 @@ class PlanSpec extends SparkSpec {
         || p.contains("BroadcastHashJoin [fp"),
       s"no fp-keyed equi-join found:\n$p")
   }
+
+  test("q3_topk_join broadcasts the customer dim and pushes both date " +
+    "predicates into the parquet scans") {
+    val p = plan("q3_topk_join")
+    assert(p.contains("BroadcastHashJoin"),
+      s"customer dim not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cartesian operator in the reporting join:\n$p")
+    // date/segment selections reach the scans, not a post-scan Filter only
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate")
+        || p.contains("GreaterThan(l_shipdate"),
+      s"l_shipdate predicate not pushed:\n$p")
+    assert(p.contains("LessThan(o_orderdate"),
+      s"o_orderdate predicate not pushed:\n$p")
+    // revenue partial-aggregates map-side before the final top-k
+    assert(p.contains("partial_sum"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("w7_rolling is one shuffle on user_id and a single window pass — " +
+    "no join, no extra exchange") {
+    val p = plan("w7_rolling")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"rolling frame must not join events against themselves:\n$p")
+    assert(p.contains("Window"), s"window frame operator missing:\n$p")
+    // exactly one data exchange: the hash partition on user_id (the
+    // final orderBy adds a range exchange for presentation only)
+    def countOf(hay: String, needle: String): Int =
+      hay.sliding(needle.length).count(_ == needle)
+    assert(p.contains("hashpartitioning(user_id"),
+      s"no user_id hash exchange:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"more than one hash exchange in the rolling plan:\n$p")
+  }
 }
