@@ -24,7 +24,19 @@ class StreamingSpec extends SparkSpec {
       .json(srcDir)
     val q = StreamingPipeline.start(articles, stateDir, ckptDir,
       StreamingPipeline.Config(threshold = 2))
-    q.awaitTermination(120000)
+    awaitDone(q)
+  }
+
+  /** AvailableNow queries terminate on their own; a bounded wait that
+    * silently falls through leaves EMPTY state behind and fails the
+    * test on a confusing downstream assert (flaked once under full-
+    * suite load at the old 120 s bound). Wait long, then fail HERE if
+    * the stream is genuinely stuck.
+    */
+  private def awaitDone(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val finished = q.awaitTermination(600000)
+    if (!finished) q.stop()
+    assert(finished, "streaming query did not terminate within 600 s")
   }
 
   private def tableIds(stateDir: String): Set[String] =
@@ -355,7 +367,7 @@ class StreamingSpec extends SparkSpec {
       .toDF("id", "text", "title", "date"), 1L, state, cfg)
 
     val q = CdcConsumer.stream(spark, state, s"$root/ck", threshold = 2)
-    q.awaitTermination(120000)
+    awaitDone(q)
     assert(CdcConsumer.pending(spark, state).isEmpty)
     val meta = StreamingPipeline.latestTable(spark, state)
       .filter(col("row_type") === "metadata")
@@ -366,7 +378,7 @@ class StreamingSpec extends SparkSpec {
     val before = StreamingPipeline.latestTable(spark, state)
       .orderBy("PK", "SK").collect().toSeq
     val q2 = CdcConsumer.stream(spark, state, s"$root/ck", threshold = 2)
-    q2.awaitTermination(120000)
+    awaitDone(q2)
     assert(StreamingPipeline.latestTable(spark, state)
       .orderBy("PK", "SK").collect().toSeq == before)
   }
