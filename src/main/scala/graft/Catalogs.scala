@@ -2073,6 +2073,15 @@ object EventQueries {
     // no explode, state bounded by the frame width. DuckDB evaluates
     // sliding sums with a segment tree (different addition order), so
     // both sides sum in decimal per the portable-aggregation convention.
+    // W8 event-time hourly window roll-up — the BATCH form of
+    // streaming/EventTimeAgg (one definition serves both modes; the
+    // streaming form adds the watermark and is spec-tested for
+    // late-data drop + batch convergence). Spark's window() aligns to
+    // the epoch, so DuckDB's date_trunc('hour') labels identically.
+    "w8_hourly_window" -> ((s, dir) =>
+      graft.streaming.EventTimeAgg.hourly(Tables.events(s, dir))
+        .orderBy(col("win_start"), col("event_type"))),
+
     "w7_rolling" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").asc, col("event_id").asc)
@@ -2167,6 +2176,12 @@ object EventQueries {
         |  ON e.event_type = 'error' AND c.event_type = 'click'
         | AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 10 MINUTE
         |ORDER BY error_id, click_id""".stripMargin,
+    "w8_hourly_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY win_start, event_type""".stripMargin,
     "w7_rolling" ->
       """SELECT user_id, event_id,
         |  count(*) OVER w AS n_frame,
