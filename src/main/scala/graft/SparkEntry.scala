@@ -94,6 +94,23 @@ object QueryCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // Multi-level aggregate (ROLLUP): per-(flag, status) subtotals, per-
+    // flag subtotals, and the grand total in ONE pass — Catalyst expands
+    // the grouping sets map-side, so the input is still read once and
+    // partially aggregated before the single exchange (vs three separate
+    // scans+shuffles for the three levels). grouping_id disambiguates
+    // subtotal rows from genuine NULL keys; sums in decimal per the
+    // portable-aggregation convention.
+    "a11_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().as("lvl"),
+          count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast("decimal(18,6)")), 4)
+            .cast("double").as("sum_qty"))
+        .orderBy(col("lvl"), col("l_returnflag"), col("l_linestatus"))),
+
     // TPC-H Q3-shaped shipping-priority top-k: the canonical two-join +
     // aggregate + top-k reporting plan. The filtered customer dim is
     // broadcast (no shuffle on the fact side for it); orders⋈lineitem
@@ -160,6 +177,14 @@ object QueryCatalog {
         |  regexp_replace(regexp_replace(text, '&quot;', '"', 'g'),
         |                 '[^:a-zA-Z0-9\s"''-]', '', 'g') AS cleaned
         |FROM src ORDER BY doc_id""".stripMargin,
+    "a11_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  GROUPING(l_returnflag, l_linestatus) AS lvl,
+        |  count(*) AS n,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY lvl, l_returnflag, l_linestatus""".stripMargin,
     "q3_topk_join" ->
       """SELECT l_orderkey,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
