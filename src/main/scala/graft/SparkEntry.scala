@@ -139,6 +139,43 @@ object QueryCatalog {
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
+    }),
+
+    // TPC-H Q5-shaped local-supplier revenue: the full six-table join
+    // chain. Star-schema treatment: region⋈nation collapses to a tiny
+    // in-region nation dim, supplier joins it and BROADCASTS onto
+    // lineitem (no fact shuffle for the whole supplier→region arm);
+    // customer⋈orders shuffles once on the customer key, the result
+    // joins lineitem on the order key (the second and last fact
+    // shuffle). The c_nationkey = s_nationkey "local supplier" residual
+    // runs AFTER the equi-joins as a cheap filter. Date predicates are
+    // pushed to the orders scan; revenue sums in decimal per the
+    // portable-aggregation convention.
+    "q5_region_revenue" -> ((s, dir) => {
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1997-01-01").cast("timestamp")
+      val natAsia = Tables.nation(s, dir)
+        .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val supp = Tables.supplier(s, dir)
+        .join(natAsia, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val ordCust = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(ordCust, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,6)") *
+            (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))), 4)
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
     }))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -197,7 +234,23 @@ object QueryCatalog {
         |  AND o_orderdate < TIMESTAMP '1998-06-01'
         |  AND l_shipdate > TIMESTAMP '1998-06-01'
         |GROUP BY l_orderkey, o_orderdate
-        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,6)))), 4) AS DOUBLE) AS revenue
+        |FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE c_nationkey = s_nationkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin)
 
   val oracleSql: Map[String, String] =
     baseOracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++
