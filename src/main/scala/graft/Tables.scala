@@ -23,19 +23,33 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as raw nanos and truncate to microseconds
-    * (exactly what DuckDB's ns→µs conversion does, so oracles agree).
-    *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set once at
-    * session setup by [[GraftExtensions.register]] — deliberately NOT
-    * set here: a loader mutating session conf mid-flight changes how
-    * every other TIMESTAMP(NANOS) parquet reads for the rest of the
-    * session and races concurrent queries (ADVICE r2).
+  /** events.ts has shipped as both parquet TIMESTAMP(MICROS) (reads as a
+    * Spark timestamp directly) and TIMESTAMP(NANOS) (rejected by the
+    * vectorized reader; surfaces as a raw nanos LONG under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set once at session
+    * setup by [[GraftExtensions.register]]). Branch on the type the scan
+    * actually produced: a long is nanos to truncate to microseconds
+    * (exactly DuckDB's ns→µs conversion, so oracles agree); a timestamp
+    * passes through untouched. The conf itself is deliberately NOT set
+    * here: a loader mutating session conf mid-flight changes how every
+    * other TIMESTAMP(NANOS) parquet reads for the rest of the session
+    * and races concurrent queries (ADVICE r2).
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    load(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = load(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // pandas-written parquet is tz-naive; downstream operators use
+        // unix_micros/window() which require TIMESTAMP. Session tz is UTC
+        // (set at session setup), so the cast preserves the instant and
+        // matches DuckDB's naive-timestamp reading bit-for-bit.
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(
+          org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 
