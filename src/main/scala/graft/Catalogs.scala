@@ -1672,7 +1672,37 @@ object TrainingQueries {
     "t16_fingerprint" -> ((s, dir) =>
       graft.operators.Winnowing.fingerprints(
         Tables.documents(s, dir), "doc_id", "text", k = 8, w = 4)
-        .orderBy(col("doc_id"), col("pos"), col("fp"))))
+        .orderBy(col("doc_id"), col("pos"), col("fp"))),
+
+    // KMV distinct-count sketch (functions/KmvSketch): distinct users per
+    // event type estimated from the 32 smallest md5-derived 60-bit hashes
+    // — bounded-state approximate COUNT(DISTINCT), the 100 TB substitute
+    // for a full distinct shuffle. PORTABLE where HyperLogLog is not:
+    // the DuckDB oracle replays the identical sketch (same md5 hash, a
+    // row_number window) and the estimate arithmetic is exact-double
+    // ((k−1)·2^60 has 5 significant bits; long→double cast and / are
+    // exactly rounded on both engines). n ≥ k at every SF here, so the
+    // estimator branch is the one under oracle test; the n < k exact
+    // branch is spec-covered (KmvSketchSpec).
+    "t19_kmv_distinct" -> ((s, dir) => {
+      val k = 32
+      val h = conv(substring(
+          md5(concat(lit("kmv:"), col("user_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long")
+      Tables.events(s, dir)
+        .select(col("event_type"), h.as("__h"))
+        .groupBy(col("event_type"))
+        .agg(graft.functions.KmvSketch(col("__h"), k).as("__mins"))
+        .select(
+          col("event_type"),
+          size(col("__mins")).cast("long").as("n_sketch"),
+          when(size(col("__mins")) < k, size(col("__mins")).cast("double"))
+            .otherwise(round(
+              lit((k - 1).toDouble * 1152921504606846976.0) /
+                element_at(col("__mins"), k).cast("double"), 4))
+            .as("est_distinct"))
+        .orderBy(col("event_type"))
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "t4_repetition" ->
@@ -1756,6 +1786,25 @@ object TrainingQueries {
          |      FROM s)
          |SELECT doc_id, pos, fp FROM d WHERE prev IS NULL OR pos <> prev
          |ORDER BY doc_id, pos, fp""".stripMargin,
+    "t19_kmv_distinct" -> {
+      // 60-bit uint from the first 15 md5 hex digits — same digit-sum
+      // idiom as t14/t15 (powers of 16 up to 16^14 = 2^56, all exact)
+      val hx = (1 to 15).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5('kmv:' || user_id::VARCHAR), $i, 1)) - 1) * ${1L << (4 * (15 - i))}")
+        .mkString(" + ")
+      s"""WITH h AS (SELECT DISTINCT event_type, ($hx) AS h FROM events),
+         |r AS (SELECT event_type, h,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |      FROM h),
+         |s AS (SELECT event_type, count(*) AS n_sketch,
+         |        max(CASE WHEN rn = 32 THEN h END) AS hk
+         |      FROM r WHERE rn <= 32 GROUP BY event_type)
+         |SELECT event_type, n_sketch,
+         |  CASE WHEN n_sketch < 32 THEN n_sketch::DOUBLE
+         |       ELSE round(31.0 * 1152921504606846976 / hk::DOUBLE, 4) END
+         |    AS est_distinct
+         |FROM s ORDER BY event_type""".stripMargin
+    },
     "t12_bigram_lm" ->
       """WITH toks AS (SELECT doc_id,
         |  regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
@@ -2082,6 +2131,38 @@ object EventQueries {
       graft.streaming.EventTimeAgg.hourly(Tables.events(s, dir))
         .orderBy(col("win_start"), col("event_type"))),
 
+    // W9 the j8 interval join run THROUGH Structured Streaming: two file
+    // streams over the same events source, watermarked, slot-bucketed
+    // stream-stream equi-join (IntervalStreamJoin), drained to completion
+    // with Trigger.AvailableNow into a parquet sink and read back. The
+    // oracle is j8's SQL verbatim — the stream result must equal the
+    // batch join row-for-row, which makes this the first STREAMING
+    // execution with a hash-green DuckDB row (the other ST rows gate the
+    // batch forms; stream semantics were spec-only until here).
+    "w9_stream_join" -> ((s, dir) => {
+      val ev = Tables.eventsStream(s, dir)
+      val incidents = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("ts").as("win_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("win_end"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts"))
+      val joined = graft.streaming.IntervalStreamJoin.join(
+          incidents, clicks,
+          startCol = "win_start", endCol = "win_end", tsCol = "ts",
+          slotWidthSec = 600L, maxLenSec = 600L, delay = "30 minutes")
+        .select(col("error_id"), col("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("win_start"))).as("gap_us"))
+      val out = java.nio.file.Files.createTempDirectory("w9_out").toString
+      val ck = java.nio.file.Files.createTempDirectory("w9_ck").toString
+      val q = joined.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy(col("error_id"), col("click_id"))
+    }),
+
     "w7_rolling" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").asc, col("event_id").asc)
@@ -2170,6 +2251,14 @@ object EventQueries {
         | AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 10 MINUTE
         |ORDER BY error_id, click_id""".stripMargin,
     "j9_range_rewrite" ->
+      """SELECT e.event_id AS error_id, c.event_id AS click_id,
+        |       epoch_us(c.ts) - epoch_us(e.ts) AS gap_us
+        |FROM events e JOIN events c
+        |  ON e.event_type = 'error' AND c.event_type = 'click'
+        | AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 10 MINUTE
+        |ORDER BY error_id, click_id""".stripMargin,
+    // the stream-stream join must converge to the batch join: j8's oracle
+    "w9_stream_join" ->
       """SELECT e.event_id AS error_id, c.event_id AS click_id,
         |       epoch_us(c.ts) - epoch_us(e.ts) AS gap_us
         |FROM events e JOIN events c

@@ -143,11 +143,15 @@ object QueryCatalog {
 
     // TPC-H Q5-shaped local-supplier revenue: the full six-table join
     // chain. Star-schema treatment: region⋈nation collapses to a tiny
-    // in-region nation dim, supplier joins it and BROADCASTS onto
+    // in-region nation dim, supplier joins it and broadcasts onto
     // lineitem (no fact shuffle for the whole supplier→region arm);
     // customer⋈orders shuffles once on the customer key, the result
     // joins lineitem on the order key (the second and last fact
-    // shuffle). The c_nationkey = s_nationkey "local supplier" residual
+    // shuffle). The supplier-arm broadcast is NOT hinted (ADVICE r7):
+    // the arm grows ~10k rows × sf, so auto-broadcast/AQE picks
+    // broadcast while it fits the threshold and degrades to a shuffle
+    // join at scales where a forced broadcast would OOM the driver.
+    // The c_nationkey = s_nationkey "local supplier" residual
     // runs AFTER the equi-joins as a cheap filter. Date predicates are
     // pushed to the orders scan; revenue sums in decimal per the
     // portable-aggregation convention.
@@ -168,7 +172,7 @@ object QueryCatalog {
           col("o_custkey") === col("c_custkey"))
       Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
         .join(ordCust, col("l_orderkey") === col("o_orderkey"))
         .filter(col("c_nationkey") === col("s_nationkey"))
         .groupBy(col("n_name"))

@@ -35,8 +35,26 @@ object Tables {
     * other TIMESTAMP(NANOS) parquet reads for the rest of the session
     * and races concurrent queries (ADVICE r2).
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw = load(spark, sfDir, "events")
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeEventTs(load(spark, sfDir, "events"))
+
+  /** The events table as a file STREAM (schema pinned from the batch
+    * read; a direct parquet file path is a valid file-source glob).
+    * Same ts normalization as the batch form, so stream and batch
+    * operators see the identical event-time column.
+    */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    normalizeEventTs(
+      spark.readStream.schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+        // deliberately a GLOB, not the plain file path: FileStreamSource
+        // force-sets basePath to the source path itself for non-glob
+        // paths, and a basePath that is a FILE fails partition inference
+        // in getBatch; with a glob it leaves basePath to be inferred
+        // from the matched files' parent directory
+        .parquet(s"$sfDir/events.parque[t]"))
+  }
+
+  private def normalizeEventTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
@@ -49,7 +67,6 @@ object Tables {
           org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
-  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 
