@@ -441,17 +441,127 @@ object AnnSearch {
     * (dim/m longs). Bounded-model exception applies (m·k·dim/m =
     * k·dim longs on the driver).
     */
+  /** All `m` PQ codes of one vector in one JVM pass — exactly
+    * [[quantNearest]] per subspace ([[quantize]] fixed-point, integer
+    * ‖c‖²−2·q·c argmin, idx-asc tie-break), but as plain long loops.
+    * The expression form evaluates m·k interpreted higher-order chains
+    * per row (slice/zip_with/aggregate are CodegenFallback — never
+    * codegen'd), which measured 3-4 s per job on a 2000-row corpus;
+    * this is one closure call per row with zero intermediate Catalyst
+    * values. Bit-identical by construction: every operation is exact
+    * integer arithmetic in the same order.
+    */
+  private def pqEncodeAll(books: Array[Array[Array[Long]]], sub: Int)
+                         (vec: Seq[Float]): Array[Int] = {
+    if (vec == null) return null
+    val m = books.length
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val cents = books(s)
+      var best = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var nsq = 0L
+        var dot = 0L
+        var d = 0
+        while (d < sub) {
+          val cv = cent(d)
+          nsq += cv * cv
+          dot += math.floor(vec(s * sub + d).toDouble * 1048576.0).toLong * cv
+          d += 1
+        }
+        val dist = nsq - 2L * dot
+        if (dist < bestD) { bestD = dist; best = c } // strict < keeps lowest idx on ties
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    out
+  }
+
+  /** The per-query ADC distance tables (`table(s)(c) = ‖c‖² − 2·q_s·c`)
+    * as one JVM pass — same exact bigint arithmetic as the expression
+    * form, same motivation as [[pqEncodeAll]].
+    */
+  private def pqAdcTables(books: Array[Array[Array[Long]]], sub: Int)
+                         (vec: Seq[Float]): Array[Array[Long]] = {
+    if (vec == null) return null
+    val m = books.length
+    val out = new Array[Array[Long]](m)
+    var s = 0
+    while (s < m) {
+      val cents = books(s)
+      val row = new Array[Long](cents.length)
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var nsq = 0L
+        var dot = 0L
+        var d = 0
+        while (d < sub) {
+          val cv = cent(d)
+          nsq += cv * cv
+          dot += math.floor(vec(s * sub + d).toDouble * 1048576.0).toLong * cv
+          d += 1
+        }
+        row(c) = nsq - 2L * dot
+        c += 1
+      }
+      out(s) = row
+      s += 1
+    }
+    out
+  }
+
   private[graft] def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
                                  m: Int, k: Int, iters: Int): Array[Array[Array[Long]]] = {
     val dim = dimOf(corpus, vecCol)
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
-    val q = corpus.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
-    Array.tabulate(m) { s =>
-      lloydQuantizedFrame(
-        q.select(col("__id"), slice(col("__q"), s * sub + 1, sub).as("__q")),
-        seed = "pq:", k = k, iters = iters)
+    val q = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      quantize(col(vecCol)).as("__q"))
+    // ALL m subspaces train in the same Spark jobs — the math is exactly
+    // per-subspace lloydQuantizedFrame (same init rows: the md5 ordering
+    // ignores __q, so every subspace inits from the SAME k rows; same
+    // integer argmin assignments; same exact bigint sums), but the
+    // execution is 1 init job + 1 aggregate job per iteration instead of
+    // m·(1+iters) sequential jobs each rescanning the corpus. Measured
+    // on the s7 catalog config (m=16, iters=2): 48 jobs → 3, the
+    // difference between a 13 s and a ~2 s query at sf0.1.
+    val initRows = q
+      .orderBy(md5(concat(lit("pq:"), col("__id").cast("string"))), col("__id"))
+      .limit(k)
+      .select(col("__q")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    var books = Array.tabulate(m)(s => initRows.map(_.slice(s * sub, (s + 1) * sub)))
+    for (_ <- 0 until iters) {
+      // one row per (subspace, centroid, within-subspace dim): the
+      // per-subspace assignment codes ride as one array column, each
+      // exploded dimension looks up the code of the subspace it belongs to
+      val booksNow = books
+      val codes = udf(pqEncodeAll(booksNow, sub) _).apply(col("__v"))
+      val stats = q.withColumn("__cs", codes)
+        .select(col("__cs"), posexplode(col("__q")).as(Seq("__d", "__x")))
+        .withColumn("__sp", floor(col("__d") / lit(sub)).cast("int"))
+        .select(col("__sp"),
+          element_at(col("__cs"), col("__sp") + 1).as("__c"),
+          (col("__d") % lit(sub)).cast("int").as("__sd"),
+          col("__x"))
+        .groupBy(col("__sp"), col("__c"), col("__sd"))
+        .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          math.floor(r.getLong(3).toDouble / r.getLong(4)).toLong
+      }
+      books = next
     }
+    books
   }
 
   /** Product-quantization ANN (Jégou, Douze, Schmid, TPAMI 2011),
@@ -489,23 +599,14 @@ object AnnSearch {
       s"idCol '$idCol' collides with a declared output column")
     val books = pqCodebooks(corpus, idCol, vecCol, m, nCentroids, iters)
     val sub = books(0)(0).length
-    def subvec(qvec: Column, s: Int) = slice(qvec, s * sub + 1, sub)
-    val coded = (0 until m).foldLeft(
-      corpus.select(col(idCol).as("__cid"), col(vecCol).as("__v"),
-        quantize(col(vecCol)).as("__cq"))) {
-      (df, s) => df.withColumn(s"__c$s", quantNearest(subvec(col("__cq"), s), books(s)))
-    }.drop("__cq")
-    val tabled = (0 until m).foldLeft(
-      queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qv"),
-        quantize(col(qvecCol)).as("__qq"))) {
-      (df, s) => df.withColumn(s"__t$s",
-        array(books(s).map { c =>
-          val nsq = c.map(x => x * x).sum
-          lit(nsq) - lit(2L) * dotLong(subvec(col("__qq"), s), c)
-        }.toIndexedSeq: _*))
-    }.drop("__qq")
+    // encode + table via the one-pass JVM forms (see pqEncodeAll): the
+    // per-row work is m array lookups, not m·k interpreted HOF chains
+    val coded = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__v"),
+      udf(pqEncodeAll(books, sub) _).apply(col(vecCol)).as("__cs"))
+    val tabled = queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qv"),
+      udf(pqAdcTables(books, sub) _).apply(col(qvecCol)).as("__tt"))
     val adc = (0 until m)
-      .map(s => element_at(col(s"__t$s"), col(s"__c$s") + 1))
+      .map(s => element_at(element_at(col("__tt"), s + 1), element_at(col("__cs"), s + 1) + 1))
       .reduce(_ + _)
     val wAdc = Window.partitionBy(col("__qid"))
       .orderBy(col("__adc").asc, col("__cid").asc)
@@ -514,6 +615,9 @@ object AnnSearch {
     broadcast(tabled).crossJoin(coded)
       .filter(col("__cid") =!= col("__qid"))
       .withColumn("__adc", adc)
+      // codes and tables are spent once __adc exists — drop them before
+      // the window exchange so the shuffle carries only ids + vectors
+      .select(col("__qid"), col("__qv"), col("__cid"), col("__v"), col("__adc"))
       .withColumn("__srk", row_number().over(wAdc))
       .filter(col("__srk") <= shortlist)
       .withColumn("__sim", round(VectorFns.dotProduct(col("__qv"), col("__v")), 4))
