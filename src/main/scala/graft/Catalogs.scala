@@ -1674,6 +1674,33 @@ object TrainingQueries {
         Tables.documents(s, dir), "doc_id", "text", k = 8, w = 4)
         .orderBy(col("doc_id"), col("pos"), col("fp"))),
 
+    // Order-independent per-shard table digest — the anti-entropy /
+    // replica-verification primitive: at 100 TB you prove two copies of
+    // a table identical by comparing k digest rows, not by moving data.
+    // Each row hashes to a 60-bit md5 value; a shard's digest is the SUM
+    // of its row hashes mod 2^61 — addition is commutative, so the
+    // digest is independent of row order, partitioning, and merge
+    // schedule, and one misplaced/corrupted/missing row changes it.
+    // Exact decimal(38,0) summation (no long overflow: 1e12 rows ×
+    // 2^60 ≈ 1.2e30 < 1e38), mod folded to BIGINT for the output. One
+    // map-side hash + one tiny shuffle on the shard key.
+    "t20_table_digest" -> ((s, dir) => {
+      val h = conv(substring(md5(concat_ws("|", lit("dig:"),
+          col("doc_id").cast("string"), md5(col("text")), col("lang"),
+          col("source"))), 1, 15), 16, 10).cast("long")
+      val shard = (conv(substring(md5(concat(lit("dig-shard:"),
+          col("doc_id").cast("string"))), 1, 2), 16, 10) % 4).cast("int")
+      Tables.documents(s, dir)
+        .select(shard.as("shard"), h.as("__h"))
+        .groupBy(col("shard"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          pmod(sum(col("__h").cast("decimal(38,0)")),
+            lit(2305843009213693952L).cast("decimal(38,0)"))
+            .cast("long").as("digest"))
+        .orderBy(col("shard"))
+    }),
+
     // KMV distinct-count sketch (functions/KmvSketch): distinct users per
     // event type estimated from the 32 smallest md5-derived 60-bit hashes
     // — bounded-state approximate COUNT(DISTINCT), the 100 TB substitute
@@ -1786,6 +1813,22 @@ object TrainingQueries {
          |      FROM s)
          |SELECT doc_id, pos, fp FROM d WHERE prev IS NULL OR pos <> prev
          |ORDER BY doc_id, pos, fp""".stripMargin,
+    "t20_table_digest" -> {
+      val rowH = (1 to 15).map(i =>
+        s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1) * ${1L << (4 * (15 - i))}")
+        .mkString(" + ")
+      val shardH =
+        "(strpos('0123456789abcdef', substr(md5('dig-shard:' || doc_id::VARCHAR), 1, 1)) - 1) * 16 + " +
+        "(strpos('0123456789abcdef', substr(md5('dig-shard:' || doc_id::VARCHAR), 2, 1)) - 1)"
+      s"""WITH r AS (SELECT
+         |    CAST(($shardH) % 4 AS INT) AS shard,
+         |    md5('dig:' || '|' || doc_id::VARCHAR || '|' || md5(text) || '|' || lang || '|' || source) AS hx
+         |  FROM documents),
+         |h AS (SELECT shard, ($rowH) AS h FROM r)
+         |SELECT shard, count(*) AS n_rows,
+         |  CAST(sum(h) % 2305843009213693952 AS BIGINT) AS digest
+         |FROM h GROUP BY shard ORDER BY shard""".stripMargin
+    },
     "t19_kmv_distinct" -> {
       // 60-bit uint from the first 15 md5 hex digits — same digit-sum
       // idiom as t14/t15 (powers of 16 up to 16^14 = 2^56, all exact)
@@ -2163,6 +2206,37 @@ object EventQueries {
       s.read.parquet(out).orderBy(col("error_id"), col("click_id"))
     }),
 
+    // W10 streaming exactly-once dedup under at-least-once delivery: the
+    // events file read through TWO independent file streams and unioned
+    // (every event delivered twice — the redelivery a real queue source
+    // produces), then dropDuplicatesWithinWatermark on the event id.
+    // The state store keeps one entry per id inside the watermark
+    // horizon (event-time bounded, NOT stream-length bounded — the knob
+    // that matters for an unbounded 100 TB ingest); both copies of a row
+    // are identical, so the surviving row is deterministic and the
+    // oracle is simply the batch DISTINCT. Completes the P9 (in-batch
+    // dedup) story for the cross-delivery case.
+    "w10_stream_dedup" -> ((s, dir) => {
+      val once = Tables.eventsStream(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val twice = once.unionByName(
+        Tables.eventsStream(s, dir)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type")))
+      val deduped = twice
+        .withWatermark("ts", "24 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val out = java.nio.file.Files.createTempDirectory("w10_out").toString
+      val ck = java.nio.file.Files.createTempDirectory("w10_ck").toString
+      val q = deduped.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy(col("event_id"))
+    }),
+
     "w7_rolling" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").asc, col("event_id").asc)
@@ -2257,6 +2331,9 @@ object EventQueries {
         |  ON e.event_type = 'error' AND c.event_type = 'click'
         | AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 10 MINUTE
         |ORDER BY error_id, click_id""".stripMargin,
+    "w10_stream_dedup" ->
+      """SELECT DISTINCT event_id, user_id, event_type FROM events
+        |ORDER BY event_id""".stripMargin,
     // the stream-stream join must converge to the batch join: j8's oracle
     "w9_stream_join" ->
       """SELECT e.event_id AS error_id, c.event_id AS click_id,
