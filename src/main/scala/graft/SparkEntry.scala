@@ -141,6 +141,32 @@ object QueryCatalog {
         .limit(10)
     }),
 
+    // TPC-H Q18-shaped large-volume-order report: the aggregate-as-join-
+    // filter plan shape (none of q1/q3/q5 exercise it) — an aggregation's
+    // OUTPUT becomes a fact-join input. The having-filter runs on the
+    // aggregate BEFORE the joins, so only qualifying order keys (≈1.5%
+    // of orders at every SF) reach the join at all; the filtered
+    // aggregate is small enough that AQE picks a broadcast join onto
+    // orders (unhinted — same scale reasoning as q5's supplier arm),
+    // and customer joins the shrunken result. Quantity sums in decimal
+    // per the portable-aggregation convention; top-100 bounds the
+    // report deterministically (qty desc, order key tie-break).
+    "q18_big_orders" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_quantity").cast("decimal(18,6)")), 4)
+          .cast("double").as("total_qty"))
+        .filter(col("total_qty") > 250)
+      Tables.orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     // TPC-H Q5-shaped local-supplier revenue: the full six-table join
     // chain. Star-schema treatment: region⋈nation collapses to a tiny
     // in-region nation dim, supplier joins it and broadcasts onto
@@ -239,6 +265,17 @@ object QueryCatalog {
         |  AND l_shipdate > TIMESTAMP '1998-06-01'
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q18_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DOUBLE) > 250)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, total_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
     "q5_region_revenue" ->
       """SELECT n_name,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *

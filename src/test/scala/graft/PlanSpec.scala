@@ -245,6 +245,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), s"no map-side partial aggregation:\n$p")
   }
 
+  test("q18_big_orders aggregates and filters BEFORE the joins, " +
+    "partial-aggregating map-side") {
+    val p = plan("q18_big_orders")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cartesian operator in the report join:\n$p")
+    // the quantity roll-up partial-aggregates before its exchange, and
+    // the having-filter runs on the aggregate output (before any join),
+    // so only qualifying keys reach the join
+    assert(p.contains("partial_sum"), s"no map-side partial aggregation:\n$p")
+    val aggIdx = p.indexOf("HashAggregate")
+    val joinIdx = p.indexOf("Join")
+    assert(aggIdx >= 0 && joinIdx >= 0 && joinIdx < aggIdx,
+      s"aggregate must be an INPUT of the join (appear below it):\n$p")
+  }
+
   test("w7_rolling is one shuffle on user_id and a single window pass — " +
     "no join, no extra exchange") {
     val p = plan("w7_rolling")
