@@ -492,6 +492,18 @@ object DedupQueries {
           shingleLen = 3, hashes = 12, bands = 4)
         .orderBy(col("a"), col("b"))),
 
+    // d3's candidates scored with the MinHash Jaccard ESTIMATE instead
+    // of exact verification — the at-scale scoring path: agreement over
+    // the fixed-width signatures (12 positions here), never a shingle
+    // re-intersection. est = agree/hashes is an exact small-int ratio,
+    // so the rounded value is engine-portable; the DuckDB oracle replays
+    // signatures, banding, candidates, and the estimate.
+    "d16_jaccard_estimate" -> ((s, dir) =>
+      graft.operators.MinHashJoin
+        .selfPairsEstimated(corpusWithNearDups(s, dir), "doc_id", "text",
+          shingleLen = 3, hashes = 12, bands = 4)
+        .orderBy(col("a"), col("b"))),
+
     // SimHash near-dup: 32-bit signature (bit-majority over md5 nibbles
     // of every token), pairs at Hamming ≤ 6. Signatures are one
     // native-expression pass per document (TokenSimHash — replaces
@@ -827,6 +839,31 @@ object DedupQueries {
          |FROM bands x JOIN bands y ON x.bidx = y.bidx AND x.bh = y.bh
          |  AND x.doc_id < y.doc_id
          |ORDER BY a, b""".stripMargin,
+    "d16_jaccard_estimate" ->
+      s"""WITH $nearCorpusSql,
+         |norm AS (SELECT doc_id,
+         |  regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         |  FROM corpus),
+         |idx AS (SELECT doc_id, toks,
+         |  unnest(generate_series(1, greatest(len(toks)-3, 0)+1)) AS i FROM norm),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh FROM idx),
+         |seeds AS (SELECT unnest(generate_series(0, 11)) AS seed),
+         |sigs AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || sh)) AS mh
+         |         FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+         |bands AS (SELECT doc_id, seed // 3 AS bidx,
+         |          md5(string_agg(mh, ',' ORDER BY seed)) AS bh
+         |          FROM sigs GROUP BY doc_id, seed // 3),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM bands x JOIN bands y ON x.bidx = y.bidx AND x.bh = y.bh
+         |           AND x.doc_id < y.doc_id),
+         |agr AS (SELECT c.a, c.b,
+         |          sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS n_agree
+         |        FROM cand c
+         |          JOIN sigs sa ON sa.doc_id = c.a
+         |          JOIN sigs sb ON sb.doc_id = c.b AND sb.seed = sa.seed
+         |        GROUP BY c.a, c.b)
+         |SELECT a, b, round(n_agree / 12.0, 4) AS est_jaccard
+         |FROM agr ORDER BY a, b""".stripMargin,
     "d4_simhash_pairs" -> {
       val bitSums = (0 until 32).map(j =>
         s"  sum(((strpos('0123456789abcdef', substring(h, ${j / 4 + 1}, 1)) - 1) " +

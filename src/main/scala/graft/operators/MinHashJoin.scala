@@ -62,4 +62,35 @@ object MinHashJoin {
       .filter(col("x.__bk") === firstAgreeingBand)
       .select(col("x.__id").as("a"), col("y.__id").as("b"))
   }
+
+  /** [[selfPairs]] candidates scored with the MinHash Jaccard ESTIMATE
+    * (Broder's original use of the sketch): est = (# agreeing signature
+    * positions) / hashes, an unbiased estimator of the true Jaccard with
+    * standard error 1/√hashes. This is the 100 TB scoring path — exact
+    * verification intersects shingle sets (rescans text for every
+    * candidate), the estimate touches only the fixed-width signatures.
+    * Signatures are recomputed for the estimate joins rather than ridden
+    * through the band join as an array payload (PERF lesson #10: array
+    * ride-alongs measured 1.8× on this exact join; one extra map pass
+    * over the corpus is the cheaper side of that trade). The agreement
+    * count is an exact integer and `hashes` a constant, so the rounded
+    * ratio is engine-portable (single exactly-rounded division).
+    */
+  def selfPairsEstimated(corpus: DataFrame, idCol: String, textCol: String,
+                         shingleLen: Int = 3, hashes: Int = 12,
+                         bands: Int = 4): DataFrame = {
+    val pairs = selfPairs(corpus, idCol, textCol, shingleLen, hashes, bands)
+    val sigs = corpus
+      .withColumn("__toks", TextFns.repetitionTokens(col(textCol)))
+      .select(col(idCol).as("__sid"),
+        TextFns.minHashShingles(col("__toks"), shingleLen, hashes).as("__mhs"))
+    val agree = aggregate(
+      zip_with(col("__ma"), col("__mb"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    pairs
+      .join(sigs.select(col("__sid").as("a"), col("__mhs").as("__ma")), "a")
+      .join(sigs.select(col("__sid").as("b"), col("__mhs").as("__mb")), "b")
+      .select(col("a"), col("b"),
+        round(agree.cast("double") / lit(hashes.toDouble), 4).as("est_jaccard"))
+  }
 }

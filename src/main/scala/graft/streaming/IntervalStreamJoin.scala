@@ -33,9 +33,19 @@ object IntervalStreamJoin {
     *                  as the watermark-analyzable range constraint
     * @param delay     watermark delay on both sides (event-time lateness bound)
     */
+  /** @param joinType `"inner"` (default) or `"left_outer"`: left-outer
+    *                  additionally emits each UNMATCHED interval once,
+    *                  null-padded, after the watermark passes the point
+    *                  at which a match could still arrive — the
+    *                  incident-without-activity shape. Outer rows are
+    *                  per (interval, slot); slotWidthSec ≥ interval
+    *                  length keeps that at ≤ 2 rows, and callers dedup
+    *                  on the interval id if they need exactly one.
+    */
   def join(intervals: DataFrame, points: DataFrame,
            startCol: String, endCol: String, tsCol: String,
-           slotWidthSec: Long, maxLenSec: Long, delay: String): DataFrame = {
+           slotWidthSec: Long, maxLenSec: Long, delay: String,
+           joinType: String = "inner"): DataFrame = {
     val widthUs = slotWidthSec * 1000000L
     def slotOf(t: Column) = floor(unix_micros(t) / widthUs)
     val iv = intervals.withWatermark(startCol, delay)
@@ -52,7 +62,8 @@ object IntervalStreamJoin {
           // same bound as `< endCol` when len ≤ maxLen, but phrased on the
           // two WATERMARKED columns so the join planner derives a state
           // eviction threshold for each side
-          col(tsCol) <= col(startCol) + expr(s"INTERVAL $maxLenSec SECONDS"))
+          col(tsCol) <= col(startCol) + expr(s"INTERVAL $maxLenSec SECONDS"),
+        joinType)
       .drop("__slot", "__pslot")
   }
 }

@@ -71,4 +71,49 @@ class IntervalStreamJoinSpec extends SparkSpec {
       assert(batch == emitted())
     } finally q.stop()
   }
+
+  test("left-outer: an interval with no in-window points emits " +
+    "null-padded once the watermark passes its match horizon") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val errIn = MemoryStream[(Long, Timestamp)]
+    val clkIn = MemoryStream[(Long, Timestamp)]
+    val incidents = errIn.toDS().toDF("error_id", "win_start")
+      .withColumn("win_end", col("win_start") + expr("INTERVAL 10 MINUTES"))
+    val clicks = clkIn.toDS().toDF("click_id", "ts")
+    val q = IntervalStreamJoin.join(incidents, clicks,
+        startCol = "win_start", endCol = "win_end", tsCol = "ts",
+        slotWidthSec = 600L, maxLenSec = 600L, delay = "10 minutes",
+        joinType = "left_outer")
+      .select(col("error_id"), col("click_id"))
+      .writeStream.format("memory").queryName("isj_outer")
+      .outputMode("append").start()
+    try {
+      def emitted(): Set[(Long, Option[Long])] =
+        spark.table("isj_outer").as[(Long, Option[Long])].collect().toSet
+
+      // window 1 gets a match; window 2 gets nothing
+      errIn.addData(Seq((1L, ts("2024-01-01 10:00:00")),
+        (2L, ts("2024-01-01 10:30:00"))))
+      clkIn.addData(Seq((100L, ts("2024-01-01 10:03:00"))))
+      q.processAllAvailable()
+      val first = emitted()
+      assert(first.contains((1L, Some(100L))))
+      assert(!first.exists(_._2.isEmpty),
+        "no null-padded row may emit while a match could still arrive")
+
+      // advance BOTH watermarks far past window 2's horizon; the
+      // unmatched interval must now emit exactly once, null-padded
+      errIn.addData(Seq((9L, ts("2024-01-01 13:00:00"))))
+      clkIn.addData(Seq((900L, ts("2024-01-01 13:00:00"))))
+      q.processAllAvailable()
+      // one more batch so the outer-row eviction pass runs after the
+      // watermark update is in place
+      errIn.addData(Seq((10L, ts("2024-01-01 13:30:00"))))
+      clkIn.addData(Seq((901L, ts("2024-01-01 13:30:00"))))
+      q.processAllAvailable()
+      val outer = emitted().filter(_._2.isEmpty).map(_._1)
+      assert(outer.contains(2L),
+        s"unmatched window 2 must emit null-padded, got ${emitted()}")
+    } finally q.stop()
+  }
 }

@@ -33,4 +33,25 @@ class MinHashJoinSpec extends SparkSpec {
       MinHashJoin.selfPairs(corpus, "doc_id", "text", hashes = 12, bands = 5)
     }
   }
+
+  test("estimated Jaccard: 1.0 for identical docs, in [0,1] and equal " +
+    "to the signatures' own agreement for near-dups") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa extra"))
+      .toDF("doc_id", "text")
+    val est = MinHashJoin.selfPairsEstimated(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(est((1L, 2L)) == 1.0, "identical docs must estimate exactly 1.0")
+    // the near-dup pair surfaced and its estimate is a valid k/12 ratio
+    for (p <- Seq((1L, 3L), (2L, 3L)); e = est(p)) {
+      assert(e > 0.0 && e <= 1.0)
+      assert(math.abs((e * 12).round.toDouble / 12 - e) < 1e-4,
+        s"estimate $e is not an agreement count / 12")
+    }
+    // symmetry of the underlying signatures: doc 1 and 2 are identical,
+    // so their estimates against doc 3 must agree exactly
+    assert(est((1L, 3L)) == est((2L, 3L)))
+  }
 }
