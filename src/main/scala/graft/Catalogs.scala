@@ -1738,6 +1738,33 @@ object TrainingQueries {
         .orderBy(col("shard"))
     }),
 
+    // Contamination SCORE — the graded form of d7's boolean verdict:
+    // per training doc, the FRACTION of its 3-gram shingles present in
+    // the held-out eval set (0 for clean docs — they stay in the
+    // output, unlike d7's hits-only rows), so downstream picks the
+    // drop threshold instead of inheriting any-overlap-drops. Same
+    // broadcast eval-set plan as d7: corpus-side shingles probe the
+    // broadcast map-side, one groupBy(doc) shuffle; the score is an
+    // exact int ratio (single exactly-rounded division — portable).
+    "t21_contamination" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .withColumn("__toks", TextFns.repetitionTokens(col("text")))
+        .select(col("doc_id"),
+          explode(TextFns.wordShinglesTokens(col("__toks"), 3)).as("sh"))
+      val evalSh = sh.filter(col("doc_id") % 50 === 0)
+        .select(col("sh")).distinct()
+        .withColumn("__hit", lit(1))
+      sh.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(evalSh), Seq("sh"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hits"))
+        .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_shingles"), 6)
+            .as("contamination"))
+        .orderBy(col("doc_id"))
+    }),
+
     // KMV distinct-count sketch (functions/KmvSketch): distinct users per
     // event type estimated from the 32 smallest md5-derived 60-bit hashes
     // — bounded-state approximate COUNT(DISTINCT), the 100 TB substitute
@@ -1850,6 +1877,21 @@ object TrainingQueries {
          |      FROM s)
          |SELECT doc_id, pos, fp FROM d WHERE prev IS NULL OR pos <> prev
          |ORDER BY doc_id, pos, fp""".stripMargin,
+    "t21_contamination" ->
+      """WITH norm AS (SELECT doc_id,
+        |  regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |idx AS (SELECT doc_id, toks,
+        |  unnest(generate_series(1, greatest(len(toks)-3, 0)+1)) AS i FROM norm),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh FROM idx),
+        |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0)
+        |SELECT s.doc_id, count(*) AS n_shingles,
+        |  sum(CASE WHEN ev.sh IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+        |  round(sum(CASE WHEN ev.sh IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+        |        / count(*), 6) AS contamination
+        |FROM sh s LEFT JOIN ev ON s.sh = ev.sh
+        |WHERE s.doc_id % 50 <> 0
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "t20_table_digest" -> {
       val rowH = (1 to 15).map(i =>
         s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1) * ${1L << (4 * (15 - i))}")
@@ -1931,6 +1973,34 @@ object MediaQueries {
           col("meta.width").as("width"))
         .orderBy(col("doc_id"))),
 
+    // media shard packing (the multimodal t7): payloads bin-packed into
+    // 16 KiB shards PER MODALITY by cumulative byte size — the training-
+    // loader layout step for image/audio/video corpora. Same two-level
+    // prefix sum as t7 (per-(modality, chunk) windows + broadcast chunk
+    // offsets), so the only ordered pass over whole modalities runs on
+    // #chunks rows; a flat per-modality window would drag every row of
+    // a modality through ONE partition at 100 TB.
+    "m3_media_pack" -> ((s, dir) => {
+      val base = graft.operators.Multimodal.mediaFrom(Tables.documents(s, dir))
+        .select(col("doc_id"), col("modality"),
+          octet_length(col("payload")).cast("long").as("n_bytes"))
+        .withColumn("chunk", floor(col("doc_id") / 1000).cast("long"))
+      val chunkW = Window.partitionBy(col("modality")).orderBy(col("chunk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offsets = base.groupBy(col("modality"), col("chunk"))
+        .agg(sum(col("n_bytes")).as("ctot"))
+        .withColumn("coffset", sum(col("ctot")).over(chunkW) - col("ctot"))
+        .select(col("modality"), col("chunk"), col("coffset"))
+      val inW = Window.partitionBy(col("modality"), col("chunk"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.join(broadcast(offsets), Seq("modality", "chunk"))
+        .withColumn("cum", sum(col("n_bytes")).over(inW) + col("coffset"))
+        .select(col("doc_id"), col("modality"), col("n_bytes"),
+          floor((col("cum") - col("n_bytes")) / 16384).cast("long").as("shard"))
+        .orderBy(col("doc_id"))
+    }),
+
     // frame sampling over the video modality: every 4th 32-byte chunk of
     // the payload is one "frame" (deterministic demux stub — the Spark
     // side is the real mapPartitions dataflow a codec would plug into).
@@ -1950,6 +2020,17 @@ object MediaQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "m3_media_pack" ->
+      """WITH m AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  octet_length(encode(text))::BIGINT AS n_bytes
+        |FROM documents),
+        |c AS (SELECT *, sum(n_bytes) OVER (PARTITION BY modality ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM m)
+        |SELECT doc_id, modality, n_bytes,
+        |  CAST(floor((cum - n_bytes) / 16384) AS BIGINT) AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
     "m2_frame_sample" ->
       """WITH v AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
         |n AS (SELECT doc_id, text,
