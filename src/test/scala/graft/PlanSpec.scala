@@ -245,6 +245,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), s"no map-side partial aggregation:\n$p")
   }
 
+  test("m3_media_pack's big window is chunked — no whole-modality " +
+    "single-partition pass") {
+    val p = plan("m3_media_pack")
+    // the corpus-sized running total partitions by (modality, chunk);
+    // only the #chunks-row offsets frame may window by modality alone
+    assert(p.contains("hashpartitioning(modality") && p.contains("chunk"),
+      s"no (modality, chunk) exchange found:\n$p")
+    val re = "hashpartitioning\\(modality[^,]*, chunk".r
+    assert(re.findFirstIn(p).isDefined,
+      s"corpus window not chunked under (modality, chunk):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"chunk offsets must broadcast back, not shuffle the corpus:\n$p")
+  }
+
+  test("t21_contamination probes a BROADCAST eval set and shuffles " +
+    "only on the doc key") {
+    val p = plan("t21_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval shingle set not broadcast:\n$p")
+    assert(p.contains("hashpartitioning(doc_id"),
+      s"per-doc roll-up exchange missing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cartesian operator in the probe:\n$p")
+  }
+
   test("q18_big_orders aggregates and filters BEFORE the joins, " +
     "partial-aggregating map-side") {
     val p = plan("q18_big_orders")
