@@ -645,6 +645,42 @@ object DedupQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // A12 ε-sensitivity sweep — the reference notebook's clustering
+    // evaluation (news summarization streaming.ipynb cells 3-8: cluster
+    // dumps at eps ∈ {0.05, 0.15}) as a first-class query: how does the
+    // cluster structure respond to the ε knob? The notebook's values
+    // target real MiniLM news embeddings; this synthetic corpus's
+    // sensitivity transition sits at 0.50–0.65 (1 → 271 edges), so the
+    // sweep uses those four values — the METHOD (shared distance pass,
+    // per-eps partition stats) is what's replicated. Plan: ONE pivot-
+    // band candidate pass at the loosest eps; each tighter eps is a
+    // FILTER over those pairs (never a re-scan of the embeddings), then
+    // min-label CC per eps and a one-row stats roll-up — so the sweep
+    // costs one similarity join plus k tiny graph passes, the shape
+    // that survives a 100 TB corpus.
+    "a12_eps_sweep" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val pairs = graft.operators.SimilarityJoin
+        .bandExactSelf(emb, "vec_id", "embedding", eps = 0.6501)
+        .withColumn("dist", round(col("dist"), 4))
+        .select(col("a").cast("long").as("src"),
+          col("b").cast("long").as("dst"), col("dist"))
+      val nodes = emb.select(col("vec_id").cast("long").as("node"))
+      val sweeps = Seq(0.50, 0.55, 0.60, 0.65).map { e =>
+        val comp = graft.operators.ConnectedComponents.run(
+          nodes, pairs.filter(col("dist") <= e).select(col("src"), col("dst")))
+        comp.groupBy(col("component")).agg(count(lit(1)).as("sz"))
+          .agg(
+            coalesce(sum(when(col("sz") > 1, lit(1L))), lit(0L)).as("n_clusters"),
+            coalesce(sum(when(col("sz") === 1, lit(1L))), lit(0L)).as("n_singletons"),
+            coalesce(sum(when(col("sz") > 1, col("sz"))), lit(0L)).as("n_clustered"),
+            max(col("sz")).as("max_size"))
+          .select(lit(e).as("eps"), col("n_clusters"), col("n_singletons"),
+            col("n_clustered"), col("max_size"))
+      }
+      sweeps.reduce(_.unionByName(_)).orderBy(col("eps"))
+    }),
+
     // Embedding-cosine near-dup with the dedup DECISION: every vector
     // within eps of a lower-id vector is dropped, keeping its nearest
     // lowest-id representative (keep-first semantics on vec_id order)
@@ -1003,6 +1039,37 @@ object DedupQueries {
         |  FROM comp)
         |SELECT vec_id, component, group_size, vec_id = component AS keep
         |FROM sized WHERE group_size > 1 ORDER BY vec_id""".stripMargin,
+    "a12_eps_sweep" -> {
+      // one recursive-closure block per eps, replaying the Spark side's
+      // shared-pair-pass + per-eps CC sweep; isolated nodes come back
+      // via the LEFT JOIN (they are their own singleton components)
+      def sweep(tag: String, e: String): String =
+        s"""e$tag AS (SELECT a, b FROM p WHERE dist <= $e),
+           |edges$tag AS (SELECT a AS src, b AS dst FROM e$tag UNION ALL SELECT b, a FROM e$tag),
+           |reach$tag(n, m) AS (
+           |  SELECT src, dst FROM edges$tag
+           |  UNION
+           |  SELECT r.n, e2.dst FROM reach$tag r JOIN edges$tag e2 ON r.m = e2.src),
+           |comp$tag AS (
+           |  SELECT v.vec_id, coalesce(least(v.vec_id, r.mm), v.vec_id) AS component
+           |  FROM embeddings v LEFT JOIN
+           |    (SELECT n, min(m) AS mm FROM reach$tag GROUP BY n) r ON v.vec_id = r.n),
+           |sz$tag AS (SELECT component, count(*) AS sz FROM comp$tag GROUP BY component),
+           |st$tag AS (SELECT CAST($e AS DOUBLE) AS eps,
+           |  CAST(coalesce(sum(CASE WHEN sz > 1 THEN 1 END), 0) AS BIGINT) AS n_clusters,
+           |  CAST(coalesce(sum(CASE WHEN sz = 1 THEN 1 END), 0) AS BIGINT) AS n_singletons,
+           |  CAST(coalesce(sum(CASE WHEN sz > 1 THEN sz END), 0) AS BIGINT) AS n_clustered,
+           |  CAST(max(sz) AS BIGINT) AS max_size FROM sz$tag)""".stripMargin
+      val sweeps = Seq("50" -> "0.50", "55" -> "0.55", "60" -> "0.60", "65" -> "0.65")
+      s"""WITH RECURSIVE
+         |p AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b,
+         |    round(least(greatest(1 - list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 0), 1), 4) AS dist
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+         |${sweeps.map { case (t, e) => sweep(t, e) }.mkString(",\n")}
+         |${sweeps.map { case (t, _) => s"SELECT * FROM st$t" }.mkString(" UNION ALL ")}
+         |ORDER BY eps""".stripMargin
+    },
     "d5_embed_neardup" ->
       """WITH p AS (
         |  SELECT a.vec_id AS a, b.vec_id AS b,
@@ -1623,16 +1690,23 @@ object TrainingQueries {
     "t12_bigram_lm" -> ((s, dir) => {
       val toks = Tables.documents(s, dir).select(col("doc_id"),
         TextFns.repetitionTokens(col("text")).as("t"))
-      val pairs = zip_with(
-        slice(col("t"), lit(1), size(col("t")) - 1),
-        slice(col("t"), lit(2), size(col("t")) - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2")))
+      // native single-pass bigram expression — the zip_with/slice HOF
+      // chain it replaces evaluated interpreted (HOFs are eval-only)
+      // and materialized two sliced array copies per row, which is what
+      // a cold/loaded box amplified in BENCH_r08 (t12 46 s official vs
+      // 1.75 s warm isolated)
+      val pairs = TextFns.tokenBigrams(col("t"))
       val big = toks.filter(size(col("t")) >= 2)
         .select(col("doc_id"), explode(pairs).as("bg"))
         .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
-      val pc = big.groupBy(col("w1")).agg(count(lit(1)).as("pre"))
-      val vocab = big.agg(countDistinct(col("w2")).as("v"))
+      // prefix counts and vocab size derive from the (much smaller)
+      // bigram-count table, not from re-exploding the corpus: pre(w1) =
+      // Σ_w2 c(w1,w2) and |V| = |distinct w2 in bc| are identities, and
+      // deriving them here cuts the tokenize+explode passes from 4 to 2
+      // (bc build + the final per-doc join probe)
+      val pc = bc.groupBy(col("w1")).agg(sum(col("c")).as("pre"))
+      val vocab = bc.agg(countDistinct(col("w2")).as("v"))
       big.join(bc, Seq("w1", "w2")).join(pc, Seq("w1"))
         .crossJoin(broadcast(vocab))
         .groupBy(col("doc_id"))
@@ -1722,9 +1796,16 @@ object TrainingQueries {
     // 2^60 ≈ 1.2e30 < 1e38), mod folded to BIGINT for the output. One
     // map-side hash + one tiny shuffle on the shard key.
     "t20_table_digest" -> ((s, dir) => {
+      // Nullable fields go through coalesce(<field>, NUL) so both
+      // engines build the IDENTICAL digest string: Spark's concat_ws
+      // SKIPS null arguments while DuckDB's || PROPAGATES null (nulling
+      // the whole hash), and a skipped field would also let distinct
+      // rows ("a", NULL) vs (NULL, "a") collide. NUL can't appear in
+      // real lang/source values, so the sentinel is collision-free.
+      def nn(c: org.apache.spark.sql.Column) = coalesce(c, lit("\u0000"))
       val h = conv(substring(md5(concat_ws("|", lit("dig:"),
-          col("doc_id").cast("string"), md5(col("text")), col("lang"),
-          col("source"))), 1, 15), 16, 10).cast("long")
+          col("doc_id").cast("string"), nn(md5(col("text"))),
+          nn(col("lang")), nn(col("source")))), 1, 15), 16, 10).cast("long")
       val shard = (conv(substring(md5(concat(lit("dig-shard:"),
           col("doc_id").cast("string"))), 1, 2), 16, 10) % 4).cast("int")
       Tables.documents(s, dir)
@@ -1901,7 +1982,7 @@ object TrainingQueries {
         "(strpos('0123456789abcdef', substr(md5('dig-shard:' || doc_id::VARCHAR), 2, 1)) - 1)"
       s"""WITH r AS (SELECT
          |    CAST(($shardH) % 4 AS INT) AS shard,
-         |    md5('dig:' || '|' || doc_id::VARCHAR || '|' || md5(text) || '|' || lang || '|' || source) AS hx
+         |    md5('dig:' || '|' || doc_id::VARCHAR || '|' || coalesce(md5(text), chr(0)) || '|' || coalesce(lang, chr(0)) || '|' || coalesce(source, chr(0))) AS hx
          |  FROM documents),
          |h AS (SELECT shard, ($rowH) AS h FROM r)
          |SELECT shard, count(*) AS n_rows,
@@ -2313,8 +2394,11 @@ object EventQueries {
           slotWidthSec = 600L, maxLenSec = 600L, delay = "30 minutes")
         .select(col("error_id"), col("click_id"),
           (unix_micros(col("ts")) - unix_micros(col("win_start"))).as("gap_us"))
-      val out = java.nio.file.Files.createTempDirectory("w9_out").toString
-      val ck = java.nio.file.Files.createTempDirectory("w9_ck").toString
+      // NOTE: constructing this DataFrame RUNS the streaming job (the
+      // sink drain is what's under test); explain-only callers pay it
+      // too. Scratch dirs are reaped by a shutdown hook (SparkHygiene).
+      val out = SparkHygiene.scratchDir("w9_out")
+      val ck = SparkHygiene.scratchDir("w9_ck")
       val q = joined.writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ck)
         .outputMode("append")
@@ -2322,6 +2406,54 @@ object EventQueries {
         .start()
       q.awaitTermination()
       s.read.parquet(out).orderBy(col("error_id"), col("click_id"))
+    }),
+
+    // W9-OUTER: the left_outer form of the stream-stream interval join —
+    // incident windows with NO activity emit once, null-padded, after
+    // the watermark passes their match horizon (the alerting shape:
+    // "error windows that saw zero clicks"). Outer rows are per
+    // (interval, slot) — see IntervalStreamJoin's doc. The oracle is the
+    // batch per-slot left join; BOTH sides filter null rows to intervals
+    // strictly below a data-derived watermark cutoff (max event time −
+    // delay − interval length − 10 s slack), because a streaming outer
+    // join can only emit nulls the final watermark has passed — the
+    // slack absorbs the engine's ms truncation so the boundary band,
+    // where emission is engine-internal, is excluded identically on
+    // both sides.
+    "w9_stream_join_outer" -> ((s, dir) => {
+      val ev = Tables.eventsStream(s, dir)
+      val incidents = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("ts").as("win_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("win_end"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts"))
+      val joined = graft.streaming.IntervalStreamJoin.join(
+          incidents, clicks,
+          startCol = "win_start", endCol = "win_end", tsCol = "ts",
+          slotWidthSec = 600L, maxLenSec = 600L, delay = "30 minutes",
+          joinType = "left_outer")
+        .select(col("error_id"), col("win_start"), col("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("win_start"))).as("gap_us"))
+      val out = SparkHygiene.scratchDir("w9o_out")
+      val ck = SparkHygiene.scratchDir("w9o_ck")
+      val q = joined.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val cut = Tables.events(s, dir).agg(
+        (least(max(when(col("event_type") === "error", col("ts"))),
+               max(when(col("event_type") === "click", col("ts"))))
+          - expr("INTERVAL 30 MINUTES") - expr("INTERVAL 10 MINUTES")
+          - expr("INTERVAL 10 SECONDS")).as("cut"))
+      s.read.parquet(out)
+        .crossJoin(broadcast(cut))
+        .filter(col("click_id").isNotNull || col("win_start") < col("cut"))
+        .select(col("error_id"),
+          date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("click_id"), col("gap_us"))
+        .orderBy(col("error_id"), col("click_id"))
     }),
 
     // W10 streaming exactly-once dedup under at-least-once delivery: the
@@ -2340,12 +2472,18 @@ object EventQueries {
       val twice = once.unionByName(
         Tables.eventsStream(s, dir)
           .select(col("event_id"), col("ts"), col("user_id"), col("event_type")))
+      // dedup on ALL output columns, not event_id alone: the oracle is
+      // DISTINCT over the triple, and keying on event_id only would
+      // silently depend on event_id being unique in the generated
+      // testdata — a schema regeneration with duplicate ids would then
+      // hash-mismatch instead of failing loudly
       val deduped = twice
         .withWatermark("ts", "24 hours")
-        .dropDuplicatesWithinWatermark("event_id")
+        .dropDuplicatesWithinWatermark("event_id", "user_id", "event_type")
         .select(col("event_id"), col("user_id"), col("event_type"))
-      val out = java.nio.file.Files.createTempDirectory("w10_out").toString
-      val ck = java.nio.file.Files.createTempDirectory("w10_ck").toString
+      // see w9's note: construction runs the stream; dirs reaped at exit
+      val out = SparkHygiene.scratchDir("w10_out")
+      val ck = SparkHygiene.scratchDir("w10_ck")
       val q = deduped.writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ck)
         .outputMode("append")
@@ -2459,6 +2597,35 @@ object EventQueries {
         |FROM events e JOIN events c
         |  ON e.event_type = 'error' AND c.event_type = 'click'
         | AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 10 MINUTE
+        |ORDER BY error_id, click_id""".stripMargin,
+    // per-slot left join (outer rows are per (interval, slot)); null
+    // rows cut to the watermark horizon both engines can agree on
+    "w9_stream_join_outer" ->
+      """WITH err AS (
+        |  SELECT event_id AS error_id, ts AS win_start,
+        |         ts + INTERVAL 10 MINUTES AS win_end
+        |  FROM events WHERE event_type = 'error'),
+        |clk AS (SELECT event_id AS click_id, ts FROM events WHERE event_type = 'click'),
+        |slots AS (
+        |  SELECT e.*, unnest(generate_series(
+        |    CAST(floor(epoch_us(win_start) / 600000000) AS BIGINT),
+        |    CAST(floor((epoch_us(win_end) - 1) / 600000000) AS BIGINT))) AS slot
+        |  FROM err e),
+        |j AS (
+        |  SELECT s.error_id, s.win_start, c.click_id,
+        |         epoch_us(c.ts) - epoch_us(s.win_start) AS gap_us
+        |  FROM slots s LEFT JOIN clk c
+        |    ON CAST(floor(epoch_us(c.ts) / 600000000) AS BIGINT) = s.slot
+        |   AND c.ts >= s.win_start AND c.ts < s.win_end),
+        |wm AS (
+        |  SELECT least((SELECT max(ts) FROM events WHERE event_type = 'error'),
+        |               (SELECT max(ts) FROM events WHERE event_type = 'click'))
+        |         - INTERVAL 30 MINUTES - INTERVAL 10 MINUTES
+        |         - INTERVAL 10 SECONDS AS cut FROM (SELECT 1))
+        |SELECT error_id, strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       click_id, gap_us
+        |FROM j, wm
+        |WHERE click_id IS NOT NULL OR win_start < cut
         |ORDER BY error_id, click_id""".stripMargin,
     "w8_hourly_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,

@@ -35,6 +35,25 @@ object SparkHygiene {
       case l: LogicalRDD => l.rdd.unpersist(blocking = false)
     }
 
+  /** Temp directory that is recursively deleted at JVM exit — for
+    * streaming catalog entries that must drain a query to a filesystem
+    * sink before the caller can read the result back. `deleteOnExit`
+    * alone can't remove non-empty directories, so repeated catalog
+    * evaluations (sweeps, plan probes) would leak checkpoint/output
+    * trees under /tmp; one shutdown hook per directory reaps them.
+    */
+  def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file._
+      import java.util.Comparator
+      try Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      catch { case _: Throwable => () }
+    }))
+    p.toString
+  }
+
   /** Drop every persistent RDD still registered with the context —
     * DataFrame caches AND checkpoint blocks. For harnesses (bench,
     * verify) between independent queries: each query starts cold and no

@@ -224,4 +224,10 @@ object TextFns {
     */
   def minHashShingles(toks: Column, n: Int = 3, seeds: Int = 12): Column =
     column(MinHashShingles(expression(toks), n, seeds))
+
+  /** Adjacent-token bigrams as `array<struct<w1,w2>>` — one native pass
+    * per document. See [[TokenBigrams]].
+    */
+  def tokenBigrams(toks: Column): Column =
+    column(TokenBigrams(expression(toks)))
 }

@@ -34,13 +34,21 @@ object IntervalStreamJoin {
     * @param delay     watermark delay on both sides (event-time lateness bound)
     */
   /** @param joinType `"inner"` (default) or `"left_outer"`: left-outer
-    *                  additionally emits each UNMATCHED interval once,
-    *                  null-padded, after the watermark passes the point
-    *                  at which a match could still arrive — the
-    *                  incident-without-activity shape. Outer rows are
-    *                  per (interval, slot); slotWidthSec ≥ interval
-    *                  length keeps that at ≤ 2 rows, and callers dedup
-    *                  on the interval id if they need exactly one.
+    *                  additionally emits a null-padded row for each
+    *                  (interval, slot) pair that matched NO point in
+    *                  that slot, once the watermark passes the point at
+    *                  which a match could still arrive — the
+    *                  incident-without-activity shape. Because outer
+    *                  rows are per (interval, slot), an interval that
+    *                  matched in one slot but spanned an empty second
+    *                  slot still emits one null row for the empty slot;
+    *                  callers that want "unmatched intervals only" must
+    *                  anti-join the null rows against the matched ids.
+    *                  slotWidthSec ≥ interval length keeps the explode
+    *                  at ≤ 2 rows per interval, and the exclusive end
+    *                  never materializes a trailing slot it cannot
+    *                  match (so a slot-aligned interval gets exactly
+    *                  its own slot, no guaranteed-null extra row).
     */
   def join(intervals: DataFrame, points: DataFrame,
            startCol: String, endCol: String, tsCol: String,
@@ -48,9 +56,17 @@ object IntervalStreamJoin {
            joinType: String = "inner"): DataFrame = {
     val widthUs = slotWidthSec * 1000000L
     def slotOf(t: Column) = floor(unix_micros(t) / widthUs)
+    // endCol is EXCLUSIVE: the last slot an interval can match is the
+    // one containing (end − 1 µs). Using slotOf(end) directly would,
+    // for any interval whose end lands exactly on a slot boundary (the
+    // len == slotWidth case this operator is sized for), explode an
+    // extra trailing slot that no point can ever satisfy — harmless for
+    // inner joins but a guaranteed false null-padded row under
+    // left_outer once the watermark passes.
     val iv = intervals.withWatermark(startCol, delay)
       .withColumn("__slot",
-        explode(sequence(slotOf(col(startCol)), slotOf(col(endCol)))))
+        explode(sequence(slotOf(col(startCol)),
+          slotOf(col(endCol) - expr("INTERVAL 1 MICROSECOND")))))
     val pt = points.withWatermark(tsCol, delay)
       .withColumn("__pslot", slotOf(col(tsCol)))
     // all non-slot column names are disjoint by construction (caller

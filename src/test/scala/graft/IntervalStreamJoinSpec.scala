@@ -114,6 +114,11 @@ class IntervalStreamJoinSpec extends SparkSpec {
       val outer = emitted().filter(_._2.isEmpty).map(_._1)
       assert(outer.contains(2L),
         s"unmatched window 2 must emit null-padded, got ${emitted()}")
+      // the MATCHED slot-aligned window (len == slotWidth, end on a
+      // slot boundary) must NOT emit a null row: the exclusive end
+      // means no trailing never-matchable slot is exploded
+      assert(!outer.contains(1L),
+        s"matched window 1 must emit no null-padded row, got ${emitted()}")
     } finally q.stop()
   }
 }
