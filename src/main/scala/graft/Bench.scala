@@ -144,6 +144,10 @@ object Bench {
         f""""pipeline":{"articles":$articles,"seconds":$pipelineSec%.3f,"articles_per_sec":$aps%.1f},""" +
         f""""pipeline_streaming":{"articles":$articles,"seconds":$streamSec%.3f,"articles_per_sec":$streamAps%.1f},""" +
         decoupledJson + "," +
+        // the three raw draws behind each median (~40 bytes each): the
+        // official artifact carries its own variance evidence, so a
+        // ±20% box-noise swing reads as a wide band, not a regression
+        s""""stream_runs_sec":$runsJson,"decoupled_runs_sec":$dRunsJson,""" +
         s""""sf":"$sfDir"}""")
     spark.stop()
   }

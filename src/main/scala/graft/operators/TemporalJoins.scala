@@ -99,10 +99,14 @@ object TemporalJoins {
                    slotWidthSec: Long): DataFrame = {
     val widthUs = slotWidthSec * 1000000L
     def slotOf(t: org.apache.spark.sql.Column) = floor(unix_micros(t) / widthUs)
-    // end-exclusive ⇒ the slot containing `end` is still a candidate
-    // (a point at end-ε shares it); sequence is inclusive on both ends
+    // end-exclusive ⇒ the last candidate slot is the one containing
+    // end − 1 µs: for a non-aligned end that IS slotOf(end), but for an
+    // end exactly on a slot boundary slotOf(end) would be an extra slot
+    // no point can satisfy — pure fan-out waste (and, in the streaming
+    // left_outer sibling, a guaranteed-false null row)
     val iv = intervals.withColumn("__slot",
-      explode(sequence(slotOf(col(startCol)), slotOf(col(endCol)))))
+      explode(sequence(slotOf(col(startCol)),
+        slotOf(col(endCol) - expr("INTERVAL 1 MICROSECOND")))))
     val pt = points.withColumn("__slot", slotOf(col(tsCol)))
     iv.join(pt, "__slot")
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
