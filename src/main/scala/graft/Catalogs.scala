@@ -660,11 +660,18 @@ object DedupQueries {
     // that survives a 100 TB corpus.
     "a12_eps_sweep" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      // persisted, not exchange-reuse: each eps's CC pass is its own
+      // ACTION (the union-find gate collects), and exchange reuse only
+      // spans branches of a single execution — without the persist the
+      // similarity join would re-run once per eps. The pair set is the
+      // ε-graph edge list (tiny: bounded by near-dup density), and the
+      // harness's dropAllPersisted reclaims it after the query.
       val pairs = graft.operators.SimilarityJoin
         .bandExactSelf(emb, "vec_id", "embedding", eps = 0.6501)
         .withColumn("dist", round(col("dist"), 4))
         .select(col("a").cast("long").as("src"),
           col("b").cast("long").as("dst"), col("dist"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nodes = emb.select(col("vec_id").cast("long").as("node"))
       val sweeps = Seq(0.50, 0.55, 0.60, 0.65).map { e =>
         val comp = graft.operators.ConnectedComponents.run(
