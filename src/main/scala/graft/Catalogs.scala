@@ -556,6 +556,18 @@ object DedupQueries {
           digestKey = true)
         .orderBy(col("doc_id"))),
 
+    // Boilerplate REMOVAL (d10's CCNet decision APPLIED): segments shared
+    // across documents are dropped and each document is reassembled from
+    // its kept segments in original order — the transform that actually
+    // produces the cleaned training corpus, where d10 only scores it.
+    // Three corpus-linear shuffles (df agg, df join, doc regroup); md5
+    // digest exchange keys on the df path (the 100 TB plan).
+    "d17_boilerplate_strip" -> ((s, dir) =>
+      graft.operators.SegmentDedup
+        .strip(corpusWithNearDups(s, dir), "doc_id", "text", segLen = 10,
+          maxDf = 1, digestKey = true)
+        .orderBy(col("doc_id"))),
+
     // Cross-document SPAN detection (the Lee et al. exact-substring
     // dedup shape at 8-gram granularity): longest run of consecutive
     // shared grams per pair, measured on one diagonal via the islands
@@ -966,6 +978,24 @@ object DedupQueries {
          |  round(sum(CASE WHEN dfx.df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
          |    AS boilerplate_ratio
          |FROM seg s JOIN dfx USING (seg) GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "d17_boilerplate_strip" ->
+      s"""WITH $nearCorpusSql,
+         |toks AS (SELECT doc_id,
+         |  regexp_split_to_array(trim(text), '\\s+') AS tk FROM corpus),
+         |idx AS (SELECT doc_id, tk,
+         |  unnest(generate_series(0,
+         |    greatest(ceil(len(tk) / 10.0)::INT - 1, 0))) AS i FROM toks),
+         |pseg AS (SELECT doc_id, i,
+         |  array_to_string(tk[i*10+1 : i*10+10], ' ') AS seg FROM idx),
+         |dfx AS (SELECT h, count(*) AS df FROM
+         |  (SELECT DISTINCT doc_id, md5(seg) AS h FROM pseg) GROUP BY h)
+         |SELECT doc_id,
+         |  coalesce(string_agg(seg, ' ' ORDER BY i) FILTER (WHERE df <= 1), '')
+         |    AS cleaned,
+         |  count(*) FILTER (WHERE df <= 1) AS n_kept,
+         |  count(*) AS n_segments
+         |FROM pseg JOIN dfx ON md5(seg) = h
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d12_dedup_corpus" ->
       s"""WITH RECURSIVE $nearCorpusSql,
          |$dupComponentsSql
@@ -1741,6 +1771,22 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // EXACT-budget deterministic sample — t8 samples at a RATE (output
+    // size varies with the corpus); this draws exactly N docs, uniformly
+    // and reproducibly, by ranking on a seeded md5 key. Plan: Catalyst
+    // turns sort+limit into TakeOrderedAndProject — a per-partition
+    // top-N heap merged at the driver (N rows per partition move, never
+    // a global sort/range exchange). The "give me exactly 10M docs for
+    // this ablation" op; re-running with the same seed reproduces the
+    // set bit-for-bit on any engine or partitioning.
+    "t22_exact_sample" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          md5(concat(lit("s42:"), col("doc_id").cast("string"))).as("rk"))
+        .orderBy(col("rk"), col("doc_id"))
+        .limit(120)
+        .orderBy(col("doc_id"))),
+
     // deterministic global shuffle + fixed shard layout (the training
     // last mile): shard and in-shard order both derive from one portable
     // md5 key, so the permutation is a pure function of (seed, id) —
@@ -1931,6 +1977,11 @@ object TrainingQueries {
         |  CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 30 ELSE 10 END AS rate
         |FROM documents)
         |SELECT doc_id, lang FROM t WHERE bucket * 100 < rate * 256 ORDER BY doc_id""".stripMargin,
+    "t22_exact_sample" ->
+      """SELECT doc_id, lang, rk FROM (
+        |  SELECT doc_id, lang, md5('s42:' || doc_id::VARCHAR) AS rk
+        |  FROM documents ORDER BY rk, doc_id LIMIT 120)
+        |ORDER BY doc_id""".stripMargin,
     "t14_shard_shuffle" -> {
       // u32 of the first 8 hex chars — same digit-sum idiom as s4
       val u32 = (1 to 8).map(i =>
@@ -2255,6 +2306,30 @@ object EventQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Running DISTINCT-user count per (event_type, day) via the
+    // FIRST-TOUCH trick: a naive running COUNT(DISTINCT) window
+    // re-scans every prior day's users per day (quadratic, and Spark
+    // refuses DISTINCT aggregates over running frames anyway); instead
+    // each (user, type) collapses to its first-seen day (one
+    // corpus-linear shuffle), the days roll up (tiny shuffle), and the
+    // running sum walks #days rows per type — window state bounded by
+    // the CALENDAR × type cardinality, not the corpus. The standard
+    // growth-accounting query every telemetry pipeline ships.
+    "a13_cum_distinct" -> ((s, dir) => {
+      val firstDay = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(to_date(col("ts"))).as("day"))
+      val daily = firstDay.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("new_users"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("cum_users", sum(col("new_users")).over(w))
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("new_users"), col("cum_users"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // A7 earliest/latest rendered
     "a7_date_range" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -2514,7 +2589,53 @@ object EventQueries {
         .select(col("user_id"), col("event_id"), col("n_frame"),
           col("roll_sum"), col("roll_avg"))
         .orderBy(col("user_id"), col("event_id"))
-    }))
+    }),
+
+    // Time-RANGE rolling frame — the value-based complement to w7's
+    // row-count frame: per user, activity in the PRECEDING 24 HOURS of
+    // each event (count + decimal sum). Same scale shape as w7 — ONE
+    // hash exchange on the key, a single streaming frame pass, state
+    // bounded by the frame's time horizon — but the frame edge is a
+    // timestamp predicate, so bursts widen the frame in rows while the
+    // time bound keeps memory fixed per active window. Frame arithmetic
+    // runs on epoch MICROSECONDS on both engines (Spark unix_micros,
+    // DuckDB epoch_us) so the inclusive [ts−24h, ts] edge is exact —
+    // no interval/rounding semantics in play.
+    "w11_time_rolling" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("__us"))
+        .rangeBetween(-86400000000L, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("__us", unix_micros(col("ts")))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_24h"),
+          round(sum(col("value").cast("decimal(18,6)")).over(w), 2)
+            .cast("double").as("sum_24h"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Native session-window aggregation — Spark's session_window()
+    // operator (the engine-fused form of w6's lag+running-sum
+    // derivation): per user, events merge into a session while each
+    // arrives within `gap` of the previous — INCLUSIVE: an event at
+    // exactly prev + gap still merges (session intervals [ts, ts+gap]
+    // merge on touch; pinned by WindowFramesSpec against the live
+    // operator, the same > convention w6 uses); session end = last
+    // event + gap. ONE exchange on the key; the merge is a single
+    // ordered pass per key. The DuckDB oracle replays the semantics
+    // with the portable lag/gap-sum derivation (brk at diff > gap) and
+    // min(ts)/max(ts)+gap bounds; epoch-microsecond output on both
+    // sides keeps timestamp rendering out of the hash.
+    "w12_session_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "6 hours").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,6)")), 2)
+            .cast("double").as("total_value"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("session_start"),
+          unix_micros(col("sw.end")).as("session_end"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("session_start"))))
 
   val oracleSql: Map[String, String] = Map(
     "a6_mode" ->
@@ -2649,5 +2770,38 @@ object EventQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-        |ORDER BY user_id, event_id""".stripMargin)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "a13_cum_distinct" ->
+      """WITH f AS (SELECT user_id, event_type, min(CAST(ts AS DATE)) AS day
+        |           FROM events GROUP BY user_id, event_type),
+        |d AS (SELECT event_type, day, count(*) AS new_users
+        |      FROM f GROUP BY event_type, day)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, new_users,
+        |  CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM d ORDER BY event_type, day""".stripMargin,
+    "w11_time_rolling" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_24h,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER w, 2) AS DOUBLE) AS sum_24h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "w12_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS us,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER
+        |              (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) > 21600000000
+        |       THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM e)
+        |SELECT user_id, min(us) AS session_start,
+        |  max(us) + 21600000000 AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)
 }

@@ -167,6 +167,36 @@ object QueryCatalog {
         .limit(100)
     }),
 
+    // TPC-H Q17-shaped small-order revenue: the aggregate-correlated
+    // SELF-join shape (q18 joins an aggregate to OTHER tables; here the
+    // fact table joins ITS OWN per-key aggregate — the "compare each row
+    // to its group's statistic" pattern every outlier/trim pipeline
+    // needs). Scale shape: the per-part aggregate partial-aggregates
+    // map-side and shuffles once on the part key; its output is ALREADY
+    // hash-partitioned on that key, so the self-join adds only the probe
+    // side's exchange — two part-key exchanges total, and the part dim
+    // broadcasts. The threshold compare (qty < 0.2·avg) runs as the
+    // exact integer cross-multiply 5·qty·n < Σqty (quantities are
+    // integer-valued by data contract) — no decimal-division rounding
+    // convention needed on either engine.
+    "q17_small_orders" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val agg = li.groupBy(col("l_partkey")).agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n_li"))
+        .withColumnRenamed("l_partkey", "pk")
+      val part = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+      li.join(agg, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity").cast("long") * col("n_li") * 5 < col("sum_qty"))
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_small"),
+          round(sum(col("l_extendedprice").cast("decimal(18,6)")), 4)
+            .cast("double").as("lost_revenue"))
+        .orderBy(col("p_brand"))
+    }),
+
     // TPC-H Q5-shaped local-supplier revenue: the full six-table join
     // chain. Star-schema treatment: region⋈nation collapses to a tiny
     // in-region nation dim, supplier joins it and broadcasts onto
@@ -276,6 +306,19 @@ object QueryCatalog {
         |FROM big JOIN orders ON o_orderkey = l_orderkey
         |  JOIN customer ON c_custkey = o_custkey
         |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q17_small_orders" ->
+      """WITH agg AS (
+        |  SELECT l_partkey AS pk, sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+        |         count(*) AS n_li
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT p_brand, count(*) AS n_small,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 4) AS DOUBLE)
+        |    AS lost_revenue
+        |FROM lineitem
+        |  JOIN agg ON l_partkey = pk
+        |  JOIN part ON p_partkey = l_partkey
+        |WHERE CAST(l_quantity AS BIGINT) * n_li * 5 < sum_qty
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q5_region_revenue" ->
       """SELECT n_name,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *

@@ -16,23 +16,31 @@ import org.apache.spark.sql.functions._
   */
 object SegmentDedup {
 
-  /** One row per (doc, distinct segment): a segment repeated WITHIN a
-    * document counts once (CCNet counts documents, not occurrences).
-    * The final partial segment is kept as-is (shorter than `segLen`).
+  /** One row per (doc, segment position): (id, i, seg) with `i` the
+    * 0-based segment index. The final partial segment is kept as-is
+    * (shorter than `segLen`).
     */
-  def segments(corpus: DataFrame, idCol: String, textCol: String,
-               segLen: Int): DataFrame = {
+  def positionedSegments(corpus: DataFrame, idCol: String, textCol: String,
+                         segLen: Int): DataFrame = {
     require(segLen > 0)
     val nSeg = greatest(
       ceil(size(col("__toks")) / lit(segLen.toDouble)).cast("int"), lit(1))
     corpus
       .withColumn("__toks", split(trim(col(textCol)), "\\s+"))
-      .select(col(idCol), explode(
+      .select(col(idCol), posexplode(
         transform(sequence(lit(0), nSeg - 1),
-          i => array_join(slice(col("__toks"), i * segLen + 1, lit(segLen)), " ")))
-        .as("seg"))
-      .distinct()
+          i => array_join(slice(col("__toks"), i * segLen + 1, lit(segLen)), " "))))
+      .withColumnRenamed("pos", "i")
+      .withColumnRenamed("col", "seg")
   }
+
+  /** One row per (doc, distinct segment): a segment repeated WITHIN a
+    * document counts once (CCNet counts documents, not occurrences).
+    */
+  def segments(corpus: DataFrame, idCol: String, textCol: String,
+               segLen: Int): DataFrame =
+    positionedSegments(corpus, idCol, textCol, segLen)
+      .select(col(idCol), col("seg")).distinct()
 
   /** Per-document boilerplate statistics: (id, n_segments,
     * n_boilerplate, boilerplate_ratio), where a segment is boilerplate
@@ -58,5 +66,42 @@ object SegmentDedup {
         sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boilerplate"))
       .withColumn("boilerplate_ratio",
         round(col("n_boilerplate") / col("n_segments"), 6))
+  }
+
+  /** Boilerplate REMOVAL — the CCNet decision applied to the corpus
+    * (d10 only reports the ratio; this emits the cleaned text): every
+    * segment whose corpus document-frequency exceeds `maxDf` is dropped
+    * from every document, and each document is reassembled from its kept
+    * segments in original order. Documents whose every segment is
+    * boilerplate survive with empty text (the caller decides whether an
+    * emptied doc is dropped — that is a corpus policy, not a transform).
+    *
+    * Plan shape: three hash shuffles, all corpus-linear — segment df
+    * (partial-aggregated map-side), the df join back onto positioned
+    * segments, and the per-document regroup. Per-document state in the
+    * regroup is bounded by document length (the kept-segment list), never
+    * by corpus size. `digestKey = true` is the 100 TB plan: the df
+    * aggregation and join exchange 16-byte md5 digests, so the wide
+    * segment strings move only in the doc-keyed regroup they must reach
+    * anyway.
+    */
+  def strip(corpus: DataFrame, idCol: String, textCol: String,
+            segLen: Int = 10, maxDf: Int = 1,
+            digestKey: Boolean = false): DataFrame = {
+    val pseg = positionedSegments(corpus, idCol, textCol, segLen)
+      .withColumn("__h", if (digestKey) md5(col("seg")) else col("seg"))
+    val segDf = pseg.select(col(idCol), col("__h")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("df"))
+    val keep = col("df") <= maxDf
+    pseg.join(segDf, "__h")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when(keep, struct(col("i"), col("seg"))))),
+            x => x("seg")),
+          " ").as("cleaned"),
+        count(when(keep, lit(1))).as("n_kept"),
+        count(lit(1)).as("n_segments"))
   }
 }

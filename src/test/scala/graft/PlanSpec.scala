@@ -300,4 +300,57 @@ class PlanSpec extends SparkSpec {
     assert(countOf(p, "Exchange hashpartitioning") == 1,
       s"more than one hash exchange in the rolling plan:\n$p")
   }
+
+  test("w11_time_rolling is one shuffle on user_id and a single RANGE-frame " +
+    "window pass — no join, no extra exchange") {
+    val p = plan("w11_time_rolling")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"time-range frame must not self-join events:\n$p")
+    assert(p.contains("Window"), s"window frame operator missing:\n$p")
+    def countOf(hay: String, needle: String): Int =
+      hay.sliding(needle.length).count(_ == needle)
+    assert(p.contains("hashpartitioning(user_id"),
+      s"no user_id hash exchange:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"more than one hash exchange in the time-rolling plan:\n$p")
+  }
+
+  test("q17 self-join never re-exchanges the fact side at small scale — " +
+    "AQE broadcasts the shrunken aggregate; part dim broadcast") {
+    val df = QueryCatalog.queries("q17_small_orders")(spark, sf)
+    df.collect() // finalize AQE
+    // AQE explain repeats the pre-adaptive plan under "== Initial
+    // Plan =="; audit only the final one
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), s"joins not broadcast:\n$p")
+    def countOf(hay: String, needle: String): Int =
+      hay.sliding(needle.length).count(_ == needle)
+    // the ONLY part-key exchange is the aggregate's own build shuffle:
+    // its (small) output broadcasts onto the lineitem probe side, which
+    // therefore never shuffles on the part key at all. (Past the
+    // broadcast threshold AQE degrades to the co-located SMJ — the
+    // aggregate output is already hash-partitioned on the key, so the
+    // join adds only the probe side's exchange.)
+    assert(countOf(p, "Exchange hashpartitioning(l_partkey") == 1,
+      s"fact side re-exchanged on the part key:\n$p")
+    assert(p.contains("partial_sum"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("t22_exact_sample plans a per-partition top-N (TakeOrdered), " +
+    "never a global sort exchange") {
+    val p = plan("t22_exact_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"sort+limit did not fuse into TakeOrderedAndProject:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"global range-sort exchange in the sample plan:\n$p")
+  }
+
+  test("d17_boilerplate_strip is shuffle-only segment plumbing — " +
+    "no cartesian, no nested loop") {
+    val p = plan("d17_boilerplate_strip")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pairwise operator in the strip plan:\n$p")
+    assert(p.contains("SortAggregate") || p.contains("ObjectHashAggregate") ||
+      p.contains("HashAggregate"), s"no aggregate in strip plan:\n$p")
+  }
 }

@@ -54,4 +54,44 @@ class SegmentDedupSpec extends SparkSpec {
     assert(dig == raw)
     assert(raw.exists(_._3 > 0)) // planted boilerplate makes it non-vacuous
   }
+
+  test("strip removes shared segments and reassembles kept ones in order") {
+    val df = Seq(
+      (1L, "c c u u c c z z"), // "c c" at positions 0 AND 2 (within-doc repeat)
+      (2L, "c c v v"),
+      (3L, "w w q q")).toDF("id", "text")
+    val out = SegmentDedup.strip(df, "id", "text", segLen = 2, maxDf = 1)
+      .as[(Long, String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // "c c" df=2 (docs 1,2) → dropped EVERYWHERE, incl. both copies in
+    // doc 1; kept segments rejoin in original position order
+    assert(out(1L) == (("u u z z", 2L, 4L)))
+    assert(out(2L) == (("v v", 1L, 2L)))
+    assert(out(3L) == (("w w q q", 2L, 2L)))
+  }
+
+  test("strip keeps a fully-boilerplate doc as an empty row") {
+    val df = Seq(
+      (1L, "c c"),
+      (2L, "c c"),
+      (3L, "a b")).toDF("id", "text")
+    val out = SegmentDedup.strip(df, "id", "text", segLen = 2, maxDf = 1)
+      .as[(Long, String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L)) // no doc silently dropped
+    assert(out(1L) == (("", 0L, 1L)))
+    assert(out(2L) == (("", 0L, 1L)))
+  }
+
+  test("strip digestKey path is result-identical to raw segment keys") {
+    val docs = (0L until 20L).map { i =>
+      val shared = "b1 b2 b3 b4"
+      val own = (0 until 8).map(j => s"w${i}_$j").mkString(" ")
+      (i, if (i % 2 == 0) s"$shared $own" else own)
+    }.toDF("id", "text")
+    def rows(digest: Boolean) =
+      SegmentDedup.strip(docs, "id", "text", segLen = 4, maxDf = 1, digestKey = digest)
+        .as[(Long, String, Long, Long)].collect().toSet
+    assert(rows(digest = true) == rows(digest = false))
+  }
 }
