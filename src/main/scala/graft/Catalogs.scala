@@ -2617,24 +2617,18 @@ object EventQueries {
     // operator (the engine-fused form of w6's lag+running-sum
     // derivation): per user, events merge into a session while each
     // arrives within `gap` of the previous — INCLUSIVE: an event at
-    // exactly prev + gap still merges (session intervals [ts, ts+gap]
-    // merge on touch; pinned by WindowFramesSpec against the live
-    // operator, the same > convention w6 uses); session end = last
-    // event + gap. ONE exchange on the key; the merge is a single
-    // ordered pass per key. The DuckDB oracle replays the semantics
-    // with the portable lag/gap-sum derivation (brk at diff > gap) and
-    // min(ts)/max(ts)+gap bounds; epoch-microsecond output on both
-    // sides keeps timestamp rendering out of the hash.
+    // exactly prev + gap still merges (pinned by WindowFramesSpec
+    // against the live operator, the same > convention w6 uses);
+    // session end = last event + gap. ONE exchange on the key; the
+    // merge is a single ordered pass per key. One definition serves
+    // both modes (`EventTimeAgg.sessions` / `.sessionsStream` — the
+    // streaming form merges sessions in state and emits each exactly
+    // once when the watermark passes its end; EventTimeAggSpec). The
+    // DuckDB oracle replays the semantics with the portable lag/gap-sum
+    // derivation and min(ts)/max(ts)+gap bounds; epoch-microsecond
+    // output keeps timestamp rendering out of the hash.
     "w12_session_window" -> ((s, dir) =>
-      Tables.events(s, dir)
-        .groupBy(col("user_id"), session_window(col("ts"), "6 hours").as("sw"))
-        .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value").cast("decimal(18,6)")), 2)
-            .cast("double").as("total_value"))
-        .select(col("user_id"),
-          unix_micros(col("sw.start")).as("session_start"),
-          unix_micros(col("sw.end")).as("session_end"),
-          col("n_events"), col("total_value"))
+      graft.streaming.EventTimeAgg.sessions(Tables.events(s, dir), "6 hours")
         .orderBy(col("user_id"), col("session_start"))))
 
   val oracleSql: Map[String, String] = Map(

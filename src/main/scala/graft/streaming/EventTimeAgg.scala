@@ -42,4 +42,37 @@ object EventTimeAgg {
     */
   def hourlyStream(events: DataFrame, delay: String = "2 hours"): DataFrame =
     hourly(events.withWatermark("ts", delay))
+
+  /** Session-window roll-up per user — the w12_session_window catalog
+    * entry (oracle-checked against the portable lag/gap-sum derivation
+    * in DuckDB). Merge convention, pinned by WindowFramesSpec against
+    * the live operator: an event at EXACTLY prev + gap merges (brk at
+    * diff > gap — the same convention w6 uses); session end = last
+    * event + gap. Epoch-µs bounds keep timestamp rendering portable.
+    */
+  def sessions(events: DataFrame, gap: String = "6 hours"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")), 2)
+          .cast("double").as("total_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("session_start"),
+        unix_micros(col("sw.end")).as("session_end"),
+        col("n_events"), col("total_value"))
+
+  /** Streaming sessions: the SAME definition under a watermark. State is
+    * one open session row per (user, session) within the watermark
+    * horizon — sessions merge IN STATE when a later micro-batch lands
+    * inside the gap, and in append mode each session emits exactly once,
+    * when the watermark passes its end (last event + gap). This is the
+    * engine-fused alternative to SessionStream's hand-rolled
+    * flatMapGroupsWithState form (which exists for custom per-session
+    * logic; this one is the declarative default — Catalyst plans the
+    * merge, partial aggregation and state eviction).
+    */
+  def sessionsStream(events: DataFrame, gap: String = "6 hours",
+                     delay: String = "2 hours"): DataFrame =
+    sessions(events.withWatermark("ts", delay), gap)
 }

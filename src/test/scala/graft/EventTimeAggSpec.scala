@@ -65,4 +65,56 @@ class EventTimeAggSpec extends SparkSpec {
       assert(batch == streamed)
     } finally q.stop()
   }
+
+  test("streaming session_window: sessions merge across micro-batches in " +
+    "state, emit once when the watermark passes their end, late rows drop") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val events = in.toDS().toDF("ts", "user_id", "value")
+    // gap 1 hour, watermark delay 1 hour
+    val q = EventTimeAgg.sessionsStream(events, gap = "1 hour", delay = "1 hour")
+      .writeStream.format("memory").queryName("w12_stream")
+      .outputMode("append").start()
+    try {
+      def emitted(): Set[(Long, Long, Long, Long, Double)] =
+        spark.table("w12_stream")
+          .as[(Long, Long, Long, Long, Double)].collect().toSet
+      val us = 1000000L
+      def t(sec: Long) = new Timestamp(sec * 1000)
+
+      // batch 1: two events 30 min apart → one open session for user 7
+      in.addData(Seq((t(1704067200), 7L, 1.0), (t(1704067200 + 1800), 7L, 2.0)))
+      q.processAllAvailable()
+      assert(emitted().isEmpty) // watermark has not passed the session end
+
+      // batch 2: a third event 30 min later MERGES into the open session
+      // (the cross-batch state-merge path); still nothing emits
+      in.addData(Seq((t(1704067200 + 3600), 7L, 3.0)))
+      q.processAllAvailable()
+      assert(emitted().isEmpty)
+
+      // batch 3: an event far ahead moves the watermark past the merged
+      // session's end (last + gap) → it emits ONCE, fully merged
+      in.addData(Seq((t(1704067200 + 6 * 3600), 7L, 9.0)))
+      q.processAllAvailable()
+      val start = 1704067200L * us
+      val end = (1704067200L + 3600 + 3600) * us // last event + gap
+      assert(emitted() == Set((7L, start, end, 3L, 6.0)))
+
+      // a late row behind the watermark (inside the closed session)
+      // drops — the emitted session must not duplicate or change
+      in.addData(Seq((t(1704067200 + 900), 7L, 100.0)))
+      q.processAllAvailable()
+      assert(emitted() == Set((7L, start, end, 3L, 6.0)))
+
+      // batch ≡ stream on the closed session: the batch form over the
+      // on-time rows produces the same merged row
+      val batch = EventTimeAgg.sessions(
+          Seq((t(1704067200), 7L, 1.0), (t(1704067200 + 1800), 7L, 2.0),
+            (t(1704067200 + 3600), 7L, 3.0))
+            .toDF("ts", "user_id", "value"), gap = "1 hour")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      assert(batch == Set((7L, start, end, 3L, 6.0)))
+    } finally q.stop()
+  }
 }
