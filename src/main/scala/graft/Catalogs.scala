@@ -1771,6 +1771,25 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-GROUP exact-quota sample — completes the sampling family
+    // (t8: rate per language; t22: exact global N; this: exactly
+    // min(N, |group|) per language, uniform within the group): rank on
+    // the seeded md5 key within each language, keep rank ≤ N. Catalyst
+    // plans the rank filter as a map-side WindowGroupLimit BELOW the
+    // lang exchange (the t17 shape), so each input partition ships at
+    // most N rows per language — a hot language cannot flood a shuffle
+    // partition, and the full corpus never sorts.
+    "t23_group_sample" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("rk"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          md5(concat(lit("g7:"), col("doc_id").cast("string"))).as("rk"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 40)
+        .select(col("doc_id"), col("lang"), col("rank"))
+        .orderBy(col("doc_id"))
+    }),
+
     // EXACT-budget deterministic sample — t8 samples at a RATE (output
     // size varies with the corpus); this draws exactly N docs, uniformly
     // and reproducibly, by ranking on a seeded md5 key. Plan: Catalyst
@@ -1977,6 +1996,13 @@ object TrainingQueries {
         |  CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 30 ELSE 10 END AS rate
         |FROM documents)
         |SELECT doc_id, lang FROM t WHERE bucket * 100 < rate * 256 ORDER BY doc_id""".stripMargin,
+    "t23_group_sample" ->
+      """SELECT doc_id, lang, rank FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5('g7:' || doc_id::VARCHAR), doc_id) AS rank
+        |  FROM documents)
+        |WHERE rank <= 40 ORDER BY doc_id""".stripMargin,
     "t22_exact_sample" ->
       """SELECT doc_id, lang, rk FROM (
         |  SELECT doc_id, lang, md5('s42:' || doc_id::VARCHAR) AS rk

@@ -218,6 +218,15 @@ class PlanSpec extends SparkSpec {
       s"scan does not prune to the three referenced columns:\n$p")
   }
 
+  test("t23 group sample sheds rows map-side via WindowGroupLimit and " +
+    "prunes the scan to id+lang") {
+    val p = plan("t23_group_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter not pushed below the window:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      s"scan does not prune to the two referenced columns:\n$p")
+  }
+
   test("d15 containment candidates come from the fp equi-join, not a cartesian") {
     val p = plan("d15_containment")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
