@@ -2489,7 +2489,9 @@ object EventQueries {
     // batch join row-for-row, which makes this the first STREAMING
     // execution with a hash-green DuckDB row (the other ST rows gate the
     // batch forms; stream semantics were spec-only until here).
-    "w9_stream_join" -> ((s, dir) => {
+    "w9_stream_join" -> ((s0, dir) => {
+      // state partitions sized to the corpus (see streamStateSession)
+      val s = SparkHygiene.streamStateSession(s0, 8)
       val ev = Tables.eventsStream(s, dir)
       val incidents = ev.filter(col("event_type") === "error")
         .select(col("event_id").as("error_id"), col("ts").as("win_start"),
@@ -2528,7 +2530,9 @@ object EventQueries {
     // slack absorbs the engine's ms truncation so the boundary band,
     // where emission is engine-internal, is excluded identically on
     // both sides.
-    "w9_stream_join_outer" -> ((s, dir) => {
+    "w9_stream_join_outer" -> ((s0, dir) => {
+      // state partitions sized to the corpus (see streamStateSession)
+      val s = SparkHygiene.streamStateSession(s0, 8)
       val ev = Tables.eventsStream(s, dir)
       val incidents = ev.filter(col("event_type") === "error")
         .select(col("event_id").as("error_id"), col("ts").as("win_start"),
@@ -2574,7 +2578,9 @@ object EventQueries {
     // are identical, so the surviving row is deterministic and the
     // oracle is simply the batch DISTINCT. Completes the P9 (in-batch
     // dedup) story for the cross-delivery case.
-    "w10_stream_dedup" -> ((s, dir) => {
+    "w10_stream_dedup" -> ((s0, dir) => {
+      // state partitions sized to the corpus (see streamStateSession)
+      val s = SparkHygiene.streamStateSession(s0, 8)
       val once = Tables.eventsStream(s, dir)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       val twice = once.unionByName(
