@@ -1426,6 +1426,39 @@ object SimilarityQueries {
 
     // J2 id → payload lookup with miss tolerance (reference stub-row
     // workaround, process_records.py:234-263): half the probe ids miss
+    // Cluster-coherence evaluation WITHOUT a pairwise join: for the
+    // vectors q_i of a cluster, Σ_{i≠j} q_i·q_j = ‖Σq‖² − Σ‖q‖², so
+    // mean pairwise similarity needs one per-dimension sum per cluster
+    // — O(n·dim) with a single (cluster, dim)-keyed exchange — where
+    // the naive form is an O(n²) self-join per cluster. Clusters come
+    // from the s5 exact-trained quantizer (broadcast assignment, no
+    // corpus shuffle); similarity is computed on the s6 int8 codes so
+    // every sum is exact integer arithmetic and the oracle replays the
+    // whole path bit-identically (mean_sim ≈ cosine·127², divided back
+    // out). At extreme per-cluster cardinality (≥ ~10⁸ rows) the sq²
+    // terms approach bigint range — promote to decimal there; the
+    // shape is unchanged.
+    "a14_cluster_coherence" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val asg = graft.operators.AnnSearch.kmeansAssign(emb, "vec_id", "embedding")
+      val q8 = asg.select(col("cidx"),
+        graft.operators.AnnSearch.int8Quantize(col("embedding")).as("c"))
+      val selfd = q8.select(col("cidx"),
+        aggregate(zip_with(col("c"), col("c"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("sd"))
+      val dims = q8.select(col("cidx"), posexplode(col("c")))
+        .groupBy(col("cidx"), col("pos")).agg(sum(col("col")).as("sq"))
+      val dot = dims.groupBy(col("cidx")).agg(sum(col("sq") * col("sq")).as("dot"))
+      val cn = selfd.groupBy(col("cidx"))
+        .agg(count(lit(1)).as("n"), sum(col("sd")).as("sumself"))
+      dot.join(cn, "cidx").filter(col("n") >= 2)
+        .select(col("cidx"), col("n"),
+          (col("dot") - col("sumself")).as("num"),
+          round((col("dot") - col("sumself")).cast("double")
+            / (col("n") * (col("n") - lit(1))) / lit(16129.0), 6).as("mean_sim"))
+        .orderBy(col("cidx"))
+    }),
+
     "j2_lookup" -> ((s, dir) => {
       val keys = Tables.embeddings(s, dir).select((col("vec_id") * 2).as("doc_id"))
       keys.join(
@@ -1565,6 +1598,22 @@ object SimilarityQueries {
         |r AS (SELECT *, row_number() OVER
         |        (PARTITION BY qid ORDER BY qsim DESC, vec_id) AS rk FROM s)
         |SELECT qid, vec_id, qsim, rk FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    "a14_cluster_coherence" ->
+      s"""$kmTrained
+         |asg AS (SELECT vec_id, cidx FROM rk2 WHERE rn = 1),
+         |q8 AS (SELECT vec_id, list_transform(embedding, x ->
+         |  greatest(-127, least(127, CAST(floor(x::DOUBLE * 127) AS BIGINT)))) AS c
+         |  FROM embeddings),
+         |qd8 AS (SELECT vec_id, unnest(c) AS qc, generate_subscripts(c, 1) AS d FROM q8),
+         |sdx AS (SELECT vec_id, CAST(sum(qc*qc) AS BIGINT) AS sd FROM qd8 GROUP BY 1),
+         |ds AS (SELECT a.cidx, d.d, CAST(sum(d.qc) AS BIGINT) AS sq
+         |       FROM qd8 d JOIN asg a USING (vec_id) GROUP BY 1, 2),
+         |dt AS (SELECT cidx, CAST(sum(sq*sq) AS BIGINT) AS dot FROM ds GROUP BY 1),
+         |cnx AS (SELECT a.cidx, count(*) AS n, CAST(sum(s.sd) AS BIGINT) AS sumself
+         |        FROM asg a JOIN sdx s USING (vec_id) GROUP BY 1)
+         |SELECT dt.cidx, n, (dot - sumself) AS num,
+         |  round((dot - sumself) * 1.0 / (n * (n - 1)) / 16129.0, 6) AS mean_sim
+         |FROM dt JOIN cnx USING (cidx) WHERE n >= 2 ORDER BY dt.cidx""".stripMargin,
     "s5_ann_kmeans" ->
       s"""$kmTrained
          |prb AS (SELECT vec_id AS qid, cidx FROM rk2 WHERE rn <= 2 AND vec_id < 20),

@@ -662,6 +662,20 @@ object AnnSearch {
         col("__sim").as("sim"), col("__rk").as("rk"))
   }
 
+  /** (id, vec, cluster) assignment under the exact fixed-point trained
+    * quantizer — the map s5/s7/d13 build internally, exposed for
+    * cluster-evaluation queries (a14_cluster_coherence). Training is
+    * the bounded driver-side model ([[kmeansCentroidsQuantized]],
+    * k × dim longs); assignment itself is one broadcast map-side pass —
+    * no shuffle touches the corpus.
+    */
+  def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                   nCentroids: Int = 8, iters: Int = 2): DataFrame = {
+    val cents = kmeansCentroidsQuantized(corpus, idCol, vecCol, nCentroids, iters)
+    corpus.select(col(idCol), col(vecCol),
+      quantNearest(quantize(col(vecCol)), cents).cast("long").as("cidx"))
+  }
+
   /** int8 quantization of a unit-norm embedding: `clamp(floor(x·127),
     * −127, 127)` per component — the standard 4× storage/IO compression
     * for vector scans (at 100 TB the scan is IO-bound, so the quantized

@@ -300,4 +300,40 @@ class AnnSearchSpec extends SparkSpec {
       "shortlist capture is at chance level - ADC learned nothing")
     exact.unpersist()
   }
+
+  test("a14 coherence sum-trick equals the brute-force pairwise mean") {
+    // the identity Σ_{i≠j} q_i·q_j = ‖Σq‖² − Σ‖q‖² on int8 codes,
+    // checked against an O(n²) driver-side pair scan
+    val rnd = new scala.util.Random(29)
+    val dim = 16
+    val rows = (0L until 40L).map { i =>
+      val v = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      (i, i % 3, v.map(_ / n)) // 3 fixed clusters
+    }
+    val df = rows.toDF("vec_id", "cidx", "embedding")
+    val q8 = df.select(col("cidx"),
+      AnnSearch.int8Quantize(col("embedding")).as("c"))
+    val selfd = q8.select(col("cidx"),
+      aggregate(zip_with(col("c"), col("c"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x).as("sd"))
+    val dims = q8.select(col("cidx"), posexplode(col("c")))
+      .groupBy(col("cidx"), col("pos")).agg(sum(col("col")).as("sq"))
+    val viaTrick = dims.groupBy(col("cidx"))
+      .agg(sum(col("sq") * col("sq")).as("dot"))
+      .join(selfd.groupBy(col("cidx")).agg(sum(col("sd")).as("sumself")), "cidx")
+      .select(col("cidx"), (col("dot") - col("sumself")).as("num"))
+      .as[(Long, Long)].collect().toMap
+
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => math.max(-127L, math.min(127L, math.floor(x * 127.0).toLong)))
+    val byCluster = rows.groupBy(_._2)
+    val brute = byCluster.map { case (c, rs) =>
+      val qs = rs.map(r => quant(r._3))
+      val num = (for (a <- qs; b <- qs if !(a eq b))
+        yield a.zip(b).map { case (x, y) => x * y }.sum).sum
+      c -> num
+    }
+    assert(viaTrick == brute)
+  }
 }
