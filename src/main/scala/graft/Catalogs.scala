@@ -1839,6 +1839,36 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Within-document consecutive-repetition removal — the complement
+    // of d17's cross-document strip (and the transform behind t4's
+    // repetition SCORE): a run of identical consecutive segments
+    // collapses to its first occurrence, reassembled in order. Pure
+    // per-document work: one doc-keyed exchange, a lag window pass and
+    // the regroup — no corpus-wide state at all, so it composes with
+    // d17 in the same pipeline without adding a shuffle stage shape.
+    "t24_repeat_strip" -> ((s, dir) => {
+      // plant a 3×-repeated 5-token phrase at the FRONT of every 7th doc
+      // (prepended so the repeats align to the fixed 5-token segment
+      // grid; appending would split them across segment boundaries)
+      val rp = "rp1 rp2 rp3 rp4 rp5"
+      val corpus = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(s"$rp $rp $rp "), col("text")))
+          .otherwise(col("text")).as("text"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      graft.operators.SegmentDedup
+        .positionedSegments(corpus, "doc_id", "text", segLen = 5)
+        .withColumn("__prev", lag(col("seg"), 1).over(w))
+        .filter(col("__prev").isNull || col("seg") =!= col("__prev"))
+        .groupBy(col("doc_id"))
+        .agg(
+          array_join(
+            transform(array_sort(collect_list(struct(col("i"), col("seg")))),
+              x => x("seg")), " ").as("cleaned"),
+          count(lit(1)).as("n_kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // EXACT-budget deterministic sample — t8 samples at a RATE (output
     // size varies with the corpus); this draws exactly N docs, uniformly
     // and reproducibly, by ranking on a seeded md5 key. Plan: Catalyst
@@ -2052,6 +2082,26 @@ object TrainingQueries {
         |    ORDER BY md5('g7:' || doc_id::VARCHAR), doc_id) AS rank
         |  FROM documents)
         |WHERE rank <= 40 ORDER BY doc_id""".stripMargin,
+    "t24_repeat_strip" ->
+      """WITH corpus AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0
+        |    THEN 'rp1 rp2 rp3 rp4 rp5 rp1 rp2 rp3 rp4 rp5 rp1 rp2 rp3 rp4 rp5 ' || text
+        |    ELSE text END AS text
+        |  FROM documents),
+        |toks AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(text), '\s+') AS tk FROM corpus),
+        |idx AS (SELECT doc_id, tk,
+        |  unnest(generate_series(0,
+        |    greatest(ceil(len(tk) / 5.0)::INT - 1, 0))) AS i FROM toks),
+        |pseg AS (SELECT doc_id, i,
+        |  array_to_string(tk[i*5+1 : i*5+5], ' ') AS seg FROM idx),
+        |mk AS (SELECT doc_id, i, seg,
+        |  lag(seg) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM pseg)
+        |SELECT doc_id,
+        |  string_agg(seg, ' ' ORDER BY i) AS cleaned,
+        |  count(*) AS n_kept
+        |FROM mk WHERE prev IS NULL OR seg <> prev
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t22_exact_sample" ->
       """SELECT doc_id, lang, rk FROM (
         |  SELECT doc_id, lang, md5('s42:' || doc_id::VARCHAR) AS rk

@@ -354,6 +354,26 @@ class PlanSpec extends SparkSpec {
       s"global range-sort exchange in the sample plan:\n$p")
   }
 
+  test("a14 coherence never self-joins the corpus — the only joins are " +
+    "the k-row cluster aggregates") {
+    val df = QueryCatalog.queries("a14_cluster_coherence")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pairwise/corpus-shuffling join in the coherence plan:\n$p")
+  }
+
+  test("t24 repeat strip is ONE doc-keyed exchange — window and regroup " +
+    "share the partitioning, no join") {
+    val p = plan("t24_repeat_strip")
+    assert(!p.contains("Join"), s"within-doc transform must not join:\n$p")
+    def countOf(hay: String, needle: String): Int =
+      hay.sliding(needle.length).count(_ == needle)
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"window and regroup should share the doc_id exchange:\n$p")
+  }
+
   test("d17_boilerplate_strip is shuffle-only segment plumbing — " +
     "no cartesian, no nested loop") {
     val p = plan("d17_boilerplate_strip")
