@@ -671,6 +671,8 @@ object AnnSearch {
     */
   def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
                    nCentroids: Int = 8, iters: Int = 2): DataFrame = {
+    require(idCol != "cidx" && vecCol != "cidx",
+      "'cidx' is the declared output column")
     val cents = kmeansCentroidsQuantized(corpus, idCol, vecCol, nCentroids, iters)
     corpus.select(col(idCol), col(vecCol),
       quantNearest(quantize(col(vecCol)), cents).cast("long").as("cidx"))
