@@ -2226,6 +2226,23 @@ object TrainingQueries {
 object MediaQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Multimodal exact dedup — d1's decision on the BINARY payload
+    // column: group by (modality, payload md5), keep-first, copy count.
+    // The exchange key is the 16-byte digest, never the payload itself
+    // (at 100 TB the media bytes stay in place; only digests shuffle —
+    // the same digest-key discipline as d10/d17). Planted copies ride
+    // at doc_id + 999999 (divisible by 3, so a copy keeps its
+    // modality and the duplicate groups are non-vacuous).
+    "m4_payload_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val dup = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 999999).as("doc_id"), col("text"))
+      graft.operators.Multimodal.mediaFrom(docs.unionByName(dup))
+        .groupBy(col("modality"), md5(col("payload")).as("content_md5"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("modality"), col("keep_id"))
+    }),
+
     "m1_media_meta" -> ((s, dir) =>
       graft.operators.Multimodal.mediaFrom(Tables.documents(s, dir))
         .select(
@@ -2305,6 +2322,19 @@ object MediaQueries {
         |  length(substring(text, frame_idx * 32 + 1, 32))::INT AS frame_len,
         |  md5(substring(text, frame_idx * 32 + 1, 32)) AS frame_md5
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "m4_payload_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 999999, text FROM documents WHERE doc_id % 10 = 0),
+        |m AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  md5(text) AS content_md5 FROM corpus)
+        |SELECT modality, content_md5, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM m GROUP BY modality, content_md5
+        |ORDER BY modality, keep_id""".stripMargin,
     "m1_media_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
@@ -2760,7 +2790,37 @@ object EventQueries {
     // output keeps timestamp rendering out of the hash.
     "w12_session_window" -> ((s, dir) =>
       graft.streaming.EventTimeAgg.sessions(Tables.events(s, dir), "6 hours")
-        .orderBy(col("user_id"), col("session_start"))))
+        .orderBy(col("user_id"), col("session_start"))),
+
+    // W13 stream-STATIC enrichment join — the third Structured
+    // Streaming join class (w9 covers stream-stream, w10 stateful
+    // dedup): the event stream joins a static dimension table. The
+    // point is what ISN'T here: no watermark, no state store — a
+    // stream-static inner join is STATELESS, each micro-batch joins
+    // against the (re-readable) static side and forgets it, so the
+    // operator costs the same at any stream length. Static side
+    // broadcasts per batch at this size; at scale it degrades to a
+    // shuffle join of the BATCH, never of the accumulated stream.
+    // Oracle = the plain batch join.
+    "w13_stream_static" -> ((s0, dir) => {
+      val s = SparkHygiene.streamStateSession(s0, 8)
+      val ev = Tables.eventsStream(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val joined = ev.join(dim, col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"),
+          col("event_type"), col("c_mktsegment"))
+      val out = SparkHygiene.scratchDir("w13_out")
+      val ck = SparkHygiene.scratchDir("w13_ck")
+      val q = joined.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy(col("event_id"))
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "a6_mode" ->
@@ -2906,6 +2966,10 @@ object EventQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS cum_users
         |FROM d ORDER BY event_type, day""".stripMargin,
+    "w13_stream_static" ->
+      """SELECT event_id, user_id, event_type, c_mktsegment
+        |FROM events JOIN customer ON user_id = c_custkey
+        |ORDER BY event_id""".stripMargin,
     "w11_time_rolling" ->
       """SELECT event_id, user_id,
         |  count(*) OVER w AS n_24h,
