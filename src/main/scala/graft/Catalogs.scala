@@ -1322,6 +1322,18 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // All-corpus kNN-GRAPH build (s2's quantizer, every vector a query):
+    // the candidate graph graph-based dedup/clustering consumes. The
+    // contrast with s2 is the JOIN SHAPE: queries ≈ corpus, so nothing
+    // broadcasts — a bucket-keyed self-join hash-partitions both sides
+    // on the (axis, sign) key and pairwise work stays bucket-bounded.
+    // Bucket-singleton vectors have no in-bucket neighbors (absent
+    // rows, identical on both engines).
+    "s8_knn_graph" -> ((s, dir) =>
+      graft.operators.AnnSearch.knnGraph(
+        Tables.embeddings(s, dir), "vec_id", "embedding", k = 3)
+        .orderBy(col("qid"), col("rk"))),
+
     // Multi-probe IVF (VERDICT r4 missing #3): same quantizer as s2 but
     // each query probes its top-2 signed axes, pulling back near-boundary
     // neighbors whose dominant axis is the query's runner-up — the recall
@@ -1520,6 +1532,20 @@ object SimilarityQueries {
         |  round(list_dot_product(q.qv::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
         |  FROM q JOIN bkt c ON c.bidx = q.bidx AND c.bsign = q.bsign
         |  WHERE c.vec_id <> q.qid),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM s)
+        |SELECT qid, vec_id, sim, rk FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+    "s8_knn_graph" ->
+      """WITH l AS (SELECT vec_id, embedding,
+        |  list_transform(embedding, x -> abs(x)) AS labs FROM embeddings),
+        |e AS (SELECT vec_id, embedding,
+        |  list_position(labs, list_aggregate(labs, 'max')) AS bidx FROM l),
+        |bkt AS (SELECT vec_id, embedding, bidx,
+        |  sign(embedding[bidx])::INT AS bsign FROM e),
+        |s AS (SELECT q.vec_id AS qid, c.vec_id,
+        |  round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+        |  FROM bkt q JOIN bkt c ON c.bidx = q.bidx AND c.bsign = q.bsign
+        |  WHERE c.vec_id <> q.vec_id),
         |r AS (SELECT *, row_number() OVER
         |        (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM s)
         |SELECT qid, vec_id, sim, rk FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,

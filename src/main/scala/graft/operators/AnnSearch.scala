@@ -113,6 +113,40 @@ object AnnSearch {
         col("__sim").as("sim"), col("__rk").as("rk"))
   }
 
+  /** All-corpus kNN-GRAPH build: every vector's top-`k` neighbors
+    * within its IVF bucket — the candidate graph a graph-based
+    * dedup/clustering pipeline consumes (SemDeDup-style flows run
+    * exactly this shape before their verdict pass). Unlike the
+    * query-side [[ivfTopK]] (small probe set rides a broadcast), this
+    * is a bucket-keyed SELF-join: both sides hash-partition on the
+    * (axis, sign) bucket key, pairwise work is bounded per bucket, and
+    * the corpus never broadcasts — the 100 TB shape for N ≈ queries.
+    * Vectors alone in their bucket have no in-bucket neighbors and are
+    * absent from the output (the caller unions singletons back if the
+    * graph must cover every node).
+    */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
+               k: Int): DataFrame = {
+    require(!Set("qid", "sim", "rk").contains(idCol),
+      s"idCol '$idCol' collides with a declared output column")
+    val probe1 = signedAxisProbes(col("__v"), 1).getItem(0)
+    val bucketed = corpus
+      .select(col(idCol).as("__cid"), col(vecCol).as("__v"))
+      .withColumn("__bidx", probe1.getField("bidx"))
+      .withColumn("__bsign", probe1.getField("bsign"))
+    val left = bucketed.select(col("__cid").as("__qid"),
+      col("__v").as("__qv"), col("__bidx"), col("__bsign"))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("__sim").desc, col("__cid").asc)
+    left.join(bucketed, Seq("__bidx", "__bsign"))
+      .filter(col("__cid") =!= col("__qid"))
+      .withColumn("__sim", round(VectorFns.dotProduct(col("__qv"), col("__v")), 4))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("__qid").as("qid"), col("__cid").as(idCol),
+        col("__sim").as("sim"), col("__rk").as("rk"))
+  }
+
   /** Deterministic pseudo-random hyperplanes, identical on every
     * executor/run for a given (dim, tables, bits, seed): hyperplanes are
     * driver-built literals riding the plan, not a trained model — no fit

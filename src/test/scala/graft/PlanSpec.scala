@@ -354,6 +354,14 @@ class PlanSpec extends SparkSpec {
       s"global range-sort exchange in the sample plan:\n$p")
   }
 
+  test("s8 kNN-graph candidates come from the bucket equi-join — " +
+    "never a cartesian over the corpus") {
+    val p = plan("s8_knn_graph")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs operator in the kNN-graph plan:\n$p")
+    assert(p.contains("__bidx"), s"bucket key missing from the join:\n$p")
+  }
+
   test("a14 coherence never self-joins the corpus — the only joins are " +
     "the k-row cluster aggregates") {
     val df = QueryCatalog.queries("a14_cluster_coherence")(spark, sf)
