@@ -132,13 +132,42 @@ object AnnSearch {
     val probe1 = signedAxisProbes(col("__v"), 1).getItem(0)
     val bucketed = corpus
       .select(col(idCol).as("__cid"), col(vecCol).as("__v"))
-      .withColumn("__bidx", probe1.getField("bidx"))
-      .withColumn("__bsign", probe1.getField("bsign"))
+      .withColumn("__b", struct(probe1.getField("bidx"), probe1.getField("bsign")))
+    graphFromBuckets(bucketed, idCol, k)
+  }
+
+  /** kNN-graph over TRAINED k-means buckets — the scale form of
+    * [[knnGraph]]: the signed-axis quantizer has a FIXED 2·dim cells,
+    * so in-bucket pairwise work grows quadratically with corpus size
+    * (measured: 10× corpus → ~100× candidate pairs, harmless at probe
+    * SFs, ruinous at 100 TB); here `nCentroids` is the scale knob — set
+    * k ∝ N / target-bucket-occupancy and pairwise work stays at
+    * N · occupancy regardless of corpus size (the same (N/k)² argument
+    * d13 SemDeDup rides, whose pipelines consume exactly this graph).
+    * Training is the exact fixed-point Lloyd, so the DuckDB oracle
+    * replays buckets and the graph bit-identically.
+    */
+  def knnGraphKmeans(corpus: DataFrame, idCol: String, vecCol: String,
+                     k: Int, nCentroids: Int = 8, iters: Int = 2): DataFrame = {
+    require(!Set("qid", "sim", "rk").contains(idCol),
+      s"idCol '$idCol' collides with a declared output column")
+    val bucketed = kmeansAssign(corpus, idCol, vecCol, nCentroids, iters)
+      .select(col(idCol).as("__cid"), col(vecCol).as("__v"),
+        col("cidx").as("__b"))
+    graphFromBuckets(bucketed, idCol, k)
+  }
+
+  /** Shared bucket-self-join tail: rank each vector's in-bucket
+    * neighbors by rounded cosine, keep the top `k`. Both sides
+    * hash-partition on the bucket key `__b` — nothing broadcasts.
+    */
+  private def graphFromBuckets(bucketed: DataFrame, idCol: String,
+                               k: Int): DataFrame = {
     val left = bucketed.select(col("__cid").as("__qid"),
-      col("__v").as("__qv"), col("__bidx"), col("__bsign"))
+      col("__v").as("__qv"), col("__b"))
     val w = Window.partitionBy(col("__qid"))
       .orderBy(col("__sim").desc, col("__cid").asc)
-    left.join(bucketed, Seq("__bidx", "__bsign"))
+    left.join(bucketed, Seq("__b"))
       .filter(col("__cid") =!= col("__qid"))
       .withColumn("__sim", round(VectorFns.dotProduct(col("__qv"), col("__v")), 4))
       .withColumn("__rk", row_number().over(w))

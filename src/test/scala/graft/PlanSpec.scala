@@ -359,7 +359,15 @@ class PlanSpec extends SparkSpec {
     val p = plan("s8_knn_graph")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"all-pairs operator in the kNN-graph plan:\n$p")
-    assert(p.contains("__bidx"), s"bucket key missing from the join:\n$p")
+    assert(p.contains("__b"), s"bucket key missing from the join:\n$p")
+  }
+
+  test("s9 k-means kNN-graph joins on the trained-bucket key — " +
+    "never a cartesian") {
+    val p = plan("s9_knn_graph_kmeans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs operator in the k-means kNN-graph plan:\n$p")
+    assert(p.contains("__b"), s"bucket key missing from the join:\n$p")
   }
 
   test("a14 coherence never self-joins the corpus — the only joins are " +

@@ -70,7 +70,8 @@ object ScaleProbe {
       .write.format("noop").mode("overwrite").save()
 
     for (q <- Seq("d2_jaccard_pairs", "d3_minhash_pairs", "d15_containment",
-        "d16_jaccard_estimate", "s7_ann_pq", "d17_boilerplate_strip")) {
+        "d16_jaccard_estimate", "s7_ann_pq", "d17_boilerplate_strip",
+        "s8_knn_graph")) {
       val (s1, n1) = timedRows(q, sf1)
       val (s10, n10) = timedRows(q, sf10)
       println(f"SCALE $q 1x=${s1}%.2fs/${n1} rows  10x=${s10}%.2fs/${n10} rows" +
