@@ -2056,6 +2056,34 @@ object TrainingQueries {
     // exactly rounded on both engines). n ≥ k at every SF here, so the
     // estimator branch is the one under oracle test; the n < k exact
     // branch is spec-covered (KmvSketchSpec).
+    // Approx distinct per TIME WINDOW — t19's KMV sketch keyed by
+    // event-time day instead of category (the dashboard "daily active
+    // users" query at sketch cost): state is k=32 longs per day
+    // regardless of traffic, merged map-side, so the user ids
+    // themselves never shuffle; the estimate branch is exercised
+    // (≈148 distinct users/day ≫ k). Same exact-replay portability as
+    // t19 — the oracle rebuilds the sketch and the estimate
+    // bit-identically.
+    "w14_daily_distinct" -> ((s, dir) => {
+      val k = 32
+      val h = conv(substring(
+          md5(concat(lit("kmv:"), col("user_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long")
+      Tables.events(s, dir)
+        .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"), h.as("__h"))
+        .groupBy(col("day"))
+        .agg(graft.functions.KmvSketch(col("__h"), k).as("__mins"))
+        .select(
+          col("day"),
+          size(col("__mins")).cast("long").as("n_sketch"),
+          when(size(col("__mins")) < k, size(col("__mins")).cast("double"))
+            .otherwise(round(
+              lit((k - 1).toDouble * 1152921504606846976.0) /
+                element_at(col("__mins"), k).cast("double"), 4))
+            .as("est_users"))
+        .orderBy(col("day"))
+    }),
+
     "t19_kmv_distinct" -> ((s, dir) => {
       val k = 32
       val h = conv(substring(
@@ -2220,6 +2248,24 @@ object TrainingQueries {
          |SELECT shard, count(*) AS n_rows,
          |  CAST(sum(h) % 2305843009213693952 AS BIGINT) AS digest
          |FROM h GROUP BY shard ORDER BY shard""".stripMargin
+    },
+    "w14_daily_distinct" -> {
+      val hx = (1 to 15).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5('kmv:' || user_id::VARCHAR), $i, 1)) - 1) * ${1L << (4 * (15 - i))}")
+        .mkString(" + ")
+      s"""WITH h AS (SELECT DISTINCT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         |             ($hx) AS h FROM events),
+         |r AS (SELECT day, h,
+         |        row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+         |      FROM h),
+         |s AS (SELECT day, count(*) AS n_sketch,
+         |        max(CASE WHEN rn = 32 THEN h END) AS hk
+         |      FROM r WHERE rn <= 32 GROUP BY day)
+         |SELECT day, n_sketch,
+         |  CASE WHEN n_sketch < 32 THEN n_sketch::DOUBLE
+         |       ELSE round(31.0 * 1152921504606846976 / hk::DOUBLE, 4) END
+         |    AS est_users
+         |FROM s ORDER BY day""".stripMargin
     },
     "t19_kmv_distinct" -> {
       // 60-bit uint from the first 15 md5 hex digits — same digit-sum
