@@ -568,6 +568,28 @@ object DedupQueries {
           maxDf = 1, digestKey = true)
         .orderBy(col("doc_id"))),
 
+    // INCREMENTAL ingestion dedup — the asymmetric form of d2: a new
+    // batch (every 10th doc, near-dup-padded, new ids) is verified
+    // against the EXISTING corpus without re-deduplicating the corpus
+    // against itself; probe-prefix × ref-prefix candidates only, so
+    // ref×ref pairs never materialize and the work at 100 TB is
+    // |delta|-proportional (the daily-delta production case — d2
+    // re-runs the whole corpus, this runs the day's arrivals).
+    "d18_incremental_dedup" -> ((s, dir) => {
+      val ref = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val probe = ref.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" qq zz near dup pad")).as("text"))
+      graft.operators.JaccardJoin
+        .crossPairs(probe, ref, "doc_id", "text", t = 0.5)
+        .withColumn("jaccard",
+          round(col("common") * lit(1.0) /
+            (col("sza") + col("szb") - col("common")), 6))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("a"), col("b"), col("jaccard"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // Cross-document SPAN detection (the Lee et al. exact-substring
     // dedup shape at 8-gram granularity): longest run of consecutive
     // shared grams per pair, measured on one diagonal via the islands
@@ -876,6 +898,31 @@ object DedupQueries {
          |FROM pr JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
          |WHERE round(common*1.0/(sa.sz + sb.sz - common), 6) >= 0.5
          |ORDER BY a, b""".stripMargin,
+    "d18_incremental_dedup" ->
+      """WITH ref AS (SELECT doc_id, text FROM documents),
+        |prb AS (SELECT doc_id + 2000000 AS doc_id,
+        |          text || ' qq zz near dup pad' AS text
+        |        FROM documents WHERE doc_id % 10 = 0),
+        |nr AS (SELECT doc_id,
+        |  regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM ref),
+        |ir AS (SELECT doc_id, toks,
+        |  unnest(generate_series(1, greatest(len(toks)-3, 0)+1)) AS i FROM nr),
+        |shr AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh FROM ir),
+        |szr AS (SELECT doc_id, count(*) AS sz FROM shr GROUP BY doc_id),
+        |np AS (SELECT doc_id,
+        |  regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM prb),
+        |ip AS (SELECT doc_id, toks,
+        |  unnest(generate_series(1, greatest(len(toks)-3, 0)+1)) AS i FROM np),
+        |shp AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh FROM ip),
+        |szp AS (SELECT doc_id, count(*) AS sz FROM shp GROUP BY doc_id),
+        |pr AS (SELECT p.doc_id AS a, r.doc_id AS b, count(*) AS common
+        |       FROM shp p JOIN shr r USING (sh) GROUP BY 1, 2)
+        |SELECT a, b, round(common*1.0/(sp.sz + sr.sz - common), 6) AS jaccard
+        |FROM pr JOIN szp sp ON sp.doc_id = a JOIN szr sr ON sr.doc_id = b
+        |WHERE round(common*1.0/(sp.sz + sr.sz - common), 6) >= 0.5
+        |ORDER BY a, b""".stripMargin,
     "d3_minhash_pairs" ->
       s"""WITH $nearCorpusSql,
          |norm AS (SELECT doc_id,

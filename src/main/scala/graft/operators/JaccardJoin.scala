@@ -135,4 +135,72 @@ object JaccardJoin {
       .select(col("a"), col("b"), col("common"),
         col("sza").as("sza"), col("szb").as("szb"))
   }
+
+  /** ASYMMETRIC verified near-dup pairs `(a ∈ probe, b ∈ ref)` — the
+    * incremental-ingestion case: a new batch (`probe`) is deduplicated
+    * against the EXISTING corpus (`ref`) without re-deduplicating the
+    * corpus against itself. Same prefix-filter guarantee as
+    * [[selfPairs]] (the lemma holds per pair under one shared global
+    * shingle order, here document frequency over probe ∪ ref), but the
+    * candidate join is probe-prefix × ref-prefix ONLY — ref×ref and
+    * probe×probe pairs never materialize, so at 100 TB the work is
+    * |delta| · candidates, not |corpus|². The df pass is the one
+    * union-wide cost; a production deployment snapshots the ref side's
+    * (df, prefix) index once per epoch and reuses it across deltas —
+    * the derivation here is that index's definition. Output columns
+    * match selfPairs; a probe doc matching several ref docs emits one
+    * row per match (the caller picks keep/drop policy).
+    */
+  def crossPairs(probe: DataFrame, ref: DataFrame, idCol: String,
+                 textCol: String, t: Double, shingleLen: Int = 3,
+                 verify: VerifyStrategy = Auto()): DataFrame = {
+    require(t > 0 && t <= 1, s"threshold out of (0,1]: $t")
+    val resolved = verify match {
+      case Auto(threshold) =>
+        val ids = probe.select(col(idCol)).unionByName(ref.select(col(idCol)))
+        val probed =
+          if (threshold < Int.MaxValue) ids.limit(threshold.toInt + 1).count()
+          else ids.count()
+        if (probed <= threshold) BroadcastDocs else ShuffleDocs
+      case v => v
+    }
+    def shingled(d: DataFrame, tag: Int): DataFrame = d
+      .withColumn("__toks", TextFns.repetitionTokens(col(textCol)))
+      .select(lit(tag).as("__side"), col(idCol).as("__id"),
+        explode(TextFns.wordShinglesTokens(col("__toks"), shingleLen)).as("sh"))
+    val sh = shingled(probe, 1).unionByName(shingled(ref, 0))
+    val dfw = Window.partitionBy(col("sh"))
+    val base = sh
+      .withColumn("df", count(lit(1)).over(dfw))
+      .groupBy(col("__side"), col("__id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("df"), col("sh")))),
+          x => x.getField("sh")).as("ord"),
+        count(lit(1)).as("sz"))
+      .select(col("__side"), col("__id"), col("sz"),
+        array_sort(col("ord")).as("shs"),
+        slice(col("ord"), lit(1),
+          (col("sz") - ceil(col("sz") * t) + 1).cast("int")).as("pref"))
+    def docsOf(tag: Int, n: String): DataFrame =
+      base.filter(col("__side") === tag)
+        .select(col("__id").as(n), col("shs").as(s"sh$n"), col("sz").as(s"sz$n"))
+    def prefOf(tag: Int): DataFrame =
+      base.filter(col("__side") === tag)
+        .select(col("__id"), col("sz"), explode(col("pref")).as("sh"))
+    val cand = prefOf(1).as("x").join(prefOf(0).as("y"),
+      col("x.sh") === col("y.sh") &&
+        col("y.sz") * t <= col("x.sz") && col("x.sz") * t <= col("y.sz"))
+      .select(col("x.__id").as("a"), col("y.__id").as("b"))
+      .distinct()
+    def maybeBroadcast(d: DataFrame): DataFrame = resolved match {
+      case BroadcastDocs => broadcast(d)
+      case _ => d
+    }
+    cand
+      .join(maybeBroadcast(docsOf(1, "a")), "a")
+      .join(maybeBroadcast(docsOf(0, "b")), "b")
+      .withColumn("common", VectorFns.sortedIntersectCount(col("sha"), col("shb")))
+      .select(col("a"), col("b"), col("common"),
+        col("sza").as("sza"), col("szb").as("szb"))
+  }
 }

@@ -94,4 +94,28 @@ class JaccardJoinSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("ReusedExchange"), s"index exchange not reused:\n$plan")
   }
+
+  test("crossPairs is lossless for probe×ref and emits NO same-side pairs") {
+    for (seed <- Seq(7, 31)) {
+      val all = randomCorpus(seed, 40)
+      // split: originals are the ref corpus, padded dups the new batch
+      val ref = all.filter(_._1 < 1000L)
+      val prb = all.filter(_._1 >= 1000L)
+      val t = 0.5
+      val got = JaccardJoin.crossPairs(
+          prb.toDF("doc_id", "text"), ref.toDF("doc_id", "text"),
+          "doc_id", "text", t)
+        .withColumn("j", col("common") * lit(1.0) / (col("sza") + col("szb") - col("common")))
+        .filter(col("j") >= t)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      // oracle: all-pairs over the union, kept only when sides differ
+      // (naivePairs orders a < b, so ref id is a and probe id is b)
+      val want = naivePairs(all, t)
+        .collect { case (a, b) if a < 1000L && b >= 1000L => (b, a) }
+      assert(want.nonEmpty, s"seed=$seed: vacuous fixture")
+      assert(got == want, s"seed=$seed missing=${want -- got} extra=${got -- want}")
+      // asymmetry: every output row is (probe, ref) by construction
+      assert(got.forall { case (a, b) => a >= 1000L && b < 1000L })
+    }
+  }
 }
