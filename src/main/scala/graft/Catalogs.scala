@@ -2697,6 +2697,28 @@ object EventQueries {
         .orderBy(col("purchase_id"))
     }),
 
+    // FORWARD as-of join — j7's mirror ("next click at/after each
+    // purchase": time-to-next-activity / forward attribution). Same
+    // union+running-last plan, traversal over reversed time;
+    // purchases with no following click keep null columns (the
+    // outer branch is exercised at every SF).
+    "j11_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"),
+          col("value"))
+      TemporalJoins.asofForward(purchases, clicks,
+        keyCol = "user_id", tsCol = "ts",
+        leftIdCol = "purchase_id", rightIdCol = "click_id",
+        payloadCols = Seq("click_id", "value"))
+        .select(col("purchase_id"), col("user_id"),
+          col("asof_click_id").as("click_id"),
+          round(col("asof_value"), 2).as("click_value"))
+        .orderBy(col("purchase_id"))
+    }),
+
     // interval-containment join: clicks falling inside 10-minute incident
     // windows opened by error events. Slot-bucketed equi-join (slot width
     // = window length ⇒ ≤ 2 index rows per interval) + exact residual
@@ -3023,6 +3045,26 @@ object EventQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id,
         |    last_value(cval IGNORE NULLS) OVER (PARTITION BY user_id
         |      ORDER BY ts, kind, coalesce(pid, cid)
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cval
+        |  FROM u)
+        |SELECT pid AS purchase_id, user_id, click_id,
+        |       round(cval, 2) AS click_value
+        |FROM w WHERE pid IS NOT NULL ORDER BY purchase_id""".stripMargin,
+    "j11_asof_forward" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id AS pid, CAST(NULL AS BIGINT) AS cid,
+        |         CAST(NULL AS DOUBLE) AS cval, 1 AS kind
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, NULL, event_id, value, 0
+        |  FROM events WHERE event_type = 'click'
+        |), w AS (
+        |  SELECT pid, user_id,
+        |    last_value(cid IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, kind, coalesce(pid, cid)
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id,
+        |    last_value(cval IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, kind, coalesce(pid, cid)
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cval
         |  FROM u)
         |SELECT pid AS purchase_id, user_id, click_id,

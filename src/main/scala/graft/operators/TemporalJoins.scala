@@ -45,7 +45,28 @@ object TemporalJoins {
     */
   def asofBackward(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
                    leftIdCol: String, rightIdCol: String,
-                   payloadCols: Seq[String]): DataFrame = {
+                   payloadCols: Seq[String]): DataFrame =
+    asofImpl(left, right, keyCol, tsCol, leftIdCol, rightIdCol,
+      payloadCols, forward = false)
+
+  /** Forward (first-value-after) as-of join — the mirror of
+    * [[asofBackward]]: for each left row, the payload of the EARLIEST
+    * right row with the same key and `tsCol` ≥ the left row's time
+    * (inclusive). The "next activity after the incident" shape —
+    * time-to-resolution, next-click attribution. Same plan (ONE shuffle
+    * on the key, a single window pass, no range join) — only the
+    * traversal direction flips; right-row ties at the matched timestamp
+    * resolve to the greatest `rightIdCol`, same as backward.
+    */
+  def asofForward(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+                  leftIdCol: String, rightIdCol: String,
+                  payloadCols: Seq[String]): DataFrame =
+    asofImpl(left, right, keyCol, tsCol, leftIdCol, rightIdCol,
+      payloadCols, forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+                       leftIdCol: String, rightIdCol: String,
+                       payloadCols: Seq[String], forward: Boolean): DataFrame = {
     import org.apache.spark.sql.types.StructType
     val leftTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
     val payloadType = StructType(
@@ -73,8 +94,12 @@ object TemporalJoins {
       d.withColumn(c, lit(null).cast(leftTypes(c)))
     }
 
+    // forward = the same traversal over REVERSED time: right rows at
+    // the left row's exact ts still precede it (kind asc), so the
+    // inclusive match holds in both directions
+    val tsOrd = if (forward) col(tsCol).desc else col(tsCol).asc
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol).asc, col("__kind").asc, col("__tie").asc)
+      .orderBy(tsOrd, col("__kind").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = lAligned.unionByName(rAligned)
       .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))

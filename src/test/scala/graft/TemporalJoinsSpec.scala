@@ -86,6 +86,44 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(fast == naive)
   }
 
+  test("asofForward picks the earliest right at/after each left ts; " +
+    "inclusive boundary, max-id tie, null when nothing follows") {
+    val q2 = Seq(
+      (100L, 1L, ts("2024-01-01 10:00:05"), 5.0), // same instant as trade 10
+      (104L, 1L, ts("2024-01-01 10:00:05"), 5.5), // tie at that instant
+      (101L, 1L, ts("2024-01-01 10:00:20"), 6.0),
+      (103L, 3L, ts("2024-01-01 12:00:00"), 8.0)).toDF("quote_id", "sym", "ts", "px")
+    val out = TemporalJoins.asofForward(trades, q2,
+      keyCol = "sym", tsCol = "ts", leftIdCol = "trade_id", rightIdCol = "quote_id",
+      payloadCols = Seq("quote_id", "px"))
+      .select(col("trade_id"), col("asof_quote_id"), col("asof_px"))
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(10L) == ((Some(104L), Some(5.5)))) // equal-ts inclusive, max id wins
+    assert(out(11L) == ((None, None)))            // nothing follows 10:00:30 for sym 1
+    assert(out(12L) == ((None, None)))            // sym 2 has no quotes at all
+    assert(out(13L) == ((Some(103L), Some(8.0)))) // next quote hours later
+  }
+
+  test("asofForward agrees with the naive range-join plan on random data") {
+    val n = 400
+    val left = spark.range(n).select(col("id").as("lid"), (col("id") % 7).as("k"),
+      timestamp_micros(pmod(col("id") * 7919, lit(100000)) * 1000000).as("ts"))
+    val right = spark.range(n).select(col("id").as("rid"), (col("id") % 7).as("k"),
+      timestamp_micros(pmod(col("id") * 104729, lit(100000)) * 1000000).as("ts"),
+      (col("id") * 2).as("pay"))
+    val fast = TemporalJoins.asofForward(left, right, "k", "ts", "lid", "rid", Seq("pay"))
+      .select(col("lid"), col("asof_pay")).as[(Long, Option[Long])].collect().toMap
+    // oracle: per left row, the right row minimizing ts (then max rid)
+    // under ts ≥ left.ts — min_by on (ts asc, rid desc) via negated rid
+    val naive = left.as("l").join(right.as("r"),
+      col("l.k") === col("r.k") && col("r.ts") >= col("l.ts"), "left")
+      .groupBy(col("l.lid"))
+      .agg(min_by(col("r.pay"), struct(col("r.ts"), -col("r.rid"))).as("pay"))
+      .select(col("lid"), col("pay")).as[(Long, Option[Long])].collect().toMap
+    assert(fast == naive)
+  }
+
   test("intervalJoin matches the naive inequality join, end-exclusive") {
     val iv = Seq(
       (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00")),
