@@ -167,6 +167,28 @@ object QueryCatalog {
         .limit(100)
     }),
 
+    // TPC-H Q4-shaped late-order report: the CORRELATED-predicate
+    // EXISTS — the semi-join j3 does not exercise, because the inner
+    // predicate references BOTH tables (l_shipdate vs o_orderdate + 60
+    // days), so the condition must ride the join itself rather than
+    // prefilter either side alone. Catalyst plans it as one left-semi
+    // hash join on the order key with the date comparison as the join
+    // residual; the order side then aggregates by status. At scale:
+    // one key shuffle per side (or broadcast under AQE), residual
+    // evaluated stream-side — never a per-order subquery.
+    "q4_late_orders" -> ((s, dir) => {
+      val late = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_shipdate"))
+      Tables.orders(s, dir)
+        .join(late,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_late"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // TPC-H Q17-shaped small-order revenue: the aggregate-correlated
     // SELF-join shape (q18 joins an aggregate to OTHER tables; here the
     // fact table joins ITS OWN per-key aggregate — the "compare each row
@@ -306,6 +328,13 @@ object QueryCatalog {
         |FROM big JOIN orders ON o_orderkey = l_orderkey
         |  JOIN customer ON c_custkey = o_custkey
         |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q4_late_orders" ->
+      """SELECT o_orderstatus, count(*) AS n_late
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q17_small_orders" ->
       """WITH agg AS (
         |  SELECT l_partkey AS pk, sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
