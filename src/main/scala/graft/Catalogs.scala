@@ -1935,6 +1935,38 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Context-window CHUNKING with overlap — the LLM pre-tokenization
+    // split (max 128 tokens per chunk, 16-token overlap, stride 112):
+    // every over-long document becomes ⌈(n−16)/112⌉ chunks, each
+    // carrying its index and exact token count; chunks whose tokens
+    // are fully covered by the previous window are not emitted. Pure
+    // MAP-SIDE work — one scan, a per-row transform+explode, ZERO
+    // exchanges before the presentation sort (PlanSpec pin) — so at
+    // 100 TB it streams through the scan stage at IO speed and
+    // composes with t7/t14's packing/sharding without adding a
+    // shuffle of its own.
+    "t25_seq_chunk" -> ((s, dir) => {
+      val win = 128
+      val step = 112
+      val nChunk = greatest(
+        ceil((col("__n") - lit(16)) / lit(step.toDouble)).cast("int"), lit(1))
+      // the test corpus is short-doc; 4× self-concatenation makes the
+      // multi-chunk path non-vacuous (docs up to ~4× max length)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat_ws(" ", col("text"), col("text"), col("text"), col("text"))
+            .as("text"))
+        .withColumn("__toks", split(trim(col("text")), "\\s+"))
+        .withColumn("__n", size(col("__toks")))
+        .select(col("doc_id"), posexplode(
+          transform(sequence(lit(0), nChunk - 1), i => struct(
+            array_join(slice(col("__toks"), i * step + 1, lit(win)), " ").as("chunk"),
+            least(col("__n") - i * step, lit(win)).cast("long").as("n_tokens")))))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          col("col.chunk").as("chunk"), col("col.n_tokens").as("n_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // Within-document consecutive-repetition removal — the complement
     // of d17's cross-document strip (and the transform behind t4's
     // repetition SCORE): a run of identical consecutive segments
@@ -2206,6 +2238,19 @@ object TrainingQueries {
         |    ORDER BY md5('g7:' || doc_id::VARCHAR), doc_id) AS rank
         |  FROM documents)
         |WHERE rank <= 40 ORDER BY doc_id""".stripMargin,
+    "t25_seq_chunk" ->
+      """WITH corpus AS (SELECT doc_id,
+        |  text || ' ' || text || ' ' || text || ' ' || text AS text
+        |  FROM documents),
+        |toks AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(text), '\s+') AS tk FROM corpus),
+        |idx AS (SELECT doc_id, tk,
+        |  unnest(generate_series(0,
+        |    greatest(ceil((len(tk) - 16) / 112.0)::INT, 1) - 1)) AS i FROM toks)
+        |SELECT doc_id, i AS chunk_idx,
+        |  array_to_string(tk[i*112+1 : i*112+128], ' ') AS chunk,
+        |  least(len(tk) - i*112, 128) AS n_tokens
+        |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
     "t24_repeat_strip" ->
       """WITH corpus AS (SELECT doc_id,
         |  CASE WHEN doc_id % 7 = 0

@@ -390,6 +390,18 @@ class PlanSpec extends SparkSpec {
       s"window and regroup should share the doc_id exchange:\n$p")
   }
 
+  test("t25 chunking is pure map-side work — zero hash exchanges, " +
+    "no join, no aggregate") {
+    val p = plan("t25_seq_chunk")
+    assert(!p.contains("Join") && !p.contains("Aggregate"),
+      s"chunking must be a per-row transform:\n$p")
+    def countOf(hay: String, needle: String): Int =
+      hay.sliding(needle.length).count(_ == needle)
+    // only the presentation sort's range exchange may appear
+    assert(countOf(p, "Exchange hashpartitioning") == 0,
+      s"hash exchange in a map-side transform:\n$p")
+  }
+
   test("d17_boilerplate_strip is shuffle-only segment plumbing — " +
     "no cartesian, no nested loop") {
     val p = plan("d17_boilerplate_strip")
