@@ -590,6 +590,24 @@ object DedupQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Release COMPLEMENT — the set-operation form of incremental
+    // releases: "which corpus documents are NOT in the prior release".
+    // A genuine EXCEPT (not an anti-join improvisation): Spark plans
+    // `except` as a distinct left-anti — aggregate on the 8-byte id,
+    // both sides partial-aggregate map-side, one id-key exchange each.
+    // At 100 TB the prior-release id list is itself huge, so the
+    // set-op's shuffle-on-id plan (NOT a broadcast probe, which is
+    // d7/decontamination's shape for SMALL exclusion lists) is the one
+    // that scales: ids co-partition, nothing wider than 8 bytes moves.
+    "d19_except_release" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val prior = docs
+        .filter(col("source").isin("src0", "src1", "src2", "src3", "src4") ||
+          col("doc_id") % 7 === 0)
+        .select(col("doc_id"))
+      docs.select(col("doc_id")).except(prior).orderBy(col("doc_id"))
+    }),
+
     // Cross-document SPAN detection (the Lee et al. exact-substring
     // dedup shape at 8-gram granularity): longest run of consecutive
     // shared grams per pair, measured on one diagonal via the islands
@@ -923,6 +941,12 @@ object DedupQueries {
         |FROM pr JOIN szp sp ON sp.doc_id = a JOIN szr sr ON sr.doc_id = b
         |WHERE round(common*1.0/(sp.sz + sr.sz - common), 6) >= 0.5
         |ORDER BY a, b""".stripMargin,
+    "d19_except_release" ->
+      """SELECT doc_id FROM documents
+        |EXCEPT
+        |SELECT doc_id FROM documents
+        |WHERE source IN ('src0','src1','src2','src3','src4') OR doc_id % 7 = 0
+        |ORDER BY doc_id""".stripMargin,
     "d3_minhash_pairs" ->
       s"""WITH $nearCorpusSql,
          |norm AS (SELECT doc_id,
@@ -3068,8 +3092,8 @@ object EventQueries {
         |       THEN 1 ELSE 0 END AS brk,
         |  epoch_us(ts) AS us
         |  FROM events),
-        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
         |      FROM e)
         |SELECT user_id, session_idx, count(*) AS n_events,
         |  min(event_id) AS first_event, max(event_id) AS last_event,

@@ -219,6 +219,61 @@ object QueryCatalog {
         .orderBy(col("p_brand"))
     }),
 
+    // TPC-H Q13-shaped customer order-count distribution: the batch
+    // LEFT OUTER reporting shape — customers with ZERO qualifying
+    // orders must survive into the histogram (49 of 1,500 at sf0.01
+    // under the status filter, so the zero bucket is non-vacuous).
+    // The right-side-only predicate (o_orderstatus = 'O') prefilters
+    // the orders scan — equivalent to a join residual for LEFT OUTER
+    // and pushdown-friendly. Scale shape: one custkey shuffle each
+    // side for the outer join (a 1000-executor plan — neither side
+    // broadcastable at 100 TB), then count(o_orderkey) ignores the
+    // null-extended rows (the outer-aware count); the second aggregate
+    // keys on c_count whose cardinality is tiny (max orders per
+    // customer), so the histogram exchange is negligible.
+    "q13_cust_dist" -> ((s, dir) => {
+      val ords = Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey"), col("o_orderkey"))
+      Tables.customer(s, dir).select(col("c_custkey"))
+        .join(ords, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy(col("n_cust").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q2-shaped cheapest-supplier lookup: the correlated-MIN
+    // subquery — join the fact table against its own per-group MIN
+    // (the argmin-join complement of q17's per-group AVG). Ties on the
+    // min price resolve to the lowest supplier key, so the argmin is
+    // deterministic without a window sort. The equality probe on the
+    // min price is an exact double selection (no arithmetic on either
+    // engine — safe to join on). Scale shape: the per-part min partial-
+    // aggregates map-side and shuffles once on the part key; its output
+    // is already hash-partitioned on that key so the self-join adds
+    // only the probe side's exchange; part and supplier dims broadcast.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      val minp = li.groupBy(col("l_partkey"))
+        .agg(min(col("l_extendedprice")).as("min_price"))
+        .withColumnRenamed("l_partkey", "pk")
+      li.join(minp, col("l_partkey") === col("pk") &&
+          col("l_extendedprice") === col("min_price"))
+        .groupBy(col("l_partkey"), col("min_price"))
+        .agg(min(col("l_suppkey")).as("best_suppkey"))
+        .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
+          col("best_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_brand"), col("min_price"),
+          col("best_suppkey"), col("s_name"))
+        .orderBy(col("p_partkey"))
+        .limit(200)
+    }),
+
     // TPC-H Q5-shaped local-supplier revenue: the full six-table join
     // chain. Star-schema treatment: region⋈nation collapses to a tiny
     // in-region nation dim, supplier joins it and broadcasts onto
@@ -348,6 +403,27 @@ object QueryCatalog {
         |  JOIN part ON p_partkey = l_partkey
         |WHERE CAST(l_quantity AS BIGINT) * n_li * 5 < sum_qty
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q13_cust_dist" ->
+      """SELECT c_count, count(*) AS n_cust FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderstatus = 'O'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY n_cust DESC, c_count DESC""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH minp AS (
+        |  SELECT l_partkey AS pk, min(l_extendedprice) AS min_price
+        |  FROM lineitem GROUP BY l_partkey),
+        |arg AS (
+        |  SELECT l_partkey, min_price, min(l_suppkey) AS best_suppkey
+        |  FROM lineitem JOIN minp
+        |    ON l_partkey = pk AND l_extendedprice = min_price
+        |  GROUP BY l_partkey, min_price)
+        |SELECT p_partkey, p_brand, min_price, best_suppkey, s_name
+        |FROM arg JOIN part ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = best_suppkey
+        |ORDER BY p_partkey LIMIT 200""".stripMargin,
     "q5_region_revenue" ->
       """SELECT n_name,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *

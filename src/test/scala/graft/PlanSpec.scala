@@ -402,6 +402,44 @@ class PlanSpec extends SparkSpec {
       s"hash exchange in a map-side transform:\n$p")
   }
 
+  test("q13_cust_dist outer join is a hash join on the key — no BNLJ, " +
+    "and the status filter reaches the orders scan") {
+    val p = plan("q13_cust_dist")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"outer join fell back to a nested loop:\n$p")
+    assert(p.contains("LeftOuter"), s"outer join missing:\n$p")
+    // right-side-only predicate is pushed into the parquet scan, not
+    // evaluated as a join residual over null-extended rows
+    assert(p.contains("EqualTo(o_orderstatus,O)"),
+      s"status filter not pushed to the orders scan:\n$p")
+  }
+
+  test("q2_min_cost_supplier argmin self-join re-uses the aggregate's " +
+    "part-key partitioning and broadcasts both dims") {
+    val df = QueryCatalog.queries("q2_min_cost_supplier")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"argmin join fell back to a nested loop:\n$p")
+    def countOf(hay: String, needle: String): Int =
+      hay.sliding(needle.length).count(_ == needle)
+    // dims ride broadcast exchanges; the fact side exchanges on the
+    // part key at most twice (probe + aggregate) — never more
+    assert(countOf(p, "BroadcastExchange") >= 2, s"dims not broadcast:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning(l_partkey") <= 2,
+      s"extra fact exchange:\n$p")
+  }
+
+  test("d19_except_release plans as aggregate + anti join on the id — " +
+    "no broadcast of the (at-scale huge) release list required shape") {
+    val p = plan("d19_except_release")
+    assert(p.contains("LeftAnti"), s"EXCEPT did not lower to an anti join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"nested loop in set-op plan:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      s"EXCEPT-distinct aggregate missing:\n$p")
+  }
+
   test("d17_boilerplate_strip is shuffle-only segment plumbing — " +
     "no cartesian, no nested loop") {
     val p = plan("d17_boilerplate_strip")

@@ -8,11 +8,53 @@ and compares values exactly (with a float near-miss report).
 
 Usage: python3 tools/oracle_check.py <sfDir> <outDir>
 (Driver-side python deps only — never imported by the Scala library.)
+
+Type parity (round 10): the official gate hashes Arrow values TYPE-sensitively,
+so a value-equal but type-divergent column (e.g. DuckDB HUGEINT→decimal128
+vs Spark int64, the w6 bug hidden for three rounds) must FAIL here too.
+We fetch the DuckDB result as Arrow and compare normalized Arrow types
+column-by-column; any decimal128/HUGEINT oracle column is an instant FAIL
+with a "CAST the oracle" hint.
 """
 import json, math, sys, glob
 
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
+
+
+def norm_type(t):
+    """Normalize Arrow types to the PYTHON VALUE CLASS the official hash
+    sees after .to_pylist(): every integer width → int, every float → float,
+    string/large_string → str — but decimal stays decimal (Decimal != int,
+    the exact divergence that kept w6 red for three rounds)."""
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{norm_type(t.value_type)}>"
+    return str(t)
+
+
+def type_parity(name, spark_schema, duck_schema):
+    """Return list of human-readable type-mismatch strings (empty = parity)."""
+    issues = []
+    s_types = {f.name: f.type for f in spark_schema}
+    d_types = {f.name: f.type for f in duck_schema}
+    for col in sorted(set(s_types) & set(d_types)):
+        st, dt = s_types[col], d_types[col]
+        if pa.types.is_decimal(dt):
+            issues.append(
+                f"{col}: oracle emits {dt} (DuckDB HUGEINT/DECIMAL) vs spark {st}"
+                f" — CAST the oracle column (e.g. AS BIGINT/DOUBLE)")
+        elif norm_type(st) != norm_type(dt):
+            issues.append(f"{col}: spark {st} vs duck {dt}")
+    return issues
 
 
 def canon(rows, cols):
@@ -45,6 +87,7 @@ def approx_eq(a, b):
 
 
 def main(sf_dir, out_dir):
+    print(f"duckdb {duckdb.__version__}, pyarrow {pa.__version__}")
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
@@ -69,9 +112,11 @@ def main(sf_dir, out_dir):
             no_oracle.append((name, tbl.num_rows))
             continue
         try:
-            res = con.execute(oracle[name])
-            duck_cols = [d[0] for d in res.description]
-            duck_rows = [tuple(norm_val(v) for v in r) for r in res.fetchall()]
+            duck_tbl = con.execute(oracle[name]).fetch_arrow_table()
+            duck_cols = duck_tbl.column_names
+            duck_rows = [tuple(norm_val(v) for v in row) for row in
+                         zip(*[duck_tbl.column(c).to_pylist() for c in duck_cols])] \
+                if duck_tbl.num_rows else []
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
@@ -80,6 +125,13 @@ def main(sf_dir, out_dir):
         dc = sorted(duck_cols)
         if sc != dc:
             print(f"FAIL {name}: columns differ spark={sc} duck={dc}")
+            n_fail += 1
+            continue
+        t_issues = type_parity(name, tbl.schema, duck_tbl.schema)
+        if t_issues:
+            print(f"FAIL {name}: TYPE parity (official hash is type-sensitive):")
+            for msg in t_issues:
+                print(f"   {msg}")
             n_fail += 1
             continue
         s_rows, _ = canon(spark_rows, spark_cols)
