@@ -139,8 +139,13 @@ object Bench {
     // maps outgrew it
     val qs = jsonMap(results.map { case (n, _, w) => n -> w })
     val total = results.map(_._3).filter(_ >= 0).sum
+    // headline fields FIRST, the (now 100+-entry) per-query map LAST
+    // (VERDICT r9 #8): the driver's bounded tail capture truncated the
+    // r9 line mid-queries-map, losing the head entries; with totals in
+    // front a truncation can only eat the tail of the per-query detail,
+    // never the headline numbers
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir",""" +
         f""""pipeline":{"articles":$articles,"seconds":$pipelineSec%.3f,"articles_per_sec":$aps%.1f},""" +
         f""""pipeline_streaming":{"articles":$articles,"seconds":$streamSec%.3f,"articles_per_sec":$streamAps%.1f},""" +
         decoupledJson + "," +
@@ -148,7 +153,7 @@ object Bench {
         // official artifact carries its own variance evidence, so a
         // ±20% box-noise swing reads as a wide band, not a regression
         s""""stream_runs_sec":$runsJson,"decoupled_runs_sec":$dRunsJson,""" +
-        s""""sf":"$sfDir"}""")
+        s""""queries":$qs}""")
     spark.stop()
   }
 

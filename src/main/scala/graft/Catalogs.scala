@@ -1519,8 +1519,6 @@ object SimilarityQueries {
         tau = 0.45, nCentroids = 8, iters = 2)
         .orderBy(col("vec_id"))),
 
-    // J2 id → payload lookup with miss tolerance (reference stub-row
-    // workaround, process_records.py:234-263): half the probe ids miss
     // Cluster-coherence evaluation WITHOUT a pairwise join: for the
     // vectors q_i of a cluster, Σ_{i≠j} q_i·q_j = ‖Σq‖² − Σ‖q‖², so
     // mean pairwise similarity needs one per-dimension sum per cluster
@@ -1554,6 +1552,8 @@ object SimilarityQueries {
         .orderBy(col("cidx"))
     }),
 
+    // J2 id → payload lookup with miss tolerance (reference stub-row
+    // workaround, process_records.py:234-263): half the probe ids miss
     "j2_lookup" -> ((s, dir) => {
       val keys = Tables.embeddings(s, dir).select((col("vec_id") * 2).as("doc_id"))
       keys.join(
@@ -2159,6 +2159,26 @@ object TrainingQueries {
     // exactly rounded on both engines). n ≥ k at every SF here, so the
     // estimator branch is the one under oracle test; the n < k exact
     // branch is spec-covered (KmvSketchSpec).
+    "t19_kmv_distinct" -> ((s, dir) => {
+      val k = 32
+      val h = conv(substring(
+          md5(concat(lit("kmv:"), col("user_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long")
+      Tables.events(s, dir)
+        .select(col("event_type"), h.as("__h"))
+        .groupBy(col("event_type"))
+        .agg(graft.functions.KmvSketch(col("__h"), k).as("__mins"))
+        .select(
+          col("event_type"),
+          size(col("__mins")).cast("long").as("n_sketch"),
+          when(size(col("__mins")) < k, size(col("__mins")).cast("double"))
+            .otherwise(round(
+              lit((k - 1).toDouble * 1152921504606846976.0) /
+                element_at(col("__mins"), k).cast("double"), 4))
+            .as("est_distinct"))
+        .orderBy(col("event_type"))
+    }),
+
     // Approx distinct per TIME WINDOW — t19's KMV sketch keyed by
     // event-time day instead of category (the dashboard "daily active
     // users" query at sketch cost): state is k=32 longs per day
@@ -2185,26 +2205,6 @@ object TrainingQueries {
                 element_at(col("__mins"), k).cast("double"), 4))
             .as("est_users"))
         .orderBy(col("day"))
-    }),
-
-    "t19_kmv_distinct" -> ((s, dir) => {
-      val k = 32
-      val h = conv(substring(
-          md5(concat(lit("kmv:"), col("user_id").cast("string"))), 1, 15), 16, 10)
-        .cast("long")
-      Tables.events(s, dir)
-        .select(col("event_type"), h.as("__h"))
-        .groupBy(col("event_type"))
-        .agg(graft.functions.KmvSketch(col("__h"), k).as("__mins"))
-        .select(
-          col("event_type"),
-          size(col("__mins")).cast("long").as("n_sketch"),
-          when(size(col("__mins")) < k, size(col("__mins")).cast("double"))
-            .otherwise(round(
-              lit((k - 1).toDouble * 1152921504606846976.0) /
-                element_at(col("__mins"), k).cast("double"), 4))
-            .as("est_distinct"))
-        .orderBy(col("event_type"))
     }))
 
   val oracleSql: Map[String, String] = Map(

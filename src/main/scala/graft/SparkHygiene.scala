@@ -62,7 +62,10 @@ object SparkHygiene {
     * it holds data — so running a 100k-row drain with 32 state
     * partitions buys no parallelism and pays 32 partitions × batches ×
     * stateful-operators of fixed cost (measured: w9_outer drops ~7 s
-    * going 32 → 4). Scan/sink parallelism is untouched (same
+    * going 32 → 4; the catalog callers pass 8, which lands within
+    * run-to-run noise of the 4-partition floor — the cost is ~linear
+    * in instance count — while keeping 2× headroom over 4 for the
+    * sf0.1 state volume). Scan/sink parallelism is untouched (same
     * SparkContext and cores); only the stateful exchange narrows. At
     * real volumes the caller raises `partitions` — this is the state
     * sizing knob a deployment tunes, made explicit.

@@ -141,35 +141,42 @@ object CdcConsumer {
       ClusterTable.emptyTable(spark))
     val pks = p.map(v => spark.read.parquet(s"$stateDir/cdc/v$v").select(col("PK")))
       .reduce(_ unionByName _).distinct()
-    // fired PKs are collected EAGERLY because they gate whether a pass
-    // is published at all (and drive the serving-store refresh below);
-    // bounded: clusters crossing the trigger this pass
-    val firedPks = input.filter(col("row_type") === "metadata")
+    // fired PKs stay DISTRIBUTED end-to-end (r9 review hardening: the
+    // old eager collect was bounded by clusters-crossing-trigger per
+    // pass, but a hot pass at 100× volume could haul millions of PK
+    // strings to the driver). Only a COUNT crosses to the driver — it
+    // gates whether a pass is published at all; the serving-store
+    // refresh takes the fired frame as-is, and its own driver
+    // materialization is bucket IDS, bounded by the store's fixed
+    // bucket count regardless of how many clusters fired.
+    val fired = input.filter(col("row_type") === "metadata")
       .join(broadcast(pks), Seq("PK"), "left_semi")
       .filter(Summarize.shouldSummarize(
         col("number_of_articles"), col("summary_count"), threshold))
-      .select(col("PK")).as(org.apache.spark.sql.Encoders.STRING).collect().toSeq
-
-    if (firedPks.nonEmpty) {
-      // publish a FRESH pass dir — `overwrite` clears a partial dir from
-      // a crashed attempt at the same pass number (no committed pass is
-      // ever written over); its _SUCCESS is the commit point
-      val passes = StreamingPipeline.overlayPasses(spark, tableBase, target)
-      val next = passes.lastOption.fold(0L)(_ + 1L)
-      val dest = new Path(StreamingPipeline.overlayPassPath(tableBase, target, next))
-      ClusterTable.summarizePass(input, pks, threshold)
-        .write.mode("overwrite").parquet(dest.toString)
-      // grace-window prune: keep the new pass and its `gracePasses`
-      // predecessors so a reader that planned against a recent pass
-      // still executes (see the object doc for the window's bound)
-      passes.filter(_ < next - gracePasses).foreach { p0 =>
-        f.delete(new Path(StreamingPipeline.overlayPassPath(tableBase, target, p0)), true)
+      .select(col("PK"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (fired.count() > 0) {
+        // publish a FRESH pass dir — `overwrite` clears a partial dir from
+        // a crashed attempt at the same pass number (no committed pass is
+        // ever written over); its _SUCCESS is the commit point
+        val passes = StreamingPipeline.overlayPasses(spark, tableBase, target)
+        val next = passes.lastOption.fold(0L)(_ + 1L)
+        val dest = new Path(StreamingPipeline.overlayPassPath(tableBase, target, next))
+        ClusterTable.summarizePass(input, pks, threshold)
+          .write.mode("overwrite").parquet(dest.toString)
+        // grace-window prune: keep the new pass and its `gracePasses`
+        // predecessors so a reader that planned against a recent pass
+        // still executes (see the object doc for the window's bound)
+        passes.filter(_ < next - gracePasses).foreach { p0 =>
+          f.delete(new Path(StreamingPipeline.overlayPassPath(tableBase, target, p0)), true)
+        }
+        store.foreach { s =>
+          val truth = spark.read.parquet(dest.toString)
+          s.rebuildBucketsFor(truth, fired)
+        }
       }
-      store.foreach { s =>
-        val truth = spark.read.parquet(dest.toString)
-        s.rebuildBucketsFor(truth, truth.filter(col("PK").isin(firedPks: _*)))
-      }
-    }
+    } finally fired.unpersist()
     // markers AFTER the overlay commit: a crash above replays the whole
     // pass; a crash below re-consumes unmarked feeds against the
     // committed overlay — monotone either way

@@ -189,6 +189,42 @@ class StreamingSpec extends SparkSpec {
     assert(CdcConsumer.pending(spark, state).isEmpty)
   }
 
+  test("CdcConsumer mass-fire pass stays distributed: 40 clusters cross " +
+    "the trigger in ONE pass and the serving store refresh is driven by " +
+    "the fired frame (no per-PK driver round-trip), converging to truth") {
+    // r9 review hardening: the fired-PK set used to be collected to the
+    // driver — bounded per pass but unbounded at 100× volume. The pass
+    // now ships only a COUNT to the driver; this spec fires every
+    // cluster at once so any future reintroduction of a per-PK driver
+    // path has to carry the whole set to pass.
+    val root = Files.createTempDirectory("graft-cdc-mass").toString
+    val state = s"$root/state"
+    val store = new graft.operators.ClusterStore(spark, s"$root/serve", nBuckets = 8)
+    val cfg = StreamingPipeline.Config(threshold = 1,
+      emitCdc = true, inlineSummarize = false)
+    val docs = (1 to 40).map { i =>
+      (s"doc$i", s"word$i word$i word$i word$i", s"T$i",
+        f"2024-01-01 ${i % 24}%02d:00:00")
+    }
+    StreamingPipeline.processBatch(
+      docs.toDF("id", "text", "title", "date"), 0L, state, cfg)
+    assert(CdcConsumer.runOnce(spark, state, threshold = 1,
+      store = Some(store)) == Seq(0L))
+
+    val truth = StreamingPipeline.latestTable(spark, state)
+    val truthMeta = truth.filter(col("row_type") === "metadata")
+    // every singleton cluster fired and got summarized in the one pass
+    assert(truthMeta.count() == 40)
+    assert(truthMeta.filter(col("generated_summary") === "").isEmpty,
+      "a fired cluster missed summarization")
+    // the serving store converges to the overlay truth — the refresh
+    // path works at whatever size the fired set is
+    val served = store.read().select("PK", "SK").as[(String, String)]
+      .collect().toSet
+    val expect = truth.select("PK", "SK").as[(String, String)].collect().toSet
+    assert(served == expect)
+  }
+
   test("CdcConsumer overlays: staging cleaned, partial overlays invisible, " +
     "replay after a lost marker is monotone (no double summarization)") {
     val root = Files.createTempDirectory("graft-cdc-overlay").toString
