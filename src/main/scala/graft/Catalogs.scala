@@ -608,6 +608,44 @@ object DedupQueries {
       docs.select(col("doc_id")).except(prior).orderBy(col("doc_id"))
     }),
 
+    // INTERSECT — d19's complement set-op: documents present in BOTH of
+    // two candidate releases (disjoint selection criteria, overlapping
+    // membership). Spark lowers intersect to distinct + left-semi: the
+    // same aggregate-then-8-byte-key-shuffle plan as d19, so the pair
+    // covers both set-op lowerings Catalyst has. At 100 TB both release
+    // lists shuffle on the id — no broadcast assumption.
+    "d20_intersect_releases" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val relA = docs.filter(col("doc_id") % 3 =!= 0).select(col("doc_id"))
+      val relB = docs.filter(col("source").isin("src2", "src5", "src8", "src11") ||
+        col("n_chars") > 400).select(col("doc_id"))
+      relA.intersect(relB).orderBy(col("doc_id"))
+    }),
+
+    // FULL OUTER release diff — the symmetric snapshot comparison every
+    // release pipeline runs ("what was added, what was removed, what
+    // survived"): neither side is privileged, so both null-extend.
+    // Plan shape: one doc_id shuffle per side into a sort-merge FULL
+    // OUTER (full outer cannot broadcast either side — rows without a
+    // match must still emit from BOTH inputs), then a null-classifying
+    // projection. The one-key-exchange-per-side plan is exactly what
+    // survives when both snapshots are 100 TB-scale.
+    "j12_full_outer_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val a = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id").as("a_id"), col("n_chars").as("a_chars"))
+      val b = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("b_id"), col("n_chars").as("b_chars"))
+      a.join(b, col("a_id") === col("b_id"), "full_outer")
+        .select(
+          coalesce(col("a_id"), col("b_id")).as("doc_id"),
+          when(col("a_id").isNull, lit("added"))
+            .when(col("b_id").isNull, lit("removed"))
+            .otherwise(lit("kept")).as("status"),
+          coalesce(col("b_chars"), col("a_chars")).as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Cross-document SPAN detection (the Lee et al. exact-substring
     // dedup shape at 8-gram granularity): longest run of consecutive
     // shared grams per pair, measured on one diagonal via the islands
@@ -946,6 +984,23 @@ object DedupQueries {
         |EXCEPT
         |SELECT doc_id FROM documents
         |WHERE source IN ('src0','src1','src2','src3','src4') OR doc_id % 7 = 0
+        |ORDER BY doc_id""".stripMargin,
+    "d20_intersect_releases" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 3 <> 0
+        |INTERSECT
+        |SELECT doc_id FROM documents
+        |WHERE source IN ('src2','src5','src8','src11') OR n_chars > 400
+        |ORDER BY doc_id""".stripMargin,
+    "j12_full_outer_diff" ->
+      """SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       ELSE 'kept' END AS status,
+        |  coalesce(b.n_chars, a.n_chars) AS n_chars
+        |FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 <> 0) a
+        |FULL OUTER JOIN
+        |     (SELECT doc_id, n_chars FROM documents WHERE doc_id % 2 = 0) b
+        |  ON a.doc_id = b.doc_id
         |ORDER BY doc_id""".stripMargin,
     "d3_minhash_pairs" ->
       s"""WITH $nearCorpusSql,
@@ -2659,6 +2714,26 @@ object NewsQueries {
 object EventQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PIVOT — the wide-report shape every dashboard export ships: one
+    // row per day, one column per event type. Expressed as conditional
+    // aggregates over the pinned type list rather than Dataset.pivot:
+    // .pivot() plans TWO exchanges (a (day,type) count, then a
+    // day-keyed pivotfirst), where the conditional form is one scan,
+    // partial aggregation map-side, and ONE tiny day-key exchange —
+    // the plan you want when the scan is 100 TB. The oracle spells the
+    // identical semantics as FILTER aggregates.
+    "a16_pivot" -> ((s, dir) => {
+      def cnt(t: String) =
+        count(when(col("event_type") === t, 1)).as(t)
+      Tables.events(s, dir)
+        .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .groupBy(col("day"))
+        .agg(cnt("click"), cnt("error"), cnt("purchase"),
+          cnt("signup"), cnt("view"))
+        .orderBy(col("day"))
+    }),
+
     // A6 most-common with deterministic tie-break
     "a6_mode" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -3056,6 +3131,14 @@ object EventQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "a16_pivot" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
     "a6_mode" ->
       """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
         |           FROM events GROUP BY 1, 2),

@@ -111,6 +111,40 @@ object QueryCatalog {
             .cast("double").as("sum_qty"))
         .orderBy(col("lvl"), col("l_returnflag"), col("l_linestatus"))),
 
+    // CUBE companion to a11's ROLLUP: all four grouping sets —
+    // (flag,status), (flag), (status), () — in one pass. The extra
+    // (status)-only level is what ROLLUP can't produce; Catalyst still
+    // expands the sets map-side off a single scan with partial
+    // aggregation before the one exchange (4× the aggregate state per
+    // mapper, not 4 scans). grouping_id() disambiguates subtotal rows
+    // from genuine NULL keys, exactly as in a11.
+    "a15_cube" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().as("lvl"),
+          count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast("decimal(18,6)")), 4)
+            .cast("double").as("sum_qty"))
+        .orderBy(col("lvl"), col("l_returnflag"), col("l_linestatus"))),
+
+    // NOT IN (subquery) — the null-aware anti join. Parquet columns are
+    // nullable as far as Catalyst can prove, so `c_custkey NOT IN
+    // (SELECT o_custkey ...)` cannot lower to a plain anti join (one
+    // NULL in the subquery would empty the result under three-valued
+    // logic); Spark plans the dedicated null-aware single-column
+    // BroadcastHashJoin. Same 49 zero-'O'-customers as q13's outer
+    // histogram, through a genuinely different plan shape.
+    "q16_notin" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("__g_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("__g_orders")
+      s.sql(
+        """SELECT c_custkey, c_name FROM __g_customer
+          |WHERE c_custkey NOT IN
+          |  (SELECT o_custkey FROM __g_orders WHERE o_orderstatus = 'O')
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // TPC-H Q3-shaped shipping-priority top-k: the canonical two-join +
     // aggregate + top-k reporting plan. The filtered customer dim is
     // broadcast (no shuffle on the fact side for it); orders⋈lineitem
@@ -359,6 +393,19 @@ object QueryCatalog {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY lvl, l_returnflag, l_linestatus""".stripMargin,
+    "a15_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  GROUPING(l_returnflag, l_linestatus) AS lvl,
+        |  count(*) AS n,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY lvl, l_returnflag, l_linestatus""".stripMargin,
+    "q16_notin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
     "q3_topk_join" ->
       """SELECT l_orderkey,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *

@@ -440,6 +440,43 @@ class PlanSpec extends SparkSpec {
       s"EXCEPT-distinct aggregate missing:\n$p")
   }
 
+  test("q16_notin plans the NULL-AWARE anti join (NOT IN subquery can't " +
+    "lower to a plain anti join over unprovably-non-null parquet columns)") {
+    val p = plan("q16_notin")
+    // BroadcastHashJoin's 4th argument / HashedRelationBroadcastMode's
+    // 2nd is the isNullAwareAntiJoin flag
+    assert(p.contains("LeftAnti, BuildRight, true") &&
+      p.contains("HashedRelationBroadcastMode(List(input[0, bigint, true]),true)"),
+      s"null-aware anti join missing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in NOT IN plan:\n$p")
+  }
+
+  test("j12_full_outer_diff is a sort-merge FULL OUTER on the id — " +
+    "neither side broadcast, no nested loop") {
+    val p = plan("j12_full_outer_diff")
+    assert(p.contains("FullOuter"), s"full outer missing:\n$p")
+    assert(p.contains("SortMergeJoin"), s"expected SMJ for full outer:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"nested loop in full outer plan:\n$p")
+  }
+
+  test("d20_intersect lowers to distinct + semi join on the id, and " +
+    "a16_pivot with a pinned value list is ONE aggregate pass (no " +
+    "distinct-values expansion job)") {
+    val pI = plan("d20_intersect_releases")
+    assert(pI.contains("LeftSemi"), s"INTERSECT did not lower to semi join:\n$pI")
+    assert(pI.contains("HashAggregate") || pI.contains("SortAggregate"),
+      s"INTERSECT-distinct aggregate missing:\n$pI")
+    val pP = plan("a16_pivot")
+    def countOf(hay: String, needle: String): Int =
+      hay.sliding(needle.length).count(_ == needle)
+    // one partial + one final aggregate over day — a pivot that first
+    // scans for distinct values would add a second aggregate pair
+    assert(countOf(pP, "Exchange hashpartitioning") == 1,
+      s"pivot should shuffle once on the day key:\n$pP")
+    assert(!pP.contains("Join"), s"pivot must not join:\n$pP")
+  }
+
   test("d17_boilerplate_strip is shuffle-only segment plumbing — " +
     "no cartesian, no nested loop") {
     val p = plan("d17_boilerplate_strip")
