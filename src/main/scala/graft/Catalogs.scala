@@ -3005,6 +3005,60 @@ object EventQueries {
         .orderBy(col("error_id"), col("click_id"))
     }),
 
+    // W15: the FULL OUTER form of the stream-stream interval join —
+    // w9_outer's incident-without-activity nulls PLUS the symmetric
+    // activity-without-incident nulls (clicks inside no error window),
+    // in one streaming pass. A click has exactly one slot, so its null
+    // row means "matched nowhere". Emission gating: interval-side nulls
+    // need the watermark past the window's match horizon (w9_outer's
+    // cutoff); point-side nulls need it past the click's own timestamp
+    // (no interval with start ≤ ts can still arrive) — both sides of
+    // the oracle and the read-back exclude the boundary band where
+    // emission is engine-internal, each with its OWN cutoff.
+    "w15_stream_join_full" -> ((s0, dir) => {
+      val s = SparkHygiene.streamStateSession(s0, 8)
+      val ev = Tables.eventsStream(s, dir)
+      val incidents = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("ts").as("win_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("win_end"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts"))
+      val joined = graft.streaming.IntervalStreamJoin.join(
+          incidents, clicks,
+          startCol = "win_start", endCol = "win_end", tsCol = "ts",
+          slotWidthSec = 600L, maxLenSec = 600L, delay = "30 minutes",
+          joinType = "full_outer")
+        .select(col("error_id"), col("win_start"), col("click_id"), col("ts"),
+          (unix_micros(col("ts")) - unix_micros(col("win_start"))).as("gap_us"))
+      val out = SparkHygiene.scratchDir("w15_out")
+      val ck = SparkHygiene.scratchDir("w15_ck")
+      val q = joined.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val cut = Tables.events(s, dir).agg(
+        (least(max(when(col("event_type") === "error", col("ts"))),
+               max(when(col("event_type") === "click", col("ts"))))
+          - expr("INTERVAL 30 MINUTES") - expr("INTERVAL 10 MINUTES")
+          - expr("INTERVAL 10 SECONDS")).as("cut_i"),
+        (least(max(when(col("event_type") === "error", col("ts"))),
+               max(when(col("event_type") === "click", col("ts"))))
+          - expr("INTERVAL 30 MINUTES")
+          - expr("INTERVAL 10 SECONDS")).as("cut_p"))
+      s.read.parquet(out)
+        .crossJoin(broadcast(cut))
+        .filter(
+          (col("error_id").isNotNull && col("click_id").isNotNull) ||
+          (col("click_id").isNull && col("win_start") < col("cut_i")) ||
+          (col("error_id").isNull && col("ts") < col("cut_p")))
+        .select(col("error_id"),
+          date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("click_id"), col("gap_us"))
+        .orderBy(col("error_id"), col("click_id"))
+    }),
+
     // W10 streaming exactly-once dedup under at-least-once delivery: the
     // events file read through TWO independent file streams and unioned
     // (every event delivered twice — the redelivery a real queue source
@@ -3275,6 +3329,39 @@ object EventQueries {
         |       click_id, gap_us
         |FROM j, wm
         |WHERE click_id IS NOT NULL OR win_start < cut
+        |ORDER BY error_id, click_id""".stripMargin,
+    "w15_stream_join_full" ->
+      """WITH err AS (
+        |  SELECT event_id AS error_id, ts AS win_start,
+        |         ts + INTERVAL 10 MINUTES AS win_end
+        |  FROM events WHERE event_type = 'error'),
+        |clk AS (SELECT event_id AS click_id, ts FROM events WHERE event_type = 'click'),
+        |slots AS (
+        |  SELECT e.*, unnest(generate_series(
+        |    CAST(floor(epoch_us(win_start) / 600000000) AS BIGINT),
+        |    CAST(floor((epoch_us(win_end) - 1) / 600000000) AS BIGINT))) AS slot
+        |  FROM err e),
+        |j AS (
+        |  SELECT s.error_id, s.win_start, c.click_id, c.ts,
+        |         epoch_us(c.ts) - epoch_us(s.win_start) AS gap_us
+        |  FROM slots s FULL OUTER JOIN clk c
+        |    ON CAST(floor(epoch_us(c.ts) / 600000000) AS BIGINT) = s.slot
+        |   AND c.ts >= s.win_start AND c.ts < s.win_end),
+        |wm AS (
+        |  SELECT least((SELECT max(ts) FROM events WHERE event_type = 'error'),
+        |               (SELECT max(ts) FROM events WHERE event_type = 'click'))
+        |         - INTERVAL 30 MINUTES - INTERVAL 10 MINUTES
+        |         - INTERVAL 10 SECONDS AS cut_i,
+        |         least((SELECT max(ts) FROM events WHERE event_type = 'error'),
+        |               (SELECT max(ts) FROM events WHERE event_type = 'click'))
+        |         - INTERVAL 30 MINUTES - INTERVAL 10 SECONDS AS cut_p
+        |  FROM (SELECT 1))
+        |SELECT error_id, strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       click_id, gap_us
+        |FROM j, wm
+        |WHERE (error_id IS NOT NULL AND click_id IS NOT NULL)
+        |   OR (click_id IS NULL AND win_start < cut_i)
+        |   OR (error_id IS NULL AND ts < cut_p)
         |ORDER BY error_id, click_id""".stripMargin,
     "w8_hourly_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,

@@ -33,7 +33,18 @@ object IntervalStreamJoin {
     *                  as the watermark-analyzable range constraint
     * @param delay     watermark delay on both sides (event-time lateness bound)
     */
-  /** @param joinType `"inner"` (default) or `"left_outer"`: left-outer
+  /** @param joinType `"inner"` (default), `"left_outer"`, or
+    *                  `"full_outer"`. Full-outer adds the point-side
+    *                  nulls too: a point that matched NO interval emits
+    *                  one null-padded row once the interval-side
+    *                  watermark passes its timestamp (no interval with
+    *                  `start ≤ ts` can still arrive) — the
+    *                  activity-without-incident shape. A point has
+    *                  exactly ONE slot, so its null row means "no match
+    *                  anywhere", with none of the per-slot multiplicity
+    *                  the interval side's null rows carry.
+    *
+    *                  `"left_outer"`: left-outer
     *                  additionally emits a null-padded row for each
     *                  (interval, slot) pair that matched NO point in
     *                  that slot, once the watermark passes the point at
