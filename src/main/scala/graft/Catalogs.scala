@@ -96,6 +96,34 @@ object TextQueries {
         TextFns.tokenCountRegex(col("text")).cast("long").as("n_sub"))
         .orderBy(col("doc_id"))),
 
+    // Per-group feature normalization — the z-score every
+    // feature-engineering pass ships (normalize a numeric column within
+    // its language group). PORTABLE BY CONSTRUCTION: mean and variance
+    // come from exact integer sums (n, Σx, Σx² in bigint — n_chars ≤
+    // ~10³ keeps Σx² far inside long range), combined in a fixed
+    // double-arithmetic order (each op exactly rounded → bit-identical
+    // on both engines), never from stddev_samp whose streaming update
+    // order is engine-internal. One groupBy(lang) aggregate (tiny —
+    // #languages rows) broadcast back onto the scan: one exchange of
+    // the aggregate only, the corpus never shuffles.
+    "t26_group_zscore" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val stats = docs.groupBy(col("lang")).agg(
+        count(lit(1)).as("n"),
+        sum(col("n_chars")).as("sx"),
+        sum(col("n_chars") * col("n_chars")).as("sxx"))
+      docs.join(broadcast(stats), "lang")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(
+            (col("n_chars").cast("double") -
+              col("sx").cast("double") / col("n").cast("double")) /
+            sqrt((col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double") /
+                col("n").cast("double")) /
+              (col("n").cast("double") - lit(1.0))), 6).as("zscore"))
+        .orderBy(col("doc_id"))
+    }),
+
     // quality scoring (length/alpha/stopword blend)
     "t2_quality" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -284,6 +312,16 @@ object TextQueries {
         .orderBy(col("lang"))))
 
   val oracleSql: Map[String, String] = Map(
+    "t26_group_zscore" ->
+      """WITH st AS (SELECT lang, count(*) AS n, sum(n_chars) AS sx,
+        |  sum(n_chars * n_chars) AS sxx FROM documents GROUP BY lang)
+        |SELECT doc_id, d.lang, n_chars,
+        |  round((CAST(n_chars AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / sqrt((CAST(sxx AS DOUBLE) -
+        |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1.0)), 6) AS zscore
+        |FROM documents d JOIN st ON d.lang = st.lang
+        |ORDER BY doc_id""".stripMargin,
     "t1_token_stats" ->
       """SELECT doc_id,
         |  len(regexp_split_to_array(trim(text), '\s+')) AS n_ws,
@@ -620,6 +658,28 @@ object DedupQueries {
       val relB = docs.filter(col("source").isin("src2", "src5", "src8", "src11") ||
         col("n_chars") > 400).select(col("doc_id"))
       relA.intersect(relB).orderBy(col("doc_id"))
+    }),
+
+    // Edit-distance (Levenshtein ≤ 2) near-dup pairs — the TYPO
+    // corruption model, via PassJoin segment filtering
+    // (operators/EditDistanceJoin): keys are normalized 18-24-char text
+    // prefixes (length varies by id so the length-band machinery is
+    // exercised); every 10th doc is cloned with a 2-char substitution.
+    // The ORACLE is the quadratic ground truth (length prefilter + full
+    // levenshtein over all pairs) — the gate verifies the pigeonhole
+    // lemma's losslessness, not a replay of the same plan.
+    "d21_edit_distance" -> ((s, dir) => {
+      val keys = Tables.documents(s, dir).select(col("doc_id"),
+        regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+          .substr(lit(1), (lit(18) + pmod(col("doc_id"), lit(7))).cast("int"))
+          .as("skey"))
+      val clones = keys.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(substring(col("skey"), 1, 4), lit("qx"),
+            expr("substring(skey, 7)")).as("skey"))
+      graft.operators.EditDistanceJoin
+        .selfPairs(keys.unionByName(clones), "doc_id", "skey", k = 2)
+        .orderBy(col("a"), col("b"))
     }),
 
     // FULL OUTER release diff — the symmetric snapshot comparison every
@@ -991,6 +1051,22 @@ object DedupQueries {
         |SELECT doc_id FROM documents
         |WHERE source IN ('src2','src5','src8','src11') OR n_chars > 400
         |ORDER BY doc_id""".stripMargin,
+    "d21_edit_distance" ->
+      """WITH k0 AS (SELECT doc_id,
+        |  substring(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |            1, CAST(18 + doc_id % 7 AS INT)) AS skey
+        |  FROM documents),
+        |c AS (SELECT doc_id, skey FROM k0
+        |      UNION ALL
+        |      SELECT doc_id + 3000000,
+        |             substring(skey, 1, 4) || 'qx' || substring(skey, 7)
+        |      FROM k0 WHERE doc_id % 10 = 0)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |       levenshtein(x.skey, y.skey) AS dist
+        |FROM c x JOIN c y ON x.doc_id < y.doc_id
+        |WHERE abs(length(x.skey) - length(y.skey)) <= 2
+        |  AND levenshtein(x.skey, y.skey) <= 2
+        |ORDER BY a, b""".stripMargin,
     "j12_full_outer_diff" ->
       """SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
         |  CASE WHEN a.doc_id IS NULL THEN 'added'
@@ -1372,6 +1448,22 @@ object SimilarityQueries {
        |${pqRank(2)}""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BM25 lexical top-k (operators/Bm25): the inverted-index probe —
+    // postings semi-join the broadcast query-term set before any
+    // shuffle, df aggregates over the pruned postings, scores sum in
+    // decimal. Rational RSJ idf for exact cross-engine replay (the ln
+    // form is the one op libm owns); three fixed 3-term queries over
+    // the documents table, k=10 with doc-id tie-break.
+    "s10_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((1L, "hash join merge"), (2L, "customer order stream"),
+        (3L, "vector scan slow")).toDF("qid", "qtext")
+      graft.operators.Bm25.topK(
+        Tables.documents(s, dir), "doc_id", "text", qs, "qid", "qtext",
+        k = 10)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // brute-force cosine top-k: rank by ROUNDED sim + vec_id tie-break so
     // the cut is engine-stable
     "s1_knn" -> ((s, dir) => {
@@ -1637,6 +1729,34 @@ object SimilarityQueries {
         .orderBy(col("label"), col("idx"))))
 
   val oracleSql: Map[String, String] = Map(
+    "s10_bm25_topk" ->
+      """WITH q(qid, qtext) AS (VALUES
+        |    (1, 'hash join merge'), (2, 'customer order stream'),
+        |    (3, 'vector scan slow')),
+        |tok AS (SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) AS dl,
+        |  unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        |       FROM tok GROUP BY 1, 2, 3),
+        |g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\s+'))) AS DOUBLE) AS sumdl
+        |  FROM documents),
+        |qt AS (SELECT DISTINCT qid, unnest(regexp_split_to_array(qtext, ' ')) AS term FROM q),
+        |dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf
+        |        WHERE term IN (SELECT term FROM qt) GROUP BY term),
+        |ts AS (SELECT qt.qid, tf.doc_id,
+        |  round(((n - df + 0.5) / (df + 0.5)) *
+        |        ((tf * (1.2 + 1.0)) /
+        |         (tf + 1.2 * (0.25 + 0.75 * (dl * n / sumdl)))), 6) AS tsc
+        |  FROM tf JOIN dft USING (term) JOIN qt USING (term), g),
+        |sc AS (SELECT qid, doc_id,
+        |  CAST(sum(CAST(tsc AS DECIMAL(18,6))) AS DOUBLE) AS score
+        |  FROM ts GROUP BY 1, 2),
+        |r AS (SELECT qid, doc_id, score, row_number() OVER
+        |        (PARTITION BY qid ORDER BY score DESC, doc_id) AS rk FROM sc)
+        |SELECT qid, rk, doc_id, score FROM r WHERE rk <= 10
+        |ORDER BY qid, rk""".stripMargin,
     "s1_knn" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |s AS (SELECT q.qid, e.vec_id, e.label,
@@ -2734,6 +2854,27 @@ object EventQueries {
         .orderBy(col("day"))
     }),
 
+    // LEAD — the forward-looking window w6's lag-based sessionize
+    // doesn't cover: per-user gap to the NEXT event, with an
+    // inactivity flag (gap > 1 h), null gap on each user's last event.
+    // Same one-exchange shape as every per-user window here: shuffle
+    // once on user_id, a single window pass, no join. The flag's
+    // null-handling is pinned on both engines (IS NOT NULL AND ... —
+    // FALSE, not NULL, on the last row).
+    "w16_lead_gap" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("next_ts", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_id"),
+          (unix_micros(col("next_ts")) - unix_micros(col("ts"))).as("gap_us"),
+          (col("next_ts").isNotNull &&
+            (unix_micros(col("next_ts")) - unix_micros(col("ts")) >
+              3600000000L)).as("long_gap"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // A6 most-common with deterministic tie-break
     "a6_mode" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -3185,6 +3326,15 @@ object EventQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "w16_lead_gap" ->
+      """WITH l AS (SELECT user_id, event_id, ts,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+        |FROM events)
+        |SELECT user_id, event_id,
+        |  epoch_us(next_ts) - epoch_us(ts) AS gap_us,
+        |  (next_ts IS NOT NULL AND
+        |   epoch_us(next_ts) - epoch_us(ts) > 3600000000) AS long_gap
+        |FROM l ORDER BY user_id, event_id""".stripMargin,
     "a16_pivot" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
         |  count(*) FILTER (event_type = 'click') AS click,
