@@ -308,6 +308,35 @@ object QueryCatalog {
         .limit(200)
     }),
 
+    // TPC-H Q11-shaped value concentration: an aggregate filtered
+    // against a GLOBAL aggregate scalar (HAVING sum > threshold derived
+    // from the total) — the scalar-subquery-in-HAVING shape q17/q2
+    // (per-group statistics) don't exercise. The threshold is a
+    // MULTIPLE OF THE MEAN part value (1.5×), not a fixed fraction of
+    // the total — Q11's literal fraction silently empties as the part
+    // count grows with scale, a mean-multiple selects the same "above
+    // average" band at every SF. The global (total, part-count) scalar
+    // folds in as a broadcast single-row cross join, so the per-part
+    // aggregate stream-filters against it with no extra exchange; sums
+    // run in decimal (order-independent), the comparison on the
+    // rounded doubles exactly as the oracle computes them.
+    "q11_value_parts" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_extendedprice"))
+      val perPart = li.groupBy(col("l_partkey"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,6)")), 4)
+          .cast("double").as("part_value"))
+      val total = li.agg(
+        round(sum(col("l_extendedprice").cast("decimal(18,6)")), 4)
+          .cast("double").as("__tot"),
+        countDistinct(col("l_partkey")).cast("double").as("__n"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("part_value") > lit(1.5) * (col("__tot") / col("__n")))
+        .select(col("l_partkey"), col("part_value"),
+          round(col("part_value") / col("__tot"), 6).as("share"))
+        .orderBy(col("part_value").desc, col("l_partkey"))
+    }),
+
     // TPC-H Q5-shaped local-supplier revenue: the full six-table join
     // chain. Star-schema treatment: region⋈nation collapses to a tiny
     // in-region nation dim, supplier joins it and broadcasts onto
@@ -471,6 +500,21 @@ object QueryCatalog {
         |FROM arg JOIN part ON p_partkey = l_partkey
         |  JOIN supplier ON s_suppkey = best_suppkey
         |ORDER BY p_partkey LIMIT 200""".stripMargin,
+    "q11_value_parts" ->
+      """WITH pp AS (
+        |  SELECT l_partkey,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 4) AS DOUBLE)
+        |      AS part_value
+        |  FROM lineitem GROUP BY l_partkey),
+        |tot AS (
+        |  SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 4) AS DOUBLE)
+        |      AS t,
+        |    CAST(count(DISTINCT l_partkey) AS DOUBLE) AS n
+        |  FROM lineitem)
+        |SELECT l_partkey, part_value, round(part_value / t, 6) AS share
+        |FROM pp, tot
+        |WHERE part_value > 1.5 * (t / n)
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
     "q5_region_revenue" ->
       """SELECT n_name,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *

@@ -71,7 +71,13 @@ object ScaleProbe {
 
     for (q <- Seq("d2_jaccard_pairs", "d3_minhash_pairs", "d15_containment",
         "d16_jaccard_estimate", "s7_ann_pq", "d17_boilerplate_strip",
-        "s8_knn_graph")) {
+        "s8_knn_graph",
+        // r10 additions: PassJoin edit-distance (the salted copies keep
+        // their first words, so cross-copy 18-24-char keys are TRUE
+        // zero-distance dups — output grows ~copies² by semantics; the
+        // claim under test is wall tracking OUTPUT, not corpus²) and
+        // BM25 (fixed query set → flat expected)
+        "d21_edit_distance", "s10_bm25_topk")) {
       val (s1, n1) = timedRows(q, sf1)
       val (s10, n10) = timedRows(q, sf10)
       println(f"SCALE $q 1x=${s1}%.2fs/${n1} rows  10x=${s10}%.2fs/${n10} rows" +
