@@ -2875,6 +2875,34 @@ object EventQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // TPC-H Q21-shaped DOUBLE correlation — EXISTS and NOT EXISTS
+    // against the same fact, both with two-table range predicates
+    // (q4 has the single EXISTS): error events that saw a click within
+    // 10 min (the user was active) but NO purchase within 30 min (the
+    // recovery never happened) — the funnel/alerting compound every
+    // incident pipeline ships. Plans as a left-semi then a left-anti
+    // hash join on the user key, each range condition riding its join
+    // as a residual; at scale that is two key-partitioned hash joins,
+    // never a per-row subquery.
+    "j13_semi_anti_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("pts"))
+      errs
+        .join(clicks, col("user_id") === col("cu") &&
+          col("cts") > col("ts") &&
+          col("cts") <= col("ts") + expr("INTERVAL 10 MINUTES"), "left_semi")
+        .join(purch, col("user_id") === col("pu") &&
+          col("pts") > col("ts") &&
+          col("pts") <= col("ts") + expr("INTERVAL 30 MINUTES"), "left_anti")
+        .select(col("user_id"), col("error_id"))
+        .orderBy(col("user_id"), col("error_id"))
+    }),
+
     // A6 most-common with deterministic tie-break
     "a6_mode" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -3326,6 +3354,17 @@ object EventQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "j13_semi_anti_funnel" ->
+      """SELECT e.user_id, e.event_id AS error_id
+        |FROM events e
+        |WHERE e.event_type = 'error'
+        |  AND EXISTS (SELECT 1 FROM events c
+        |    WHERE c.event_type = 'click' AND c.user_id = e.user_id
+        |      AND c.ts > e.ts AND c.ts <= e.ts + INTERVAL 10 MINUTES)
+        |  AND NOT EXISTS (SELECT 1 FROM events p
+        |    WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+        |      AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 30 MINUTES)
+        |ORDER BY user_id, error_id""".stripMargin,
     "w16_lead_gap" ->
       """WITH l AS (SELECT user_id, event_id, ts,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts

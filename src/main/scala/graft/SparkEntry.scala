@@ -337,6 +337,60 @@ object QueryCatalog {
         .orderBy(col("part_value").desc, col("l_partkey"))
     }),
 
+    // TPC-H Q19-shaped disjunctive-predicate join: the OR-of-
+    // conjunctions residual — each disjunct pairs a part attribute
+    // with a lineitem attribute, so none of it can prefilter either
+    // side alone, but Catalyst still (a) extracts the common partkey
+    // equi-key for the hash join and (b) derives the IN(brand-list)
+    // common factor and pushes it to the part scan. The residual
+    // evaluates stream-side per matched row. The shape every
+    // rule-engine / eligibility query compiles to.
+    "q19_disjunctive" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"))
+      val pt = Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      li.join(pt, col("l_partkey") === col("p_partkey") && (
+          (col("p_brand") === "Brand#12" &&
+            col("l_quantity").between(1, 11) && col("p_size").between(1, 15)) ||
+          (col("p_brand") === "Brand#23" &&
+            col("l_quantity").between(10, 20) && col("p_size").between(1, 25)) ||
+          (col("p_brand") === "Brand#25" &&
+            col("l_quantity").between(20, 30) && col("p_size").between(1, 35))))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice").cast("decimal(18,6)") *
+              (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))), 4)
+            .cast("double").as("revenue"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // TPC-H Q14-shaped promo share: the RATIO OF CONDITIONAL
+    // AGGREGATES over a join — numerator and denominator computed in
+    // the SAME aggregation pass (one scan, one exchange), never two
+    // passes self-joined; the part dim broadcast onto the fact. Sums
+    // in decimal; the final division is one exactly-rounded double op.
+    "q14_promo_share" -> ((s, dir) => {
+      val lo = lit("1996-06-01").cast("timestamp")
+      val hi = lit("1996-07-01").cast("timestamp")
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      val pt = Tables.part(s, dir).select(col("p_partkey"), col("p_type"))
+      val rev = col("l_extendedprice").cast("decimal(18,6)") *
+        (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))
+      li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast("decimal(18,6)"))), 4).cast("double")
+            .as("promo_revenue"),
+          round(sum(rev), 4).cast("double").as("total_revenue"))
+        .select(col("promo_revenue"), col("total_revenue"),
+          round(lit(100.0) * (col("promo_revenue") / col("total_revenue")), 6)
+            .as("promo_share"))
+    }),
+
     // TPC-H Q5-shaped local-supplier revenue: the full six-table join
     // chain. Star-schema treatment: region⋈nation collapses to a tiny
     // in-region nation dim, supplier joins it and broadcasts onto
@@ -500,6 +554,37 @@ object QueryCatalog {
         |FROM arg JOIN part ON p_partkey = l_partkey
         |  JOIN supplier ON s_suppkey = best_suppkey
         |ORDER BY p_partkey LIMIT 200""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT p_brand, count(*) AS n,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,6)))), 4) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey AND (
+        |     (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+        |        AND p_size BETWEEN 1 AND 15)
+        |  OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+        |        AND p_size BETWEEN 1 AND 25)
+        |  OR (p_brand = 'Brand#25' AND l_quantity BETWEEN 20 AND 30
+        |        AND p_size BETWEEN 1 AND 35))
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT
+        |  CAST(round(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |         (1 - CAST(l_discount AS DECIMAL(18,6)))
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END), 4) AS DOUBLE) AS promo_revenue,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,6)))), 4) AS DOUBLE) AS total_revenue,
+        |  round(100.0 * (
+        |    CAST(round(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,6)))
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END), 4) AS DOUBLE) /
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |        (1 - CAST(l_discount AS DECIMAL(18,6)))), 4) AS DOUBLE)), 6)
+        |    AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-06-01'
+        |  AND l_shipdate < TIMESTAMP '1996-07-01'""".stripMargin,
     "q11_value_parts" ->
       """WITH pp AS (
         |  SELECT l_partkey,

@@ -477,6 +477,28 @@ class PlanSpec extends SparkSpec {
     assert(!pP.contains("Join"), s"pivot must not join:\n$pP")
   }
 
+  test("q19's disjunctive residual rides the partkey hash join and the " +
+    "derived brand-IN common factor reaches the part scan") {
+    val p = plan("q19_disjunctive")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"disjunctive join fell to a nested loop:\n$p")
+    // Catalyst projects the disjunction onto EACH side and pushes both:
+    // the brand/size OR to the part scan, the quantity OR to lineitem
+    assert(p.contains("Or(Or(And(EqualTo(p_brand"),
+      s"brand/size disjunction not pushed to the part scan:\n$p")
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"),
+      s"quantity disjunction not pushed to the lineitem scan:\n$p")
+  }
+
+  test("j13 double correlation is a left-semi THEN a left-anti hash " +
+    "join on the user key — never a per-row subquery or nested loop") {
+    val p = plan("j13_semi_anti_funnel")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"semi/anti pair missing:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"nested loop in funnel plan:\n$p")
+  }
+
   test("d17_boilerplate_strip is shuffle-only segment plumbing — " +
     "no cartesian, no nested loop") {
     val p = plan("d17_boilerplate_strip")
