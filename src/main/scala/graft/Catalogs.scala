@@ -2875,6 +2875,42 @@ object EventQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Ordered string aggregation (LISTAGG / string_agg — the report
+    // export op): per user, the chronological event-type sequence as
+    // one string. collect_list order is partition-arrival-dependent
+    // after a shuffle, so the PORTABLE form collects (ts, id, type)
+    // structs, array_sorts them (deterministic total order), and maps
+    // to the type field before joining — bit-identical to DuckDB's
+    // string_agg(... ORDER BY ts, id) on any partitioning. Per-group
+    // state is the group's events (bounded by the per-user event
+    // count); the sequence string is the REPORT, not an exchange key.
+    "a18_string_agg" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(concat_ws(",",
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type"))).as("seq"))
+        .orderBy(col("user_id"))),
+
+    // Explicit GROUPING SETS — the hand-picked set list neither ROLLUP
+    // (a11) nor CUBE (a15) expresses: exactly ((type, day), (type),
+    // (day)) with NO grand-total row. Same single-scan map-side
+    // expansion + one exchange; grouping_id() disambiguates. Completes
+    // the multi-level aggregation trio.
+    "a17_grouping_sets" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+        .createOrReplaceTempView("__g_events_td")
+      s.sql(
+        """SELECT event_type, day, grouping_id() AS lvl, count(*) AS n
+          |FROM __g_events_td
+          |GROUP BY GROUPING SETS ((event_type, day), (event_type), (day))
+          |ORDER BY lvl, event_type, day""".stripMargin)
+    }),
+
     // TPC-H Q21-shaped DOUBLE correlation — EXISTS and NOT EXISTS
     // against the same fact, both with two-table range predicates
     // (q4 has the single EXISTS): error events that saw a click within
@@ -3354,6 +3390,19 @@ object EventQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "a18_string_agg" ->
+      """SELECT user_id,
+        |  string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a17_grouping_sets" ->
+      """SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |  GROUPING(event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d')) AS lvl,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY GROUPING SETS
+        |  ((event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d')),
+        |   (event_type), (strftime(CAST(ts AS DATE), '%Y-%m-%d')))
+        |ORDER BY lvl, event_type, day""".stripMargin,
     "j13_semi_anti_funnel" ->
       """SELECT e.user_id, e.event_id AS error_id
         |FROM events e
