@@ -682,6 +682,31 @@ object DedupQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // The USER-WRITTEN form of d21 — a naive crossJoin + levenshtein
+    // filter — served by plans/EditDistanceJoinRewrite: the optimizer
+    // rewrites the cartesian into the PassJoin segment equi-join with
+    // exact multiplicity (j6/d5's story for the string predicate).
+    // Identical result set to d21 (same corpus, same oracle shape);
+    // PlanSpec pins that no cartesian operator survives.
+    "d22_edit_rewrite" -> ((s, dir) => {
+      val keys = Tables.documents(s, dir).select(col("doc_id"),
+        regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+          .substr(lit(1), (lit(18) + pmod(col("doc_id"), lit(7))).cast("int"))
+          .as("skey"))
+      val clones = keys.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(substring(col("skey"), 1, 4), lit("qx"),
+            expr("substring(skey, 7)")).as("skey"))
+      val corpus = keys.unionByName(clones)
+      val l = corpus.select(col("doc_id").as("a"), col("skey").as("sa"))
+      val r = corpus.select(col("doc_id").as("b"), col("skey").as("sb"))
+      l.crossJoin(r)
+        .filter(levenshtein(col("sa"), col("sb")) <= 2 && col("a") < col("b"))
+        .select(col("a"), col("b"),
+          levenshtein(col("sa"), col("sb")).as("dist"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // FULL OUTER release diff — the symmetric snapshot comparison every
     // release pipeline runs ("what was added, what was removed, what
     // survived"): neither side is privileged, so both null-extend.
@@ -1066,6 +1091,21 @@ object DedupQueries {
         |FROM c x JOIN c y ON x.doc_id < y.doc_id
         |WHERE abs(length(x.skey) - length(y.skey)) <= 2
         |  AND levenshtein(x.skey, y.skey) <= 2
+        |ORDER BY a, b""".stripMargin,
+    "d22_edit_rewrite" ->
+      """WITH k0 AS (SELECT doc_id,
+        |  substring(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |            1, CAST(18 + doc_id % 7 AS INT)) AS skey
+        |  FROM documents),
+        |c AS (SELECT doc_id, skey FROM k0
+        |      UNION ALL
+        |      SELECT doc_id + 3000000,
+        |             substring(skey, 1, 4) || 'qx' || substring(skey, 7)
+        |      FROM k0 WHERE doc_id % 10 = 0)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |       levenshtein(x.skey, y.skey) AS dist
+        |FROM c x JOIN c y ON x.doc_id < y.doc_id
+        |WHERE levenshtein(x.skey, y.skey) <= 2
         |ORDER BY a, b""".stripMargin,
     "j12_full_outer_diff" ->
       """SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,

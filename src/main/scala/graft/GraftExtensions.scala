@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // rewrite point-in-interval range joins into slot-bucketed
     // equi-joins — see [[graft.plans.RangeJoinRewrite]]
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // rewrite cartesian levenshtein ≤ k joins into the PassJoin segment
+    // equi-join — see [[graft.plans.EditDistanceJoinRewrite]]
+    ext.injectOptimizerRule(_ => graft.plans.EditDistanceJoinRewrite)
   }
 }
 
@@ -78,5 +81,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.EditDistanceJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.EditDistanceJoinRewrite
   }
 }

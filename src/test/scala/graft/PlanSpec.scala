@@ -477,6 +477,14 @@ class PlanSpec extends SparkSpec {
     assert(!pP.contains("Join"), s"pivot must not join:\n$pP")
   }
 
+  test("d22's user-written crossJoin + levenshtein filter is rewritten " +
+    "to the PassJoin segment equi-join — no cartesian survives") {
+    val p = plan("d22_edit_rewrite")
+    assert(p.contains("__graft_ed"), s"edit-distance rewrite did not fire:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"cartesian operator survived in d22:\n$p")
+  }
+
   test("q19's disjunctive residual rides the partkey hash join and the " +
     "derived brand-IN common factor reaches the part scan") {
     val p = plan("q19_disjunctive")
