@@ -96,6 +96,33 @@ object TextQueries {
         TextFns.tokenCountRegex(col("text")).cast("long").as("n_sub"))
         .orderBy(col("doc_id"))),
 
+    // Unicode NFC canonicalization (functions/NfcNormalizeExpr — a
+    // native codegen Expression; Spark has no built-in): step zero of
+    // a web-corpus pipeline, because decomposed accents make the same
+    // glyph a DIFFERENT string to every fingerprint/shingle/tokenizer
+    // downstream. The corpus is ASCII, so decomposed/composed pairs
+    // are injected (the p2 convention); `changed` pins that the
+    // transform fires exactly where it should. DuckDB's nfc_normalize
+    // implements the same Unicode algorithm — the oracle row checks
+    // canonical-composition agreement codepoint-for-codepoint.
+    "t27_nfc_normalize" -> ((s, dir) => {
+      import s.implicits._
+      val extras = Seq(
+        (-5L, "s\u0323\u0307 dots"), // s + dot-below + dot-above -> composed
+        (-4L, "\u1e69 s-dot"),        // already composed
+        (-3L, "A\u030a ring"),        // A + combining ring -> composed
+        (-2L, "Jos\u00e9 caf\u00e9"),  // already NFC
+        (-1L, "Jose\u0301 cafe\u0301") // decomposed acute accents
+      ).toDF("doc_id", "text")
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(extras)
+        .select(col("doc_id"),
+          graft.functions.NfcNormalizeExpr(col("text")).as("norm"),
+          (col("text") =!= graft.functions.NfcNormalizeExpr(col("text")))
+            .as("changed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-group feature normalization — the z-score every
     // feature-engineering pass ships (normalize a numeric column within
     // its language group). PORTABLE BY CONSTRUCTION: mean and variance
@@ -312,6 +339,17 @@ object TextQueries {
         .orderBy(col("lang"))))
 
   val oracleSql: Map[String, String] = Map(
+    "t27_nfc_normalize" ->
+      """WITH c AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT -5, 's' || chr(803) || chr(775) || ' dots'
+        |  UNION ALL SELECT -4, chr(7785) || ' s-dot'
+        |  UNION ALL SELECT -3, 'A' || chr(778) || ' ring'
+        |  UNION ALL SELECT -2, 'Jos' || chr(233) || ' caf' || chr(233)
+        |  UNION ALL SELECT -1, 'Jose' || chr(769) || ' cafe' || chr(769))
+        |SELECT doc_id, nfc_normalize(text) AS norm,
+        |       text <> nfc_normalize(text) AS changed
+        |FROM c ORDER BY doc_id""".stripMargin,
     "t26_group_zscore" ->
       """WITH st AS (SELECT lang, count(*) AS n, sum(n_chars) AS sx,
         |  sum(n_chars * n_chars) AS sxx FROM documents GROUP BY lang)

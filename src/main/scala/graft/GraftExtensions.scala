@@ -54,7 +54,11 @@ object GraftExtensions {
     (FunctionIdentifier("unit_cosine_distance"),
       info("unit_cosine_distance",
         "unit_cosine_distance(a, b) - cosine distance of unit vectors, clipped to [0,1]"),
-      (children: Seq[Expression]) => unitCosineDistance(children(0), children(1))))
+      (children: Seq[Expression]) => unitCosineDistance(children(0), children(1))),
+    (FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize",
+        "nfc_normalize(s) - Unicode NFC canonicalization of a string"),
+      (children: Seq[Expression]) => graft.functions.NfcNormalizeExpr(children.head)))
 
   /** Register into an existing session (tests, notebooks), and apply
     * session-setup conf the engine relies on. This is the one setup
