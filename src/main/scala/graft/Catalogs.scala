@@ -2707,6 +2707,39 @@ object MediaQueries {
         .orderBy(col("modality"), col("keep_id"))
     }),
 
+    // Container-format sniffing + declared-vs-actual audit: every
+    // media-lake ingest validates that the catalog's declared modality
+    // matches the payload's MAGIC BYTES (a mislabeled row sends a video
+    // through an image codec at best, an exploit path at worst). Real
+    // 4-byte magics (PNG / RIFF / ftyp) are prepended to the synthetic
+    // payloads, with every 20th doc planted WRONG so the audit is
+    // non-vacuous; the sniff is a pure map-side binary-prefix compare
+    // (zero shuffles before the presentation sort — no byte ever
+    // leaves its partition). The oracle re-sniffs via hex() because
+    // DuckDB 1.0 has no BLOB substring — same bytes, same verdicts.
+    "m5_magic_sniff" -> ((s, dir) => {
+      val magics = array(
+        lit(Array[Byte](0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)),
+        lit("RIFF".getBytes("US-ASCII")),
+        lit("ftyp".getBytes("US-ASCII")))
+      val names = array(lit("image"), lit("audio"), lit("video"))
+      val mi = when(col("doc_id") % 20 === 0, (col("doc_id") % 3 + 1) % 3)
+        .otherwise(col("doc_id") % 3).cast("int")
+      val payload = concat(element_at(magics, mi + 1),
+        col("text").cast("binary"))
+      val prefix = substring(payload, 1, 4)
+      val sniffed = when(prefix === element_at(magics, 1), "image")
+        .when(prefix === element_at(magics, 2), "audio")
+        .when(prefix === element_at(magics, 3), "video")
+        .otherwise("unknown")
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          element_at(names, (col("doc_id") % 3 + 1).cast("int")).as("declared"),
+          sniffed.as("sniffed"))
+        .withColumn("consistent", col("declared") === col("sniffed"))
+        .orderBy(col("doc_id"))
+    }),
+
     "m1_media_meta" -> ((s, dir) =>
       graft.operators.Multimodal.mediaFrom(Tables.documents(s, dir))
         .select(
@@ -2799,6 +2832,25 @@ object MediaQueries {
         |  count(*) AS n_copies
         |FROM m GROUP BY modality, content_md5
         |ORDER BY modality, keep_id""".stripMargin,
+    "m5_magic_sniff" ->
+      """WITH m AS (SELECT doc_id, text,
+        |  ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS declared,
+        |  CAST(CASE WHEN doc_id % 20 = 0 THEN (doc_id % 3 + 1) % 3
+        |            ELSE doc_id % 3 END AS INT) AS mi
+        |  FROM documents),
+        |p AS (SELECT doc_id, declared,
+        |  (['\x89PNG'::BLOB, 'RIFF'::BLOB, 'ftyp'::BLOB][mi + 1] || text::BLOB)
+        |    AS payload FROM m)
+        |SELECT doc_id, declared,
+        |  CASE WHEN substring(hex(payload), 1, 8) = '89504E47' THEN 'image'
+        |       WHEN substring(hex(payload), 1, 8) = '52494646' THEN 'audio'
+        |       WHEN substring(hex(payload), 1, 8) = '66747970' THEN 'video'
+        |       ELSE 'unknown' END AS sniffed,
+        |  declared = (CASE WHEN substring(hex(payload), 1, 8) = '89504E47' THEN 'image'
+        |       WHEN substring(hex(payload), 1, 8) = '52494646' THEN 'audio'
+        |       WHEN substring(hex(payload), 1, 8) = '66747970' THEN 'video'
+        |       ELSE 'unknown' END) AS consistent
+        |FROM p ORDER BY doc_id""".stripMargin,
     "m1_media_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
