@@ -3005,6 +3005,31 @@ object EventQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Ranking-function breadth in ONE report: row_number (already used
+    // as a tool elsewhere) alongside ntile / percent_rank / cume_dist —
+    // the quartile/percentile spend-report shape analytics exports
+    // ship. Per-(type,user) totals aggregate first (decimal sums, one
+    // exchange), then a single window pass per event_type computes all
+    // four functions together — Spark plans ONE Window operator with
+    // one sort, not four. The window ORDER BY is total-then-user so
+    // every rank is deterministic (no peer ties ⇒ percent_rank and
+    // cume_dist are the exact rationals (rn−1)/(n−1) and rn/n — single
+    // exactly-rounded double divisions, portable bit-for-bit).
+    "w17_rank_report" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("total_value").desc, col("user_id").asc)
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(round(sum(col("value").cast("decimal(18,6)")), 4)
+          .cast("double").as("total_value"))
+        .select(col("event_type"), col("user_id"), col("total_value"),
+          row_number().over(w).as("rn"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("event_type"), col("rn"))
+    }),
+
     // Ordered string aggregation (LISTAGG / string_agg — the report
     // export op): per user, the chronological event-type sequence as
     // one string. collect_list order is partition-arrival-dependent
@@ -3553,6 +3578,21 @@ object EventQueries {
         |  (next_ts IS NOT NULL AND
         |   epoch_us(next_ts) - epoch_us(ts) > 3600000000) AS long_gap
         |FROM l ORDER BY user_id, event_id""".stripMargin,
+    "w17_rank_report" ->
+      """WITH t AS (
+        |  SELECT event_type, user_id,
+        |    CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+        |      AS total_value
+        |  FROM events GROUP BY event_type, user_id)
+        |SELECT event_type, user_id, total_value,
+        |  row_number() OVER w AS rn,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM t
+        |WINDOW w AS (PARTITION BY event_type
+        |             ORDER BY total_value DESC, user_id ASC)
+        |ORDER BY event_type, rn""".stripMargin,
     "a16_pivot" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
         |  count(*) FILTER (event_type = 'click') AS click,

@@ -430,6 +430,114 @@ object QueryCatalog {
             (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))), 4)
           .cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // TPC-H Q15-shaped top supplier: select the group(s) achieving the
+    // GLOBAL maximum of an aggregate — the argmax-over-view shape (q2
+    // is per-group min; q11 filters against a global MEAN; this keeps
+    // only the max row(s), ties preserved, no LIMIT). The per-supplier
+    // revenue aggregates once (map-side partials, one suppkey
+    // exchange); the global max is a single-row broadcast the view
+    // stream-filters against — no window sort over the whole view, no
+    // second scan of the fact. Equality on the rounded decimal-sum
+    // doubles is exact (both engines compare the identical bits), so
+    // ties survive deterministically. Supplier dim broadcasts for the
+    // name lookup.
+    "q15_top_supplier" -> ((s, dir) => {
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1996-04-01").cast("timestamp")
+      val perSupp = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,6)") *
+            (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))), 4)
+          .cast("double").as("total_revenue"))
+      val maxRev = perSupp.agg(max(col("total_revenue")).as("__max"))
+      perSupp.crossJoin(broadcast(maxRev))
+        .filter(col("total_revenue") === col("__max"))
+        .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q22-shaped idle-wealthy-customers report: the three-way
+    // compound no other q-row exercises TOGETHER — a scalar aggregate
+    // computed over a FILTERED slice of the same table (avg balance of
+    // in-credit customers), applied as a cross-table filter, THEN an
+    // anti join (customers with no OPEN orders — the status filter
+    // keeps the anti-side non-vacuous at every SF, exactly q13's
+    // zero-bucket population), THEN a group-report keyed on a dim
+    // attribute. Plan shape at scale: the scalar is one single-row
+    // broadcast (no self-join of customer); the anti join shuffles on
+    // the customer key (or broadcasts the filtered left under AQE);
+    // the final aggregate keys on nationkey (tiny exchange). The mean
+    // is the decimal-sum / count rounded once so both engines compare
+    // against the identical double.
+    "q22_idle_customers" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg(round(sum(col("c_acctbal").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("__avg"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("__avg"))
+        .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum(col("c_acctbal").cast("decimal(18,6)")), 4)
+            .cast("double").as("total_bal"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // TPC-H Q8-shaped market share: the SEVEN-table two-arm star (q5
+    // is six tables, one arm) with a per-group CONDITIONAL RATIO —
+    // one nation's share of a region's market revenue per order-year.
+    // The customer arm restricts the market (region→nation→customer,
+    // each step broadcast into the next, then one custkey shuffle
+    // against orders); the supplier arm tags each row with the selling
+    // nation (auto/AQE broadcast, unhinted, same scale reasoning as
+    // q5); numerator and denominator come out of the SAME aggregation
+    // pass via a conditional decimal sum — never two passes joined.
+    // year() is pure integer extraction; the share division is one
+    // exactly-rounded double op.
+    "q8_market_share" -> ((s, dir) => {
+      val lo = lit("1995-01-01").cast("timestamp")
+      val hi = lit("1997-01-01").cast("timestamp")
+      val amNations = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))
+      val custAm = Tables.customer(s, dir)
+        .join(broadcast(amNations), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).as("o_year"))
+        .join(custAm, col("o_custkey") === col("c_custkey"))
+      val supp = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+            .select(col("n_nationkey").as("snk"), col("n_name"))),
+          col("s_nationkey") === col("snk"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val rev = col("l_extendedprice").cast("decimal(18,6)") *
+        (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_year"))
+        .agg(
+          round(sum(when(col("supp_nation") === "NATION_6", rev)
+            .otherwise(lit(0).cast("decimal(18,6)"))), 4).cast("double")
+            .as("nation_revenue"),
+          round(sum(rev), 4).cast("double").as("market_revenue"))
+        .select(col("o_year"), col("nation_revenue"), col("market_revenue"),
+          round(col("nation_revenue") / col("market_revenue"), 6).as("mkt_share"))
+        .orderBy(col("o_year"))
     }))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -615,7 +723,65 @@ object QueryCatalog {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
-        |ORDER BY revenue DESC, n_name""".stripMargin)
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_suppkey,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |        (1 - CAST(l_discount AS DECIMAL(18,6)))), 4) AS DOUBLE)
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM ps JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM ps)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q22_idle_customers" ->
+      """WITH avgbal AS (
+        |  SELECT round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS a
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey, count(*) AS n_cust,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 4) AS DOUBLE)
+        |    AS total_bal
+        |FROM customer, avgbal
+        |WHERE c_acctbal > a
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderstatus = 'O')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+    "q8_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  CAST(round(sum(CASE WHEN sn.n_name = 'NATION_6'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |         (1 - CAST(l_discount AS DECIMAL(18,6)))
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END), 4) AS DOUBLE) AS nation_revenue,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,6)))), 4) AS DOUBLE)
+        |    AS market_revenue,
+        |  round(
+        |    CAST(round(sum(CASE WHEN sn.n_name = 'NATION_6'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,6)))
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END), 4) AS DOUBLE) /
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |        (1 - CAST(l_discount AS DECIMAL(18,6)))), 4) AS DOUBLE), 6)
+        |    AS mkt_share
+        |FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey
+        |WHERE r_name = 'AMERICA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin)
 
   val oracleSql: Map[String, String] =
     baseOracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++
