@@ -123,6 +123,29 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Count-min-sketch heavy hitters (operators/CmsSketch): token
+    // frequency screening at sketch cost — the d×256 counter matrix is
+    // a RELATIONAL aggregate (partial aggregation collapses each map
+    // partition to ≤ d·256 cells before the exchange, so the token
+    // stream never shuffles; merge is the aggregate's own sum). The
+    // report probes the top-30 exact tokens against the sketch and
+    // pins the CMS guarantee per row: est_n ≥ exact_n always (`over`
+    // — collisions only inflate). md5-derived cells replay exactly in
+    // the oracle, which rebuilds sketch AND estimates from scratch.
+    "t28_cms_heavy" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val cells = graft.operators.CmsSketch.build(toks, "tok", d = 4)
+      val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("tok")).limit(30)
+      graft.operators.CmsSketch.estimate(top, cells, "tok", d = 4)
+        .join(broadcast(top), "tok")
+        .select(col("tok"), col("exact_n"), col("est_n"),
+          (col("est_n") >= col("exact_n")).as("over"))
+        .orderBy(col("exact_n").desc, col("tok"))
+    }),
+
     // Per-group feature normalization — the z-score every
     // feature-engineering pass ships (normalize a numeric column within
     // its language group). PORTABLE BY CONSTRUCTION: mean and variance
@@ -350,6 +373,28 @@ object TextQueries {
         |SELECT doc_id, nfc_normalize(text) AS norm,
         |       text <> nfc_normalize(text) AS changed
         |FROM c ORDER BY doc_id""".stripMargin,
+    "t28_cms_heavy" -> {
+      // first two md5 hex digits as an exact 8-bit cell, same strpos
+      // digit idiom as t19's 60-bit hash
+      def cell(j: Int) =
+        s"(strpos('0123456789abcdef', substr(md5('cms$j:' || tok), 1, 1)) - 1) * 16 + " +
+          s"(strpos('0123456789abcdef', substr(md5('cms$j:' || tok), 2, 1)) - 1)"
+      s"""WITH toks AS (
+         |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+         |  FROM documents),
+         |tks AS (SELECT tok FROM toks WHERE len(tok) > 0),
+         |cells AS (SELECT row, cell, count(*) AS cnt FROM (
+         |    ${(0 until 4).map(j => s"SELECT $j AS row, (${cell(j)}) AS cell FROM tks").mkString(" UNION ALL ")}
+         |  ) GROUP BY row, cell),
+         |top AS (SELECT tok, count(*) AS exact_n FROM tks GROUP BY tok
+         |        ORDER BY exact_n DESC, tok LIMIT 30),
+         |pc AS (${(0 until 4).map(j => s"SELECT tok, $j AS row, (${cell(j)}) AS cell FROM top").mkString(" UNION ALL ")}),
+         |est AS (SELECT pc.tok, min(coalesce(cells.cnt, 0)) AS est_n
+         |        FROM pc LEFT JOIN cells USING (row, cell) GROUP BY pc.tok)
+         |SELECT top.tok, exact_n, est_n, est_n >= exact_n AS over
+         |FROM top JOIN est ON est.tok = top.tok
+         |ORDER BY exact_n DESC, top.tok""".stripMargin
+    },
     "t26_group_zscore" ->
       """WITH st AS (SELECT lang, count(*) AS n, sum(n_chars) AS sx,
         |  sum(n_chars * n_chars) AS sxx FROM documents GROUP BY lang)

@@ -538,6 +538,27 @@ object QueryCatalog {
         .select(col("o_year"), col("nation_revenue"), col("market_revenue"),
           round(col("nation_revenue") / col("market_revenue"), 6).as("mkt_share"))
         .orderBy(col("o_year"))
+    }),
+
+    // Iterative graph analytics — exact-integer PageRank (operators/
+    // PageRank) over the part co-purchase graph (parts sharing an
+    // order, both directions, deduped). The iterative-join dataflow no
+    // single declarative plan expresses; one exchange per iteration
+    // (the groupBy(dst) — PageRank's irreducible communication), the
+    // edge list repartitioned+cached once. Integer fixed-point ranks
+    // (floor contributions) make the DuckDB oracle replay all three
+    // iterations bit-for-bit — no float reduction-order hazard.
+    "g1_pagerank" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val rhs = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pk2"))
+      val edges = li.join(rhs,
+          col("l_orderkey") === col("ok2") && col("l_partkey") =!= col("pk2"))
+        .select(col("l_partkey").as("src"), col("pk2").as("dst")).distinct()
+      graft.operators.PageRank.run(edges, "src", "dst",
+          iters = 3, scale = 1000000000000L)
+        .select(col("node").as("part_key"), col("rank").as("pr_rank"))
+        .orderBy(col("part_key"))
     }))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -781,7 +802,27 @@ object QueryCatalog {
         |  AND o_orderdate >= TIMESTAMP '1995-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY o_year
-        |ORDER BY o_year""".stripMargin)
+        |ORDER BY o_year""".stripMargin,
+    "g1_pagerank" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |ed AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+        |r0 AS (SELECT DISTINCT src AS node,
+        |         CAST(1000000000000 AS BIGINT) AS rank FROM e),
+        |r1 AS (SELECT ed.dst AS node,
+        |         150000000000 + sum((r0.rank * 85) // (100 * ed.outdeg)) AS rank
+        |       FROM ed JOIN r0 ON r0.node = ed.src GROUP BY ed.dst),
+        |r2 AS (SELECT ed.dst AS node,
+        |         150000000000 + sum((r1.rank * 85) // (100 * ed.outdeg)) AS rank
+        |       FROM ed JOIN r1 ON r1.node = ed.src GROUP BY ed.dst),
+        |r3 AS (SELECT ed.dst AS node,
+        |         150000000000 + sum((r2.rank * 85) // (100 * ed.outdeg)) AS rank
+        |       FROM ed JOIN r2 ON r2.node = ed.src GROUP BY ed.dst)
+        |SELECT node AS part_key, CAST(rank AS BIGINT) AS pr_rank
+        |FROM r3 ORDER BY part_key""".stripMargin)
 
   val oracleSql: Map[String, String] =
     baseOracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++
