@@ -3050,6 +3050,26 @@ object EventQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Semi-structured extraction — the JSON-payload column every event
+    // pipeline carries. from_json with an explicit schema (codegen'd,
+    // vectorizable) pulls the typed field out ONCE in the scan
+    // projection; the aggregate then runs on a plain int column. At
+    // scale the lesson is schema-on-read done right: no regex, no
+    // per-row UDF, no second pass — and a malformed payload degrades
+    // to NULL (PERMISSIVE), counted separately here (n_bad) instead of
+    // killing the job. Oracle replays via DuckDB's JSON extraction.
+    "p14_json_props" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"), lit("k INT")).getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("k").isNull, 1)).as("n_bad"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          sum(col("k").cast("long")).as("sum_k"))
+        .orderBy(col("event_type"))),
+
     // Ranking-function breadth in ONE report: row_number (already used
     // as a tool elsewhere) alongside ntile / percent_rank / cume_dist —
     // the quartile/percentile spend-report shape analytics exports
@@ -3623,6 +3643,14 @@ object EventQueries {
         |  (next_ts IS NOT NULL AND
         |   epoch_us(next_ts) - epoch_us(ts) > 3600000000) AS long_gap
         |FROM l ORDER BY user_id, event_id""".stripMargin,
+    "p14_json_props" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(json_extract(props, '$.k') AS INT) AS k FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  count(*) FILTER (k IS NULL) AS n_bad,
+        |  min(k) AS min_k, max(k) AS max_k,
+        |  CAST(sum(CAST(k AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     "w17_rank_report" ->
       """WITH t AS (
         |  SELECT event_type, user_id,

@@ -559,6 +559,41 @@ object QueryCatalog {
           iters = 3, scale = 1000000000000L)
         .select(col("node").as("part_key"), col("rank").as("pr_rank"))
         .orderBy(col("part_key"))
+    }),
+
+    // TPC-H Q20-shaped dominant-supplier screen: TWO aggregates of the
+    // same fact at DIFFERENT granularities joined against each other —
+    // per-(part,supplier) quantity vs the part's total and supplier
+    // count. "Dominant" = the supplier's share exceeds 2× the average
+    // share among that part's suppliers (qty_ps·n_supp > 2·qty_p) —
+    // MEAN-RELATIVE like q11's threshold, because any fixed fraction
+    // empties as per-part supplier count grows with scale; the compare
+    // is an exact integer cross-multiply (quantities integer-valued by
+    // data contract; no division, no rounding convention). The fine
+    // aggregate re-aggregates to the coarse key map-side (already
+    // partitioned on l_partkey after ONE exchange, so deriving the
+    // part totals from qty_ps adds NO shuffle — never scan the fact
+    // twice for two granularities of the same sum); the supplier dim
+    // broadcasts onto the surviving pairs.
+    "q20_dominant_suppliers" -> ((s, dir) => {
+      val ps = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty_ps"))
+      val p = ps.groupBy(col("l_partkey"))
+        .agg(sum(col("qty_ps")).as("qty_p"),
+          count(lit(1)).as("n_supp"))
+        .withColumnRenamed("l_partkey", "pk")
+      ps.join(p, col("l_partkey") === col("pk"))
+        .filter(col("qty_ps") * col("n_supp") > col("qty_p") * 2)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_dominant"),
+          sum(col("qty_ps")).as("qty_total"))
+        .join(broadcast(Tables.supplier(s, dir)
+            .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("n_dominant"), col("qty_total"))
+        .orderBy(col("s_suppkey"))
     }))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -822,7 +857,23 @@ object QueryCatalog {
         |         150000000000 + sum((r2.rank * 85) // (100 * ed.outdeg)) AS rank
         |       FROM ed JOIN r2 ON r2.node = ed.src GROUP BY ed.dst)
         |SELECT node AS part_key, CAST(rank AS BIGINT) AS pr_rank
-        |FROM r3 ORDER BY part_key""".stripMargin)
+        |FROM r3 ORDER BY part_key""".stripMargin,
+    "q20_dominant_suppliers" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_ps
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |p AS (SELECT l_partkey AS pk, CAST(sum(qty_ps) AS BIGINT) AS qty_p,
+        |        count(*) AS n_supp
+        |      FROM ps GROUP BY l_partkey),
+        |dom AS (SELECT l_suppkey, count(*) AS n_dominant,
+        |          CAST(sum(qty_ps) AS BIGINT) AS qty_total
+        |        FROM ps JOIN p ON l_partkey = pk
+        |        WHERE qty_ps * n_supp > qty_p * 2
+        |        GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, n_dominant, qty_total
+        |FROM dom JOIN supplier ON s_suppkey = l_suppkey
+        |ORDER BY s_suppkey""".stripMargin)
 
   val oracleSql: Map[String, String] =
     baseOracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++
