@@ -2785,6 +2785,29 @@ object MediaQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Z-order (Morton) layout clustering — functions/ZInterleaveExpr,
+    // a native codegen Expression. Sorting/range-partitioning by
+    // z = interleave(x, y) is how a 100 TB table gets MULTI-dimension
+    // scan pruning from per-file min/max stats (a lexicographic sort
+    // only prunes the leading column). Each z-tile (z div 1024 = a
+    // 32×32 tile of the key space) provably bounds BOTH dims; the
+    // report emits the per-tile min/max extents — exactly the file-
+    // statistics a writer laying out by z would publish to the
+    // pruning index. Pure int64 mask arithmetic, replayed bit-for-bit
+    // by the oracle's identical mask chain.
+    "m6_zorder_cluster" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          from_json(col("props"), lit("k INT")).getField("k").as("k"))
+        .withColumn("z",
+          graft.functions.ZInterleaveExpr(col("user_id"), col("k")))
+        .withColumn("tile", expr("z div 1024"))
+        .groupBy(col("tile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("user_id")).as("min_u"), max(col("user_id")).as("max_u"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("tile"))),
+
     "m1_media_meta" -> ((s, dir) =>
       graft.operators.Multimodal.mediaFrom(Tables.documents(s, dir))
         .select(
@@ -2896,6 +2919,16 @@ object MediaQueries {
         |       WHEN substring(hex(payload), 1, 8) = '66747970' THEN 'video'
         |       ELSE 'unknown' END) AS consistent
         |FROM p ORDER BY doc_id""".stripMargin,
+    "m6_zorder_cluster" -> {
+      val z = graft.functions.ZInterleaveExpr.interleaveSql("user_id", "k")
+      s"""WITH e AS (SELECT user_id,
+         |  CAST(json_extract(props, '$$.k') AS INT) AS k FROM events),
+         |z AS (SELECT user_id, k, $z AS z FROM e)
+         |SELECT z // 1024 AS tile, count(*) AS n,
+         |  min(user_id) AS min_u, max(user_id) AS max_u,
+         |  min(k) AS min_k, max(k) AS max_k
+         |FROM z GROUP BY tile ORDER BY tile""".stripMargin
+    },
     "m1_media_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
