@@ -3413,6 +3413,44 @@ object EventQueries {
       s.read.parquet(out).orderBy(col("error_id"), col("click_id"))
     }),
 
+    // W18: stream-stream LEFT SEMI join — the streaming form of j13's
+    // EXISTS half ("error events that saw a click within 10 minutes"),
+    // run through real Structured Streaming and drained to parquet.
+    // Distinct from w9's inner join in both semantics and state
+    // lifecycle: each left row emits AT MOST ONCE (first match), and
+    // the engine must hold an un-matched left row in state only until
+    // the watermark passes its match horizon — the native left-semi
+    // stream join does exactly that with the time-range condition
+    // riding the user-key equi-join. State is bounded by
+    // watermark + 10 min horizon per user key. The oracle is the batch
+    // EXISTS verbatim: the drained stream must converge to it
+    // row-for-row.
+    "w18_stream_semi" -> ((s0, dir) => {
+      val s = SparkHygiene.streamStateSession(s0, 8)
+      val ev = Tables.eventsStream(s, dir)
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"), col("ts"))
+        .withWatermark("ts", "30 minutes")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts"))
+        .withWatermark("cts", "30 minutes")
+      val joined = errs.join(clicks,
+        col("user_id") === col("cu") &&
+          col("cts") > col("ts") &&
+          col("cts") <= col("ts") + expr("INTERVAL 10 MINUTES"),
+        "left_semi")
+        .select(col("user_id"), col("error_id"))
+      val out = SparkHygiene.scratchDir("w18_out")
+      val ck = SparkHygiene.scratchDir("w18_ck")
+      val q = joined.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy(col("user_id"), col("error_id"))
+    }),
+
     // W9-OUTER: the left_outer form of the stream-stream interval join —
     // incident windows with NO activity emit once, null-padded, after
     // the watermark passes their match horizon (the alerting shape:
@@ -3807,6 +3845,16 @@ object EventQueries {
     "w10_stream_dedup" ->
       """SELECT DISTINCT event_id, user_id, event_type FROM events
         |ORDER BY event_id""".stripMargin,
+    // the streaming semi join must converge to the batch EXISTS
+    "w18_stream_semi" ->
+      """SELECT user_id, event_id AS error_id FROM events e
+        |WHERE event_type = 'error'
+        |  AND EXISTS (SELECT 1 FROM events c
+        |              WHERE c.event_type = 'click'
+        |                AND c.user_id = e.user_id
+        |                AND c.ts > e.ts
+        |                AND c.ts <= e.ts + INTERVAL 10 MINUTE)
+        |ORDER BY user_id, error_id""".stripMargin,
     // the stream-stream join must converge to the batch join: j8's oracle
     "w9_stream_join" ->
       """SELECT e.event_id AS error_id, c.event_id AS click_id,
