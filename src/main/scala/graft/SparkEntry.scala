@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -561,29 +562,28 @@ object QueryCatalog {
         .orderBy(col("part_key"))
     }),
 
-    // TPC-H Q20-shaped dominant-supplier screen: TWO aggregates of the
-    // same fact at DIFFERENT granularities joined against each other —
-    // per-(part,supplier) quantity vs the part's total and supplier
-    // count. "Dominant" = the supplier's share exceeds 2× the average
-    // share among that part's suppliers (qty_ps·n_supp > 2·qty_p) —
-    // MEAN-RELATIVE like q11's threshold, because any fixed fraction
-    // empties as per-part supplier count grows with scale; the compare
-    // is an exact integer cross-multiply (quantities integer-valued by
-    // data contract; no division, no rounding convention). The fine
-    // aggregate re-aggregates to the coarse key map-side (already
-    // partitioned on l_partkey after ONE exchange, so deriving the
-    // part totals from qty_ps adds NO shuffle — never scan the fact
-    // twice for two granularities of the same sum); the supplier dim
-    // broadcasts onto the surviving pairs.
+    // TPC-H Q20-shaped dominant-supplier screen: the SAME fact sum
+    // needed at TWO granularities — per-(part,supplier) quantity vs
+    // the part's total and supplier count. "Dominant" = the supplier's
+    // share exceeds 2× the average share among that part's suppliers
+    // (qty_ps·n_supp > 2·qty_p) — MEAN-RELATIVE like q11's threshold,
+    // because any fixed fraction empties as per-part supplier count
+    // grows with scale; the compare is an exact integer cross-multiply
+    // (quantities integer-valued by data contract; no division, no
+    // rounding convention). The coarse totals come from an UNBOUNDED
+    // WINDOW over the pair aggregate, not a join of two aggregates:
+    // after the (part,supplier) aggregate's one fact exchange, the
+    // window repartitions only the PAIR rows onto the part key and the
+    // naive plan's aggregate-self-join (with its extra exchange AND
+    // join) disappears — three exchanges total, each on aggregated
+    // rows, fact scanned once.
     "q20_dominant_suppliers" -> ((s, dir) => {
-      val ps = Tables.lineitem(s, dir)
+      val w = Window.partitionBy(col("l_partkey"))
+      Tables.lineitem(s, dir)
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(sum(col("l_quantity").cast("long")).as("qty_ps"))
-      val p = ps.groupBy(col("l_partkey"))
-        .agg(sum(col("qty_ps")).as("qty_p"),
-          count(lit(1)).as("n_supp"))
-        .withColumnRenamed("l_partkey", "pk")
-      ps.join(p, col("l_partkey") === col("pk"))
+        .withColumn("qty_p", sum(col("qty_ps")).over(w))
+        .withColumn("n_supp", count(lit(1)).over(w))
         .filter(col("qty_ps") * col("n_supp") > col("qty_p") * 2)
         .groupBy(col("l_suppkey"))
         .agg(count(lit(1)).as("n_dominant"),

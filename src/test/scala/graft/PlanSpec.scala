@@ -515,4 +515,46 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SortAggregate") || p.contains("ObjectHashAggregate") ||
       p.contains("HashAggregate"), s"no aggregate in strip plan:\n$p")
   }
+
+  test("q15 global argmax is a single-row broadcast filter — no Window " +
+    "sort over the per-supplier view") {
+    val p = plan("q15_top_supplier")
+    assert(!p.contains("Window"),
+      s"argmax fell back to a window sort over the whole view:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the max scalar is not broadcast:\n$p")
+  }
+
+  test("q20 dominance screen is windowed totals over the pair " +
+    "aggregate — no join of two aggregates, no second fact scan") {
+    val p = plan("q20_dominant_suppliers")
+    assert(p.contains("Window"), s"windowed totals missing:\n$p")
+    // the supplier-name broadcast is the ONLY join; the naive plan's
+    // aggregate-self-join on the part key must not exist
+    assert(!p.contains("SortMergeJoin"),
+      s"aggregate self-join crept back in:\n$p")
+    assert("(?s)Scan parquet.*lineitem".r.findAllIn(p).length == 1,
+      s"fact scanned more than once:\n$p")
+  }
+
+  test("t28 CMS build aggregates partially map-side — the token stream " +
+    "never shuffles raw, and the probe joins the broadcast cells") {
+    val p = plan("t28_cms_heavy")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"no map-side partial aggregation in the sketch build:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"cells probe fell to a sort-merge join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"nested loop in CMS plan:\n$p")
+  }
+
+  test("q8 market share: both dim arms broadcast onto the facts and the " +
+    "ratio comes out of ONE aggregation pass") {
+    val p = plan("q8_market_share")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast dim arm:\n$p")
+    // one final aggregate pass computes numerator+denominator together:
+    // no self-join of two aggregates over the join tree
+    assert("HashAggregate".r.findAllIn(p).length <= 4,
+      s"more aggregate passes than the single conditional-ratio pass:\n$p")
+  }
 }
