@@ -56,6 +56,20 @@ object ScaleProbe {
       }.reduce(_ unionByName _)
       rotated.write.mode("overwrite").parquet(s"$sf10/embeddings.parquet")
     }
+    // 10× lineitem for the graph family: per-copy key offsets keep the
+    // copies DISJOINT (10 isomorphic co-purchase graphs), so node and
+    // edge counts scale exactly 10× with per-node degree unchanged —
+    // pure size scaling for an iterative graph job
+    if (!new java.io.File(s"$sf10/lineitem.parquet/_SUCCESS").exists()) {
+      val li = spark.read.parquet(s"$sf1/lineitem.parquet")
+      (0 until copies).map { c =>
+        if (c == 0) li
+        else li
+          .withColumn("l_orderkey", col("l_orderkey") + lit(c * 10000000L))
+          .withColumn("l_partkey", col("l_partkey") + lit(c * 10000000L))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$sf10/lineitem.parquet")
+    }
 
     def timedRows(name: String, dir: String): (Double, Long) = {
       val t0 = System.nanoTime()
@@ -77,7 +91,14 @@ object ScaleProbe {
         // zero-distance dups — output grows ~copies² by semantics; the
         // claim under test is wall tracking OUTPUT, not corpus²) and
         // BM25 (fixed query set → flat expected)
-        "d21_edit_distance", "s10_bm25_topk")) {
+        "d21_edit_distance", "s10_bm25_topk",
+        // round-10 post-close additions: iterative integer PageRank
+        // (10 disjoint graph copies → nodes/edges ×10; wall should
+        // track edges ≈linearly — one shuffle per iteration, shuffle
+        // volume ∝ edges) and the CMS sketch (corpus ×10 but the
+        // exchange is the fixed 1024-cell table — wall is scan-bound,
+        // ≤ linear, state flat)
+        "g1_pagerank", "t28_cms_heavy")) {
       val (s1, n1) = timedRows(q, sf1)
       val (s10, n10) = timedRows(q, sf10)
       println(f"SCALE $q 1x=${s1}%.2fs/${n1} rows  10x=${s10}%.2fs/${n10} rows" +
