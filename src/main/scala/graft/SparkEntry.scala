@@ -562,6 +562,96 @@ object QueryCatalog {
         .orderBy(col("part_key"))
     }),
 
+    // TPC-H Q6-shaped forecasting filter-aggregate: NO join at all —
+    // the whole query is a conjunctive range filter + one global sum,
+    // so its entire cost is the scan, and the plan's worth is measured
+    // by what reaches the parquet reader: all three predicates land in
+    // PushedFilters (row-group min/max pruning + vectorized-batch
+    // filtering), ReadSchema carries only the four referenced columns,
+    // and the single exchange moves one partial-sum row per task.
+    "q6_forecast_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,6)") *
+            col("l_discount").cast("decimal(18,6)")), 4)
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n"))),
+
+    // TPC-H Q10-shaped returned-item report: AGGREGATE-THEN-DIM-JOIN —
+    // revenue per customer KEY first (one custkey exchange of partial
+    // sums), THEN the customer attributes and the broadcast nation dim
+    // join the small aggregate, then top-20. Grouping by the wide
+    // attribute tuple (the literal TPC-H text) would drag name/acctbal
+    // through the fact shuffle as dead weight; keying the aggregate on
+    // the 8-byte key and decorating afterwards is the habit that
+    // matters at 100 TB.
+    "q10_returned_customers" -> ((s, dir) => {
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1996-04-01").cast("timestamp")
+      val rev = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, dir)
+            .filter(col("l_returnflag") === "R")
+            .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,6)") *
+            (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))), 4)
+          .cast("double").as("revenue"))
+      rev.join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"), col("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q7-shaped volume shipping: the cross-nation PAIR filter —
+    // a DISJUNCTION over attributes of two different broadcast dims
+    // ((supp=N1 ∧ cust=N2) ∨ (supp=N2 ∧ cust=N1)) that can only be
+    // evaluated after both arms are attached, unlike q19's residual
+    // which rides the join itself. Each nation arm prefilters ITS dim
+    // scan to the two nations (pushdown), the pair disjunction then
+    // runs as a cheap post-join filter, and the report groups by the
+    // (supp_nation, cust_nation, year) tuple — a two-dim × time
+    // roll-up off one fact pass.
+    "q7_volume_shipping" -> ((s, dir) => {
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1998-01-01").cast("timestamp")
+      val nations = Tables.nation(s, dir)
+        .filter(col("n_name").isin("NATION_3", "NATION_8"))
+      val supp = Tables.supplier(s, dir)
+        .join(broadcast(nations.select(col("n_nationkey").as("snk"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cust = Tables.customer(s, dir)
+        .join(broadcast(nations.select(col("n_nationkey").as("cnk"),
+          col("n_name").as("cust_nation"))), col("c_nationkey") === col("cnk"))
+        .select(col("c_custkey"), col("cust_nation"))
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"), col("l_shipdate"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_8") ||
+          (col("supp_nation") === "NATION_8" && col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,6)") *
+            (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))), 4)
+          .cast("double").as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
     // TPC-H Q20-shaped dominant-supplier screen: the SAME fact sum
     // needed at TWO granularities — per-(part,supplier) quantity vs
     // the part's total and supplier count. "Dominant" = the supplier's
@@ -858,6 +948,47 @@ object QueryCatalog {
         |       FROM ed JOIN r2 ON r2.node = ed.src GROUP BY ed.dst)
         |SELECT node AS part_key, CAST(rank AS BIGINT) AS pr_rank
         |FROM r3 ORDER BY part_key""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |      CAST(l_discount AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q10_returned_customers" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |        (1 - CAST(l_discount AS DECIMAL(18,6)))), 4) AS DOUBLE) AS revenue
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-04-01'
+        |    AND l_returnflag = 'R'
+        |  GROUP BY o_custkey)
+        |SELECT c_custkey, c_name, c_acctbal, n_name, revenue
+        |FROM rev JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,6)))), 4) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_8')
+        |    OR (sn.n_name = 'NATION_8' AND cn.n_name = 'NATION_3'))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "q20_dominant_suppliers" ->
       """WITH ps AS (
         |  SELECT l_partkey, l_suppkey,

@@ -548,6 +548,35 @@ class PlanSpec extends SparkSpec {
       s"nested loop in CMS plan:\n$p")
   }
 
+  test("q6 filter-aggregate pushes all three predicates and prunes to " +
+    "the four referenced columns") {
+    // formatted mode: the tree-string print TRUNCATES long PushedFilters
+    // lists with an ellipsis, hiding the discount/quantity entries
+    val p = QueryCatalog.queries("q6_forecast_revenue")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)") &&
+      p.contains("LessThanOrEqual(l_discount,0.07)") &&
+      p.contains("LessThan(l_quantity,24.0)") &&
+      p.contains("GreaterThanOrEqual(l_shipdate,"),
+      s"range predicates did not reach the parquet scan:\n$p")
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_shipdate:timestamp"),
+      s"scan reads more than the four referenced columns:\n$p")
+  }
+
+  test("q10 aggregates revenue on the 8-byte customer key BEFORE the " +
+    "dim joins — name/acctbal never ride the fact shuffle") {
+    val p = plan("q10_returned_customers")
+    assert(p.contains("keys=[o_custkey"),
+      s"aggregate not keyed on the customer key:\n$p")
+    // no aggregate groups by the wide customer attributes
+    val aggKeyLines = p.linesIterator.filter(_.contains("HashAggregate(keys=")).toSeq
+    assert(aggKeyLines.nonEmpty && aggKeyLines.forall(l =>
+      !l.contains("c_name") && !l.contains("c_acctbal")),
+      s"customer attributes dragged through the aggregate:\n$p")
+  }
+
   test("q8 market share: both dim arms broadcast onto the facts and the " +
     "ratio comes out of ONE aggregation pass") {
     val p = plan("q8_market_share")
