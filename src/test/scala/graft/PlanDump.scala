@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Dump `explain("formatted")` for the headline catalog queries into
+  * `artifacts/PLANS_r10.txt` — the reviewable evidence that scans
+  * prune/push down, dims broadcast, aggregates partial map-side, and
+  * the rewrites fire. Batch queries only: constructing the w9/w15/w18
+  * streaming entries RUNS their streaming drain by design.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.register(spark)
+    val sf = "/root/testdata/sf0.001"
+    val names = Seq(
+      // relational plan shapes
+      "q1_agg", "q3_topk_join", "q5_region_revenue", "q6_forecast_revenue",
+      "q8_market_share", "q10_returned_customers", "q13_cust_dist",
+      "q15_top_supplier", "q16_notin", "q17_small_orders", "q19_disjunctive",
+      "q20_dominant_suppliers", "g1_pagerank",
+      // dedup / similarity
+      "d2_jaccard_pairs", "d5_embed_neardup", "d13_semdedup", "s7_ann_pq",
+      // text / training ops
+      "t12_bigram_lm", "t25_seq_chunk", "t28_cms_heavy", "m6_zorder_cluster",
+      // temporal / reporting
+      "j8_interval_join", "a16_pivot", "a13_cum_distinct", "w17_rank_report")
+    val out = new java.io.PrintWriter("artifacts/PLANS_r10.txt")
+    out.println("Formatted physical plans, sf0.001, local[4] — regenerate " +
+      "with `sbt \"Test/runMain graft.PlanDump\"`.\n")
+    names.foreach { n =>
+      out.println(s"========== $n ==========")
+      out.println(SparkEntry.queries(n)(spark, sf)
+        .queryExecution.explainString(ExplainMode.fromString("formatted")))
+      SparkHygiene.dropAllPersisted(spark)
+    }
+    out.close()
+    spark.stop()
+  }
+}
