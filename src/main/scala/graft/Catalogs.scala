@@ -146,6 +146,59 @@ object TextQueries {
         .orderBy(col("exact_n").desc, col("tok"))
     }),
 
+    // THE COMPOSED CURATION PIPELINE — the training-data flagship: NFC
+    // normalize → tokenize → length gate → quality gate → exact dedup
+    // (keep-first) → decontaminate against the eval set → deterministic
+    // shard assignment, all as ONE dataflow. Every stage reuses the
+    // unit-operator formulation its own oracle row already proves
+    // (t27/t1/t2/d1/d7/t14 conventions), and the DuckDB oracle replays
+    // the ENTIRE chain — the composition is verified end-to-end, not
+    // just stage-by-stage. Plan shape at 100 TB: normalize/tokenize/
+    // gates fuse into the scan projection (zero exchanges), the dedup
+    // pays one fingerprint exchange, decontamination explodes shingles
+    // map-side against the BROADCAST eval-set shingles (the corpus
+    // never shuffles for it, d7's shape), and the shard key is pure
+    // md5 arithmetic — three exchanges end to end, none carrying raw
+    // text beyond the fingerprint one.
+    "t29_curation_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val norm = docs.select(col("doc_id"), col("lang"),
+        graft.functions.NfcNormalizeExpr(col("text")).as("norm"))
+      val gated = norm
+        .withColumn("__toks", TextFns.lowerTokens(col("norm")))
+        .withColumn("n_toks", size(col("__toks")).cast("long"))
+        .filter(col("n_toks") >= 20 && col("n_toks") <= 1000)
+        .withColumn("quality",
+          TextFns.qualityScoreTokens(col("norm"), col("__toks")))
+        .filter(col("quality") > 0.5)
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      val deduped = gated
+        .withColumn("fp", TextFns.fingerprint(col("norm")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      // d7 convention: doc_id % 50 == 0 is the held-out eval set; its
+      // docs never enter the corpus, and any candidate sharing a
+      // 5-gram shingle with it is dropped (5, not d7's 3: short grams
+      // over-fire on templated text — measured 98% false contamination
+      // at sf0.1 with 3-grams vs the realistic ~3% at 5; production
+      // decontamination uses 8-13-gram overlap for the same reason)
+      val evalSh = norm.filter(col("doc_id") % 50 === 0)
+        .select(explode(TextFns.wordShingles(col("norm"), 5)).as("sh"))
+        .distinct()
+      val contaminated = deduped.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"),
+          explode(TextFns.wordShingles(col("norm"), 5)).as("sh"))
+        .join(broadcast(evalSh), "sh")
+        .select(col("doc_id")).distinct()
+      deduped.filter(col("doc_id") % 50 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_toks"), col("quality"),
+          (conv(substring(md5(concat(lit("shard:"),
+              col("doc_id").cast("string"))), 1, 15), 16, 10)
+            .cast("long") % 8).as("shard"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-group feature normalization — the z-score every
     // feature-engineering pass ships (normalize a numeric column within
     // its language group). PORTABLE BY CONSTRUCTION: mean and variance
@@ -373,6 +426,42 @@ object TextQueries {
         |SELECT doc_id, nfc_normalize(text) AS norm,
         |       text <> nfc_normalize(text) AS changed
         |FROM c ORDER BY doc_id""".stripMargin,
+    "t29_curation_pipeline" -> {
+      // 60-bit md5 shard hash, t19's digit-sum idiom
+      val shardH = (1 to 15).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5('shard:' || doc_id::VARCHAR), $i, 1)) - 1) * ${1L << (4 * (15 - i))}")
+        .mkString(" + ")
+      s"""WITH nrm AS (SELECT doc_id, lang, nfc_normalize(text) AS norm
+         |  FROM documents),
+         |tk AS (SELECT doc_id, lang, norm,
+         |  regexp_split_to_array(lower(trim(norm)), '\\s+') AS toks FROM nrm),
+         |lg AS (SELECT *, len(toks) AS n_toks FROM tk
+         |       WHERE len(toks) BETWEEN 20 AND 1000),
+         |q AS (SELECT *, ${OracleSqlParts.qualitySql("norm", "toks")} AS quality
+         |      FROM lg),
+         |qq AS (SELECT * FROM q WHERE quality > 0.5),
+         |f AS (SELECT *, md5(regexp_replace(lower(trim(norm)), '\\s+', ' ', 'g')) AS fp
+         |      FROM qq),
+         |k AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |      FROM f),
+         |d AS (SELECT doc_id, lang, n_toks, quality FROM k WHERE rn = 1),
+         |ntok AS (SELECT doc_id, regexp_split_to_array(
+         |    regexp_replace(lower(trim(norm)), '\\s+', ' ', 'g'), ' ') AS rtoks
+         |  FROM nrm),
+         |idx AS (SELECT doc_id, rtoks,
+         |  unnest(generate_series(1, greatest(len(rtoks)-5, 0)+1)) AS i FROM ntok),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(rtoks[i:i+4], ' ') AS sh
+         |       FROM idx),
+         |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+         |contam AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (sh)
+         |           WHERE s.doc_id % 50 <> 0)
+         |SELECT doc_id, lang, n_toks, quality,
+         |  CAST(($shardH) % 8 AS BIGINT) AS shard
+         |FROM d
+         |WHERE doc_id % 50 <> 0
+         |  AND NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = d.doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
     "t28_cms_heavy" -> {
       // first two md5 hex digits as an exact 8-bit cell, same strpos
       // digit idiom as t19's 60-bit hash
