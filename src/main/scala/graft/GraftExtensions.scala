@@ -58,7 +58,12 @@ object GraftExtensions {
     (FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize",
         "nfc_normalize(s) - Unicode NFC canonicalization of a string"),
-      (children: Seq[Expression]) => graft.functions.NfcNormalizeExpr(children.head)))
+      (children: Seq[Expression]) => graft.functions.NfcNormalizeExpr(children.head)),
+    (FunctionIdentifier("z_interleave"),
+      info("z_interleave",
+        "z_interleave(x, y) - Morton (Z-order) bit interleave of two non-negative integral columns"),
+      (children: Seq[Expression]) =>
+        graft.functions.ZInterleaveExpr(children(0), children(1))))
 
   /** Register into an existing session (tests, notebooks), and apply
     * session-setup conf the engine relies on. This is the one setup

@@ -17,6 +17,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getDouble(2) == 1.0)
   }
 
+  test("SQL surface exposes nfc_normalize and z_interleave") {
+    GraftExtensions.register(spark)
+    // registration-level check (NfcNormalizeSpec covers the
+    // decomposition depth); note Spark SQL's chr() wraps mod 256, so
+    // composing test input with chr(769) would silently corrupt it
+    val r = spark.sql(
+      s"""SELECT
+         |  nfc_normalize('José') AS n,
+         |  z_interleave(3L, 5L) AS z
+         |""".stripMargin).head()
+    assert(r.getString(0) == "José")
+    // 3 = 0b011 on even bits, 5 = 0b101 on odd bits -> 0b100111 = 39
+    assert(r.getLong(1) == 39L)
+  }
+
   test("withExtensions wires the functions at session construction") {
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession
