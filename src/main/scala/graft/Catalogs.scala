@@ -647,6 +647,31 @@ object DedupQueries {
     * (node, component) for EVERY corpus doc (singletons are their own
     * component). One definition so the survivor-rule queries can never
     * disagree on what a dup group is. */
+  /** Shared by d6 (union-find fast path) and d23 (distributed min-label
+    * path): the oracle is the TRUE transitive closure, which both paths
+    * must reproduce — component identity is path-independent.
+    */
+  private[graft] val d6OracleSql: String =
+    """WITH RECURSIVE
+      |p AS (
+      |  SELECT a.vec_id AS a, b.vec_id AS b,
+      |    round(least(greatest(1 - list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 0), 1), 4) AS dist
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+      |e AS (SELECT a, b FROM p WHERE dist <= 0.55),
+      |edges AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+      |reach(n, m) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.n, e2.dst FROM reach r JOIN edges e2 ON r.m = e2.src),
+      |comp AS (
+      |  SELECT n AS vec_id, least(n, min(m)) AS component
+      |  FROM reach GROUP BY n),
+      |sized AS (
+      |  SELECT *, count(*) OVER (PARTITION BY component) AS group_size
+      |  FROM comp)
+      |SELECT vec_id, component, group_size, vec_id = component AS keep
+      |FROM sized WHERE group_size > 1 ORDER BY vec_id""".stripMargin
+
   private def dupComponents(s: SparkSession, dir: String): DataFrame = {
     val corpus = corpusWithNearDups(s, dir)
     val pairs = graft.operators.JaccardJoin
@@ -985,6 +1010,32 @@ object DedupQueries {
       val comp = graft.operators.ConnectedComponents.run(
         emb.select(col("vec_id").cast("long").as("node")),
         pairs.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst")))
+      val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("group_size"))
+      comp.join(sizes.filter(col("group_size") > 1), "component")
+        .select(col("node").as("vec_id"), col("component"), col("group_size"),
+          (col("node") === col("component")).as("keep"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // d6 THROUGH THE DISTRIBUTED PATH: localGate = 0 forces the
+    // iterative min-label propagation (one node-keyed shuffle per
+    // round, localCheckpoint lineage truncation) instead of the
+    // bounded-collect union-find — the path a graph too large for the
+    // driver takes at 100 TB. Same oracle as d6: the true transitive
+    // closure is path-independent, so this row proves the distributed
+    // propagation CONVERGES TO the exact components, not just that it
+    // runs (it was spec-only until here).
+    "d23_cc_distributed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val pairs = graft.operators.SimilarityJoin
+        .bandExactSelf(emb, "vec_id", "embedding", eps = 0.5501)
+        .withColumn("dist", round(col("dist"), 4))
+        .filter(col("dist") <= 0.55)
+        .select(col("a"), col("b"))
+      val comp = graft.operators.ConnectedComponents.run(
+        emb.select(col("vec_id").cast("long").as("node")),
+        pairs.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst")),
+        localGate = 0)
       val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("group_size"))
       comp.join(sizes.filter(col("group_size") > 1), "component")
         .select(col("node").as("vec_id"), col("component"), col("group_size"),
@@ -1470,26 +1521,10 @@ object DedupQueries {
          |runs AS (SELECT a, b, count(*) AS run FROM r GROUP BY a, b, diag, grp)
          |SELECT a, b, CAST(max(run) + 7 AS BIGINT) AS span
          |FROM runs GROUP BY a, b HAVING max(run) + 7 >= 20 ORDER BY a, b""".stripMargin,
-    "d6_dup_groups" ->
-      """WITH RECURSIVE
-        |p AS (
-        |  SELECT a.vec_id AS a, b.vec_id AS b,
-        |    round(least(greatest(1 - list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 0), 1), 4) AS dist
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
-        |e AS (SELECT a, b FROM p WHERE dist <= 0.55),
-        |edges AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
-        |reach(n, m) AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT r.n, e2.dst FROM reach r JOIN edges e2 ON r.m = e2.src),
-        |comp AS (
-        |  SELECT n AS vec_id, least(n, min(m)) AS component
-        |  FROM reach GROUP BY n),
-        |sized AS (
-        |  SELECT *, count(*) OVER (PARTITION BY component) AS group_size
-        |  FROM comp)
-        |SELECT vec_id, component, group_size, vec_id = component AS keep
-        |FROM sized WHERE group_size > 1 ORDER BY vec_id""".stripMargin,
+    "d6_dup_groups" -> DedupQueries.d6OracleSql,
+    // identical semantics through the DISTRIBUTED propagation path —
+    // the true transitive closure is path-independent
+    "d23_cc_distributed" -> DedupQueries.d6OracleSql,
     "a12_eps_sweep" -> {
       // one recursive-closure block per eps, replaying the Spark side's
       // shared-pair-pass + per-eps CC sweep; isolated nodes come back
