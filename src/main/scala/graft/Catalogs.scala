@@ -158,8 +158,13 @@ object TextQueries {
     // pays one fingerprint exchange, decontamination explodes shingles
     // map-side against the BROADCAST eval-set shingles (the corpus
     // never shuffles for it, d7's shape), and the shard key is pure
-    // md5 arithmetic — three exchanges end to end, none carrying raw
-    // text beyond the fingerprint one.
+    // md5 arithmetic — four exchanges end to end (fingerprint window,
+    // contaminated-id distinct, the tiny eval-shingle distinct, the
+    // report sort), and document text crosses only the fingerprint
+    // one. Contamination is computed from the RAW corpus, not the
+    // survivors: the result is identical (anti join against a superset
+    // of contaminated ids) and it keeps the dedup subtree from being
+    // planned twice — PlanSpec pins the exchange census.
     "t29_curation_pipeline" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val norm = docs.select(col("doc_id"), col("lang"),
@@ -185,7 +190,7 @@ object TextQueries {
       val evalSh = norm.filter(col("doc_id") % 50 === 0)
         .select(explode(TextFns.wordShingles(col("norm"), 5)).as("sh"))
         .distinct()
-      val contaminated = deduped.filter(col("doc_id") % 50 =!= 0)
+      val contaminated = norm.filter(col("doc_id") % 50 =!= 0)
         .select(col("doc_id"),
           explode(TextFns.wordShingles(col("norm"), 5)).as("sh"))
         .join(broadcast(evalSh), "sh")

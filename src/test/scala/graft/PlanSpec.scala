@@ -577,6 +577,32 @@ class PlanSpec extends SparkSpec {
       s"customer attributes dragged through the aggregate:\n$p")
   }
 
+  test("t29 curation pipeline is exactly four exchanges — fingerprint " +
+    "window, contaminated-id distinct, eval-shingle distinct, report " +
+    "sort — with the eval set broadcast") {
+    val root = QueryCatalog.queries("t29_curation_pipeline")(spark, sf)
+      .queryExecution.executedPlan
+    val inner = root match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case x => x
+    }
+    val shuffles = inner.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.outputPartitioning.toString
+    }
+    assert(shuffles.length == 4,
+      s"exchange census drifted (expected 4):\n${shuffles.mkString("\n")}")
+    assert(shuffles.exists(_.contains("fp#")) &&
+      shuffles.exists(_.contains("sh#")) &&
+      shuffles.exists(_.contains("rangepartitioning")),
+      s"unexpected exchange keys:\n${shuffles.mkString("\n")}")
+    val broadcasts = inner.collect {
+      case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => 1
+    }
+    assert(broadcasts.nonEmpty, "eval-set shingles not broadcast")
+  }
+
   test("q8 market share: both dim arms broadcast onto the facts and the " +
     "ratio comes out of ONE aggregation pass") {
     val p = plan("q8_market_share")
