@@ -3411,6 +3411,29 @@ object EventQueries {
         valueCol = "value", gapSec = 1800L)
         .orderBy(col("user_id"), col("session_idx"))),
 
+    // Spark's NATIVE session_window operator — the built-in session
+    // aggregation w6's lag-based Sessionize formulates by hand. One
+    // groupBy((user, session_window)) pass: Spark merges overlapping
+    // [ts, ts+gap) intervals per key inside the aggregate (map-side
+    // partial merge, one user-key exchange — no window-function sort
+    // pass at all, unlike w6's lag+running-sum). Session end is
+    // last_ts + gap by definition; the oracle replays with the w6
+    // gap-break technique and emits the identical bounds. Counts and
+    // decimal value sums per session, keyed deterministically by the
+    // session start.
+    "w19_native_session" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,6)")), 4)
+            .cast("double").as("total_value"))
+        .select(col("user_id"),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("s_start"),
+          date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("s_end"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("s_start"))),
+
     "j7_asof" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -3917,6 +3940,24 @@ object EventQueries {
         |  min(event_id) AS first_event, max(event_id) AS last_event,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+    // w6's gap-break replay, emitting session_window's bounds:
+    // start = min(ts), end = max(ts) + gap
+    "w19_native_session" ->
+      """WITH e AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER
+        |              (PARTITION BY user_id ORDER BY epoch_us(ts))) > 1800000000
+        |       THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sidx
+        |      FROM e)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS s_end,
+        |  count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sidx ORDER BY user_id, s_start""".stripMargin,
     "j7_asof" ->
       """WITH u AS (
         |  SELECT user_id, ts, event_id AS pid, CAST(NULL AS BIGINT) AS cid,
