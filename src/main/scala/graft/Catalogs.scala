@@ -3434,6 +3434,48 @@ object EventQueries {
           col("n_events"), col("total_value"))
         .orderBy(col("user_id"), col("s_start"))),
 
+    // W20: w19's native session aggregation run THROUGH Structured
+    // Streaming — watermarked session_window in append mode, drained
+    // with AvailableNow and read back. A session emits exactly once,
+    // when the watermark passes its end (sessions still open at end of
+    // stream never emit), so BOTH sides filter to sessions strictly
+    // below the data-derived cutoff (max event time − delay − 10 s
+    // slack, the w9_outer discipline — the boundary band where
+    // emission is engine-internal is excluded identically). Completes
+    // the streaming oracle family: inner/outer/semi joins, dedup, and
+    // now sessions — all hash-green through real streaming execution.
+    "w20_stream_session" -> ((s0, dir) => {
+      val s = SparkHygiene.streamStateSession(s0, 8)
+      val agg = Tables.eventsStream(s, dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,6)")), 4)
+            .cast("double").as("total_value"))
+        .select(col("user_id"), col("sw.start").as("ss"),
+          col("sw.end").as("se"), col("n_events"), col("total_value"))
+      val out = SparkHygiene.scratchDir("w20_out")
+      val ck = SparkHygiene.scratchDir("w20_ck")
+      val q = agg.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val cut = Tables.events(s, dir).agg(
+        (max(col("ts")) - expr("INTERVAL 30 MINUTES")
+          - expr("INTERVAL 10 SECONDS")).as("cut"))
+      s.read.parquet(out)
+        .crossJoin(broadcast(cut))
+        .filter(col("se") < col("cut"))
+        .select(col("user_id"),
+          date_format(col("ss"), "yyyy-MM-dd HH:mm:ss").as("s_start"),
+          date_format(col("se"), "yyyy-MM-dd HH:mm:ss").as("s_end"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("s_start"))
+    }),
+
     "j7_asof" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -3958,6 +4000,27 @@ object EventQueries {
         |  count(*) AS n_events,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, sidx ORDER BY user_id, s_start""".stripMargin,
+    // w19's replay restricted to sessions the final watermark emitted
+    "w20_stream_session" ->
+      """WITH e AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER
+        |              (PARTITION BY user_id ORDER BY epoch_us(ts))) > 1800000000
+        |       THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sidx
+        |      FROM e),
+        |cut AS (SELECT max(ts) - INTERVAL 30 MINUTE - INTERVAL 10 SECOND AS c
+        |        FROM events)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS s_end,
+        |  count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
+        |FROM s, cut GROUP BY user_id, sidx, c
+        |HAVING max(ts) + INTERVAL 30 MINUTE < c
+        |ORDER BY user_id, s_start""".stripMargin,
     "j7_asof" ->
       """WITH u AS (
         |  SELECT user_id, ts, event_id AS pid, CAST(NULL AS BIGINT) AS cid,
