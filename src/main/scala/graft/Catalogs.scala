@@ -204,6 +204,41 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Data-quality CONSTRAINT AUDIT (the Deequ/dbt-test shape): every
+    // ingestion gate a production pipeline runs before accepting a
+    // corpus drop — row count, key uniqueness, completeness, domain
+    // bounds — computed in ONE aggregation pass (a naive audit runs
+    // one scan per constraint; this is one scan + one single-row
+    // exchange, plus countDistinct's expand), then melted into one row
+    // per constraint with its pass verdict. The report IS the gate: a
+    // scheduler keys the load/no-load decision off `ok`.
+    "t31_constraint_audit" -> ((s, dir) => {
+      val a = Tables.documents(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_ids"),
+        count(when(col("text").isNull ||
+          length(trim(col("text"))) === 0, 1)).as("n_empty_text"),
+        count(when(col("lang").isNull, 1)).as("n_null_lang"),
+        count(when(col("source").isNull, 1)).as("n_null_source"),
+        min(length(col("text"))).cast("long").as("min_len"),
+        max(length(col("text"))).cast("long").as("max_len"))
+      def c(name: String, value: org.apache.spark.sql.Column,
+            ok: org.apache.spark.sql.Column) =
+        struct(lit(name).as("check_name"), value.cast("long").as("value"),
+          ok.as("ok"))
+      a.select(explode(array(
+          c("row_count_positive", col("n_rows"), col("n_rows") > 0),
+          c("doc_id_unique", col("n_ids"), col("n_ids") === col("n_rows")),
+          c("text_nonempty", col("n_empty_text"), col("n_empty_text") === 0),
+          c("lang_complete", col("n_null_lang"), col("n_null_lang") === 0),
+          c("source_complete", col("n_null_source"), col("n_null_source") === 0),
+          c("min_len_bound", col("min_len"), col("min_len") >= 1),
+          c("max_len_bound", col("max_len"), col("max_len") <= 5000))).as("r"))
+        .select(col("r.check_name").as("check_name"), col("r.value").as("value"),
+          col("r.ok").as("ok"))
+        .orderBy(col("check_name"))
+    }),
+
     // Per-group feature normalization — the z-score every
     // feature-engineering pass ships (normalize a numeric column within
     // its language group). PORTABLE BY CONSTRUCTION: mean and variance
@@ -467,6 +502,25 @@ object TextQueries {
          |  AND NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = d.doc_id)
          |ORDER BY doc_id""".stripMargin
     },
+    "t31_constraint_audit" ->
+      """WITH a AS (SELECT count(*) AS n_rows,
+        |  count(DISTINCT doc_id) AS n_ids,
+        |  count(*) FILTER (text IS NULL OR length(trim(text)) = 0) AS n_empty_text,
+        |  count(*) FILTER (lang IS NULL) AS n_null_lang,
+        |  count(*) FILTER (source IS NULL) AS n_null_source,
+        |  min(length(text)) AS min_len,
+        |  max(length(text)) AS max_len
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'row_count_positive' AS check_name, n_rows AS value,
+        |         n_rows > 0 AS ok FROM a
+        |  UNION ALL SELECT 'doc_id_unique', n_ids, n_ids = n_rows FROM a
+        |  UNION ALL SELECT 'text_nonempty', n_empty_text, n_empty_text = 0 FROM a
+        |  UNION ALL SELECT 'lang_complete', n_null_lang, n_null_lang = 0 FROM a
+        |  UNION ALL SELECT 'source_complete', n_null_source, n_null_source = 0 FROM a
+        |  UNION ALL SELECT 'min_len_bound', min_len, min_len >= 1 FROM a
+        |  UNION ALL SELECT 'max_len_bound', max_len, max_len <= 5000 FROM a)
+        |ORDER BY check_name""".stripMargin,
     "t28_cms_heavy" -> {
       // first two md5 hex digits as an exact 8-bit cell, same strpos
       // digit idiom as t19's 60-bit hash
