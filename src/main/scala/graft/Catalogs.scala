@@ -187,12 +187,18 @@ object TextQueries {
       // over-fire on templated text — measured 98% false contamination
       // at sf0.1 with 3-grams vs the realistic ~3% at 5; production
       // decontamination uses 8-13-gram overlap for the same reason)
-      val evalSh = norm.filter(col("doc_id") % 50 === 0)
-        .select(explode(TextFns.wordShingles(col("norm"), 5)).as("sh"))
+      // MATERIALIZE the token array before shingling (the TextFns
+      // contract, same as d7): feeding wordShingles the raw expression
+      // re-evaluates the regexp split once per gram reference —
+      // measured 15.7 s vs 0.8 s for this stage at sf0.1
+      val shSrc = norm.withColumn("__rtoks",
+        TextFns.repetitionTokens(col("norm")))
+      val evalSh = shSrc.filter(col("doc_id") % 50 === 0)
+        .select(explode(TextFns.wordShinglesTokens(col("__rtoks"), 5)).as("sh"))
         .distinct()
-      val contaminated = norm.filter(col("doc_id") % 50 =!= 0)
+      val contaminated = shSrc.filter(col("doc_id") % 50 =!= 0)
         .select(col("doc_id"),
-          explode(TextFns.wordShingles(col("norm"), 5)).as("sh"))
+          explode(TextFns.wordShinglesTokens(col("__rtoks"), 5)).as("sh"))
         .join(broadcast(evalSh), "sh")
         .select(col("doc_id")).distinct()
       deduped.filter(col("doc_id") % 50 =!= 0)
