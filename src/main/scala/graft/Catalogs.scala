@@ -1776,6 +1776,31 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // FILTERED vector search — the production ANN shape s1-s9 don't
+    // exercise: a metadata predicate restricts the corpus BEFORE any
+    // distance is computed ("nearest neighbors among label-0 vectors").
+    // Pre-filtering is the correct plan when the predicate is
+    // selective: the label predicate reaches the parquet scan
+    // (PushedFilters), the distance kernel runs on the survivors only,
+    // and top-k is exact over the filtered set — where post-filtering
+    // an unfiltered top-k silently returns FEWER than k (the classic
+    // filtered-ANN bug). Same rounded-sim + id tie-break cut as s1.
+    "s11_filtered_knn" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val corpus = emb.filter(col("label") === 0)
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      broadcast(q).crossJoin(corpus)
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("sim", round(VectorFns.dotProduct(col("qv"), col("embedding")), 4))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("qid"), col("vec_id"), col("label"), col("sim"), col("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // brute-force cosine top-k: rank by ROUNDED sim + vec_id tie-break so
     // the cut is engine-stable
     "s1_knn" -> ((s, dir) => {
@@ -2069,6 +2094,15 @@ object SimilarityQueries {
         |        (PARTITION BY qid ORDER BY score DESC, doc_id) AS rk FROM sc)
         |SELECT qid, rk, doc_id, score FROM r WHERE rk <= 10
         |ORDER BY qid, rk""".stripMargin,
+    "s11_filtered_knn" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid, e.vec_id, e.label,
+        |        round(list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[]), 4) AS sim
+        |      FROM q CROSS JOIN embeddings e
+        |      WHERE e.vec_id <> q.qid AND e.label = 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+        |      FROM s)
+        |SELECT qid, vec_id, label, sim, rk FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     "s1_knn" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |s AS (SELECT q.qid, e.vec_id, e.label,

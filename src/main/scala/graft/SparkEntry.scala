@@ -562,6 +562,37 @@ object QueryCatalog {
         .orderBy(col("part_key"))
     }),
 
+    // Triangle enumeration — the CYCLIC self-join no tree-shaped query
+    // exercises: e(a,b) ⋈ e(b,c) ⋈ e(a,c) with a global vertex order
+    // (a < b < c) so each triangle materializes exactly once, as two
+    // hash joins (wedge build, then the closing-edge probe). Run on
+    // the REPEATED co-purchase graph (parts sharing ≥ 2 orders — the
+    // support threshold that makes co-occurrence signal, and bounds
+    // wedge count: the unthresholded graph has 300 M wedges at sf0.1,
+    // the thresholded one ~10 K). At scale the orientation lever is
+    // degree ordering (orient edges low→high degree) — same plan, the
+    // wedge build keyed on low-degree vertices so a hot vertex can't
+    // quadratically explode; the vertex-id order used here is the
+    // id-keyed special case.
+    "g2_triangles" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val rhs = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pk2"))
+      val e = li.join(rhs,
+          col("l_orderkey") === col("ok2") && col("l_partkey") < col("pk2"))
+        .groupBy(col("l_partkey").as("s"), col("pk2").as("t"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("s"), col("t"))
+      val e1 = e.select(col("s").as("a"), col("t").as("b"))
+      val e2 = e.select(col("s").as("b2"), col("t").as("c"))
+      val e3 = e.select(col("s").as("a3"), col("t").as("c3"))
+      e1.join(e2, col("b") === col("b2"))
+        .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+        .select(col("a"), col("b"), col("c"))
+        .orderBy(col("a"), col("b"), col("c"))
+    }),
+
     // TPC-H Q6-shaped forecasting filter-aggregate: NO join at all —
     // the whole query is a conjunctive range filter + one global sum,
     // so its entire cost is the scan, and the plan's worth is measured
@@ -948,6 +979,16 @@ object QueryCatalog {
         |       FROM ed JOIN r2 ON r2.node = ed.src GROUP BY ed.dst)
         |SELECT node AS part_key, CAST(rank AS BIGINT) AS pr_rank
         |FROM r3 ORDER BY part_key""".stripMargin,
+    "g2_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT a.l_partkey AS s, b.l_partkey AS t
+        |      FROM li a JOIN li b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT e1.s AS a, e1.t AS b, e2.t AS c
+        |FROM e e1 JOIN e e2 ON e2.s = e1.t
+        |  JOIN e e3 ON e3.s = e1.s AND e3.t = e2.t
+        |ORDER BY a, b, c""".stripMargin,
     "q6_forecast_revenue" ->
       """SELECT
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
