@@ -1082,6 +1082,30 @@ object DedupQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Schema-evolution union — the corpus-merge every long-lived
+    // pipeline hits: two releases whose schemas DRIFTED (an early drop
+    // without `source`, a later one without `lang`/`n_chars`) merged
+    // with unionByName(allowMissingColumns) — absent columns
+    // null-fill, names align by NAME not position (positional UNION
+    // silently transposes columns when schemas drift — the classic
+    // silent-corruption bug this operator exists to prevent). The
+    // report pins the null-fill pattern per release. Pure map-side:
+    // a union is a zero-exchange plan node.
+    "d24_schema_union" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val early = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      val late = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"), col("source"))
+      early.unionByName(late, allowMissingColumns = true)
+        .select(col("doc_id"),
+          coalesce(col("lang"), lit("<absent>")).as("lang"),
+          coalesce(col("source"), lit("<absent>")).as("source"),
+          coalesce(col("n_chars"), lit(-1L)).as("n_chars"),
+          length(col("text")).cast("long").as("text_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // d6 THROUGH THE DISTRIBUTED PATH: localGate = 0 forces the
     // iterative min-label propagation (one node-keyed shuffle per
     // round, localCheckpoint lineage truncation) instead of the
@@ -1586,6 +1610,17 @@ object DedupQueries {
          |runs AS (SELECT a, b, count(*) AS run FROM r GROUP BY a, b, diag, grp)
          |SELECT a, b, CAST(max(run) + 7 AS BIGINT) AS span
          |FROM runs GROUP BY a, b HAVING max(run) + 7 >= 20 ORDER BY a, b""".stripMargin,
+    "d24_schema_union" ->
+      """WITH u AS (
+        |  SELECT doc_id, text, lang, n_chars FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL BY NAME
+        |  SELECT doc_id, text, source FROM documents WHERE doc_id % 2 = 1)
+        |SELECT doc_id,
+        |  coalesce(lang, '<absent>') AS lang,
+        |  coalesce(source, '<absent>') AS source,
+        |  coalesce(n_chars, -1) AS n_chars,
+        |  length(text) AS text_len
+        |FROM u ORDER BY doc_id""".stripMargin,
     "d6_dup_groups" -> DedupQueries.d6OracleSql,
     // identical semantics through the DISTRIBUTED propagation path —
     // the true transitive closure is path-independent
@@ -3528,6 +3563,26 @@ object EventQueries {
           col("n_events"), col("total_value"))
         .orderBy(col("user_id"), col("s_start"))),
 
+    // HOPPING (sliding) event-time windows — the overlapping-window
+    // variant w8's tumbling roll-up can't express: 1-hour windows
+    // every 30 minutes, so each event lands in exactly TWO windows and
+    // trend dashboards get half-period refresh with full-period
+    // context. Spark's window(ts, size, slide) expands the assignment
+    // map-side (a 2× row multiply BEFORE the aggregate's partial
+    // combine — the exchange still carries only per-(window, type)
+    // partials, never 2× the events). Oracle replays the two-window
+    // assignment arithmetic on epoch seconds.
+    "w21_hopping_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,6)")), 4)
+            .cast("double").as("total_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("win_start"), col("event_type"))),
+
     // W20: w19's native session aggregation run THROUGH Structured
     // Streaming — watermarked session_window in append mode, drained
     // with AvailableNow and read back. A session emits exactly once,
@@ -4094,6 +4149,20 @@ object EventQueries {
         |  count(*) AS n_events,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, sidx ORDER BY user_id, s_start""".stripMargin,
+    // two-window assignment: slide 1800 s, size 3600 s ⇒ each event's
+    // windows start at floor(ts/1800)·1800 and 1800 s earlier
+    "w21_hopping_window" ->
+      """WITH w AS (SELECT event_type, value,
+        |  unnest([to_timestamp((epoch_us(ts) // 1800000000) * 1800),
+        |          to_timestamp((epoch_us(ts) // 1800000000) * 1800 - 1800)])
+        |    AS win_start
+        |  FROM events)
+        |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+        |    AS total_value
+        |FROM w GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
     // w19's replay restricted to sessions the final watermark emitted
     "w20_stream_session" ->
       """WITH e AS (SELECT user_id, ts, value,

@@ -562,6 +562,33 @@ object QueryCatalog {
         .orderBy(col("part_key"))
     }),
 
+    // Referential-integrity audit (the dbt "relationship test" shape):
+    // both directions of each FK edge in ONE report — parent-less
+    // children (true violations; 0 on consistent data, and the gate
+    // must PROVE the zero) and childless parents (coverage holes —
+    // non-vacuous: 257 orders carry no lineitem at sf0.01). Each count
+    // is an anti-join aggregate; the four audits run as independent
+    // branches unioned at the end, so nothing serializes. At scale
+    // each anti join is one key shuffle per side (or a broadcast under
+    // AQE when a side collapses).
+    "q23_ri_audit" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir).select(col("c_custkey"))
+      val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"))
+      def audit(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n")).select(lit(name).as("relation"),
+          col("n").cast("long").as("n_rows"))
+      audit("orders_without_customer",
+          ord.join(cust, col("o_custkey") === col("c_custkey"), "left_anti"))
+        .unionByName(audit("lineitems_without_order",
+          li.join(ord, col("l_orderkey") === col("o_orderkey"), "left_anti")))
+        .unionByName(audit("orders_without_lineitems",
+          ord.join(li, col("o_orderkey") === col("l_orderkey"), "left_anti")))
+        .unionByName(audit("customers_without_orders",
+          cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")))
+        .orderBy(col("relation"))
+    }),
+
     // Triangle enumeration — the CYCLIC self-join no tree-shaped query
     // exercises: e(a,b) ⋈ e(b,c) ⋈ e(a,c) with a global vertex order
     // (a < b < c) so each triangle materializes exactly once, as two
@@ -979,6 +1006,24 @@ object QueryCatalog {
         |       FROM ed JOIN r2 ON r2.node = ed.src GROUP BY ed.dst)
         |SELECT node AS part_key, CAST(rank AS BIGINT) AS pr_rank
         |FROM r3 ORDER BY part_key""".stripMargin,
+    "q23_ri_audit" ->
+      """SELECT * FROM (
+        |  SELECT 'orders_without_customer' AS relation, count(*) AS n_rows
+        |  FROM orders WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        |  UNION ALL
+        |  SELECT 'lineitems_without_order', count(*)
+        |  FROM lineitem WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |  UNION ALL
+        |  SELECT 'orders_without_lineitems', count(*)
+        |  FROM orders WHERE NOT EXISTS
+        |    (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |  UNION ALL
+        |  SELECT 'customers_without_orders', count(*)
+        |  FROM customer WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+        |ORDER BY relation""".stripMargin,
     "g2_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |e AS (SELECT a.l_partkey AS s, b.l_partkey AS t
