@@ -562,6 +562,25 @@ object QueryCatalog {
         .orderBy(col("part_key"))
     }),
 
+    // LATERAL correlated subquery — the "per-row top-1 from another
+    // table" SQL surface (argmax written the way analysts write it).
+    // Catalyst DECORRELATES the per-order ORDER BY ... LIMIT 1 into a
+    // window/aggregate over the join — one plan over all orders, never
+    // a per-row subquery execution. Same answer shape as j7's as-of
+    // machinery, exercised here through the SQL planner feature
+    // (DomainJoin decorrelation) instead of the operator library.
+    "j14_lateral_top1" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("__g_orders_l")
+      Tables.lineitem(s, dir).createOrReplaceTempView("__g_lineitem_l")
+      s.sql(
+        """SELECT o_orderkey, t.l_linenumber, t.l_extendedprice
+          |FROM __g_orders_l,
+          |LATERAL (SELECT l_linenumber, l_extendedprice FROM __g_lineitem_l
+          |         WHERE l_orderkey = o_orderkey
+          |         ORDER BY l_extendedprice DESC, l_linenumber LIMIT 1) t
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // Referential-integrity audit (the dbt "relationship test" shape):
     // both directions of each FK edge in ONE report — parent-less
     // children (true violations; 0 on consistent data, and the gate
@@ -1006,6 +1025,13 @@ object QueryCatalog {
         |       FROM ed JOIN r2 ON r2.node = ed.src GROUP BY ed.dst)
         |SELECT node AS part_key, CAST(rank AS BIGINT) AS pr_rank
         |FROM r3 ORDER BY part_key""".stripMargin,
+    "j14_lateral_top1" ->
+      """SELECT o_orderkey, t.l_linenumber, t.l_extendedprice
+        |FROM orders,
+        |LATERAL (SELECT l_linenumber, l_extendedprice FROM lineitem
+        |         WHERE l_orderkey = o_orderkey
+        |         ORDER BY l_extendedprice DESC, l_linenumber LIMIT 1) t
+        |ORDER BY o_orderkey""".stripMargin,
     "q23_ri_audit" ->
       """SELECT * FROM (
         |  SELECT 'orders_without_customer' AS relation, count(*) AS n_rows
