@@ -562,6 +562,26 @@ object QueryCatalog {
         .orderBy(col("part_key"))
     }),
 
+    // Correlated SCALAR subquery in the SELECT list — the fourth
+    // decorrelation path (EXISTS→semi, NOT IN→null-aware anti,
+    // LATERAL→domain join are the other three): Catalyst rewrites the
+    // per-customer count and max into ONE aggregate over orders joined
+    // LEFT OUTER back to customer (empty correlation = 0 / NULL, the
+    // outer-aware semantics), never a per-row execution. The everyday
+    // "enrich the dim with child stats inline" report.
+    "q24_scalar_subquery" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("__g_customer_s")
+      Tables.orders(s, dir).createOrReplaceTempView("__g_orders_s")
+      s.sql(
+        """SELECT c_custkey,
+          |  (SELECT count(*) FROM __g_orders_s
+          |   WHERE o_custkey = c_custkey) AS n_orders,
+          |  (SELECT max(o_totalprice) FROM __g_orders_s
+          |   WHERE o_custkey = c_custkey) AS max_price
+          |FROM __g_customer_s
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // LATERAL correlated subquery — the "per-row top-1 from another
     // table" SQL surface (argmax written the way analysts write it).
     // Catalyst DECORRELATES the per-order ORDER BY ... LIMIT 1 into a
@@ -1025,6 +1045,13 @@ object QueryCatalog {
         |       FROM ed JOIN r2 ON r2.node = ed.src GROUP BY ed.dst)
         |SELECT node AS part_key, CAST(rank AS BIGINT) AS pr_rank
         |FROM r3 ORDER BY part_key""".stripMargin,
+    "q24_scalar_subquery" ->
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+        |  (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey)
+        |    AS max_price
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
     "j14_lateral_top1" ->
       """SELECT o_orderkey, t.l_linenumber, t.l_extendedprice
         |FROM orders,
