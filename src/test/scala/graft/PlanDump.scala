@@ -29,7 +29,12 @@ object PlanDump {
       // text / training ops
       "t12_bigram_lm", "t25_seq_chunk", "t28_cms_heavy", "m6_zorder_cluster",
       // temporal / reporting
-      "j8_interval_join", "a16_pivot", "a13_cum_distinct", "w17_rank_report")
+      "j8_interval_join", "a16_pivot", "a13_cum_distinct", "w17_rank_report",
+      // continuation heads: composed pipeline, graph, subquery
+      // decorrelation, hopping windows
+      "t29_curation_pipeline", "g2_triangles", "j14_lateral_top1",
+      "q24_scalar_subquery", "w21_hopping_window", "q23_ri_audit",
+      "s11_filtered_knn", "d24_schema_union")
     val out = new java.io.PrintWriter("artifacts/PLANS_r10.txt")
     out.println("Formatted physical plans, sf0.001, local[4] — regenerate " +
       "with `sbt \"Test/runMain graft.PlanDump\"`.\n")
