@@ -377,6 +377,58 @@ object TextQueries {
         .select(col("id"), col("title")).orderBy(col("id"))
     }),
 
+    // CSV ROUND-TRIP — source-format breadth beyond parquet: write the
+    // corpus (plus injected rows carrying the CSV-hostile characters —
+    // embedded quotes, commas, NEWLINES — the testdata itself lacks)
+    // through Spark's CSV writer, read it back with an explicit schema
+    // + multiLine + escape, and the result must equal the logical
+    // input row-for-row (the oracle pins the VALUES, so writer and
+    // reader must agree on quoting/escaping exactly). multiLine is the
+    // cost to know: a quoted-newline CSV cannot split inside records,
+    // so files parse whole — at 100 TB you keep newline-free encodings
+    // (or JSONL/parquet) precisely to keep scans splittable.
+    "p16_csv_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val hostile = Seq(
+        (-3L, "comma, \"quoted\", and\nnewline mix", "zz"),
+        (-2L, "line one\nline two\nline three", "yy"),
+        (-1L, "plain, with commas, only", "xx")
+      ).toDF("doc_id", "text", "lang")
+      val src = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .unionByName(hostile)
+      val out = SparkHygiene.scratchDir("p16_csv")
+      src.write.mode("overwrite").option("header", "true")
+        .option("escape", "\"").csv(out)
+      s.read.option("header", "true").option("escape", "\"")
+        .option("multiLine", "true")
+        .schema("doc_id LONG, text STRING, lang STRING")
+        .csv(out)
+        .orderBy(col("doc_id"))
+    }),
+
+    // JSONL ROUND-TRIP — the text-format sibling of p16 with the
+    // OPPOSITE splittability trade: JSON escapes newlines inside
+    // strings (\n), so the file stays one-record-per-line and scans
+    // split freely — which is why JSONL is the interchange format of
+    // training-data pipelines. Same hostile rows plus non-ASCII; the
+    // read uses the pinned schema (no inference pass over 100 TB).
+    "p17_jsonl_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val hostile = Seq(
+        (-3L, "quotes \" and \\ backslash", "zz"),
+        (-2L, "line one\nline two", "yy"),
+        (-1L, "José «café» — ünïcode", "xx")
+      ).toDF("doc_id", "text", "lang")
+      val src = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .unionByName(hostile)
+      val out = SparkHygiene.scratchDir("p17_jsonl")
+      src.write.mode("overwrite").json(out)
+      s.read.schema("doc_id LONG, text STRING, lang STRING").json(out)
+        .orderBy(col("doc_id"))
+    }),
+
     // token-distribution entropy (training-data quality signal: gibberish
     // and boilerplate sit at the entropy extremes). H = log2(N) − Σ c·log2(c)/N
     // over unigram counts — exact and one aggregation chain.
@@ -617,6 +669,19 @@ object TextQueries {
         |     {'name': lang, 'relevance': 0.9}],
         |    x -> x.relevance >= 0.8), x -> x.name), ', ') AS entities
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // round-trip identity: the oracle is the logical INPUT
+    "p16_csv_roundtrip" ->
+      """SELECT doc_id, text, lang FROM documents
+        |UNION ALL SELECT -3, 'comma, "quoted", and' || chr(10) || 'newline mix', 'zz'
+        |UNION ALL SELECT -2, 'line one' || chr(10) || 'line two' || chr(10) || 'line three', 'yy'
+        |UNION ALL SELECT -1, 'plain, with commas, only', 'xx'
+        |ORDER BY doc_id""".stripMargin,
+    "p17_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang FROM documents
+        |UNION ALL SELECT -3, 'quotes " and \ backslash', 'zz'
+        |UNION ALL SELECT -2, 'line one' || chr(10) || 'line two', 'yy'
+        |UNION ALL SELECT -1, 'José «café» — ünïcode', 'xx'
+        |ORDER BY doc_id""".stripMargin,
     "p12_parse_tags" ->
       """WITH t AS (SELECT doc_id,
         |  CASE WHEN doc_id % 7 = 0 THEN substr(text, 1, 50)
