@@ -3648,6 +3648,41 @@ object EventQueries {
           col("event_type"), col("n"), col("total_value"))
         .orderBy(col("win_start"), col("event_type"))),
 
+    // W22: the hopping-window aggregate THROUGH Structured Streaming —
+    // overlapping windows are the interesting streaming case because
+    // each event updates TWO window states and append-mode emission
+    // still fires per window exactly once (watermark past window end).
+    // Cutoff discipline as w20: both sides keep windows whose END is
+    // strictly below max event time − delay − slack.
+    "w22_stream_hopping" -> ((s0, dir) => {
+      val s = SparkHygiene.streamStateSession(s0, 8)
+      val agg = Tables.eventsStream(s, dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,6)")), 4)
+            .cast("double").as("total_value"))
+        .select(col("window.start").as("ws"), col("window.end").as("we"),
+          col("event_type"), col("n"), col("total_value"))
+      val out = SparkHygiene.scratchDir("w22_out")
+      val ck = SparkHygiene.scratchDir("w22_ck")
+      val q = agg.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val cut = Tables.events(s, dir).agg(
+        (max(col("ts")) - expr("INTERVAL 30 MINUTES")
+          - expr("INTERVAL 10 SECONDS")).as("cut"))
+      s.read.parquet(out)
+        .crossJoin(broadcast(cut))
+        .filter(col("we") < col("cut"))
+        .select(date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
     // W20: w19's native session aggregation run THROUGH Structured
     // Streaming — watermarked session_window in append mode, drained
     // with AvailableNow and read back. A session emits exactly once,
@@ -4227,6 +4262,23 @@ object EventQueries {
         |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
         |    AS total_value
         |FROM w GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
+    // w21's replay restricted to windows the final watermark emitted
+    "w22_stream_hopping" ->
+      """WITH w AS (SELECT event_type, value,
+        |  unnest([to_timestamp((epoch_us(ts) // 1800000000) * 1800),
+        |          to_timestamp((epoch_us(ts) // 1800000000) * 1800 - 1800)])
+        |    AS ws
+        |  FROM events),
+        |cut AS (SELECT max(ts) - INTERVAL 30 MINUTE - INTERVAL 10 SECOND AS c
+        |        FROM events)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+        |    AS total_value
+        |FROM w, cut
+        |WHERE ws + INTERVAL 1 HOUR < c
+        |GROUP BY win_start, event_type
         |ORDER BY win_start, event_type""".stripMargin,
     // w19's replay restricted to sessions the final watermark emitted
     "w20_stream_session" ->
