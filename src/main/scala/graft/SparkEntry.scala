@@ -562,6 +562,24 @@ object QueryCatalog {
         .orderBy(col("part_key"))
     }),
 
+    // Join-size PRE-FLIGHT (operators/JoinSizeEstimate): estimate
+    // |lineitem ⋈ orders| from coordinated bottom-k key samples —
+    // one tiny aggregate per side, never the join itself — the guard
+    // a 100 TB scheduler runs before committing a shuffle that might
+    // explode. `true_pairs` is computed here ONLY to exhibit accuracy
+    // in the report (the production pre-flight's whole point is not
+    // running it); the estimator lands within ~2/√k of truth and the
+    // md5+integer arithmetic replays bit-for-bit in the oracle.
+    "q26_join_size_guard" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+      val est = graft.operators.JoinSizeEstimate.estimate(
+        li, "l_orderkey", ord, "o_orderkey", k = 256, heavyThreshold = 1000L)
+      val truth = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("true_pairs"))
+      est.crossJoin(broadcast(truth))
+    }),
+
     // Correlated SCALAR subquery in the SELECT list — the fourth
     // decorrelation path (EXISTS→semi, NOT IN→null-aware anti,
     // LATERAL→domain join are the other three): Catalyst rewrites the
@@ -1045,6 +1063,47 @@ object QueryCatalog {
         |       FROM ed JOIN r2 ON r2.node = ed.src GROUP BY ed.dst)
         |SELECT node AS part_key, CAST(rank AS BIGINT) AS pr_rank
         |FROM r3 ORDER BY part_key""".stripMargin,
+    "q26_join_size_guard" -> {
+      // t19's 60-bit md5 digit-sum idiom with the jse: prefix
+      def h(col: String) = (1 to 15).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5('jse:' || $col::VARCHAR), $i, 1)) - 1) * ${1L << (4 * (15 - i))}")
+        .mkString(" + ")
+      s"""WITH ha AS (SELECT (${h("l_orderkey")}) AS h, count(*) AS ca
+         |  FROM lineitem GROUP BY 1),
+         |hb AS (SELECT (${h("o_orderkey")}) AS h, count(*) AS cb
+         |  FROM orders GROUP BY 1),
+         |hv AS (SELECT DISTINCT h FROM
+         |  (SELECT h FROM ha WHERE ca >= 1000
+         |   UNION ALL SELECT h FROM hb WHERE cb >= 1000)),
+         |hvagg AS (SELECT count(*) AS n_heavy,
+         |    CAST(coalesce(sum(coalesce(ca, 0) * coalesce(cb, 0)), 0) AS BIGINT)
+         |      AS heavy_pairs
+         |  FROM hv LEFT JOIN ha USING (h) LEFT JOIN hb USING (h)),
+         |la AS (SELECT * FROM ha WHERE h NOT IN (SELECT h FROM hv)),
+         |lb AS (SELECT * FROM hb WHERE h NOT IN (SELECT h FROM hv)),
+         |u AS (SELECT DISTINCT h FROM
+         |  (SELECT h FROM la UNION ALL SELECT h FROM lb)),
+         |bk AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM u),
+         |bot AS (SELECT h FROM bk WHERE rn <= 256),
+         |nu AS (SELECT count(*) AS n, max(h) AS hk FROM bot),
+         |p AS (SELECT CAST(coalesce(sum(coalesce(ca, 0) * coalesce(cb, 0)), 0)
+         |        AS BIGINT) AS sampled_pairs
+         |      FROM bot LEFT JOIN la USING (h) LEFT JOIN lb USING (h)),
+         |tr AS (SELECT count(*) AS true_pairs
+         |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+         |SELECT n AS k_used, n_heavy,
+         |  CASE WHEN n < 256 THEN n::DOUBLE
+         |       ELSE round(255.0 * 1152921504606846976 / hk::DOUBLE, 4) END
+         |    AS union_light_est,
+         |  sampled_pairs, heavy_pairs,
+         |  round(heavy_pairs::DOUBLE +
+         |    CASE WHEN n = 0 THEN 0.0
+         |         WHEN n < 256 THEN sampled_pairs::DOUBLE
+         |         ELSE round(round(255.0 * 1152921504606846976 / hk::DOUBLE, 4)
+         |                    / n * sampled_pairs, 4) END, 4) AS est_pairs,
+         |  true_pairs
+         |FROM p, nu, hvagg, tr""".stripMargin
+    },
     "q24_scalar_subquery" ->
       """SELECT c_custkey,
         |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
