@@ -133,27 +133,30 @@ object Bench {
     // capture
     println(s"""{"aux":"queries_cold","warmup_sec":${f"$warmupSec%.2f"},"stream_runs_sec":$runsJson,"decoupled_runs_sec":$dRunsJson,"queries_cold":$qsCold}""")
 
-    // the ONE official result line, LAST and compact (2-dp warm values,
-    // ~1.4 KB) so it always fits the driver's bounded tail capture —
-    // BENCH_r06.json was parsed:null because one giant line with both
-    // maps outgrew it
+    // per-query warm detail on its OWN aux line (no "metric" key): the
+    // 152-entry map is ~2.5 KB and is ALLOWED to be truncated by the
+    // driver's bounded tail capture — it must never share a line with
+    // the headline numbers
     val qs = jsonMap(results.map { case (n, _, w) => n -> w })
     val total = results.map(_._3).filter(_ >= 0).sum
-    // headline fields FIRST, the (now 100+-entry) per-query map LAST
-    // (VERDICT r9 #8): the driver's bounded tail capture truncated the
-    // r9 line mid-queries-map, losing the head entries; with totals in
-    // front a truncation can only eat the tail of the per-query detail,
-    // never the headline numbers
+    println(s"""{"aux":"queries_warm","queries":$qs}""")
+
+    // the ONE official result line: LAST stdout line, headline-only,
+    // ~300 bytes with NO per-query map. The driver keeps the TAIL of
+    // stdout, so the final compact line survives any tail window ≥ its
+    // own length. (VERDICT r10 #1: the r9 fix put headline fields FIRST
+    // on a 2.5 KB line — exactly the part a tail capture truncates —
+    // so both BENCH_r09 and BENCH_r10 lost their totals. Compact-last
+    // is the only ordering that is safe under tail-bounded capture.)
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir",""" +
         f""""pipeline":{"articles":$articles,"seconds":$pipelineSec%.3f,"articles_per_sec":$aps%.1f},""" +
-        f""""pipeline_streaming":{"articles":$articles,"seconds":$streamSec%.3f,"articles_per_sec":$streamAps%.1f},""" +
+        f""""pipeline_streaming":{"seconds":$streamSec%.3f,"articles_per_sec":$streamAps%.1f},""" +
         decoupledJson + "," +
-        // the three raw draws behind each median (~40 bytes each): the
-        // official artifact carries its own variance evidence, so a
-        // ±20% box-noise swing reads as a wide band, not a regression
-        s""""stream_runs_sec":$runsJson,"decoupled_runs_sec":$dRunsJson,""" +
-        s""""queries":$qs}""")
+        // raw draws behind each median (~40 bytes): the artifact carries
+        // its own variance evidence, so a ±20% box-noise swing reads as
+        // a wide band, not a regression
+        s""""stream_runs_sec":$runsJson,"decoupled_runs_sec":$dRunsJson}""")
     spark.stop()
   }
 

@@ -61,7 +61,7 @@ object GraftExtensions {
       (children: Seq[Expression]) => graft.functions.NfcNormalizeExpr(children.head)),
     (FunctionIdentifier("z_interleave"),
       info("z_interleave",
-        "z_interleave(x, y) - Morton (Z-order) bit interleave of two non-negative integral columns"),
+        "z_interleave(x, y) - Morton (Z-order) bit interleave of two integral columns; domain [0, 4294967295] per input (out-of-domain values error rather than scramble the curve)"),
       (children: Seq[Expression]) =>
         graft.functions.ZInterleaveExpr(children(0), children(1))))
 

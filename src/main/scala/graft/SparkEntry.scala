@@ -1044,23 +1044,43 @@ object QueryCatalog {
         |GROUP BY o_year
         |ORDER BY o_year""".stripMargin,
     "g1_pagerank" ->
+      // The oracle mirrors the operator's node-set semantics exactly
+      // (ADVICE r10 #3): ranks live on src UNION dst, and each
+      // iteration LEFT JOINs contributions so a node with no in-edges
+      // keeps the teleport base instead of vanishing — seeding from
+      // DISTINCT src and inner-joining only agreed on this edge list
+      // because the co-purchase graph happens to be symmetric; this
+      // form is correct for any directed graph (dangling/src-only
+      // nodes included).
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
         |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
         |        AND a.l_partkey <> b.l_partkey),
         |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
         |ed AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
-        |r0 AS (SELECT DISTINCT src AS node,
-        |         CAST(1000000000000 AS BIGINT) AS rank FROM e),
-        |r1 AS (SELECT ed.dst AS node,
-        |         150000000000 + sum((r0.rank * 85) // (100 * ed.outdeg)) AS rank
-        |       FROM ed JOIN r0 ON r0.node = ed.src GROUP BY ed.dst),
-        |r2 AS (SELECT ed.dst AS node,
-        |         150000000000 + sum((r1.rank * 85) // (100 * ed.outdeg)) AS rank
-        |       FROM ed JOIN r1 ON r1.node = ed.src GROUP BY ed.dst),
-        |r3 AS (SELECT ed.dst AS node,
-        |         150000000000 + sum((r2.rank * 85) // (100 * ed.outdeg)) AS rank
-        |       FROM ed JOIN r2 ON r2.node = ed.src GROUP BY ed.dst)
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM nodes),
+        |r1 AS (SELECT n.node,
+        |         150000000000 + coalesce(
+        |           sum((r0.rank * 85) // (100 * ed.outdeg)), 0) AS rank
+        |       FROM nodes n
+        |       LEFT JOIN ed ON ed.dst = n.node
+        |       LEFT JOIN r0 ON r0.node = ed.src
+        |       GROUP BY n.node),
+        |r2 AS (SELECT n.node,
+        |         150000000000 + coalesce(
+        |           sum((r1.rank * 85) // (100 * ed.outdeg)), 0) AS rank
+        |       FROM nodes n
+        |       LEFT JOIN ed ON ed.dst = n.node
+        |       LEFT JOIN r1 ON r1.node = ed.src
+        |       GROUP BY n.node),
+        |r3 AS (SELECT n.node,
+        |         150000000000 + coalesce(
+        |           sum((r2.rank * 85) // (100 * ed.outdeg)), 0) AS rank
+        |       FROM nodes n
+        |       LEFT JOIN ed ON ed.dst = n.node
+        |       LEFT JOIN r2 ON r2.node = ed.src
+        |       GROUP BY n.node)
         |SELECT node AS part_key, CAST(rank AS BIGINT) AS pr_rank
         |FROM r3 ORDER BY part_key""".stripMargin,
     "q26_join_size_guard" -> {

@@ -20,10 +20,12 @@ import org.apache.spark.sql.types._
   *
   * Semantics are pure int64 bit arithmetic (the classic mask-shift
   * bit spread), so any engine replays z exactly — the DuckDB oracle
-  * recomputes it with the identical mask chain. Each input contributes
-  * its LOW 32 bits; inputs must be non-negative (negative inputs would
-  * interleave the sign extension — rejected in eval to fail loudly
-  * rather than silently scramble the curve).
+  * recomputes it with the identical mask chain. The domain is
+  * [0, 2^32) PER DIMENSION: negatives would interleave the sign
+  * extension, values ≥ 2^32 would be truncated to their low 32 bits —
+  * both are rejected in eval to fail loudly rather than silently
+  * scramble the curve (callers with wider keys bucket/shift them into
+  * the 32-bit domain first).
   *
   * A native Expression (with doGenCode) rather than a composed column
   * graph: the 12-op mask chain per dimension would be a 24-node
@@ -78,15 +80,28 @@ object ZInterleaveExpr {
     x
   }
 
-  /** z-value: bits of `a` on even positions, bits of `b` on odd. */
+  /** Largest key the 2×32-bit curve can represent per dimension. */
+  val MaxInput: Long = 0xFFFFFFFFL
+
+  /** z-value: bits of `a` on even positions, bits of `b` on odd.
+    * Domain is [0, 2^32) per dimension — inputs outside it are rejected
+    * (a negative input would interleave the sign extension; one ≥ 2^32
+    * would be truncated to its low 32 bits by spread()) so an
+    * out-of-domain key fails loudly rather than silently scrambling the
+    * curve (ADVICE r10 #2).
+    */
   def interleave(a: Long, b: Long): Long = {
-    if (a < 0 || b < 0)
+    if (a < 0 || b < 0 || a > MaxInput || b > MaxInput)
       throw new IllegalArgumentException(
-        s"z_interleave requires non-negative inputs, got ($a, $b)")
+        s"z_interleave requires inputs in [0, 4294967295], got ($a, $b)")
     spread(a) | (spread(b) << 1)
   }
 
-  /** The identical mask chain as portable SQL (the oracle side). */
+  /** The identical mask chain as portable SQL (the oracle side).
+    * NOTE: the SQL form has no domain guard — like spread(), it keeps
+    * only the LOW 32 bits of `e`. Oracle call sites must feed the same
+    * [0, 2^32) domain interleave() enforces, or the two sides diverge.
+    */
   def spreadSql(e: String): String = {
     var x = s"(($e) & 4294967295)"
     x = s"(($x | ($x << 16)) & 281470681808895)"

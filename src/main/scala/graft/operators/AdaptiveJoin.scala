@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pre-flight physical-join selection: pick broadcast / shuffle /
+  * salted from measured data shape BEFORE committing the join — the
+  * load-bearing consumer of [[JoinSizeEstimate]] (VERDICT r10 #2).
+  *
+  * Spark's own planner chooses from static size ESTIMATES (file sizes,
+  * column stats) and AQE re-plans sort-merge skew at runtime — but AQE
+  * cannot re-shape a shuffled hash join's hot key, cannot salt, and
+  * re-plans per micro-batch in streaming (an unstable shape). This
+  * operator is the deployment-level complement: one cheap census pass
+  * per side, then a deterministic, explainable strategy choice. The
+  * reference's blocked-GEMM incremental clusterer
+  * (news-clustering-and-summarization `clustering.py:53-85`) applies
+  * the same discipline one level down — choose the physical compute
+  * shape from the data's measured shape, not from hope.
+  *
+  * Decision ladder (first match wins):
+  *  1. BROADCAST — dim side has ≤ `broadcastMaxRows` rows: ship the
+  *     dim to every executor; the fact side never shuffles.
+  *  2. SALTED — the largest single key's pair product exceeds
+  *     `skewFactor` × the fair per-partition share of the estimated
+  *     output: one reducer would own that key's entire output, so
+  *     spread it over ceil(maxKeyPairs / fairShare) salts (capped at
+  *     `maxSalts`) via [[SkewTools.saltedJoin]].
+  *  3. SHUFFLE — the default hash-partitioned equi-join; AQE's
+  *     sort-merge skew split remains available behind it.
+  *
+  * Census cost: one map-side-partial count aggregate per side (the
+  * [[JoinSizeEstimate]] sketch), one dim count, and one heavy-key max —
+  * all bounded driver results (single rows / counts), never the join
+  * output itself. At 100 TB this is the difference between a 2-minute
+  * pre-flight and a 6-hour runaway shuffle discovered at reducer 17.
+  */
+object AdaptiveJoin {
+
+  sealed trait Strategy { def name: String }
+  case object Broadcast extends Strategy { val name = "broadcast" }
+  case object Shuffle extends Strategy { val name = "shuffle" }
+  final case class Salted(salts: Int) extends Strategy { val name = "salted" }
+
+  /** The pre-flight verdict: the chosen strategy plus the census
+    * numbers it was derived from (kept for observability/audit).
+    */
+  final case class Decision(
+      strategy: Strategy,
+      dimRows: Long,
+      estPairs: Double,
+      nHeavy: Long,
+      maxKeyPairs: Long,
+      fairShare: Double)
+
+  /** Measure both sides and pick the physical form. All thresholds are
+    * explicit parameters (a deployment tunes them once per cluster
+    * shape); the defaults suit the 32-thread local harness.
+    *
+    * @param broadcastMaxRows dim-side row budget for a broadcast hash
+    *   join (rows, not bytes: the caller knows its row width)
+    * @param skewFactor a key is "hot" when its pair product exceeds
+    *   this multiple of the fair per-partition output share
+    * @param maxSalts salt-count cap (dim replication factor bound)
+    * @param heavyThreshold per-key count above which a key enters the
+    *   exact heavy stratum of the size estimate and the skew census
+    */
+  def decide(facts: DataFrame, factKey: String,
+             dim: DataFrame, dimKey: String,
+             broadcastMaxRows: Long = 1L << 20,
+             skewFactor: Double = 4.0,
+             maxSalts: Int = 64,
+             sampleK: Int = 256,
+             heavyThreshold: Long = 1000L): Decision = {
+    val est = JoinSizeEstimate
+      .estimate(facts, factKey, dim, dimKey, sampleK, heavyThreshold)
+      .head()
+    val estPairs = est.getAs[Double]("est_pairs")
+    val nHeavy = est.getAs[Long]("n_heavy")
+    val dimRows = dim.count()
+
+    // hot-key census: the single largest per-key output. Only fact-side
+    // heavy keys can produce a partition-breaking product (a dim-heavy
+    // key with few fact rows is bounded by the fact count), so the scan
+    // is one partial-aggregate over facts plus a join against the ≤
+    // |facts|/T heavy survivors.
+    val fHeavy = facts.groupBy(col(factKey).as("__k"))
+      .agg(count(lit(1)).as("__cf"))
+      .filter(col("__cf") >= heavyThreshold)
+    val dCnt = dim.groupBy(col(dimKey).as("__k"))
+      .agg(count(lit(1)).as("__cd"))
+    val maxKeyPairs = fHeavy.join(dCnt, Seq("__k"), "left_outer")
+      .agg(coalesce(max(col("__cf") * coalesce(col("__cd"), lit(0L))), lit(0L)))
+      .head().getLong(0)
+
+    val parts = facts.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    val fairShare = math.max(1.0, estPairs / parts)
+
+    val strategy =
+      if (dimRows <= broadcastMaxRows) Broadcast
+      else if (maxKeyPairs > skewFactor * fairShare) {
+        val salts = math.min(maxSalts.toLong,
+          math.max(2L, math.ceil(maxKeyPairs / fairShare).toLong)).toInt
+        Salted(salts)
+      } else Shuffle
+    Decision(strategy, dimRows, estPairs, nHeavy, maxKeyPairs, fairShare)
+  }
+
+  /** Pre-flight, then run the inner equi-join in the chosen form.
+    * Output columns: facts.* ++ dim.* minus the duplicated key (the
+    * usual `join(…, Seq(key))` shape); requires factKey == dimKey named
+    * columns on both frames for the salted path's composite key.
+    */
+  def join(facts: DataFrame, dim: DataFrame, key: String,
+           broadcastMaxRows: Long = 1L << 20,
+           skewFactor: Double = 4.0,
+           maxSalts: Int = 64,
+           sampleK: Int = 256,
+           heavyThreshold: Long = 1000L): (DataFrame, Decision) = {
+    val d = decide(facts, key, dim, key, broadcastMaxRows, skewFactor,
+      maxSalts, sampleK, heavyThreshold)
+    val out = d.strategy match {
+      case Broadcast => facts.join(broadcast(dim), Seq(key))
+      case Shuffle => facts.join(dim, Seq(key))
+      case Salted(n) => SkewTools.saltedJoin(facts, dim, key, n)
+    }
+    (out, d)
+  }
+}

@@ -33,8 +33,12 @@ import org.apache.spark.sql.functions._
 object EditDistanceJoin {
 
   /** All unordered pairs (a < b) with levenshtein ≤ k, plus the exact
-    * distance. Strings shorter than k+1 chars are segment-degenerate;
-    * callers pad or prefilter (the catalog keys are ≥ 18 chars).
+    * distance. Strings shorter than k+1 chars have EMPTY even-partition
+    * segments, and the pigeonhole witness can be exactly an empty one —
+    * so zero-length segments are kept as legitimate `(len, slot, "")`
+    * keys (the probe side emits matching zero-length window substrings).
+    * Everything stays one equi-join; the empty-key cost is confined to
+    * the short set (index strings of length ≤ k, probe strings ≤ 2k).
     */
   def selfPairs(df: DataFrame, idCol: String, strCol: String, k: Int): DataFrame = {
     require(k >= 1, "k >= 1")
@@ -56,18 +60,16 @@ object EditDistanceJoin {
       .withColumn("__j", explode(sequence(lit(0), lit(k))))
       .withColumn("__slen", segLen(col("__len"), col("__j")))
       .withColumn("__sstart", segStart(col("__len"), col("__j")))
-      .filter(col("__slen") > 0)
       .select(col("__id").as("__a"), col("__s").as("__sa"),
         col("__len").as("__la"), col("__j"),
         col("__s").substr(col("__sstart") + 1, col("__slen")).as("__seg"))
 
     val probes = base
       .withColumn("__ls",
-        explode(sequence(greatest(col("__len") - k, lit(1)), col("__len") + k)))
+        explode(sequence(greatest(col("__len") - k, lit(0)), col("__len") + k)))
       .withColumn("__j", explode(sequence(lit(0), lit(k))))
       .withColumn("__slen", segLen(col("__ls"), col("__j")))
       .withColumn("__sstart", segStart(col("__ls"), col("__j")))
-      .filter(col("__slen") > 0)
       .withColumn("__plo", greatest(lit(0), col("__sstart") - k))
       .withColumn("__phi", least(col("__len") - col("__slen"), col("__sstart") + k))
       .filter(col("__plo") <= col("__phi")) // sequence() would descend otherwise

@@ -143,6 +143,19 @@ object EditDistanceJoinRewrite extends Rule[LogicalPlan] {
   /** The PassJoin candidate join over (left, right) with exact
     * per-(row, row) multiplicity; the caller re-applies the original
     * predicate on top.
+    *
+    * Short strings (length ≤ k): the even partition then has EMPTY
+    * segments, and the pigeonhole witness can be exactly an empty one —
+    * filtering zero-length segments out (the pre-r11 behavior) silently
+    * lost every pair whose only witness was empty, e.g. every pair
+    * involving an empty string (ADVICE r10 #1). Fix: empty segments are
+    * legitimate keys. The build side emits them as `(len, slot, "")`
+    * rows and the probe side emits the matching zero-length window
+    * substrings, so the whole operator stays ONE equi-join (no residual
+    * nested-loop branch, no cartesian in the plan). Cost is confined to
+    * the short set: a zero-length segment key exists only for build
+    * strings of length ≤ k, and is only probed by strings of length
+    * ≤ 2k (candidate lengths are ±k).
     */
   private def candidates(left: LogicalPlan, right: LogicalPlan,
                          sa: Expression, sb: Expression, k: Int): LogicalPlan = {
@@ -155,7 +168,9 @@ object EditDistanceJoinRewrite extends Rule[LogicalPlan] {
     val l0 = Project(left.output :+ lid, left)
     val r0 = Project(right.output :+ rid, right)
 
-    // ---- build side: k+1 segments of sb keyed by (len, slot, segment)
+    // ---- build side: k+1 segments of sb keyed by (len, slot, segment).
+    // Zero-length segments (strings of length ≤ k) stay in as
+    // empty-string keys — dropping them loses empty-witness pairs
     val (r1, jb) = explodeInts(r0, (0 to k).map(intLit), "__graft_ed_jb")
     val lb = Length(sb)
     val bLen = segLen(lb, jb, kp1)
@@ -164,14 +179,13 @@ object EditDistanceJoinRewrite extends Rule[LogicalPlan] {
       ConcatWs(Seq(Literal("|"), Cast(lb, StringType), Cast(jb, StringType),
         Substring(sb, Add(bStart, intLit(1)), bLen))),
       "__graft_ed_r")()
-    val r2 = Project(r0.output :+ jb :+ buildKey,
-      Filter(GreaterThan(bLen, intLit(0)), r1))
+    val r2 = Project(r0.output :+ jb :+ buildKey, r1)
 
-    // ---- probe side: candidate partner lengths ±k, each slot's
-    // shifted substring window
+    // ---- probe side: candidate partner lengths ±k (length 0 — the
+    // empty partner — included), each slot's shifted substring window
     val (l1, ls) = explodeInts(l0,
       (-k to k).map(d => Add(Length(sa), intLit(d))), "__graft_ed_ls")
-    val l1f = Filter(GreaterThanOrEqual(ls, intLit(1)), l1)
+    val l1f = Filter(GreaterThanOrEqual(ls, intLit(0)), l1)
     val (l2, jp) = explodeInts(l1f, (0 to k).map(intLit), "__graft_ed_jp")
     val pLenA = Alias(segLen(ls, jp, kp1), "__graft_ed_plen")()
     val pStartA = Alias(segStart(ls, jp, kp1), "__graft_ed_pstart")()
@@ -180,8 +194,9 @@ object EditDistanceJoinRewrite extends Rule[LogicalPlan] {
     val pStart = pStartA.toAttribute
     val plo = Greatest(Seq(intLit(0), Subtract(pStart, intLit(k))))
     val phi = Least(Seq(Subtract(Length(sa), pLen), Add(pStart, intLit(k))))
-    val l4 = Filter(And(GreaterThan(pLen, intLit(0)),
-      LessThanOrEqual(plo, phi)), l3)
+    // pLen = 0 rows survive (empty probe substrings match empty build
+    // segments); only a descending window is impossible
+    val l4 = Filter(LessThanOrEqual(plo, phi), l3)
     val pAttr = AttributeReference("__graft_ed_p", IntegerType, nullable = true)()
     // Sequence is TimeZoneAwareExpression: resolved only with a zone id,
     // and the analyzer's ResolveTimeZone never re-runs post-optimizer

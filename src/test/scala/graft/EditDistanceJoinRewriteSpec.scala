@@ -90,6 +90,30 @@ class EditDistanceJoinRewriteSpec extends SparkSpec {
     assert(!pairs(q).exists(_._2 == 10L))
   }
 
+  test("strings of length 0..k (incl. empty) are preserved — empty " +
+    "segments are legitimate witness keys (ADVICE r10)") {
+    // for |s| <= k the even partition has empty segments, and the
+    // pigeonhole witness can be exactly an empty one; without the
+    // residual branch every pair involving an empty string was lost
+    // and e.g. ('xy','ab') <= 2 vanished under the default-on rewrite
+    val pool = Seq("", "x", "xy", "ab", "xyz", "xyzw", "abcde", "abcdef",
+      "qqqqqqqq")
+    val a = strs(pool.zipWithIndex.map { case (s, i) => (i.toLong, s) }: _*)
+    val b = strs(pool.zipWithIndex.map { case (s, i) => (i + 100L, s) }: _*)
+    for (k <- 1 to 4) {
+      val q = crossQuery(a, b, k)
+      assert(q.queryExecution.optimizedPlan.toString.contains("__graft_ed"),
+        s"k=$k must still rewrite")
+      val got = pairs(q)
+      val want = unRewritten(pairs(crossQuery(a, b, k)))
+      assert(got == want,
+        s"k=$k mismatch: missing=${want -- got} extra=${got -- want}")
+      assert(want.contains(0L -> 100L), "'' vs '' must match at every k")
+      assert(want.contains(0L -> 101L), "'' vs 'x' must match at every k")
+      if (k >= 2) assert(got.contains(2L -> 103L), "'xy' vs 'ab' at k>=2")
+    }
+  }
+
   test("property: rewrite agrees with the cartesian plan on a " +
     "pseudo-random small-alphabet corpus, k = 1 and k = 3") {
     var x = 987654321L

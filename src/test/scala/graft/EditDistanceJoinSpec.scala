@@ -57,6 +57,18 @@ class EditDistanceJoinSpec extends SparkSpec {
     assert(joined(rows, 3) == bruteForce(rows, 3))
   }
 
+  test("strings of length 0..k (incl. empty) are lossless — empty " +
+    "segments are legitimate witness keys (ADVICE r10)") {
+    val rows = Seq(1L -> "", 2L -> "x", 3L -> "xy", 4L -> "ab", 5L -> "xyz",
+      6L -> "abcd", 7L -> "abcde", 8L -> "wwwwwwww", 9L -> "x", 10L -> "")
+    for (k <- 1 to 4) {
+      val want = bruteForce(rows, k)
+      assert(joined(rows, k) == want, s"k=$k")
+      assert(want.contains((1L, 10L, 0)), "empty-empty pair present")
+      assert(want.contains((1L, 2L, 1)), "'' vs 'x' present")
+    }
+  }
+
   test("candidate generation is an equi-join on (length, slot, segment) " +
     "— no cartesian, no nested loop") {
     val rows = (1L to 20L).map(i => i -> s"string number $i pad pad")

@@ -74,6 +74,21 @@ class PageRankSpec extends SparkSpec {
     assert(ranks.map(_._2).distinct.length == 1, "regular graph must be uniform")
   }
 
+  test("runWithRelease unpins both iteration-invariant caches " +
+    "(library callers don't leak; results stay correct after release)") {
+    spark.sharedState.cacheManager.clearCache()
+    val (ranks, release) = PageRank.runWithRelease(
+      g.toDF("src", "dst"), "src", "dst", 2, 1000000L)
+    val before = ranks.as[(Long, Long)].collect().toMap
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "edgeDeg + nodes must be pinned during the run")
+    release()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "release() must unpersist every cache the run registered")
+    // post-release actions recompute the subtrees but stay bit-identical
+    assert(ranks.as[(Long, Long)].collect().toMap == before)
+  }
+
   test("plan: exactly one shuffle per iteration plus constant setup") {
     val edges = g.toDF("src", "dst")
     def shuffles(iters: Int): Int = {

@@ -90,6 +90,22 @@ class ZOrderSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("input above 2^32 - 1 fails loudly instead of silently " +
+    "truncating to the low 32 bits (ADVICE r10)") {
+    // 2^32 and 0 share low-32 bits — silent truncation would z-collide
+    // them and scramble the curve for large keys; both eval paths
+    // (interpreted + codegen route through the same static method)
+    val ex = intercept[Exception] {
+      Seq((0x100000000L, 5L)).toDF("a", "b")
+        .select(ZInterleaveExpr(col("a"), col("b"))).collect()
+    }
+    assert(ex.getMessage.contains("4294967295") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("4294967295"))
+    // the boundary itself is in-domain
+    assert(ZInterleaveExpr.interleave(ZInterleaveExpr.MaxInput, 0L) ==
+      ZInterleaveExpr.spread(ZInterleaveExpr.MaxInput))
+  }
+
   test("SQL mask chain mirrors the JVM implementation") {
     // the oracle-side string builder must express the identical masks:
     // evaluate it through Spark SQL and compare against the expression
