@@ -22,10 +22,12 @@ class AdaptiveJoinSpec extends SparkSpec {
     (1 to 500).flatMap(i => Seq.fill(4)((i.toLong, i * 10)))
       .toDF("k", "x")
 
-  // skewed facts: uniform plus 1000 extra rows on key 7
+  // skewed facts: uniform plus 4000 extra rows on key 7 — the hot key
+  // owns ~2/3 of the join output, far above the 1/4 fair share of the
+  // 4-partition test session even under light-stratum estimator noise
   private def skewedFacts: DataFrame =
     uniformFacts.unionByName(
-      Seq.fill(1000)((7L, 70)).toDF("k", "x"))
+      Seq.fill(4000)((7L, 70)).toDF("k", "x"))
 
   private def counts(df: DataFrame): Map[(Long, Int, String), Long] =
     df.groupBy("k", "x", "v").count().collect()
@@ -63,7 +65,7 @@ class AdaptiveJoinSpec extends SparkSpec {
       case other => fail(s"expected Salted, got $other " +
         s"(maxKeyPairs=${d.maxKeyPairs}, fairShare=${d.fairShare})")
     }
-    assert(d.maxKeyPairs == 1004, "census must count the hot key exactly")
+    assert(d.maxKeyPairs == 4004, "census must count the hot key exactly")
     // the composite (key, salt) join key is visible in the plan
     assert(out.queryExecution.executedPlan.toString.contains("__salt"))
     // oracle: the plain (unsalted) join — same discipline as j10
@@ -80,8 +82,8 @@ class AdaptiveJoinSpec extends SparkSpec {
       heavyThreshold = 50)
     assert(math.abs(dU.estPairs - 2000.0) / 2000.0 < 0.5,
       s"uniform est ${dU.estPairs} vs true 2000")
-    assert(math.abs(dS.estPairs - 3004.0) / 3004.0 < 0.5,
-      s"skewed est ${dS.estPairs} vs true 3004")
+    assert(math.abs(dS.estPairs - 6004.0) / 6004.0 < 0.5,
+      s"skewed est ${dS.estPairs} vs true 6004")
     assert(dS.nHeavy == 1, "exactly the hot key is heavy")
   }
 }
