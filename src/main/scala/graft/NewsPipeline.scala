@@ -103,6 +103,12 @@ object NewsPipeline {
       SparkHygiene.freeCheckpoint(pool)
       pool = step.pool
       val ups = ClusterTable.upsertRows(table, step.assignments, prepped, Clock)
+      // eager checkpoint, deliberately NOT a lazy persist: the
+      // summarize pass references `merged` from several INDEPENDENT
+      // broadcast futures that launch concurrently at job start — with
+      // a lazy cache they race and each computes the merge anti-join
+      // before the cache settles (measured +35% on a9 warm); the
+      // checkpoint materializes it exactly once
       val merged = ClusterTable.merge(table, ups).localCheckpoint(eager = true)
       SparkHygiene.freeCheckpoint(table)
       val updated = step.assignments.select(col("cluster_id").as("PK")).distinct()

