@@ -91,4 +91,48 @@ class SimilarityJoinSpec extends SparkSpec {
     assert(exact.nonEmpty)
     assert(lsh == exact)
   }
+
+  test("lsh recall floor at the clusterer's defaults (eps=0.10, 4 tables) " +
+    "on a 20k pool with near-boundary planted pairs (VERDICT r10 #5)") {
+    // scaled-down replica of LshRecallProbe (PERF.md carries the 100k
+    // curve: tables 1/2/4 → recall 0.934/0.993/1.000): perturbed pool
+    // copies at cosine distance ≈ {0.02, 0.05, 0.08, 0.095} — including
+    // the band edge where LSH recall actually degrades. Deterministic:
+    // HashEmbed vectors + the lsh model's fixed seed.
+    import graft.functions.HashEmbed
+    import org.apache.spark.sql.Column
+    val poolN = 20000L
+    val eps = 0.10
+    val pool = spark.range(1, poolN + 1).select(
+      col("id").as("k"),
+      HashEmbed.embedColumn(concat(lit("pooldoc "), col("id").cast("string")))
+        .as("v"))
+    def mixed(v: Column, w: Column, alpha: Column): Column = {
+      val mix = zip_with(v, w, (a, b) => a + alpha.cast("float") * b)
+      val norm = sqrt(aggregate(mix, lit(0.0d),
+        (s, x) => s + x.cast("double") * x.cast("double")))
+      transform(mix, x => (x.cast("double") / norm).cast("float"))
+    }
+    def alphaFor(d: Double): Double =
+      math.sqrt(1.0 / math.pow(1.0 - d, 2) - 1.0)
+    val alphaCol = element_at(
+      array(Seq(0.02, 0.05, 0.08, 0.095).map(d => lit(alphaFor(d))): _*),
+      (col("id") % 4 + 1).cast("int"))
+    val target = (col("id") * 97L) % poolN + 1L
+    val batch = spark.range(0, 400).select(
+      (col("id") + 10000000L).as("k"),
+      mixed(
+        HashEmbed.embedColumn(concat(lit("pooldoc "), target.cast("string"))),
+        HashEmbed.embedColumn(concat(lit("noise "), col("id").cast("string"))),
+        alphaCol).as("v"))
+    val truth = SimilarityJoin.bandExact(batch, pool, "k", "v", eps)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(truth.size >= 400, s"planted pairs missing: ${truth.size}")
+    val got = SimilarityJoin.lsh(batch, pool, "k", "v", eps, numHashTables = 4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(truth), "lsh emitted a pair the exact join rejects")
+    val recall = got.size.toDouble / truth.size
+    info(f"lsh recall at 4 tables on 20k pool: $recall%.4f (${got.size}/${truth.size})")
+    assert(recall >= 0.98, f"recall $recall%.4f below the 0.98 floor")
+  }
 }
