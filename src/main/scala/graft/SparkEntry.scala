@@ -541,6 +541,75 @@ object QueryCatalog {
         .orderBy(col("o_year"))
     }),
 
+    // TPC-H Q9-shaped profit roll-up (VERDICT r10 #7): a LIKE-filtered
+    // part dimension drives a five-table star (part → lineitem ←
+    // supplier → nation, lineitem → orders for the year), with a
+    // COMPUTED two-term profit expression aggregated by nation × year.
+    // The testdata has no partsupp, so supply cost is modeled as
+    // 10% of p_retailprice × quantity — same plan shape (dim attribute
+    // multiplied into the fact measure), different constant. Scale
+    // shape: the LIKE filter prunes part FIRST (pushed to the scan as a
+    // contains-filter), the pruned dim broadcasts, supplier→nation
+    // broadcasts, and only the orders join shuffles on orderkey; the
+    // groupBy key (nation, year) is tiny. Decimal staging: every
+    // product is cast back to decimal(18,6) — values fit losslessly
+    // (price 2dp × (1−disc) 2dp; retail 1dp × integer qty × 0.1) — so
+    // neither engine hits its 38-digit precision cap differently.
+    "q9_profit_rollup" -> ((s, dir) => {
+      val gearParts = Tables.part(s, dir)
+        .filter(col("p_name").like("%gear%"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val supp = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      val dec = "decimal(18,6)"
+      val rev = (col("l_extendedprice").cast(dec) *
+        (lit(1).cast(dec) - col("l_discount").cast(dec))).cast(dec)
+      val cost = ((col("p_retailprice").cast(dec) *
+        col("l_quantity").cast(dec)).cast(dec) *
+        lit(0.1).cast(dec)).cast(dec)
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(gearParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), col("o_year"))
+        .agg(round(sum(rev - cost), 4).cast("double").as("profit"))
+        .orderBy(col("nation"), col("o_year"))
+    }),
+
+    // TPC-H Q12-shaped two-flag conditional aggregate (VERDICT r10 #7):
+    // late-shipped lineitems (shipped > 60 days after the order date —
+    // the testdata has no commit/receipt dates, so lateness is the
+    // ship−order gap) bucketed by return flag, with the order-priority
+    // split computed as TWO conditional sums in the SAME aggregation
+    // pass — never two scans joined. The date-window filter on orders
+    // pushes to its scan; the lateness predicate is a join-level filter
+    // (it references both sides). One orderkey shuffle; the group key
+    // is 3 values.
+    "q12_shipmode" -> ((s, dir) => {
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1997-01-01").cast("timestamp")
+      val highPri = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+            .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_returnflag").as("mode"))
+        .agg(
+          sum(when(highPri, 1L).otherwise(0L)).as("high_count"),
+          sum(when(!highPri, 1L).otherwise(0L)).as("low_count"))
+        .orderBy(col("mode"))
+    }),
+
     // Iterative graph analytics — exact-integer PageRank (operators/
     // PageRank) over the part co-purchase graph (parts sharing an
     // order, both directions, deduped). The iterative-join dataflow no
@@ -1043,6 +1112,40 @@ object QueryCatalog {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY o_year
         |ORDER BY o_year""".stripMargin,
+    "q9_profit_rollup" ->
+      // decimal staging mirrors the Spark side exactly: each product is
+      // cast back to DECIMAL(18,6) (lossless for these value shapes), so
+      // the sum is engine-order-independent and the final round(…,4)
+      // compares identical doubles
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  CAST(round(sum(
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |         (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+        |      AS DECIMAL(18,6)) -
+        |    CAST(CAST(CAST(p_retailprice AS DECIMAL(18,6)) *
+        |              CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(18,6)) *
+        |         CAST(0.1 AS DECIMAL(18,6)) AS DECIMAL(18,6))
+        |  ), 4) AS DOUBLE) AS profit
+        |FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY n_name, o_year
+        |ORDER BY nation, o_year""".stripMargin,
+    "q12_shipmode" ->
+      """SELECT l_returnflag AS mode,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_returnflag
+        |ORDER BY mode""".stripMargin,
     "g1_pagerank" ->
       // The oracle mirrors the operator's node-set semantics exactly
       // (ADVICE r10 #3): ranks live on src UNION dst, and each

@@ -612,4 +612,39 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length <= 4,
       s"more aggregate passes than the single conditional-ratio pass:\n$p")
   }
+
+  test("q9 profit roll-up: the LIKE filter reaches the part scan as a " +
+    "contains pushdown, the pruned dims broadcast, and the scan is " +
+    "column-pruned") {
+    val p = QueryCatalog.queries("q9_profit_rollup")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("StringContains(p_name,gear)"),
+      s"LIKE '%gear%' did not push to the part scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dim arms not broadcast:\n$p")
+    assert(p.contains("ReadSchema: struct<p_partkey:bigint,p_name:string," +
+      "p_retailprice:double"),
+      s"part scan reads more than the three referenced columns:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q12 priority split: the order-date window pushes to the orders " +
+    "scan; the two conditional counts come out of ONE aggregation pass") {
+    val p = QueryCatalog.queries("q12_shipmode")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,") &&
+      p.contains("LessThan(o_orderdate,"),
+      s"order-date window did not reach the orders scan:\n$p")
+    // lineitem scan prunes to the three referenced columns
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity") ||
+      p.contains("ReadSchema: struct<l_orderkey:bigint,l_returnflag:string," +
+        "l_shipdate:timestamp"),
+      s"lineitem scan not pruned:\n$p")
+    // both flag counts ride ONE aggregation pass: 2 physical nodes
+    // (partial + final), each printed twice by formatted mode (tree +
+    // detail section) = 4 mentions
+    assert("HashAggregate".r.findAllIn(p).length <= 4,
+      s"priority split took more than one aggregation pass:\n$p")
+  }
 }
