@@ -610,6 +610,28 @@ object QueryCatalog {
         .orderBy(col("mode"))
     }),
 
+    // Census-driven physical-join selection (operators/AdaptiveJoin —
+    // VERDICT r10 #2 made load-bearing): the pre-flight measures both
+    // sides (JoinSizeEstimate + exact hot-key census) and picks
+    // broadcast / shuffle / salted BEFORE committing the join. The
+    // oracle is the PLAIN join — whatever physical form the ladder
+    // picks must be result-identical (j10's discipline, now for the
+    // whole ladder; AdaptiveJoinSpec pins that planted skew flips the
+    // choice to salted).
+    "j15_adaptive_join" -> ((s, dir) => {
+      val facts = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("orderkey"),
+          col("l_quantity"), col("l_extendedprice"))
+      val dim = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("orderkey"), col("o_orderpriority"))
+      val (joined, _) = graft.operators.AdaptiveJoin.join(facts, dim, "orderkey")
+      joined.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast("decimal(18,6)")), 4)
+            .cast("double").as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Iterative graph analytics — exact-integer PageRank (operators/
     // PageRank) over the part co-purchase graph (parts sharing an
     // order, both directions, deduped). The iterative-join dataflow no
@@ -1146,6 +1168,13 @@ object QueryCatalog {
         |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
         |GROUP BY l_returnflag
         |ORDER BY mode""".stripMargin,
+    "j15_adaptive_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "g1_pagerank" ->
       // The oracle mirrors the operator's node-set semantics exactly
       // (ADVICE r10 #3): ranks live on src UNION dst, and each
