@@ -353,6 +353,47 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ORC ROUND-TRIP — the third interchange format (p16 CSV, p17
+    // JSONL): the OTHER columnar container a lake migration meets.
+    // Binary-safe by design (no quoting/escaping layer at all — the
+    // hostile control/quote/unicode payloads pass through untouched),
+    // splittable by stripe, and its min/max stripe statistics serve
+    // predicate pushdown exactly like parquet's row groups. Pinned
+    // schema on read; oracle = the logical input.
+    "p18_orc_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val hostile = Seq(
+        (-3L, "nul-adjacent  control and \"quotes\"", "zz"),
+        (-2L, "line one\nline two\ttab", "yy"),
+        (-1L, "José «café» — ünïcode", "xx")
+      ).toDF("doc_id", "text", "lang")
+      val src = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .unionByName(hostile)
+      val out = SparkHygiene.scratchDir("p18_orc")
+      src.write.mode("overwrite").orc(out)
+      s.read.schema("doc_id LONG, text STRING, lang STRING").orc(out)
+        .orderBy(col("doc_id"))
+    }),
+
+    // PARTITIONED WRITE + PARTITION-PRUNED READ — the directory-layout
+    // contract every 100 TB lake relies on: write documents
+    // hive-partitioned by lang, read back with a lang predicate, and
+    // the scan must LIST only the two matching directories (
+    // PartitionFilters, pinned in PlanSpec) — no file of any other
+    // language is opened. The partition column round-trips through the
+    // directory name, not the file bytes.
+    "p19_partition_prune" -> ((s, dir) => {
+      val out = SparkHygiene.scratchDir("p19_part")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      s.read.parquet(out)
+        .filter(col("lang").isin("en", "de"))
+        .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // token-distribution entropy (training-data quality signal: gibberish
     // and boilerplate sit at the entropy extremes). H = log2(N) − Σ c·log2(c)/N
     // over unigram counts — exact and one aggregation chain.
@@ -605,6 +646,16 @@ object TextQueries {
         |UNION ALL SELECT -3, 'quotes " and \ backslash', 'zz'
         |UNION ALL SELECT -2, 'line one' || chr(10) || 'line two', 'yy'
         |UNION ALL SELECT -1, 'José «café» — ünïcode', 'xx'
+        |ORDER BY doc_id""".stripMargin,
+    "p18_orc_roundtrip" ->
+      """SELECT doc_id, text, lang FROM documents
+        |UNION ALL SELECT -3, 'nul-adjacent ' || chr(1) || ' control and "quotes"', 'zz'
+        |UNION ALL SELECT -2, 'line one' || chr(10) || 'line two' || chr(9) || 'tab', 'yy'
+        |UNION ALL SELECT -1, 'José «café» — ünïcode', 'xx'
+        |ORDER BY doc_id""".stripMargin,
+    "p19_partition_prune" ->
+      """SELECT doc_id, lang, length(text) AS text_len FROM documents
+        |WHERE lang IN ('en', 'de')
         |ORDER BY doc_id""".stripMargin,
     "p12_parse_tags" ->
       """WITH t AS (SELECT doc_id,

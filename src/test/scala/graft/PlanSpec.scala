@@ -647,4 +647,18 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length <= 4,
       s"priority split took more than one aggregation pass:\n$p")
   }
+
+  test("p19 hive-partitioned read prunes the directory listing to the two " +
+    "matching lang partitions — the predicate is a PartitionFilter, not a " +
+    "data filter") {
+    val p = plan("p19_partition_prune")
+    assert(p.contains("PartitionFilters: [") && !p.contains("PartitionFilters: []"),
+      s"lang predicate did not become a partition filter:\n$p")
+    assert(p.contains("lang") && p.contains("IN (en,de)"),
+      s"IN-list partition filter missing:\n$p")
+    // the partition column is served by directory names: the file scan
+    // reads only the two data columns, never a lang column from bytes
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan should read only doc_id+text from file bytes:\n$p")
+  }
 }
