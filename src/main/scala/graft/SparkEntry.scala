@@ -710,6 +710,77 @@ object QueryCatalog {
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // MERGE INTO — the lakehouse upsert statement (update matched,
+    // delete flagged, insert unmatched) expressed as the COPY-ON-WRITE
+    // plan every table format ships: the huge target is only ever the
+    // STREAM side of broadcast joins against the small delta, so the
+    // target is scanned but NEVER shuffled. Three branches:
+    //   kept     = target ANTI broadcast(delta keys)   (untouched rows)
+    //   updated  = target INNER broadcast(delta WHERE op='U')
+    //   inserted = delta-'U' ANTI broadcast(updated keys)  — the
+    //              "was it matched?" set is itself delta-bounded, so
+    //              the insert branch joins two small relations.
+    // Deletes fall out by not being emitted anywhere. The only
+    // exchange in the whole statement is the final presentation sort;
+    // at 100 TB the same plan rewrites only touched files.
+    "j16_merge_upsert" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      // an "older snapshot" (some keys absent → insert targets) and a
+      // deterministic change feed with an op column, both key-derived
+      val target = orders.filter(col("o_orderkey") % 5 =!= 4)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").as("price"))
+      val delta = orders.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("d_key"), col("o_custkey").as("d_custkey"),
+          when(col("o_orderkey") % 21 === 0, lit("D")).otherwise(lit("U")).as("op"),
+          (col("o_orderkey") % 100000).cast("double").as("new_price"))
+      val kept = target
+        .join(broadcast(delta.select(col("d_key"))),
+          col("o_orderkey") === col("d_key"), "left_anti")
+        .select(col("o_orderkey"), col("o_custkey"), col("price"),
+          lit("kept").as("action"))
+      val updated = target
+        .join(broadcast(delta.filter(col("op") === "U")),
+          col("o_orderkey") === col("d_key"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("new_price").as("price"), lit("updated").as("action"))
+      val inserted = delta.filter(col("op") === "U")
+        .join(broadcast(updated.select(col("o_orderkey").as("m_key"))),
+          col("d_key") === col("m_key"), "left_anti")
+        .select(col("d_key").as("o_orderkey"), col("d_custkey").as("o_custkey"),
+          col("new_price").as("price"), lit("inserted").as("action"))
+      kept.unionByName(updated).unionByName(inserted)
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // SCD TYPE-2 dimension build — turn an event stream into validity
+    // INTERVALS (valid_from / valid_to / is_current), the history table
+    // every warehouse keeps for "what was this entity's state at time
+    // t". Two window passes over ONE user_id exchange: a lag() pass
+    // drops consecutive duplicates (an event that doesn't change the
+    // state opens no new version), then a lead() pass closes each
+    // version with the next version's start. Both windows share the
+    // partitioning, so Catalyst plans a single hash exchange — the
+    // whole history build moves each key across the wire once,
+    // regardless of how many versions it has.
+    "j17_scd2" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val byFrom = Window.partitionBy(col("user_id"))
+        .orderBy(col("valid_from"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev").isNull || col("event_type") =!= col("prev"))
+        .select(col("user_id"), col("event_type"),
+          col("ts").as("valid_from"), col("event_id"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(byFrom))
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          col("valid_to"),
+          when(col("valid_to").isNull, lit(1)).otherwise(lit(0)).as("is_current"))
+        .orderBy(col("user_id"), col("valid_from"))
+    }),
+
     // Referential-integrity audit (the dbt "relationship test" shape):
     // both directions of each FK edge in ONE report — parent-less
     // children (true violations; 0 on consistent data, and the gate
@@ -1270,6 +1341,45 @@ object QueryCatalog {
         |         WHERE l_orderkey = o_orderkey
         |         ORDER BY l_extendedprice DESC, l_linenumber LIMIT 1) t
         |ORDER BY o_orderkey""".stripMargin,
+    "j16_merge_upsert" ->
+      """WITH target AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice AS price
+        |  FROM orders WHERE o_orderkey % 5 <> 4),
+        |delta AS (
+        |  SELECT o_orderkey AS d_key, o_custkey AS d_custkey,
+        |         CASE WHEN o_orderkey % 21 = 0 THEN 'D' ELSE 'U' END AS op,
+        |         CAST(o_orderkey % 100000 AS DOUBLE) AS new_price
+        |  FROM orders WHERE o_orderkey % 7 = 0)
+        |SELECT * FROM (
+        |  SELECT t.o_orderkey, t.o_custkey, t.price, 'kept' AS action
+        |  FROM target t
+        |  WHERE NOT EXISTS (SELECT 1 FROM delta WHERE d_key = t.o_orderkey)
+        |  UNION ALL
+        |  SELECT t.o_orderkey, t.o_custkey, d.new_price, 'updated'
+        |  FROM target t JOIN delta d ON d.d_key = t.o_orderkey AND d.op = 'U'
+        |  UNION ALL
+        |  SELECT d.d_key, d.d_custkey, d.new_price, 'inserted'
+        |  FROM delta d
+        |  WHERE d.op = 'U'
+        |    AND NOT EXISTS (SELECT 1 FROM target WHERE o_orderkey = d.d_key))
+        |ORDER BY o_orderkey""".stripMargin,
+    "j17_scd2" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |changes AS (
+        |  SELECT user_id, event_type, ts AS valid_from, event_id
+        |  FROM ordered WHERE prev IS NULL OR event_type <> prev)
+        |SELECT user_id, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id
+        |                         ORDER BY valid_from, event_id) AS valid_to,
+        |  CASE WHEN lead(valid_from) OVER (PARTITION BY user_id
+        |                                   ORDER BY valid_from, event_id)
+        |         IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM changes
+        |ORDER BY user_id, valid_from""".stripMargin,
     "q23_ri_audit" ->
       """SELECT * FROM (
         |  SELECT 'orders_without_customer' AS relation, count(*) AS n_rows

@@ -648,6 +648,23 @@ class PlanSpec extends SparkSpec {
       s"priority split took more than one aggregation pass:\n$p")
   }
 
+  test("j16 MERGE never shuffles the target — every join is broadcast " +
+    "and the only exchange is the presentation sort") {
+    val p = plan("j16_merge_upsert")
+    assert(!p.contains("SortMergeJoin"),
+      s"target was shuffled into a sort-merge join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"a hash exchange appeared — the copy-on-write shape is lost:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"delta not broadcast:\n$p")
+  }
+
+  test("j17 SCD2 builds both window passes over ONE user_id exchange") {
+    val p = plan("j17_scd2")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"the two windows should share a single user_id exchange:\n$p")
+    assert("Window".r.findAllIn(p).length >= 2, s"expected lag+lead windows:\n$p")
+  }
+
   test("p19 hive-partitioned read prunes the directory listing to the two " +
     "matching lang partitions — the predicate is a PartitionFilter, not a " +
     "data filter") {
