@@ -130,6 +130,40 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // MATRYOSHKA two-stage rerank — the dimension-reduction retrieval
+    // shape (MRL-style prefix embeddings): score EVERY candidate with
+    // only the first 16 of 64 dims (4× cheaper kernel), keep an
+    // overfetched top-32 per query by rounded prefix score, then
+    // re-rank just those 32 with the exact full-dim dot and cut to 10.
+    // The prefix column is computed ONCE PER SIDE before the join —
+    // never per pair — so the expensive slice runs N times, not N×Q.
+    // Same plan family as s7's ADC-then-rerank but with zero trained
+    // state; at 100 TB the stage-1 kernel is what streams the corpus,
+    // and stage 2 touches 32 rows per query. Both the cut and the
+    // rerank are deterministic (rounded score + id tie-break), so the
+    // oracle mirrors the exact two-stage result, not a recall band.
+    "s12_matryoshka" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("pre", slice(col("embedding"), 1, 16))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("pre").as("qp"))
+      val w1 = Window.partitionBy(col("qid"))
+        .orderBy(col("psim").desc, col("vec_id").asc)
+      val w2 = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      broadcast(q).crossJoin(emb)
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("psim", round(VectorFns.dotProduct(col("qp"), col("pre")), 4))
+        .withColumn("prk", row_number().over(w1))
+        .filter(col("prk") <= 32)
+        .withColumn("sim", round(VectorFns.dotProduct(col("qv"), col("embedding")), 4))
+        .withColumn("rk", row_number().over(w2))
+        .filter(col("rk") <= 10)
+        .select(col("qid"), col("vec_id"), col("psim"), col("sim"), col("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // brute-force cosine top-k: rank by ROUNDED sim + vec_id tie-break so
     // the cut is engine-stable
     "s1_knn" -> ((s, dir) => {
@@ -432,6 +466,20 @@ object SimilarityQueries {
         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
         |      FROM s)
         |SELECT qid, vec_id, label, sim, rk FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    "s12_matryoshka" ->
+      """WITH e AS (SELECT vec_id, embedding, embedding[1:16] AS pre FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding AS qv, pre AS qp FROM e WHERE vec_id < 5),
+        |c AS (SELECT q.qid, e.vec_id,
+        |        round(list_dot_product(q.qp::DOUBLE[], e.pre::DOUBLE[]), 4) AS psim,
+        |        round(list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[]), 4) AS sim
+        |      FROM q CROSS JOIN e WHERE e.vec_id <> q.qid),
+        |p AS (SELECT *, row_number() OVER
+        |        (PARTITION BY qid ORDER BY psim DESC, vec_id) AS prk FROM c),
+        |r AS (SELECT qid, vec_id, psim, sim, row_number() OVER
+        |        (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+        |      FROM p WHERE prk <= 32)
+        |SELECT qid, vec_id, psim, sim, rk FROM r WHERE rk <= 10
+        |ORDER BY qid, rk""".stripMargin,
     "s1_knn" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |s AS (SELECT q.qid, e.vec_id, e.label,

@@ -671,6 +671,32 @@ object QueryCatalog {
       est.crossJoin(broadcast(truth))
     }),
 
+    // INCREMENTAL AGGREGATE MAINTENANCE — the materialized-view merge
+    // algebra: an already-computed per-customer state (orders before
+    // 1997) absorbs a delta (orders from 1997 on) by RE-AGGREGATING
+    // THE STATES — counts add, sums add — never by recomputing from
+    // raw history. Here both halves are computed so the oracle (a
+    // from-scratch aggregate over ALL orders) can PROVE the algebra:
+    // state-merge ≡ recompute, exactly, including customers present in
+    // only one half. In production the state half is a materialized
+    // table, so maintenance cost is |delta| + one state-sized merge
+    // exchange — independent of history length. Sums ride decimals so
+    // the two-level re-aggregation is associativity-exact.
+    "q27_incremental_agg" -> ((s, dir) => {
+      val split = lit("1997-01-01").cast("timestamp")
+      def half(df: DataFrame) = df
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      val orders = Tables.orders(s, dir)
+      half(orders.filter(col("o_orderdate") < split))
+        .unionByName(half(orders.filter(col("o_orderdate") >= split)))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("n")).as("n_orders"),
+          sum(col("rev")).cast("double").as("revenue"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // Correlated SCALAR subquery in the SELECT list — the fourth
     // decorrelation path (EXISTS→semi, NOT IN→null-aware anti,
     // LATERAL→domain join are the other three): Catalyst rewrites the
@@ -1327,6 +1353,12 @@ object QueryCatalog {
          |  true_pairs
          |FROM p, nu, hvagg, tr""".stripMargin
     },
+    "q27_incremental_agg" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
     "q24_scalar_subquery" ->
       """SELECT c_custkey,
         |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,

@@ -665,6 +665,23 @@ class PlanSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).length >= 2, s"expected lag+lead windows:\n$p")
   }
 
+  test("s12 matryoshka rerank is ONE corpus join — stage 2 re-scores the " +
+    "overfetched candidates in place, never joins again") {
+    val p = plan("s12_matryoshka")
+    assert("Join".r.findAllIn(p).length <= 2, // one operator, tree+detail print
+      s"rerank should not add a second join:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"query side not broadcast:\n$p")
+  }
+
+  test("q27 state merge aggregates partially map-side at every level") {
+    val df = QueryCatalog.queries("q27_incremental_agg")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("partial_sum") && p.contains("partial_count"),
+      s"map-side combine missing from the state halves:\n$p")
+  }
+
   test("p19 hive-partitioned read prunes the directory listing to the two " +
     "matching lang partitions — the predicate is a PartitionFilter, not a " +
     "data filter") {
