@@ -737,18 +737,11 @@ object QueryCatalog {
     }),
 
     // MERGE INTO — the lakehouse upsert statement (update matched,
-    // delete flagged, insert unmatched) expressed as the COPY-ON-WRITE
-    // plan every table format ships: the huge target is only ever the
-    // STREAM side of broadcast joins against the small delta, so the
-    // target is scanned but NEVER shuffled. Three branches:
-    //   kept     = target ANTI broadcast(delta keys)   (untouched rows)
-    //   updated  = target INNER broadcast(delta WHERE op='U')
-    //   inserted = delta-'U' ANTI broadcast(updated keys)  — the
-    //              "was it matched?" set is itself delta-bounded, so
-    //              the insert branch joins two small relations.
-    // Deletes fall out by not being emitted anywhere. The only
-    // exchange in the whole statement is the final presentation sort;
-    // at 100 TB the same plan rewrites only touched files.
+    // delete flagged, insert unmatched) via operators/MergeInto: the
+    // copy-on-write plan where the huge target is only ever the STREAM
+    // side of broadcast joins against the small delta — scanned, never
+    // shuffled (see MergeInto.scala for the three-branch dataflow).
+    // The only exchange in the statement is the presentation sort.
     "j16_merge_upsert" -> ((s, dir) => {
       val orders = Tables.orders(s, dir)
       // an "older snapshot" (some keys absent → insert targets) and a
@@ -757,55 +750,33 @@ object QueryCatalog {
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_totalprice").as("price"))
       val delta = orders.filter(col("o_orderkey") % 7 === 0)
-        .select(col("o_orderkey").as("d_key"), col("o_custkey").as("d_custkey"),
+        .select(col("o_orderkey"), col("o_custkey").as("d_custkey"),
           when(col("o_orderkey") % 21 === 0, lit("D")).otherwise(lit("U")).as("op"),
           (col("o_orderkey") % 100000).cast("double").as("new_price"))
-      val kept = target
-        .join(broadcast(delta.select(col("d_key"))),
-          col("o_orderkey") === col("d_key"), "left_anti")
-        .select(col("o_orderkey"), col("o_custkey"), col("price"),
-          lit("kept").as("action"))
-      val updated = target
-        .join(broadcast(delta.filter(col("op") === "U")),
-          col("o_orderkey") === col("d_key"))
-        .select(col("o_orderkey"), col("o_custkey"),
-          col("new_price").as("price"), lit("updated").as("action"))
-      val inserted = delta.filter(col("op") === "U")
-        .join(broadcast(updated.select(col("o_orderkey").as("m_key"))),
-          col("d_key") === col("m_key"), "left_anti")
-        .select(col("d_key").as("o_orderkey"), col("d_custkey").as("o_custkey"),
-          col("new_price").as("price"), lit("inserted").as("action"))
-      kept.unionByName(updated).unionByName(inserted)
+      graft.operators.MergeInto(
+          target, delta, key = "o_orderkey",
+          deleteWhen = col("op") === "D",
+          updateCols = Seq(
+            "o_orderkey" -> col("o_orderkey"),
+            "o_custkey" -> col("o_custkey"),
+            "price" -> col("new_price")),
+          insertCols = Seq(
+            "o_orderkey" -> col("o_orderkey"),
+            "o_custkey" -> col("d_custkey"),
+            "price" -> col("new_price")),
+          tag = Some("action"))
         .orderBy(col("o_orderkey"))
     }),
 
-    // SCD TYPE-2 dimension build — turn an event stream into validity
-    // INTERVALS (valid_from / valid_to / is_current), the history table
-    // every warehouse keeps for "what was this entity's state at time
-    // t". Two window passes over ONE user_id exchange: a lag() pass
-    // drops consecutive duplicates (an event that doesn't change the
-    // state opens no new version), then a lead() pass closes each
-    // version with the next version's start. Both windows share the
-    // partitioning, so Catalyst plans a single hash exchange — the
-    // whole history build moves each key across the wire once,
-    // regardless of how many versions it has.
-    "j17_scd2" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val byUser = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val byFrom = Window.partitionBy(col("user_id"))
-        .orderBy(col("valid_from"), col("event_id"))
-      Tables.events(s, dir)
-        .withColumn("prev", lag(col("event_type"), 1).over(byUser))
-        .filter(col("prev").isNull || col("event_type") =!= col("prev"))
-        .select(col("user_id"), col("event_type"),
-          col("ts").as("valid_from"), col("event_id"))
-        .withColumn("valid_to", lead(col("valid_from"), 1).over(byFrom))
-        .select(col("user_id"), col("event_type"), col("valid_from"),
-          col("valid_to"),
-          when(col("valid_to").isNull, lit(1)).otherwise(lit(0)).as("is_current"))
-        .orderBy(col("user_id"), col("valid_from"))
-    }),
+    // SCD TYPE-2 dimension build via operators/Scd2: event stream →
+    // validity intervals (valid_from / valid_to / is_current), the
+    // warehouse history table. lag() duplicate-collapse then lead()
+    // close, both windows over ONE user_id exchange (see Scd2.scala).
+    "j17_scd2" -> ((s, dir) =>
+      graft.operators.Scd2.intervals(Tables.events(s, dir),
+          key = "user_id", state = "event_type", ts = "ts",
+          tieBreak = "event_id")
+        .orderBy(col("user_id"), col("valid_from"))),
 
     // Referential-integrity audit (the dbt "relationship test" shape):
     // both directions of each FK edge in ONE report — parent-less
