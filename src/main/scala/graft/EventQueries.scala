@@ -373,6 +373,37 @@ object EventQueries {
         .orderBy(col("user_id"), col("s_start"))
     }),
 
+    // W23: j17's SCD2 history build run INCREMENTALLY through
+    // Structured Streaming — flatMapGroupsWithState carries the one
+    // open version per key (bytes of state, regardless of history
+    // length) and emits each version exactly once, the moment the
+    // event that closes it arrives. The oracle is the BATCH operator's
+    // closed rows (valid_to IS NOT NULL): streaming incremental
+    // maintenance must equal batch recompute, hash-exact, through a
+    // real streaming execution (AvailableNow → parquet sink → read
+    // back). Open versions live only in state and never emit — the
+    // same never-retract discipline as w20's sessions.
+    "w23_stream_scd2" -> ((s0, dir) => {
+      val s = SparkHygiene.streamStateSession(s0, 8)
+      import s.implicits._
+      val ev = Tables.eventsStream(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .as[graft.streaming.StreamScd2.Ev]
+      val closed = graft.streaming.StreamScd2.closedIntervals(ev)
+      val out = SparkHygiene.scratchDir("w23_out")
+      val ck = SparkHygiene.scratchDir("w23_ck")
+      val q = closed.toDF.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          col("valid_to"))
+        .orderBy(col("user_id"), col("valid_from"))
+    }),
+
     "j7_asof" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -949,6 +980,23 @@ object EventQueries {
         |FROM s, cut GROUP BY user_id, sidx, c
         |HAVING max(ts) + INTERVAL 30 MINUTE < c
         |ORDER BY user_id, s_start""".stripMargin,
+    "w23_stream_scd2" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |changes AS (
+        |  SELECT user_id, event_type, ts AS valid_from, event_id
+        |  FROM ordered WHERE prev IS NULL OR event_type <> prev),
+        |v AS (
+        |  SELECT user_id, event_type, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY user_id
+        |                           ORDER BY valid_from, event_id) AS valid_to
+        |  FROM changes)
+        |SELECT user_id, event_type, valid_from, valid_to
+        |FROM v WHERE valid_to IS NOT NULL
+        |ORDER BY user_id, valid_from""".stripMargin,
     "j7_asof" ->
       """WITH u AS (
         |  SELECT user_id, ts, event_id AS pid, CAST(NULL AS BIGINT) AS cid,
