@@ -394,6 +394,25 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // SMALL-FILE COMPACTION — the lake-maintenance rewrite every
+    // long-running ingest needs: 64 tiny files (the streaming-sink
+    // debris pattern) folded into byte-budgeted, range-clustered files
+    // by operators/Compaction. The oracle pins that the rewrite is
+    // logically invisible; CompactionSpec pins the physical contract
+    // (file count from the byte budget, disjoint per-file key ranges).
+    "p20_compaction" -> ((s, dir) => {
+      val in = SparkHygiene.scratchDir("p20_in")
+      val out = SparkHygiene.scratchDir("p20_out")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .repartition(64).write.mode("overwrite").parquet(in)
+      graft.operators.Compaction.compact(s, in, out,
+        sortCol = "doc_id", targetBytes = 4L << 20)
+      s.read.parquet(out)
+        .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // token-distribution entropy (training-data quality signal: gibberish
     // and boilerplate sit at the entropy extremes). H = log2(N) − Σ c·log2(c)/N
     // over unigram counts — exact and one aggregation chain.
@@ -656,6 +675,9 @@ object TextQueries {
     "p19_partition_prune" ->
       """SELECT doc_id, lang, length(text) AS text_len FROM documents
         |WHERE lang IN ('en', 'de')
+        |ORDER BY doc_id""".stripMargin,
+    "p20_compaction" ->
+      """SELECT doc_id, lang, length(text) AS text_len FROM documents
         |ORDER BY doc_id""".stripMargin,
     "p12_parse_tags" ->
       """WITH t AS (SELECT doc_id,
