@@ -413,6 +413,25 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // MANIFEST-PRUNED READ — the footer-stats scan planner over the
+    // compacted, range-clustered layout: a key-range read lists the
+    // manifest (driver-side, footer-only), plans ONLY the files whose
+    // min/max can match, and applies the residual filter. The oracle
+    // pins that file-level pruning is logically invisible; ManifestSpec
+    // pins the physical contract (1 file planned for a point read).
+    "p21_manifest_read" -> ((s, dir) => {
+      val in = SparkHygiene.scratchDir("p21_in")
+      val out = SparkHygiene.scratchDir("p21_out")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .repartition(32).write.mode("overwrite").parquet(in)
+      graft.operators.Compaction.compact(s, in, out,
+        sortCol = "doc_id", targetBytes = 64L << 10)
+      graft.sources.Manifest.prunedRead(s, out, "doc_id", 100L, 149L)
+        .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // token-distribution entropy (training-data quality signal: gibberish
     // and boilerplate sit at the entropy extremes). H = log2(N) − Σ c·log2(c)/N
     // over unigram counts — exact and one aggregation chain.
@@ -678,6 +697,10 @@ object TextQueries {
         |ORDER BY doc_id""".stripMargin,
     "p20_compaction" ->
       """SELECT doc_id, lang, length(text) AS text_len FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "p21_manifest_read" ->
+      """SELECT doc_id, lang, length(text) AS text_len FROM documents
+        |WHERE doc_id BETWEEN 100 AND 149
         |ORDER BY doc_id""".stripMargin,
     "p12_parse_tags" ->
       """WITH t AS (SELECT doc_id,
