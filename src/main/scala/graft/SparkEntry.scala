@@ -653,6 +653,27 @@ object QueryCatalog {
         .orderBy(col("part_key"))
     }),
 
+    // Bounded-round min-label propagation (operators/LabelProp) over
+    // the part↔supplier bipartite graph — the second iterative-join
+    // dataflow next to g1's rank propagation: after 3 synchronous
+    // rounds each node holds the smallest node id within 3 hops (the
+    // community-seed / k-hop-reachability primitive). Pure integer
+    // min, so the DuckDB oracle unrolls the rounds and matches
+    // bit-for-bit; one exchange per round (the groupBy(dst) min), the
+    // edge list hash-partitioned and cached once.
+    "g3_label_prop" -> ((s, dir) => {
+      val ps = Tables.lineitem(s, dir)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+        .distinct()
+      // suppliers offset into their own id space; both directions
+      val edges = ps
+        .select(col("p").as("src"), (col("sk") + lit(1000000000L)).as("dst"))
+        .unionByName(ps.select((col("sk") + lit(1000000000L)).as("src"),
+          col("p").as("dst")))
+      graft.operators.LabelProp.run(edges, "src", "dst", iters = 3)
+        .orderBy(col("node"))
+    }),
+
     // Join-size PRE-FLIGHT (operators/JoinSizeEstimate): estimate
     // |lineitem ⋈ orders| from coordinated bottom-k key samples —
     // one tiny aggregate per side, never the join itself — the guard
@@ -1283,6 +1304,25 @@ object QueryCatalog {
         |       GROUP BY n.node)
         |SELECT node AS part_key, CAST(rank AS BIGINT) AS pr_rank
         |FROM r3 ORDER BY part_key""".stripMargin,
+    "g3_label_prop" ->
+      // one CTE per synchronous round: min over (in-neighbor labels ∪
+      // own label) — the self-row keeps no-in-edge nodes alive, same
+      // as the operator's self-contribution union
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+        |e AS (SELECT p AS src, sk + 1000000000 AS dst FROM ps
+        |      UNION ALL SELECT sk + 1000000000, p FROM ps),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |l0 AS (SELECT node, node AS label FROM nodes),
+        |l1 AS (SELECT dst AS node, min(label) AS label FROM (
+        |         SELECT e.dst, l0.label FROM e JOIN l0 ON l0.node = e.src
+        |         UNION ALL SELECT node, label FROM l0) GROUP BY dst),
+        |l2 AS (SELECT dst AS node, min(label) AS label FROM (
+        |         SELECT e.dst, l1.label FROM e JOIN l1 ON l1.node = e.src
+        |         UNION ALL SELECT node, label FROM l1) GROUP BY dst),
+        |l3 AS (SELECT dst AS node, min(label) AS label FROM (
+        |         SELECT e.dst, l2.label FROM e JOIN l2 ON l2.node = e.src
+        |         UNION ALL SELECT node, label FROM l2) GROUP BY dst)
+        |SELECT node, label FROM l3 ORDER BY node""".stripMargin,
     "q26_join_size_guard" -> {
       // t19's 60-bit md5 digit-sum idiom with the jse: prefix
       def h(col: String) = (1 to 15).map(i =>

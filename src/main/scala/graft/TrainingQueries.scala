@@ -251,6 +251,60 @@ object TrainingQueries {
         .limit(120)
         .orderBy(col("doc_id"))),
 
+    // STRATIFIED train/val/test split with EXACT per-stratum quotas —
+    // the reproducible split every training run needs: within each
+    // language, docs are ordered by a seeded md5 key (a pure function
+    // of (seed, doc_id) — re-runs, cluster resizes, and the oracle all
+    // produce the same assignment) and the 80/10/10 cut is taken on
+    // row_number vs the stratum count, so quotas are exact integers,
+    // never a Bernoulli approximation. ONE shuffle on lang + a
+    // per-stratum window; skew is bounded by the hottest language —
+    // the honest cost of per-stratum exactness (a quota-free split
+    // would be t8's pure map-side filter).
+    "t30_stratified_split" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("rk"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          md5(concat(lit("split:"), col("doc_id").cast("string"))).as("rk"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+        .select(col("doc_id"), col("lang"),
+          when(col("rn") * 10 <= col("n") * 8, "train")
+            .when(col("rn") * 10 <= col("n") * 9, "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // MERGEABLE histogram quantiles — the 100 TB percentile path next
+    // to t18's exact form: per-(lang, bin) counts are a bounded,
+    // associative sketch (state ≤ max_tokens/16 bins per group however
+    // many documents flow through — partial-aggregated map-side, one
+    // shuffle), and the p50/p90 read-off is the first bin whose
+    // cumulative count crosses the quantile, reported as the bin's
+    // inclusive upper edge. All-integer, so the estimate is
+    // deterministic and the oracle replays it exactly; error is
+    // bounded by the bin width by construction.
+    "t32_hist_quantile" -> ((s, dir) => {
+      val binW = 16L
+      val cumW = Window.partitionBy(col("lang")).orderBy(col("bin"))
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          size(TextFns.repetitionTokens(col("text"))).cast("long").as("n"))
+        .groupBy(col("lang"), expr(s"n div $binW").as("bin"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(cumW))
+        .withColumn("total",
+          sum(col("c")).over(Window.partitionBy(col("lang"))))
+        .groupBy(col("lang"))
+        .agg(max(col("total")).as("n_docs"),
+          (min(when(col("cum") * 2 >= col("total"), col("bin")))
+            * binW + (binW - 1)).as("p50_est"),
+          (min(when(col("cum") * 10 >= col("total") * 9, col("bin")))
+            * binW + (binW - 1)).as("p90_est"))
+        .orderBy(col("lang"))
+    }),
+
     // deterministic global shuffle + fixed shard layout (the training
     // last mile): shard and in-shard order both derive from one portable
     // md5 key, so the permutation is a pure function of (seed, id) —
@@ -514,6 +568,29 @@ object TrainingQueries {
         |  SELECT doc_id, lang, md5('s42:' || doc_id::VARCHAR) AS rk
         |  FROM documents ORDER BY rk, doc_id LIMIT 120)
         |ORDER BY doc_id""".stripMargin,
+    "t30_stratified_split" ->
+      """WITH k AS (SELECT doc_id, lang,
+        |  md5('split:' || doc_id::VARCHAR) AS rk FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang ORDER BY rk, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS n FROM k)
+        |SELECT doc_id, lang,
+        |  CASE WHEN rn * 10 <= n * 8 THEN 'train'
+        |       WHEN rn * 10 <= n * 9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "t32_hist_quantile" ->
+      """WITH toks AS (SELECT lang,
+        |  len(regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))::BIGINT AS n
+        |  FROM documents),
+        |h AS (SELECT lang, n // 16 AS bin, count(*) AS c FROM toks GROUP BY 1, 2),
+        |cw AS (SELECT lang, bin, c,
+        |  CAST(sum(c) OVER (PARTITION BY lang ORDER BY bin) AS BIGINT) AS cum,
+        |  CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS total FROM h)
+        |SELECT lang, max(total) AS n_docs,
+        |  min(CASE WHEN cum * 2 >= total THEN bin END) * 16 + 15 AS p50_est,
+        |  min(CASE WHEN cum * 10 >= total * 9 THEN bin END) * 16 + 15 AS p90_est
+        |FROM cw GROUP BY lang ORDER BY lang""".stripMargin,
     "t14_shard_shuffle" -> {
       // u32 of the first 8 hex chars — same digit-sum idiom as s4
       val u32 = (1 to 8).map(i =>
