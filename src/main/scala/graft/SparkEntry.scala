@@ -718,6 +718,37 @@ object QueryCatalog {
         .orderBy(col("o_custkey"))
     }),
 
+    // DYNAMIC PARTITION PRUNING — the star-schema scan killer at
+    // 100 TB: the fact table is laid out hive-partitioned on the dim
+    // key (here customer nation), and a dim-side filter the planner
+    // can't see statically (region = EUROPE, two joins away from the
+    // fact) becomes a RUNTIME partition filter — Catalyst plants a
+    // dynamicpruning subquery reusing the dim broadcast, so the fact
+    // scan LISTS only the 5 European nation directories and the other
+    // 20 partitions are never opened (PlanSpec pins
+    // dynamicpruningexpression on the scan). The oracle computes the
+    // same report from the raw tables — pruning must be logically
+    // invisible.
+    "q28_dpp_prune" -> ((s, dir) => {
+      val out = SparkHygiene.scratchDir("q28_fact")
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("c_nationkey").as("nation_key"))
+        .write.mode("overwrite").partitionBy("nation_key").parquet(out)
+      val fact = s.read.parquet(out)
+      val dim = Tables.nation(s, dir)
+        .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .select(col("n_nationkey"), col("n_name"))
+      fact.join(dim, col("nation_key") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(18,6)")), 4)
+            .cast("double").as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+
     // Correlated SCALAR subquery in the SELECT list — the fourth
     // decorrelation path (EXISTS→semi, NOT IN→null-aware anti,
     // LATERAL→domain join are the other three): Catalyst rewrites the
@@ -1370,6 +1401,16 @@ object QueryCatalog {
         |FROM orders
         |GROUP BY o_custkey
         |ORDER BY o_custkey""".stripMargin,
+    "q28_dpp_prune" ->
+      """SELECT n_name, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DOUBLE)
+        |    AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q24_scalar_subquery" ->
       """SELECT c_custkey,
         |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,

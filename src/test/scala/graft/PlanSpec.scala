@@ -695,4 +695,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       s"scan should read only doc_id+text from file bytes:\n$p")
   }
+
+  test("q28 fact scan carries a DYNAMIC partition filter from the dim " +
+    "side — the region predicate prunes fact directories at runtime") {
+    val p = plan("q28_dpp_prune")
+    assert(p.contains("dynamicpruningexpression"),
+      s"dynamic partition pruning did not plant on the fact scan:\n$p")
+    // the pruning subquery must land on the PARTITION filter list of
+    // the fact scan (directory-level skip), not a row-level DataFilter
+    assert("PartitionFilters: \\[[^\\]]*dynamicpruningexpression".r
+        .findFirstIn(p).isDefined,
+      s"dynamic filter is not a partition filter on the fact scan:\n$p")
+  }
 }
