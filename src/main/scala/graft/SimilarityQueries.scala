@@ -69,6 +69,20 @@ object SimilarityQueries {
        |pc${i + 1} AS (SELECT c.cidx, c.s, c.ld, coalesce(u.x, c.x) AS x
        |         FROM pc$i c LEFT JOIN pm$i u
        |           ON u.s = c.s AND u.cidx = c.cidx AND u.ld = c.ld),""".stripMargin
+  /** The PQ training CTE chain WITHOUT the shared qv/qd header — so it
+    * can follow [[kmTrained]] in the same WITH list (s13 trains BOTH
+    * models from the same quantized frame; qv/qd are identical in the
+    * two replays by construction). */
+  private def pqTail(sub: Int, k: Int): String =
+    s"""sv AS (SELECT vec_id, x, (d - 1) // $sub AS s, (d - 1) % $sub AS ld FROM qd),
+       |ini AS (SELECT vec_id, row_number() OVER
+       |          (ORDER BY md5('pq:' || vec_id), vec_id) AS rn FROM embeddings),
+       |pc0 AS (SELECT i.rn - 1 AS cidx, m.s, m.ld, m.x
+       |        FROM ini i JOIN sv m USING (vec_id) WHERE i.rn <= $k),
+       |${pqUpdate(0)}
+       |${pqUpdate(1)}
+       |${pqRank(2)}""".stripMargin
+
   /** Quantize + subspace split (width `sub`) + shared md5-ordered init
     * (`k` centroids) + 2 Lloyd iterations per subspace; leaves `prk2`
     * (final per-subspace centroid ranks — codes at rn=1), `pc2` (final
@@ -79,14 +93,7 @@ object SimilarityQueries {
        |  list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1048576) AS BIGINT)) AS q
        |  FROM embeddings),
        |qd AS (SELECT vec_id, unnest(q) AS x, generate_subscripts(q, 1) AS d FROM qv),
-       |sv AS (SELECT vec_id, x, (d - 1) // $sub AS s, (d - 1) % $sub AS ld FROM qd),
-       |ini AS (SELECT vec_id, row_number() OVER
-       |          (ORDER BY md5('pq:' || vec_id), vec_id) AS rn FROM embeddings),
-       |pc0 AS (SELECT i.rn - 1 AS cidx, m.s, m.ld, m.x
-       |        FROM ini i JOIN sv m USING (vec_id) WHERE i.rn <= $k),
-       |${pqUpdate(0)}
-       |${pqUpdate(1)}
-       |${pqRank(2)}""".stripMargin
+       |${pqTail(sub, k)}""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // BM25 lexical top-k (operators/Bm25): the inverted-index probe —
@@ -350,6 +357,26 @@ object SimilarityQueries {
           .select(col("vec_id").as("qid"), col("embedding").as("qv")),
         "qid", "qv", k = 10, m = 16, nCentroids = 16, iters = 2,
         shortlist = 100)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // Two-level ANN — IVF inverted lists over PQ codes (the IVFADC
+    // layout, the FAISS-style billion-vector form): the s5 coarse
+    // quantizer buckets the corpus, queries probe 2 of 8 lists, and
+    // only those lists' s7-style PQ codes are ADC-scored before the
+    // exact re-rank — composing the two pruning levers (list pruning ×
+    // code compression) that multiply at 100 TB. Both trained models
+    // and both ranking stages are exact integer arithmetic, so the
+    // oracle replays coarse training, PQ training, encoding, probing,
+    // ADC, and the re-rank bit-identically.
+    "s13_ivf_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.AnnSearch.ivfPqTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", k = 10, nCentroids = 8, kmIters = 2, nprobe = 2,
+        m = 16, nCodes = 16, pqIters = 2, shortlist = 50)
         .orderBy(col("qid"), col("rk"))
     }),
 
@@ -662,6 +689,36 @@ object SimilarityQueries {
          |         round(list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) AS sim
          |       FROM sl s JOIN embeddings q ON q.vec_id = s.qid
          |       JOIN embeddings e ON e.vec_id = s.vec_id WHERE s.srk <= 100),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM rr)
+         |SELECT qid, vec_id, sim, rk FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    "s13_ivf_pq" ->
+      // kmTrained leaves rk2 (coarse ranks) in scope; pqTail reuses its
+      // qv/qd and leaves prk2/pc2/pn2 — the tail is s7's ADC + re-rank
+      // with candidates restricted to the probed coarse lists
+      s"""$kmTrained
+         |${pqTail(sub = 4, k = 16)}
+         |asg AS (SELECT vec_id, cidx AS b FROM rk2 WHERE rn = 1),
+         |prb AS (SELECT vec_id AS qid, cidx AS b FROM rk2
+         |        WHERE rn <= 2 AND vec_id < 20),
+         |code AS (SELECT vec_id, s, cidx FROM prk2 WHERE rn = 1),
+         |tab AS (SELECT m.vec_id AS qid, c.s, c.cidx,
+         |          any_value(n.nsq) - 2 * sum(m.x * c.x) AS dt
+         |        FROM sv m JOIN pc2 c ON c.s = m.s AND c.ld = m.ld
+         |        JOIN pn2 n ON n.s = c.s AND n.cidx = c.cidx
+         |        WHERE m.vec_id < 20 GROUP BY 1, 2, 3),
+         |cand AS (SELECT p.qid, a.vec_id FROM prb p
+         |         JOIN asg a ON a.b = p.b AND a.vec_id <> p.qid),
+         |sc AS (SELECT cd.qid, cd.vec_id, sum(t.dt) AS adc
+         |       FROM cand cd JOIN code co ON co.vec_id = cd.vec_id
+         |       JOIN tab t ON t.qid = cd.qid AND t.s = co.s AND t.cidx = co.cidx
+         |       GROUP BY 1, 2),
+         |sl AS (SELECT *, row_number() OVER
+         |         (PARTITION BY qid ORDER BY adc ASC, vec_id) AS srk FROM sc),
+         |rr AS (SELECT s.qid, s.vec_id,
+         |         round(list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) AS sim
+         |       FROM sl s JOIN embeddings q ON q.vec_id = s.qid
+         |       JOIN embeddings e ON e.vec_id = s.vec_id WHERE s.srk <= 50),
          |r AS (SELECT *, row_number() OVER
          |        (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM rr)
          |SELECT qid, vec_id, sim, rk FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,

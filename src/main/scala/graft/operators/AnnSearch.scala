@@ -690,6 +690,70 @@ object AnnSearch {
         col("__sim").as("sim"), col("__rk").as("rk"))
   }
 
+  /** Two-level ANN — IVF coarse lists over PQ codes (the IVFADC layout
+    * of Jégou, Douze, Schmid, TPAMI 2011 — the FAISS-style form a
+    * billion-vector deployment runs): the coarse trained quantizer
+    * ([[kmeansCentroidsQuantized]], same exact fixed-point Lloyd as s5)
+    * buckets the corpus into `nCentroids` inverted lists, each query
+    * probes its `nprobe` nearest lists, and ONLY those lists' PQ codes
+    * are scored through the per-query ADC tables — where [[pqTopK]]
+    * ADC-scans the whole corpus, this scans ~nprobe/nCentroids of it,
+    * and the scanned bytes are m codes/vector, which multiplies the
+    * two compression levers: at 100 TB the scan cost is
+    * (nprobe/nCentroids) × (m / 4·dim) of the raw-float brute force.
+    * The `shortlist` best ADC candidates re-rank by exact float cosine
+    * as in pqTopK. Candidates come from the (bucket) equi-join of the
+    * broadcast probed queries against the bucketed codes — never a
+    * cross join (plan-pinned); each corpus row lives in exactly one
+    * list, so no per-pair dedup is needed. Coarse training, PQ
+    * training, encoding, and ADC are all exact integer arithmetic, so
+    * the s13 oracle replays BOTH trained models and both ranking
+    * stages bit-identically.
+    */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                queries: DataFrame, qidCol: String, qvecCol: String,
+                k: Int, nCentroids: Int = 8, kmIters: Int = 2,
+                nprobe: Int = 2, m: Int = 16, nCodes: Int = 16,
+                pqIters: Int = 2, shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    require(nprobe >= 1 && nprobe <= nCentroids,
+      s"nprobe must be in [1, $nCentroids], got $nprobe")
+    require(!Set("qid", "sim", "rk").contains(idCol),
+      s"idCol '$idCol' collides with a declared output column")
+    val cents = kmeansCentroidsQuantized(corpus, idCol, vecCol, nCentroids, kmIters)
+    val books = pqCodebooks(corpus, idCol, vecCol, m, nCodes, pqIters)
+    val sub = books(0)(0).length
+    val coded = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__v"),
+        udf(pqEncodeAll(books, sub) _).apply(col(vecCol)).as("__cs"))
+      .withColumn("__b", quantNearest(quantize(col("__v")), cents))
+    val probed = queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qv"),
+        udf(pqAdcTables(books, sub) _).apply(col(qvecCol)).as("__tt"))
+      .withColumn("__b", explode(transform(
+        slice(quantCentroidRanks(quantize(col("__qv")), cents), 1, nprobe),
+        s => s.getField("idx").cast("int"))))
+    val adc = (0 until m)
+      .map(s => element_at(element_at(col("__tt"), s + 1),
+        element_at(col("__cs"), s + 1) + 1))
+      .reduce(_ + _)
+    val wAdc = Window.partitionBy(col("__qid"))
+      .orderBy(col("__adc").asc, col("__cid").asc)
+    val wSim = Window.partitionBy(col("__qid"))
+      .orderBy(col("__sim").desc, col("__cid").asc)
+    broadcast(probed).join(coded, Seq("__b"))
+      .filter(col("__cid") =!= col("__qid"))
+      .withColumn("__adc", adc)
+      // codes and tables are spent once __adc exists — drop them before
+      // the window exchange (same discipline as pqTopK)
+      .select(col("__qid"), col("__qv"), col("__cid"), col("__v"), col("__adc"))
+      .withColumn("__srk", row_number().over(wAdc))
+      .filter(col("__srk") <= shortlist)
+      .withColumn("__sim", round(VectorFns.dotProduct(col("__qv"), col("__v")), 4))
+      .withColumn("__rk", row_number().over(wSim))
+      .filter(col("__rk") <= k)
+      .select(col("__qid").as("qid"), col("__cid").as(idCol),
+        col("__sim").as("sim"), col("__rk").as("rk"))
+  }
+
   /** [[kmeansTopK]] under the [[kmeansCentroidsQuantized]] trained model
     * — the oracle-checkable form (s5_ann_kmeans replays training and
     * search in DuckDB). Search dataflow is identical: corpus rows in ONE

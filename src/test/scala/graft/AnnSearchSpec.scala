@@ -336,4 +336,37 @@ class AnnSearchSpec extends SparkSpec {
     }
     assert(viaTrick == brute)
   }
+
+  test("ivfPqTopK (two-level IVFADC) recall@10 vs the exact baseline " +
+    "clears the floor while scanning only the probed lists' codes") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val exact = broadcast(q).crossJoin(emb)
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", round(VectorFns.dotProduct(col("qv"), col("embedding")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("qid"), col("vec_id"))
+      .persist()
+    val nExact = exact.count().toDouble
+    val got = AnnSearch.ivfPqTopK(emb, "vec_id", "embedding", q, "qid", "qv",
+      k = 10, nCentroids = 8, kmIters = 2, nprobe = 2, m = 16,
+      nCodes = 16, pqIters = 2, shortlist = 50)
+    val recall = got.select(col("qid"), col("vec_id"))
+      .join(exact, Seq("qid", "vec_id"), "left_semi")
+      .count() / nExact
+    info(f"ivfpq recall@10 = $recall%.3f (nprobe 2/8 lists, shortlist 50)")
+    // the isotropic fixture is the coarse quantizer's hardest case:
+    // probing 2 of 8 lists bounds recall near nprobe/nCentroids plus
+    // what ADC ordering recovers — the floor pins the composition
+    // doesn't collapse (a broken ADC or bucket join would land near 0)
+    assert(recall >= 0.40, f"recall@10 $recall%.3f below floor")
+    // no cartesian: candidates must come from the bucket equi-join
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in IVFADC plan:\n$plan")
+    exact.unpersist()
+  }
 }
