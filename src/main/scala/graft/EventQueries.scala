@@ -54,6 +54,46 @@ object EventQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // SEQUENTIAL FUNNEL — the MATCH_RECOGNIZE-style ordered-pattern
+    // query (view, THEN a click after it, THEN a purchase after that)
+    // in ONE pass: three chained running-min columns over the same
+    // (user, ts, event_id) window order — `v` = earliest view so far,
+    // `c` = earliest click strictly after a preceding view, `p` =
+    // earliest purchase strictly after such a click — then a per-user
+    // aggregate reads the converged values. One exchange on user_id
+    // serves the windows AND the aggregate (plan-pinned); no
+    // self-joins, no per-step passes over the events — the shape that
+    // matters when events are 100 TB and the naive funnel is 3 joins
+    // of the full stream. The running-min chaining is provably equal
+    // to the step-by-step scalar definition (each step's running
+    // column has converged to its final value at every row the next
+    // step's condition examines), which is what the oracle computes.
+    "w24_funnel" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("v",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("c",
+          min(when(col("event_type") === "click" && col("ts") > col("v"),
+            col("ts"))).over(w))
+        .withColumn("p",
+          min(when(col("event_type") === "purchase" && col("ts") > col("c"),
+            col("ts"))).over(w))
+        .groupBy(col("user_id"))
+        .agg(min(col("v")).as("view_ts"), min(col("c")).as("click_ts"),
+          min(col("p")).as("purchase_ts"))
+        .select(col("user_id"), col("view_ts"), col("click_ts"),
+          col("purchase_ts"),
+          when(col("purchase_ts").isNotNull, 3)
+            .when(col("click_ts").isNotNull, 2)
+            .when(col("view_ts").isNotNull, 1)
+            .otherwise(0).as("steps"))
+        .orderBy(col("user_id"))
+    }),
+
     // Semi-structured extraction — the JSON-payload column every event
     // pipeline carries. from_json with an explicit schema (codegen'd,
     // vectorizable) pulls the typed field out ONCE in the scan
@@ -827,6 +867,27 @@ object EventQueries {
         |    WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
         |      AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 30 MINUTES)
         |ORDER BY user_id, error_id""".stripMargin,
+    "w24_funnel" ->
+      // the step-by-step scalar definition the one-pass window form is
+      // provably equal to: each step's earliest time, restricted to
+      // events strictly after the previous step's earliest time
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |      JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |      JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+        |SELECT u.user_id, v.t1 AS view_ts, c.t2 AS click_ts,
+        |  p.t3 AS purchase_ts,
+        |  CASE WHEN p.t3 IS NOT NULL THEN 3
+        |       WHEN c.t2 IS NOT NULL THEN 2
+        |       WHEN v.t1 IS NOT NULL THEN 1 ELSE 0 END AS steps
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "w16_lead_gap" ->
       """WITH l AS (SELECT user_id, event_id, ts,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts

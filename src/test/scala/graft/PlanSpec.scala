@@ -696,6 +696,15 @@ class PlanSpec extends SparkSpec {
       s"scan should read only doc_id+text from file bytes:\n$p")
   }
 
+  test("w24 sequential funnel is ONE exchange on user_id — windows and " +
+    "final aggregate all ride the same partitioning, no per-step joins") {
+    val p = plan("w24_funnel")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"funnel must shuffle exactly once:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"funnel must not plan any join:\n$p")
+  }
+
   test("q28 fact scan carries a DYNAMIC partition filter from the dim " +
     "side — the region predicate prunes fact directories at runtime") {
     val p = plan("q28_dpp_prune")
