@@ -674,6 +674,39 @@ object QueryCatalog {
         .orderBy(col("node"))
     }),
 
+    // Fixed-round k-core peeling (operators/KCore) over the weighted
+    // co-purchase graph (parts sharing ≥2 orders — the weight filter
+    // thins the clique structure so peeling cascades instead of
+    // all-or-nothing) — the third iterative-graph dataflow (monotone
+    // edge-set shrinking) next to g1's value propagation and g3's
+    // label propagation. The threshold adapts to the data: k = ⌊p30 of
+    // the initial degree distribution⌋ (a one-row driver probe, the
+    // bounded-model exception s5/s7 also use; percentile interpolation
+    // on integers is engine-exact — t18). Pure integer counting after
+    // that — the oracle unrolls the rounds and matches exactly. At
+    // sf0.01 the peel removes nodes in EVERY round (1880 → 1573 →
+    // 1538 → 1535); at sf0.1 the thinned graph is degree-1-dominated,
+    // p30 = 1, and the peel is a verified no-op — the cascade
+    // semantics ride the sf0.001/sf0.01 gates and KCoreSpec's planted
+    // graphs.
+    "g4_kcore" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val rhs = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pk2"))
+      val edges = li.join(rhs,
+          col("l_orderkey") === col("ok2") && col("l_partkey") =!= col("pk2"))
+        .groupBy(col("l_partkey").as("src"), col("pk2").as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("src"), col("dst"))
+        .persist()
+      val k = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .agg(floor(percentile(col("deg"), lit(0.3))).cast("long"))
+        .first().getLong(0)
+      graft.operators.KCore.peel(edges, "src", "dst", k.toInt, rounds = 3)
+        .orderBy(col("node"))
+    }),
+
     // Join-size PRE-FLIGHT (operators/JoinSizeEstimate): estimate
     // |lineitem ⋈ orders| from coordinated bottom-k key samples —
     // one tiny aggregate per side, never the join itself — the guard
@@ -747,6 +780,39 @@ object QueryCatalog {
           round(sum(col("o_totalprice").cast("decimal(18,6)")), 4)
             .cast("double").as("revenue"))
         .orderBy(col("n_name"))
+    }),
+
+    // INCREMENTAL JOIN-VIEW MAINTENANCE — the delta algebra q27's
+    // aggregate merge builds on: for a materialized join view V = A⋈B,
+    // the four date-split quadrants (A⁻⋈B⁻, ΔA⋈B⁻, A⁻⋈ΔB, ΔA⋈ΔB)
+    // partition the join's pair space exactly, so re-aggregating their
+    // partial aggregates ≡ recomputing V from scratch — which is what
+    // the oracle does. In production A⁻⋈B⁻ IS the stored view state
+    // and only the three delta terms run — |Δ|-proportional work plus
+    // one state-sized merge, never a re-scan of history (the only way
+    // a 100 TB view stays fresh). Decimal sums make the four-way
+    // re-aggregation associativity-exact.
+    "q29_incremental_join" -> ((s, dir) => {
+      val split = lit("1997-01-01").cast("timestamp")
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+      val l = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_shipdate"))
+      val oOld = o.filter(col("o_orderdate") < split)
+      val oNew = o.filter(col("o_orderdate") >= split)
+      val lOld = l.filter(col("l_shipdate") < split)
+      val lNew = l.filter(col("l_shipdate") >= split)
+      def quad(a: DataFrame, b: DataFrame): DataFrame =
+        a.join(b, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast("decimal(18,6)")).as("rev"))
+      quad(oOld, lOld).unionByName(quad(oNew, lOld))
+        .unionByName(quad(oOld, lNew)).unionByName(quad(oNew, lNew))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("n")).as("n_pairs"),
+          round(sum(col("rev")), 4).cast("double").as("revenue"))
+        .orderBy(col("o_orderpriority"))
     }),
 
     // Correlated SCALAR subquery in the SELECT list — the fourth
@@ -1354,6 +1420,29 @@ object QueryCatalog {
         |         SELECT e.dst, l2.label FROM e JOIN l2 ON l2.node = e.src
         |         UNION ALL SELECT node, label FROM l2) GROUP BY dst)
         |SELECT node, label FROM l3 ORDER BY node""".stripMargin,
+    "g4_kcore" ->
+      // one (degree, keep, restrict) CTE triple per peel round; k from
+      // the p30 of the initial degrees; the final round reports degree
+      // over the last surviving edge set
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |       FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |         AND a.l_partkey <> b.l_partkey
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |d1 AS (SELECT src, count(*) AS deg FROM e0 GROUP BY src),
+        |kv AS (SELECT CAST(floor(quantile_cont(deg, 0.3)) AS BIGINT) AS k FROM d1),
+        |k1 AS (SELECT src FROM d1, kv WHERE deg >= k),
+        |e1 AS (SELECT e.src, e.dst FROM e0 e
+        |       WHERE e.src IN (SELECT src FROM k1)
+        |         AND e.dst IN (SELECT src FROM k1)),
+        |d2 AS (SELECT src, count(*) AS deg FROM e1 GROUP BY src),
+        |k2 AS (SELECT src FROM d2, kv WHERE deg >= k),
+        |e2 AS (SELECT e.src, e.dst FROM e1 e
+        |       WHERE e.src IN (SELECT src FROM k2)
+        |         AND e.dst IN (SELECT src FROM k2)),
+        |d3 AS (SELECT src, count(*) AS deg FROM e2 GROUP BY src)
+        |SELECT src AS node, deg FROM d3, kv WHERE deg >= k
+        |ORDER BY node""".stripMargin,
     "q26_join_size_guard" -> {
       // t19's 60-bit md5 digit-sum idiom with the jse: prefix
       def h(col: String) = (1 to 15).map(i =>
@@ -1411,6 +1500,12 @@ object QueryCatalog {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'EUROPE'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q29_incremental_join" ->
+      """SELECT o_orderpriority, count(*) AS n_pairs,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 4) AS DOUBLE)
+        |    AS revenue
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q24_scalar_subquery" ->
       """SELECT c_custkey,
         |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
