@@ -71,6 +71,20 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$sf10/lineitem.parquet")
     }
 
+    // 10× events for the funnel family: per-copy user/event-id offsets
+    // keep users DISJOINT (10× users, per-user event density unchanged)
+    // — pure size scaling for a per-user window pass
+    if (!new java.io.File(s"$sf10/events.parquet/_SUCCESS").exists()) {
+      val ev = spark.read.parquet(s"$sf1/events.parquet")
+      (0 until copies).map { c =>
+        if (c == 0) ev
+        else ev
+          .withColumn("event_id", col("event_id") + lit(c * 10000000L))
+          .withColumn("user_id", col("user_id") + lit(c * 10000000L))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$sf10/events.parquet")
+    }
+
     def timedRows(name: String, dir: String): (Double, Long) = {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, dir).count()
@@ -98,7 +112,17 @@ object ScaleProbe {
         // volume ∝ edges) and the CMS sketch (corpus ×10 but the
         // exchange is the fixed 1024-cell table — wall is scan-bound,
         // ≤ linear, state flat)
-        "g1_pagerank", "t28_cms_heavy")) {
+        "g1_pagerank", "t28_cms_heavy",
+        // round-11 additions: min-label propagation (one exchange per
+        // round over the part↔supplier bipartite graph; suppliers are
+        // shared across copies so their degree grows 10× — wall should
+        // track edges), k-core peeling (disjoint co-purchase copies —
+        // per-round aggregate + two semi joins, edge rows only
+        // shrink), two-level IVFADC (fixed query set over 10× corpus —
+        // the probed-list scan grows ∝ corpus/nCentroids), and the
+        // one-pass funnel (disjoint user copies — one exchange, wall
+        // ∝ events)
+        "g3_label_prop", "g4_kcore", "s13_ivf_pq", "w24_funnel")) {
       val (s1, n1) = timedRows(q, sf1)
       val (s10, n10) = timedRows(q, sf10)
       println(f"SCALE $q 1x=${s1}%.2fs/${n1} rows  10x=${s10}%.2fs/${n10} rows" +
