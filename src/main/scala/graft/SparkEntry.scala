@@ -707,6 +707,33 @@ object QueryCatalog {
         .orderBy(col("node"))
     }),
 
+    // Bounded-round multi-source shortest paths (operators/
+    // ShortestPaths): synchronous Bellman-Ford from a seeded 10%
+    // supplier cohort over the part↔supplier bipartite graph — the
+    // fourth propagation dataflow (min-PLUS over a seeded frontier)
+    // next to g1's sum, g3's min-label, and g4's shrinking-edge-set
+    // peel. 4 rounds → exact shortest hop distance ≤ 4 from the
+    // nearest seed; unreached nodes absent. Pure integer min-plus, so
+    // the DuckDB oracle unrolls the rounds and matches bit-for-bit;
+    // one exchange per round, the edge list hash-partitioned and
+    // cached once (both pinned by ShortestPathsSpec).
+    "g5_bfs_hops" -> ((s, dir) => {
+      val ps = Tables.lineitem(s, dir)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = ps
+        .select(col("p").as("src"), (col("sk") + lit(1000000000L)).as("dst"),
+          lit(1L).as("w"))
+        .unionByName(ps.select((col("sk") + lit(1000000000L)).as("src"),
+          col("p").as("dst"), lit(1L).as("w")))
+      val seeds = Tables.supplier(s, dir)
+        .filter(col("s_suppkey") % 10 === 1)
+        .select((col("s_suppkey") + lit(1000000000L)).as("node"))
+      graft.operators.ShortestPaths.run(edges, "src", "dst", "w",
+          seeds, "node", rounds = 4)
+        .orderBy(col("node"))
+    }),
+
     // Join-size PRE-FLIGHT (operators/JoinSizeEstimate): estimate
     // |lineitem ⋈ orders| from coordinated bottom-k key samples —
     // one tiny aggregate per side, never the join itself — the guard
@@ -813,6 +840,44 @@ object QueryCatalog {
         .agg(sum(col("n")).as("n_pairs"),
           round(sum(col("rev")), 4).cast("double").as("revenue"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // INCREMENTAL DISTINCT-COUNT MAINTENANCE — closing the IVM trio
+    // (q27 aggregates, q29 joins, here COUNT DISTINCT — the one
+    // aggregate that is NOT naively mergeable: counts of distincts
+    // don't add). The mergeable form is the KMV sketch (t19): per-type
+    // sketches over the pre-split state and the post-split delta are
+    // merged by EXPLODING the two k-arrays and re-sketching — exactly
+    // the sorted-merge the Aggregator's merge() performs, expressed in
+    // DataFrame algebra, at 2k rows per group. The oracle computes the
+    // sketch FROM SCRATCH over all events: merge ≡ recompute, exactly
+    // — so a 100 TB deployment maintains distinct-count dashboards by
+    // touching |delta| + k longs per group, never re-scanning history.
+    "q30_incremental_distinct" -> ((s, dir) => {
+      val k = 32
+      val split = lit("2024-01-20").cast("timestamp")
+      val h = conv(substring(
+          md5(concat(lit("kmv:"), col("user_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long")
+      def sketch(df: DataFrame) = df
+        .select(col("event_type"), h.as("__h"))
+        .groupBy(col("event_type"))
+        .agg(graft.functions.KmvSketch(col("__h"), k).as("__mins"))
+      val events = Tables.events(s, dir)
+      sketch(events.filter(col("ts") < split))
+        .unionByName(sketch(events.filter(col("ts") >= split)))
+        .select(col("event_type"), explode(col("__mins")).as("__h"))
+        .groupBy(col("event_type"))
+        .agg(graft.functions.KmvSketch(col("__h"), k).as("__mins"))
+        .select(
+          col("event_type"),
+          size(col("__mins")).cast("long").as("n_sketch"),
+          when(size(col("__mins")) < k, size(col("__mins")).cast("double"))
+            .otherwise(round(
+              lit((k - 1).toDouble * 1152921504606846976.0) /
+                element_at(col("__mins"), k).cast("double"), 4))
+            .as("est_distinct"))
+        .orderBy(col("event_type"))
     }),
 
     // Correlated SCALAR subquery in the SELECT list — the fourth
@@ -1443,6 +1508,34 @@ object QueryCatalog {
         |d3 AS (SELECT src, count(*) AS deg FROM e2 GROUP BY src)
         |SELECT src AS node, deg FROM d3, kv WHERE deg >= k
         |ORDER BY node""".stripMargin,
+    "g5_bfs_hops" ->
+      // one CTE per Bellman-Ford round: min over (own distance ∪
+      // in-neighbor distance + weight) — the self-row mirrors the
+      // operator's weight-0 self-loop; seeds are the 10% supplier
+      // cohort at distance 0
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+        |e AS (SELECT p AS src, sk + 1000000000 AS dst, 1 AS w FROM ps
+        |      UNION ALL SELECT sk + 1000000000, p, 1 FROM ps),
+        |d0 AS (SELECT DISTINCT s_suppkey + 1000000000 AS node,
+        |         CAST(0 AS BIGINT) AS dist
+        |       FROM supplier WHERE s_suppkey % 10 = 1),
+        |d1 AS (SELECT node, min(dist) AS dist FROM (
+        |         SELECT e.dst AS node, d0.dist + e.w AS dist
+        |         FROM e JOIN d0 ON d0.node = e.src
+        |         UNION ALL SELECT node, dist FROM d0) GROUP BY node),
+        |d2 AS (SELECT node, min(dist) AS dist FROM (
+        |         SELECT e.dst AS node, d1.dist + e.w AS dist
+        |         FROM e JOIN d1 ON d1.node = e.src
+        |         UNION ALL SELECT node, dist FROM d1) GROUP BY node),
+        |d3 AS (SELECT node, min(dist) AS dist FROM (
+        |         SELECT e.dst AS node, d2.dist + e.w AS dist
+        |         FROM e JOIN d2 ON d2.node = e.src
+        |         UNION ALL SELECT node, dist FROM d2) GROUP BY node),
+        |d4 AS (SELECT node, min(dist) AS dist FROM (
+        |         SELECT e.dst AS node, d3.dist + e.w AS dist
+        |         FROM e JOIN d3 ON d3.node = e.src
+        |         UNION ALL SELECT node, dist FROM d3) GROUP BY node)
+        |SELECT node, dist FROM d4 ORDER BY node""".stripMargin,
     "q26_join_size_guard" -> {
       // t19's 60-bit md5 digit-sum idiom with the jse: prefix
       def h(col: String) = (1 to 15).map(i =>
@@ -1506,6 +1599,25 @@ object QueryCatalog {
         |    AS revenue
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q30_incremental_distinct" -> {
+      // from-scratch KMV over ALL events (t19's replay idiom): if the
+      // state+delta sketch merge is correct it must equal this exactly
+      val hx = (1 to 15).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5('kmv:' || user_id::VARCHAR), $i, 1)) - 1) * ${1L << (4 * (15 - i))}")
+        .mkString(" + ")
+      s"""WITH h AS (SELECT DISTINCT event_type, ($hx) AS h FROM events),
+         |r AS (SELECT event_type, h,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |      FROM h),
+         |s AS (SELECT event_type, count(*) AS n_sketch,
+         |        max(CASE WHEN rn = 32 THEN h END) AS hk
+         |      FROM r WHERE rn <= 32 GROUP BY event_type)
+         |SELECT event_type, n_sketch,
+         |  CASE WHEN n_sketch < 32 THEN n_sketch::DOUBLE
+         |       ELSE round(31.0 * 1152921504606846976 / hk::DOUBLE, 4) END
+         |    AS est_distinct
+         |FROM s ORDER BY event_type""".stripMargin
+    },
     "q24_scalar_subquery" ->
       """SELECT c_custkey,
         |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,

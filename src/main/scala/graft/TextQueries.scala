@@ -432,6 +432,28 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // BLOOM-MANIFEST PRUNED READ — file skipping where min/max stats
+    // are structurally dead: the table is HASH-distributed on doc_id
+    // (the ingest-order / bucketed layout), so every file spans ~the
+    // full key range and p21's range manifest prunes nothing — but a
+    // per-file Bloom bitset (built distributed, one OR-aggregate;
+    // driver holds only files × 4 KB of bitset) prunes a point-set
+    // lookup to ~the keys' home files. The oracle pins that bloom
+    // pruning is logically invisible (false positives add files, never
+    // rows); ManifestSpec pins the physical contract (zero false
+    // negatives, candidates ≪ files, absent keys prune ~everything).
+    "p22_bloom_prune" -> ((s, dir) => {
+      val in = SparkHygiene.scratchDir("p22_in")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .repartition(16, col("doc_id"))
+        .write.mode("overwrite").parquet(in)
+      graft.sources.Manifest.bloomPrunedRead(s, in, "doc_id",
+          keys = Seq(3L, 57L, 111L, 222L, 444L))
+        .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // token-distribution entropy (training-data quality signal: gibberish
     // and boilerplate sit at the entropy extremes). H = log2(N) − Σ c·log2(c)/N
     // over unigram counts — exact and one aggregation chain.
@@ -701,6 +723,10 @@ object TextQueries {
     "p21_manifest_read" ->
       """SELECT doc_id, lang, length(text) AS text_len FROM documents
         |WHERE doc_id BETWEEN 100 AND 149
+        |ORDER BY doc_id""".stripMargin,
+    "p22_bloom_prune" ->
+      """SELECT doc_id, lang, length(text) AS text_len FROM documents
+        |WHERE doc_id IN (3, 57, 111, 222, 444)
         |ORDER BY doc_id""".stripMargin,
     "p12_parse_tags" ->
       """WITH t AS (SELECT doc_id,

@@ -79,4 +79,86 @@ object Manifest {
       else spark.read.parquet(matching: _*)
     base.filter(col(keyCol) >= keyLo && col(keyCol) <= keyHi)
   }
+
+  // -------------------------------------------------------------------
+  // Bloom-filter manifest — the data-skipping layer for HASH-distributed
+  // layouts, where min/max is useless (every file spans ~the full key
+  // range) but membership still prunes: point lookups against an
+  // ingest-ordered or hash-bucketed 100 TB table are the canonical case
+  // (Delta's BLOOMFILTER index / Iceberg puffin blobs play this role).
+  // The filter build is fully DISTRIBUTED — one scan computing k bit
+  // positions per row, one (file, word) OR-aggregate — and only the
+  // finished bitsets (files × bits/8 bytes, manifest-sized) reach the
+  // driver, the same bounded-metadata discipline as `stats`. A
+  // production deployment persists the bitsets next to the table and
+  // pays the build once per write.
+  // -------------------------------------------------------------------
+
+  /** Per-file Bloom bitset over `keyCol` (long): `bits` must be a power
+    * of two; `hashes` independent probe positions per key come from
+    * xxhash64(key, seed) — the SAME function the probe side uses, so
+    * false negatives are impossible by construction.
+    */
+  case class BloomStat(path: String, words: Array[Long]) {
+    def mightContain(positions: Seq[Int]): Boolean =
+      positions.forall(p => (words(p >>> 6) & (1L << (p & 63))) != 0)
+  }
+
+  def bloomStats(spark: SparkSession, dir: String, keyCol: String,
+                 bits: Int = 1 << 15, hashes: Int = 5): Seq[BloomStat] = {
+    require(bits > 0 && (bits & (bits - 1)) == 0, s"bits must be a power of two: $bits")
+    import org.apache.spark.sql.functions._
+    val nWords = bits >>> 6
+    val perFileWords = spark.read.parquet(dir)
+      .select(input_file_name().as("f"), col(keyCol).cast("long").as("k"))
+      .select(col("f"), explode(array(
+        (0 until hashes).map(i =>
+          pmod(xxhash64(col("k"), lit(i)), lit(bits)).cast("int")): _*))
+        .as("pos"))
+      .select(col("f"), (col("pos") / 64).cast("int").as("word"),
+        expr("shiftleft(1L, pos % 64)").as("mask"))
+      .groupBy(col("f"), col("word"))
+      .agg(bit_or(col("mask")).as("m"))
+      .collect()
+    perFileWords.groupBy(_.getString(0)).map { case (f, rows) =>
+      val words = new Array[Long](nWords)
+      rows.foreach(r => words(r.getInt(1)) |= r.getLong(2))
+      BloomStat(f, words)
+    }.toSeq.sortBy(_.path)
+  }
+
+  /** The probe side's bit positions for `keys`, computed THROUGH Spark's
+    * own xxhash64 (a one-partition job over the tiny key list) so build
+    * and probe can never disagree on the hash.
+    */
+  def bloomPositions(spark: SparkSession, keys: Seq[Long],
+                     bits: Int, hashes: Int): Map[Long, Seq[Int]] = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    keys.toDF("k").repartition(1)
+      .select(col("k"), array((0 until hashes).map(i =>
+        pmod(xxhash64(col("k"), lit(i)), lit(bits)).cast("int")): _*).as("pos"))
+      .as[(Long, Seq[Int])].collect().toMap
+  }
+
+  /** Point-set read: scan only files whose Bloom filter might contain AT
+    * LEAST ONE probe key, then apply the exact residual filter. With a
+    * hash-distributed layout this plans ~(distinct home files of the
+    * keys) instead of all files; false positives only ever ADD files,
+    * never rows (the residual filter is exact).
+    */
+  def bloomPrunedRead(spark: SparkSession, dir: String, keyCol: String,
+                      keys: Seq[Long], bits: Int = 1 << 15,
+                      hashes: Int = 5): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val filters = bloomStats(spark, dir, keyCol, bits, hashes)
+    val pos = bloomPositions(spark, keys, bits, hashes)
+    val matching = filters
+      .filter(f => keys.exists(k => f.mightContain(pos(k))))
+      .map(_.path)
+    val base =
+      if (matching.isEmpty) spark.read.parquet(dir).limit(0)
+      else spark.read.parquet(matching: _*)
+    base.filter(col(keyCol).isin(keys: _*))
+  }
 }
