@@ -94,6 +94,48 @@ object EventQueries {
         .orderBy(col("user_id"))
     }),
 
+    // W25: w24's funnel run THROUGH Structured Streaming with a
+    // per-step event-time TIMEOUT (streaming/FunnelStream) — the
+    // MATCH_RECOGNIZE-with-timeout shape batch cannot express:
+    // abandonment ("viewed, never clicked within 30 min") is decided
+    // by the WATERMARK passing the deadline, purchase conversion by
+    // the event itself; attempts restart after finalization. Events
+    // fold through the machine in strict (ts, event_id) order via the
+    // watermark-released state buffer, so arrival interleaving is
+    // invisible. The oracle replays the identical machine with a
+    // recursive CTE (one recursion step per event, timeout checked
+    // before each transition) — streaming state machine ≡ sequential
+    // replay, hash-exact below the w20-style emission cutoff.
+    "w25_stream_funnel" -> ((s0, dir) => {
+      val s = SparkHygiene.streamStateSession(s0, 8)
+      import s.implicits._
+      val ev = Tables.eventsStream(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .as[graft.streaming.FunnelStream.Ev]
+      val funnel = graft.streaming.FunnelStream.funnel(
+        ev, timeoutSec = 1800L, watermarkDelay = "30 minutes")
+      val out = SparkHygiene.scratchDir("w25_out")
+      val ck = SparkHygiene.scratchDir("w25_ck")
+      val q = funnel.toDF.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // the w20 emission-cutoff discipline, in epoch micros: outcomes
+      // ending within (delay + slack) of max event time sit in the
+      // band where emission is engine-internal — excluded identically
+      // on both sides
+      val cut = Tables.events(s, dir).agg(
+        (unix_micros(max(col("ts"))) - lit(1810000000L)).as("cut_us"))
+      s.read.parquet(out)
+        .crossJoin(broadcast(cut))
+        .filter(col("end_us") < col("cut_us"))
+        .select(col("user_id"), col("attempt"), col("outcome"),
+          col("steps"), col("start_us"), col("end_us"))
+        .orderBy(col("user_id"), col("attempt"))
+    }),
+
     // Semi-structured extraction — the JSON-payload column every event
     // pipeline carries. from_json with an explicit schema (codegen'd,
     // vectorizable) pulls the typed field out ONCE in the scan
@@ -888,6 +930,69 @@ object EventQueries {
         |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
         |LEFT JOIN p USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    "w25_stream_funnel" -> {
+      // the funnel machine replayed sequentially: one recursion step
+      // per (user, event) in (ts, event_id) order; before each event
+      // the step deadline is checked (timeout → abandon, machine
+      // idles), then the transition runs on the post-timeout state.
+      // Work is in epoch micros; T = 30 min = 1 800 000 000 us.
+      val tUs = 1800000000L
+      // post-timeout state and the timeout predicate, inlined at every
+      // use (recursive CTEs can't carry laterals portably)
+      val tSt = s"(CASE WHEN m.st = 1 AND e.us > m.v + $tUs THEN 0 " +
+        s"WHEN m.st = 2 AND e.us > m.c + $tUs THEN 0 ELSE m.st END)"
+      val tout = s"((m.st = 1 AND e.us > m.v + $tUs) OR " +
+        s"(m.st = 2 AND e.us > m.c + $tUs))"
+      val conv = s"($tSt = 2 AND e.typ = 'purchase' AND e.us > m.c)"
+      s"""WITH RECURSIVE ev AS (
+         |  SELECT user_id, epoch_us(ts) AS us, event_id AS id,
+         |         event_type AS typ,
+         |         row_number() OVER (PARTITION BY user_id
+         |                            ORDER BY ts, event_id) AS rn
+         |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+         |mx AS (SELECT user_id, max(rn) AS nmax FROM ev GROUP BY user_id),
+         |cut AS (SELECT epoch_us(max(ts)) - 1810000000 AS cut_us FROM events),
+         |m AS (
+         |  SELECT user_id, CAST(0 AS BIGINT) AS rn, 0 AS st,
+         |         CAST(0 AS BIGINT) AS v, CAST(0 AS BIGINT) AS c,
+         |         CAST(0 AS BIGINT) AS att,
+         |         CAST(NULL AS VARCHAR) AS o_outcome, 0 AS o_steps,
+         |         CAST(0 AS BIGINT) AS o_start, CAST(0 AS BIGINT) AS o_end,
+         |         CAST(0 AS BIGINT) AS o_att
+         |  FROM mx
+         |  UNION ALL
+         |  SELECT e.user_id, e.rn,
+         |    CASE WHEN $tSt = 0 AND e.typ = 'view' THEN 1
+         |         WHEN $tSt = 1 AND e.typ = 'click' AND e.us > m.v THEN 2
+         |         WHEN $conv THEN 0
+         |         ELSE $tSt END,
+         |    CASE WHEN $tSt = 0 AND e.typ = 'view' THEN e.us ELSE m.v END,
+         |    CASE WHEN $tSt = 1 AND e.typ = 'click' AND e.us > m.v
+         |         THEN e.us ELSE m.c END,
+         |    CASE WHEN $tSt = 0 AND e.typ = 'view' THEN m.att + 1
+         |         ELSE m.att END,
+         |    CASE WHEN $tout THEN 'abandoned'
+         |         WHEN $conv THEN 'converted' END,
+         |    CASE WHEN $tout THEN m.st WHEN $conv THEN 3 ELSE 0 END,
+         |    m.v,
+         |    CASE WHEN $tout AND m.st = 1 THEN m.v + $tUs
+         |         WHEN $tout AND m.st = 2 THEN m.c + $tUs
+         |         WHEN $conv THEN e.us ELSE 0 END,
+         |    m.att
+         |  FROM m JOIN ev e ON e.user_id = m.user_id AND e.rn = m.rn + 1),
+         |outs AS (
+         |  SELECT user_id, o_att AS attempt, o_outcome AS outcome,
+         |         o_steps AS steps, o_start AS start_us, o_end AS end_us
+         |  FROM m WHERE o_outcome IS NOT NULL
+         |  UNION ALL
+         |  SELECT m.user_id, m.att, 'abandoned', m.st, m.v,
+         |         CASE WHEN m.st = 1 THEN m.v + $tUs ELSE m.c + $tUs END
+         |  FROM m JOIN mx ON mx.user_id = m.user_id AND m.rn = mx.nmax
+         |  WHERE m.st > 0)
+         |SELECT user_id, attempt, outcome, steps, start_us, end_us
+         |FROM outs, cut WHERE end_us < cut_us
+         |ORDER BY user_id, attempt""".stripMargin
+    },
     "w16_lead_gap" ->
       """WITH l AS (SELECT user_id, event_id, ts,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
