@@ -96,6 +96,29 @@ object SimilarityQueries {
        |${pqTail(sub, k)}""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // POSITIONAL PHRASE SEARCH — the retrieval primitive BM25's
+    // bag-of-words can't express: "table part" must match as ADJACENT
+    // tokens. The scan-side plan used here is a single window pass
+    // (lead(term) over each document's position order — ONE exchange
+    // on doc_id, no self-join); the index-side plan for selective
+    // phrases is the same postings relation (term, doc_id, pos)
+    // bucketed by TERM, probing each phrase word's postings and
+    // joining on (doc_id, pos+1) — s10's inverted-index discipline
+    // with a positional payload. Position arithmetic is pure integers;
+    // the oracle recomputes adjacency from the same tokenization.
+    "s14_phrase_search" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .withColumnRenamed("col", "term")
+        .withColumn("nxt", lead(col("term"), 1).over(w))
+        .filter(col("term") === "table" && col("nxt") === "part")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"), min(col("pos")).as("first_pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BM25 lexical top-k (operators/Bm25): the inverted-index probe —
     // postings semi-join the broadcast query-term set before any
     // shuffle, df aggregates over the pruned postings, scores sum in
@@ -456,6 +479,17 @@ object SimilarityQueries {
         .orderBy(col("label"), col("idx"))))
 
   val oracleSql: Map[String, String] = Map(
+    "s14_phrase_search" ->
+      // same tokenization (split on single spaces), adjacency via
+      // 1-based list indexing (i ↔ Spark's 0-based pos i−1)
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS a
+        |           FROM documents),
+        |u AS (SELECT doc_id, unnest(generate_series(1, len(a) - 1)) AS i, a
+        |      FROM t)
+        |SELECT doc_id, count(*) AS n_hits,
+        |       CAST(min(i) - 1 AS INT) AS first_pos
+        |FROM u WHERE a[i] = 'table' AND a[i + 1] = 'part'
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "s10_bm25_topk" ->
       """WITH q(qid, qtext) AS (VALUES
         |    (1, 'hash join merge'), (2, 'customer order stream'),

@@ -347,6 +347,36 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // WEIGHTED priority sampling — fixed-size-per-stratum sampling
+    // with inclusion biased by an integer weight (the loss-weighted /
+    // quality-weighted mixing step t8/t15's uniform samplers can't
+    // express). Priority-sampling shape (Duffield-Lund-Thorup: rank by
+    // weight / uniform) with the uniform QUANTIZED to a 28-bit hash
+    // and the rank computed as the exact integer quotient
+    // (weight · 2^34) div h — deterministic, shuffle-free to evaluate,
+    // reproducible bit-for-bit on any engine (no float ordering), and
+    // a pure function of (seed, doc_id, weight) so re-runs and
+    // retries sample identically. Ties (equal quotients) break by
+    // (h, doc_id) — a total order. One exchange on lang; the top-20
+    // cut rides the same window.
+    "t33_weighted_sample" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("pri").desc, col("__h").asc, col("doc_id").asc)
+      Tables.documents(s, dir)
+        .withColumn("weight", least(length(col("text")), lit(4000)).cast("long"))
+        .withColumn("__h", conv(substring(
+            md5(concat(lit("ws:"), col("doc_id").cast("string"))), 1, 7),
+          16, 10).cast("long") + lit(1L))
+        .withColumn("pri",
+          expr("(weight * CAST(17179869184 AS BIGINT)) div __h"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select(col("lang"), col("doc_id"), col("weight"), col("pri"),
+          col("rn").cast("long").as("rn"))
+        .orderBy(col("lang"), col("rn"))
+    }),
+
     // winnowing document fingerprints (Schleimer et al., the MOSS
     // local fingerprint): k=8 char-gram 28-bit md5 hashes, window w=4,
     // min per window with rightmost tie-break. See operators/Winnowing
@@ -591,6 +621,24 @@ object TrainingQueries {
         |  min(CASE WHEN cum * 2 >= total THEN bin END) * 16 + 15 AS p50_est,
         |  min(CASE WHEN cum * 10 >= total * 9 THEN bin END) * 16 + 15 AS p90_est
         |FROM cw GROUP BY lang ORDER BY lang""".stripMargin,
+    "t33_weighted_sample" -> {
+      // 28-bit uint from the first 7 md5 hex digits (digit-sum idiom),
+      // +1 so the quotient divisor is never zero; 2^34 = 17179869184
+      val hx = (1 to 7).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5('ws:' || doc_id::VARCHAR), $i, 1)) - 1) * ${1L << (4 * (7 - i))}")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT lang, doc_id,
+         |  least(length(text), 4000)::BIGINT AS weight,
+         |  ($hx) + 1 AS h FROM documents),
+         |p AS (SELECT lang, doc_id, weight, h,
+         |  CAST((weight * 17179869184) // h AS BIGINT) AS pri FROM b),
+         |r AS (SELECT lang, doc_id, weight, pri,
+         |  row_number() OVER (PARTITION BY lang
+         |                     ORDER BY pri DESC, h ASC, doc_id ASC) AS rn
+         |  FROM p)
+         |SELECT lang, doc_id, weight, pri, rn FROM r
+         |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin
+    },
     "t14_shard_shuffle" -> {
       // u32 of the first 8 hex chars — same digit-sum idiom as s4
       val u32 = (1 to 8).map(i =>
