@@ -136,6 +136,52 @@ object EventQueries {
         .orderBy(col("user_id"), col("attempt"))
     }),
 
+    // W26: j7's backward as-of join run THROUGH Structured Streaming
+    // (streaming/AsofStream) — the event-time TEMPORAL join (Flink's
+    // temporal table join): each purchase enriched with the latest
+    // click at or before it, per user. A purchase finalizes only when
+    // the watermark passes it (an earlier click can arrive until
+    // then); both sides fold through the watermark-released buffer in
+    // the batch operator's exact (ts, kind, id) order. The oracle is
+    // j7's union+running-last SQL restricted to purchases below the
+    // emission cutoff: streaming temporal join ≡ batch as-of,
+    // hash-exact through a real streaming execution.
+    "w26_stream_asof" -> ((s0, dir) => {
+      val s = SparkHygiene.streamStateSession(s0, 8)
+      import s.implicits._
+      val ev = Tables.eventsStream(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "purchase", 1).otherwise(0).as("kind"),
+          when(col("event_type") === "click", col("value"))
+            .otherwise(lit(0.0)).as("value"))
+        .as[graft.streaming.AsofStream.Ev]
+      val joined = graft.streaming.AsofStream.asof(ev,
+        watermarkDelay = "30 minutes")
+      val out = SparkHygiene.scratchDir("w26_out")
+      val ck = SparkHygiene.scratchDir("w26_ck")
+      val q = joined.toDF.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // the watermark rides the FILTERED stream (click/purchase only),
+      // so the emission cutoff derives from the same filtered max —
+      // cutting against the all-events max would claim rows the
+      // watermark never released
+      val cut = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .agg((unix_micros(max(col("ts"))) - lit(1810000000L)).as("cut_us"))
+      s.read.parquet(out)
+        .crossJoin(broadcast(cut))
+        .filter(col("left_us") < col("cut_us"))
+        .select(col("left_id").as("purchase_id"), col("user_id"),
+          col("right_id").as("click_id"),
+          round(col("right_value"), 2).as("click_value"))
+        .orderBy(col("purchase_id"))
+    }),
+
     // Semi-structured extraction — the JSON-payload column every event
     // pipeline carries. from_json with an explicit schema (codegen'd,
     // vectorizable) pulls the typed field out ONCE in the scan
@@ -930,6 +976,31 @@ object EventQueries {
         |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
         |LEFT JOIN p USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    "w26_stream_asof" ->
+      // j7's oracle with the purchase timestamp carried through and the
+      // w20-style emission cutoff applied on both sides
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id AS pid, CAST(NULL AS BIGINT) AS cid,
+        |         CAST(NULL AS DOUBLE) AS cval, 1 AS kind
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, NULL, event_id, value, 0
+        |  FROM events WHERE event_type = 'click'
+        |), w AS (
+        |  SELECT pid, user_id, epoch_us(ts) AS p_us,
+        |    last_value(cid IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, kind, coalesce(pid, cid)
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id,
+        |    last_value(cval IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, kind, coalesce(pid, cid)
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cval
+        |  FROM u),
+        |cut AS (SELECT epoch_us(max(ts)) - 1810000000 AS cut_us FROM events
+        |        WHERE event_type IN ('click', 'purchase'))
+        |SELECT pid AS purchase_id, user_id, click_id,
+        |       round(cval, 2) AS click_value
+        |FROM w, cut WHERE pid IS NOT NULL AND p_us < cut_us
+        |ORDER BY purchase_id""".stripMargin,
     "w25_stream_funnel" -> {
       // the funnel machine replayed sequentially: one recursion step
       // per (user, event) in (ts, event_id) order; before each event
