@@ -705,6 +705,24 @@ class PlanSpec extends SparkSpec {
       s"funnel must not plan any join:\n$p")
   }
 
+  test("s14_phrase_search is one doc_id shuffle serving the window AND " +
+    "the aggregate — no postings self-join") {
+    val p = plan("s14_phrase_search")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"phrase match must shuffle exactly once:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"the scan-side phrase plan must not join:\n$p")
+    assert(p.contains("Window"), s"adjacency must ride a window pass:\n$p")
+  }
+
+  test("t33_weighted_sample is one lang shuffle and a single window pass " +
+    "— the priority rank never joins or re-shuffles") {
+    val p = plan("t33_weighted_sample")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"weighted sampling must shuffle exactly once:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
+  }
+
   test("q28 fact scan carries a DYNAMIC partition filter from the dim " +
     "side — the region predicate prunes fact directories at runtime") {
     val p = plan("q28_dpp_prune")

@@ -120,7 +120,30 @@ object StreamScaleProbe {
         ev.withWatermark("ts", "30 minutes")
           .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
           .agg(count(lit(1)).as("n"))
-          .select(col("window.start").as("ws"), col("event_type"), col("n"))))
+          .select(col("window.start").as("ws"), col("event_type"), col("n"))),
+      // round-11 custom-state machines: state should stay flat too —
+      // funnel state = open attempts + horizon buffer; as-of state =
+      // one retained right row per key + horizon buffer (user
+      // population is constant across copies here, so retained rows
+      // must NOT grow with stream length)
+      "w25_funnel" -> (ev =>
+        graft.streaming.FunnelStream.funnel(
+          ev.select(col("user_id"), col("ts"), col("event_id"),
+              col("event_type"))
+            .as(org.apache.spark.sql.Encoders.product[
+              graft.streaming.FunnelStream.Ev]),
+          timeoutSec = 1800L, watermarkDelay = "30 minutes").toDF),
+      "w26_asof" -> (ev =>
+        graft.streaming.AsofStream.asof(
+          ev.filter(col("event_type").isin("click", "purchase"))
+            .select(col("user_id"), col("ts"), col("event_id"),
+              when(col("event_type") === "purchase", 1).otherwise(0)
+                .as("kind"),
+              when(col("event_type") === "click", col("value"))
+                .otherwise(lit(0.0)).as("value"))
+            .as(org.apache.spark.sql.Encoders.product[
+              graft.streaming.AsofStream.Ev]),
+          watermarkDelay = "30 minutes").toDF))
 
     for ((name, mk) <- shapes) {
       val r1 = run(name, s"$base/ev1x")(mk)
