@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.ExplainMode
 
 /** Dump `explain("formatted")` for the headline catalog queries into
-  * `artifacts/PLANS_r10.txt` — the reviewable evidence that scans
+  * `artifacts/PLANS_r11.txt` — the reviewable evidence that scans
   * prune/push down, dims broadcast, aggregates partial map-side, and
   * the rewrites fire. Batch queries only: constructing the w9/w15/w18
   * streaming entries RUNS their streaming drain by design.
@@ -34,8 +34,14 @@ object PlanDump {
       // decorrelation, hopping windows
       "t29_curation_pipeline", "g2_triangles", "j14_lateral_top1",
       "q24_scalar_subquery", "w21_hopping_window", "q23_ri_audit",
-      "s11_filtered_knn", "d24_schema_union")
-    val out = new java.io.PrintWriter("artifacts/PLANS_r10.txt")
+      "s11_filtered_knn", "d24_schema_union",
+      // round-11 heads: TPC-H Q9/Q12 shapes, adaptive join, lakehouse
+      // merge, DPP, propagation operators, IVM, phrase/window passes
+      "q9_profit_rollup", "q12_shipmode", "j15_adaptive_join",
+      "j16_merge_upsert", "q28_dpp_prune", "g3_label_prop", "g5_bfs_hops",
+      "q27_incremental_agg", "q30_incremental_distinct", "w24_funnel",
+      "s13_ivf_pq", "s14_phrase_search", "t33_weighted_sample")
+    val out = new java.io.PrintWriter("artifacts/PLANS_r11.txt")
     out.println("Formatted physical plans, sf0.001, local[4] — regenerate " +
       "with `sbt \"Test/runMain graft.PlanDump\"`.\n")
     names.foreach { n =>
