@@ -292,6 +292,52 @@ object DedupQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // SORTED-NEIGHBORHOOD dedup (Hernández & Stolfo 1995, the SNM
+    // merge/purge classic) — the third near-dup DISCOVERY strategy next
+    // to banding (d3/d4) and prefix filtering (d2): sort by a blocking
+    // key and compare each record only with its next w−1 neighbors in
+    // the sort order. Candidates are N·(w−1) by construction — no
+    // quadratic risk at ANY skew — traded against recall that depends
+    // on sort-key locality (a typo in the key's first chars separates a
+    // true pair; that tradeoff is the method). Expressed as ONE window
+    // pass: partition by a 2-char block (the scalable partitioning —
+    // a global sort would serialize), order by (skey, doc_id), w−1
+    // lead columns, exact levenshtein on the candidates only. Same
+    // cloned corpus as d21, so the two strategies' outputs are
+    // comparable in review.
+    "d25_sorted_neighborhood" -> ((s, dir) => {
+      val keys = Tables.documents(s, dir).select(col("doc_id"),
+        regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+          .substr(lit(1), lit(24)).as("skey"))
+      val clones = keys.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(substring(col("skey"), 1, 4), lit("qx"),
+            expr("substring(skey, 7)")).as("skey"))
+      val corpus = keys.unionByName(clones)
+        .withColumn("block", substring(col("skey"), 1, 2))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("block")).orderBy(col("skey"), col("doc_id"))
+      // all w−1 neighbors from ONE Window operator (a per-offset union
+      // would re-plan the window pass per offset); the window columns
+      // materialize in their own projection first — a generator can't
+      // host window expressions — then explode + exact distance on
+      // candidates only
+      corpus
+        .select(col("doc_id") +: col("skey") +:
+          (1 to 3).flatMap(i => Seq(
+            lead(col("doc_id"), i).over(w).as(s"id$i"),
+            lead(col("skey"), i).over(w).as(s"k$i"))): _*)
+        .withColumn("nbr", explode(array((1 to 3).map(i =>
+          struct(col(s"id$i").as("id"), col(s"k$i").as("k"))): _*)))
+        .filter(col("nbr.id").isNotNull &&
+          levenshtein(col("skey"), col("nbr.k")) <= 4)
+        .select(least(col("doc_id"), col("nbr.id")).as("a"),
+          greatest(col("doc_id"), col("nbr.id")).as("b"),
+          levenshtein(col("skey"), col("nbr.k")).as("dist"))
+        .distinct()
+        .orderBy(col("a"), col("b"))
+    }),
+
     // FULL OUTER release diff — the symmetric snapshot comparison every
     // release pipeline runs ("what was added, what was removed, what
     // survived"): neither side is privileged, so both null-extend.
@@ -742,6 +788,39 @@ object DedupQueries {
         |FROM c x JOIN c y ON x.doc_id < y.doc_id
         |WHERE levenshtein(x.skey, y.skey) <= 2
         |ORDER BY a, b""".stripMargin,
+    "d25_sorted_neighborhood" ->
+      // the same windowed-neighbor definition: lead 1..3 within the
+      // 2-char block's (skey, doc_id) order, exact distance on
+      // candidates, canonical (least, greatest) pair emission
+      """WITH k0 AS (SELECT doc_id,
+        |  substring(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |            1, 24) AS skey
+        |  FROM documents),
+        |c AS (SELECT doc_id, skey FROM k0
+        |      UNION ALL
+        |      SELECT doc_id + 3000000,
+        |             substring(skey, 1, 4) || 'qx' || substring(skey, 7)
+        |      FROM k0 WHERE doc_id % 10 = 0),
+        |l AS (SELECT doc_id, skey,
+        |        lead(doc_id, 1) OVER w AS id1, lead(skey, 1) OVER w AS k1,
+        |        lead(doc_id, 2) OVER w AS id2, lead(skey, 2) OVER w AS k2,
+        |        lead(doc_id, 3) OVER w AS id3, lead(skey, 3) OVER w AS k3
+        |      FROM c
+        |      WINDOW w AS (PARTITION BY substring(skey, 1, 2)
+        |                   ORDER BY skey, doc_id)),
+        |p AS (
+        |  SELECT least(doc_id, id1) AS a, greatest(doc_id, id1) AS b,
+        |         levenshtein(skey, k1) AS dist
+        |  FROM l WHERE id1 IS NOT NULL AND levenshtein(skey, k1) <= 4
+        |  UNION
+        |  SELECT least(doc_id, id2), greatest(doc_id, id2),
+        |         levenshtein(skey, k2)
+        |  FROM l WHERE id2 IS NOT NULL AND levenshtein(skey, k2) <= 4
+        |  UNION
+        |  SELECT least(doc_id, id3), greatest(doc_id, id3),
+        |         levenshtein(skey, k3)
+        |  FROM l WHERE id3 IS NOT NULL AND levenshtein(skey, k3) <= 4)
+        |SELECT DISTINCT a, b, dist FROM p ORDER BY a, b""".stripMargin,
     "j12_full_outer_diff" ->
       """SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
         |  CASE WHEN a.doc_id IS NULL THEN 'added'

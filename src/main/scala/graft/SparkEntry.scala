@@ -880,6 +880,46 @@ object QueryCatalog {
         .orderBy(col("event_type"))
     }),
 
+    // RUNTIME BLOOM-FILTER JOIN — the row-level sibling of q28's
+    // dynamic partition pruning: a selective dim-side filter (urgent
+    // orders) becomes a bloom filter BUILT AT RUNTIME and pushed into
+    // the fact scan as might_contain(l_orderkey), so non-matching fact
+    // rows die at the scan instead of crossing the shuffle — on a
+    // 100 TB unpartitioned fact this is the difference between
+    // shuffling the table and shuffling the match. Injection needs the
+    // shuffle-join regime (thresholds flipped for the exhibit; at real
+    // scale they hold naturally), so the result is MATERIALIZED under
+    // those confs via an eager localCheckpoint and the session is
+    // restored before returning — no conf leak into later queries.
+    // The filter is semantics-free: the oracle is the plain join.
+    // PlanSpec pins the might_contain injection on the fact scan.
+    "q31_runtime_filter" -> ((s, dir) => {
+      val conf = s.conf
+      val keys = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold")
+      val saved = keys.map(k => k -> conf.getOption(k))
+      try {
+        conf.set(keys(0), "true")
+        conf.set(keys(1), "0")
+        conf.set(keys(2), "-1")
+        val urgent = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        Tables.lineitem(s, dir)
+          .join(urgent, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .cast("double").as("qty"))
+          .localCheckpoint(true)
+          .orderBy(col("l_returnflag"))
+      } finally saved.foreach { case (k, v) =>
+        v.fold(conf.unset(k))(conf.set(k, _))
+      }
+    }),
+
     // Correlated SCALAR subquery in the SELECT list — the fourth
     // decorrelation path (EXISTS→semi, NOT IN→null-aware anti,
     // LATERAL→domain join are the other three): Catalyst rewrites the
@@ -1618,6 +1658,12 @@ object QueryCatalog {
          |    AS est_distinct
          |FROM s ORDER BY event_type""".stripMargin
     },
+    "q31_runtime_filter" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q24_scalar_subquery" ->
       """SELECT c_custkey,
         |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,

@@ -723,6 +723,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
   }
 
+  test("q31's fact side carries a runtime BLOOM filter from the filtered " +
+    "dim side — might_contain(l_orderkey) dies at the scan, not the shuffle") {
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set(keys(0), "true"); conf.set(keys(1), "0"); conf.set(keys(2), "-1")
+      val urgent = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+      val df = Tables.lineitem(spark, sf)
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      df.collect() // finalize under AQE
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"runtime bloom filter was not injected on the fact side:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("q28 fact scan carries a DYNAMIC partition filter from the dim " +
     "side — the region predicate prunes fact directories at runtime") {
     val p = plan("q28_dpp_prune")
