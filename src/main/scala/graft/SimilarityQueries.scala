@@ -119,6 +119,51 @@ object SimilarityQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // HYBRID RETRIEVAL via reciprocal-rank fusion (Cormack et al. 2009,
+    // the standard hybrid-search combiner): the lexical ranking (s10's
+    // BM25) and the dense ranking (s1's exact cosine) fused per query
+    // as Σ 1/(60 + rank) — rank-based, so the two systems' incomparable
+    // score scales never touch. The fused score is a sum of two
+    // exactly-rounded double divisions (bit-identical on any IEEE
+    // engine, ties broken by id) — the whole pipeline stays
+    // hash-exact even though it crosses two retrieval systems. The
+    // embeddings table is the documents' embedding sidecar; ids fuse in
+    // the shared corpus id space (dense coverage may be partial — the
+    // FULL outer fusion is the point: either system alone can place a
+    // candidate).
+    "s15_hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((1L, "hash join merge"), (2L, "customer order stream"),
+        (3L, "vector scan slow")).toDF("qid", "qtext")
+      val lex = graft.operators.Bm25.topK(
+          Tables.documents(s, dir), "doc_id", "text", qs, "qid", "qtext",
+          k = 20)
+        .select(col("qid"), col("doc_id").as("id"), col("rk").as("rk_lex"))
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.filter(col("vec_id").isin(1L, 2L, 3L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val wd = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      val dense = broadcast(qv).crossJoin(emb)
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("sim",
+          round(VectorFns.dotProduct(col("qv"), col("embedding")), 4))
+        .withColumn("rk_dense", row_number().over(wd))
+        .filter(col("rk_dense") <= 20)
+        .select(col("qid"), col("vec_id").as("id"), col("rk_dense"))
+      val wf = Window.partitionBy(col("qid"))
+        .orderBy(col("rrf").desc, col("id").asc)
+      lex.join(dense, Seq("qid", "id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("rk_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rk_dense")), lit(0.0)))
+        .withColumn("rk", row_number().over(wf))
+        .filter(col("rk") <= 10)
+        .select(col("qid"), col("rk").cast("long").as("rk"), col("id"),
+          round(col("rrf"), 6).as("rrf"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // BM25 lexical top-k (operators/Bm25): the inverted-index probe —
     // postings semi-join the broadcast query-term set before any
     // shuffle, df aggregates over the pruned postings, scores sum in
@@ -479,6 +524,52 @@ object SimilarityQueries {
         .orderBy(col("label"), col("idx"))))
 
   val oracleSql: Map[String, String] = Map(
+    "s15_hybrid_rrf" ->
+      // s10's BM25 replay at k=20 + s1's dense replay at k=20, fused by
+      // Σ 1/(60 + rank) — the same exactly-rounded double arithmetic in
+      // the same order as the Spark side
+      """WITH q(qid, qtext) AS (VALUES
+        |    (1, 'hash join merge'), (2, 'customer order stream'),
+        |    (3, 'vector scan slow')),
+        |tok AS (SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) AS dl,
+        |  unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        |       FROM tok GROUP BY 1, 2, 3),
+        |g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\s+'))) AS DOUBLE) AS sumdl
+        |  FROM documents),
+        |qt AS (SELECT DISTINCT qid, unnest(regexp_split_to_array(qtext, ' ')) AS term FROM q),
+        |dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf
+        |        WHERE term IN (SELECT term FROM qt) GROUP BY term),
+        |ts AS (SELECT qt.qid, tf.doc_id,
+        |  round(((n - df + 0.5) / (df + 0.5)) *
+        |        ((tf * (1.2 + 1.0)) /
+        |         (tf + 1.2 * (0.25 + 0.75 * (dl * n / sumdl)))), 6) AS tsc
+        |  FROM tf JOIN dft USING (term) JOIN qt USING (term), g),
+        |sc AS (SELECT qid, doc_id,
+        |  CAST(sum(CAST(tsc AS DECIMAL(18,6))) AS DOUBLE) AS score
+        |  FROM ts GROUP BY 1, 2),
+        |lexr AS (SELECT qid, doc_id, row_number() OVER
+        |           (PARTITION BY qid ORDER BY score DESC, doc_id) AS rk FROM sc),
+        |lex AS (SELECT qid, doc_id AS id, rk FROM lexr WHERE rk <= 20),
+        |dq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |       WHERE vec_id IN (1, 2, 3)),
+        |ds AS (SELECT dq.qid, e.vec_id,
+        |         round(list_dot_product(dq.qv::DOUBLE[], e.embedding::DOUBLE[]), 4) AS sim
+        |       FROM dq CROSS JOIN embeddings e WHERE e.vec_id <> dq.qid),
+        |dr AS (SELECT qid, vec_id, row_number() OVER
+        |         (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM ds),
+        |den AS (SELECT qid, vec_id AS id, rk FROM dr WHERE rk <= 20),
+        |f AS (SELECT coalesce(l.qid, d.qid) AS qid, coalesce(l.id, d.id) AS id,
+        |        coalesce(1.0 / (60 + l.rk), 0.0) +
+        |        coalesce(1.0 / (60 + d.rk), 0.0) AS rrf
+        |      FROM lex l FULL JOIN den d ON l.qid = d.qid AND l.id = d.id),
+        |r2 AS (SELECT qid, id, rrf, row_number() OVER
+        |         (PARTITION BY qid ORDER BY rrf DESC, id) AS rk FROM f)
+        |SELECT qid, CAST(rk AS BIGINT) AS rk, id, round(rrf, 6) AS rrf
+        |FROM r2 WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     "s14_phrase_search" ->
       // same tokenization (split on single spaces), adjacency via
       // 1-based list indexing (i ↔ Spark's 0-based pos i−1)

@@ -880,6 +880,51 @@ object QueryCatalog {
         .orderBy(col("event_type"))
     }),
 
+    // BUCKETED CO-LOCATED JOIN — the write-once-shuffle-never layout
+    // a 100 TB fact⋈fact plan leans on: both tables bucketed AND
+    // sorted by the join key at write time (one file per bucket), so
+    // the join runs as a sort-merge with ZERO exchanges — the shuffle
+    // was paid once at ingest and amortizes over every subsequent join
+    // on that key (BucketedJoinSpec pins the exchange-free plan
+    // including local-only sorts). The aggregate after the join pays
+    // its own one exchange, as it must — the exhibit is the join.
+    // Materialized eagerly so the scratch tables can be dropped before
+    // returning; broadcast disabled during the build (a broadcast
+    // would bypass the bucketing) and restored after.
+    "j18_bucketed_join" -> ((s, dir) => {
+      val conf = s.conf
+      val saved = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val pa = SparkHygiene.scratchDir("j18_orders")
+        val pb = SparkHygiene.scratchDir("j18_lineitem")
+        s.sql("DROP TABLE IF EXISTS graft_j18_orders")
+        s.sql("DROP TABLE IF EXISTS graft_j18_lineitem")
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
+          .repartition(8, col("o_orderkey"))
+          .write.format("parquet").bucketBy(8, "o_orderkey")
+          .sortBy("o_orderkey").option("path", pa)
+          .mode("overwrite").saveAsTable("graft_j18_orders")
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"))
+          .repartition(8, col("l_orderkey"))
+          .write.format("parquet").bucketBy(8, "l_orderkey")
+          .sortBy("l_orderkey").option("path", pb)
+          .mode("overwrite").saveAsTable("graft_j18_lineitem")
+        val res = s.table("graft_j18_orders")
+          .join(s.table("graft_j18_lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .cast("double").as("qty"))
+          .localCheckpoint(true)
+        s.sql("DROP TABLE graft_j18_orders")
+        s.sql("DROP TABLE graft_j18_lineitem")
+        res.orderBy(col("o_orderpriority"))
+      } finally saved.fold(conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+    }),
+
     // RUNTIME BLOOM-FILTER JOIN — the row-level sibling of q28's
     // dynamic partition pruning: a selective dim-side filter (urgent
     // orders) becomes a bloom filter BUILT AT RUNTIME and pushed into
@@ -1658,6 +1703,11 @@ object QueryCatalog {
          |    AS est_distinct
          |FROM s ORDER BY event_type""".stripMargin
     },
+    "j18_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q31_runtime_filter" ->
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty

@@ -40,7 +40,8 @@ object PlanDump {
       "q9_profit_rollup", "q12_shipmode", "j15_adaptive_join",
       "j16_merge_upsert", "q28_dpp_prune", "g3_label_prop", "g5_bfs_hops",
       "q27_incremental_agg", "q30_incremental_distinct", "w24_funnel",
-      "s13_ivf_pq", "s14_phrase_search", "t33_weighted_sample")
+      "s13_ivf_pq", "s14_phrase_search", "t33_weighted_sample",
+      "d25_sorted_neighborhood", "q31_runtime_filter")
     val out = new java.io.PrintWriter("artifacts/PLANS_r11.txt")
     out.println("Formatted physical plans, sf0.001, local[4] — regenerate " +
       "with `sbt \"Test/runMain graft.PlanDump\"`.\n")
