@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // rewrite cartesian levenshtein ≤ k joins into the PassJoin segment
     // equi-join — see [[graft.plans.EditDistanceJoinRewrite]]
     ext.injectOptimizerRule(_ => graft.plans.EditDistanceJoinRewrite)
+    // rewrite fact-scan aggregates to registered rollup MVs — see
+    // [[graft.plans.MvRewrite]]
+    ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
   }
 }
 
@@ -93,5 +96,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.EditDistanceJoinRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.EditDistanceJoinRewrite
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.MvRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.MvRewrite
   }
 }

@@ -880,6 +880,42 @@ object QueryCatalog {
         .orderBy(col("event_type"))
     }),
 
+    // MATERIALIZED-VIEW REWRITE (plans/MvRewrite) — the optimizer
+    // itself answers a raw fact aggregate from a registered rollup MV:
+    // the query below is written against lineitem, but the planner
+    // rewrites it to a RE-AGGREGATION over the (returnflag, linestatus)
+    // rollup — query grouping ⊆ MV grouping, count→Σcounts,
+    // sum→Σpre-sums (q27's merge algebra applied BY THE PLANNER). At
+    // 100 TB this turns the dashboard aggregate from a fact scan into
+    // an MV-sized read with zero query-text changes. Materialized
+    // eagerly under the registration (then cleared — no rule leak);
+    // the oracle proves the rollup algebra equals the from-scratch
+    // aggregate, MvRewriteSpec proves the rewrite actually serves the
+    // query (perturbed-MV test) and that the fact scan disappears.
+    "q33_mv_rewrite" -> ((s, dir) => {
+      val mvDir = SparkHygiene.scratchDir("q33_mv")
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+        .write.mode("overwrite").parquet(mvDir)
+      graft.plans.MvRewrite.register(graft.plans.MvRewrite.MvDef(
+        factPathSuffix = s"$dir/lineitem.parquet",
+        mvPlan = s.read.parquet(mvDir).queryExecution.analyzed,
+        groupCols = Set("l_returnflag", "l_linestatus"),
+        countCol = "n_rows",
+        sumCols = Map("l_quantity" -> "sum_qty")))
+      try {
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .cast("double").as("qty"))
+          .localCheckpoint(true)
+          .orderBy(col("l_returnflag"))
+      } finally graft.plans.MvRewrite.clear()
+    }),
+
     // BUCKETED CO-LOCATED JOIN — the write-once-shuffle-never layout
     // a 100 TB fact⋈fact plan leans on: both tables bucketed AND
     // sorted by the join key at write time (one file per bucket), so
@@ -1703,6 +1739,11 @@ object QueryCatalog {
          |    AS est_distinct
          |FROM s ORDER BY event_type""".stripMargin
     },
+    "q33_mv_rewrite" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "j18_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty

@@ -1,0 +1,134 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** MATERIALIZED-VIEW REWRITE — Calcite-style rollup matching as a
+  * Catalyst rule: an `Aggregate` over the raw FACT scan is rewritten to
+  * a RE-AGGREGATION over a registered rollup MV whenever the MV can
+  * answer it — query grouping ⊆ MV grouping, and every aggregate is
+  * derivable from the MV's partial states (count → sum of per-group
+  * counts, sum → sum of pre-sums; the q27 merge algebra, applied by
+  * the OPTIMIZER instead of by hand). The query text never changes;
+  * the 100 TB fact scan simply stops happening.
+  *
+  * Matching is deliberately conservative — plain-column groupings, no
+  * filter between the aggregate and the scan, COMPLETE-mode
+  * count(1)/sum aggregates only (optionally under a cast) — and every
+  * output column must translate, or the plan is left untouched. The
+  * rewritten aggregate preserves the original output `exprId`s (parents
+  * keep resolving) and casts re-aggregated sums back to the original
+  * result type (re-summing a pre-sum widens decimals by construction).
+  *
+  * Correctness is gated twice: q33's oracle proves the rollup algebra
+  * equals the from-scratch aggregate, and MvRewriteSpec proves the
+  * rewrite actually SERVES the query (a deliberately perturbed MV shows
+  * up in the answer) and that the fact scan disappears from the plan.
+  */
+object MvRewrite extends Rule[LogicalPlan] {
+
+  /** @param factPathSuffix matched against the fact scan's root path
+    * @param mvPlan         ANALYZED plan of the MV table read
+    * @param groupCols      the MV's grouping columns (superset test)
+    * @param countCol       MV column holding per-group row counts
+    * @param sumCols        fact column name → MV pre-sum column name
+    */
+  case class MvDef(factPathSuffix: String, mvPlan: LogicalPlan,
+                   groupCols: Set[String], countCol: String,
+                   sumCols: Map[String, String])
+
+  private val registry =
+    new java.util.concurrent.atomic.AtomicReference[Seq[MvDef]](Nil)
+  def register(mv: MvDef): Unit = { registry.updateAndGet(_ :+ mv); () }
+  def clear(): Unit = registry.set(Nil)
+
+  private def factRelation(plan: LogicalPlan): Option[LogicalRelation] =
+    plan match {
+      case r: LogicalRelation => Some(r)
+      case Project(projList, r: LogicalRelation)
+          if projList.forall(_.isInstanceOf[AttributeReference]) => Some(r)
+      case _ => None
+    }
+
+  private def locationOf(rel: LogicalRelation): String = rel.relation match {
+    case f: HadoopFsRelation =>
+      f.location.rootPaths.headOption.map(_.toString).getOrElse("")
+    case _ => ""
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val mvs = registry.get()
+    if (mvs.isEmpty) return plan
+    plan.transformUp {
+      case agg @ Aggregate(groupings, aggExprs, child, _) =>
+        (for {
+          rel <- factRelation(child)
+          mv <- mvs.find(m => locationOf(rel).endsWith(m.factPathSuffix))
+          rewritten <- tryRewrite(groupings, aggExprs, mv)
+        } yield rewritten).getOrElse(agg)
+    }
+  }
+
+  private def tryRewrite(groupings: Seq[Expression],
+                         aggExprs: Seq[NamedExpression],
+                         mv: MvDef): Option[LogicalPlan] = {
+    val mvOut = mv.mvPlan.output.map(a => a.name -> a).toMap
+
+    val newGroup = groupings.map {
+      case a: AttributeReference if mv.groupCols.contains(a.name) &&
+          mvOut.contains(a.name) => mvOut(a.name)
+      case _ => return None
+    }
+
+    def reSum(src: AttributeReference): Option[Expression] =
+      mv.sumCols.get(src.name).flatMap(mvOut.get).map(c =>
+        AggregateExpression(Sum(c), Complete, isDistinct = false))
+
+    val newAggs: Seq[NamedExpression] = aggExprs.map {
+      case a: AttributeReference if mv.groupCols.contains(a.name) &&
+          mvOut.contains(a.name) =>
+        Alias(mvOut(a.name), a.name)(exprId = a.exprId)
+      case al: Alias =>
+        // an output column may carry one presentation cast OUTSIDE the
+        // aggregate (`sum(x).cast("double")`) — unwrap, translate the
+        // aggregate, re-apply the cast
+        val (inner, rewrap): (Expression, Expression => Expression) =
+          al.child match {
+            case c: Cast => (c.child, e => Cast(e, c.dataType))
+            case e => (e, identity[Expression] _)
+          }
+        val translated: Expression = inner match {
+          case AggregateExpression(cnt: Count, Complete, false, None, _)
+              if cnt.children == Seq(Literal(1)) && mvOut.contains(mv.countCol) =>
+            // count(1) over the fact = sum of the MV's per-group
+            // counts; coalesce keeps count's non-null contract
+            Coalesce(Seq(
+              Cast(AggregateExpression(Sum(mvOut(mv.countCol)), Complete,
+                isDistinct = false), inner.dataType),
+              Literal.create(0L, inner.dataType)))
+          case AggregateExpression(s: Sum, Complete, false, None, _) =>
+            val src = s.child match {
+              case a: AttributeReference => a
+              case c: Cast => c.child match {
+                case a: AttributeReference => a
+                case _ => return None
+              }
+              case _ => return None
+            }
+            // re-summing the pre-sum widens the type; cast back to the
+            // original result type (the value is the same total)
+            reSum(src) match {
+              case Some(e) => Cast(e, inner.dataType)
+              case None => return None
+            }
+          case _ => return None
+        }
+        Alias(rewrap(translated), al.name)(exprId = al.exprId)
+      case _ => return None
+    }
+    Some(Aggregate(newGroup, newAggs, mv.mvPlan))
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.MvRewrite
+
+/** The MV rewrite must (1) actually SERVE the query — proven by a
+  * deliberately perturbed MV showing up in the answer, the only test a
+  * silently-not-firing rewrite cannot pass — (2) remove the fact scan
+  * from the plan, (3) compute the exact rollup algebra when the MV is
+  * truthful, and (4) refuse to fire for any query shape it cannot
+  * translate (filters, unknown aggregates, non-covered groupings).
+  */
+class MvRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def mkMv(truthful: Boolean): (String, MvRewrite.MvDef) = {
+    val dir = SparkHygiene.scratchDir("mv_rewrite")
+    val base = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+    val mv = if (truthful) base
+      else base.withColumn("sum_qty", col("sum_qty") + lit(1000000))
+    mv.write.mode("overwrite").parquet(dir)
+    (dir, MvRewrite.MvDef(
+      factPathSuffix = s"$sf/lineitem.parquet",
+      mvPlan = spark.read.parquet(dir).queryExecution.analyzed,
+      groupCols = Set("l_returnflag", "l_linestatus"),
+      countCol = "n_rows",
+      sumCols = Map("l_quantity" -> "sum_qty")))
+  }
+
+  private def query() = Tables.lineitem(spark, sf)
+    .groupBy(col("l_returnflag"))
+    .agg(count(lit(1)).as("n"),
+      sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+
+  private def collectMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getDecimal(2)))).toMap
+
+  test("rollup rewrite: grouping-subset query over the fact equals the " +
+    "raw aggregate when the MV is truthful, and the fact scan disappears") {
+    val truth = collectMap(query()) // registry empty: computed from fact
+    val (dir, mvDef) = mkMv(truthful = true)
+    try {
+      MvRewrite.register(mvDef)
+      val df = query()
+      assert(collectMap(df) == truth,
+        "rewritten rollup must equal the from-scratch aggregate")
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains(dir.split('/').last),
+        s"plan must scan the MV:\n$p")
+      assert(!p.contains("lineitem.parquet"),
+        s"fact scan must be GONE from the plan:\n$p")
+    } finally MvRewrite.clear()
+  }
+
+  test("the rewrite provably serves the query: a perturbed MV shows up " +
+    "in the answer") {
+    val truth = collectMap(query())
+    val (_, mvDef) = mkMv(truthful = false)
+    try {
+      MvRewrite.register(mvDef)
+      val got = collectMap(query())
+      assert(got.keySet == truth.keySet)
+      got.foreach { case (k, (n, qty)) =>
+        assert(n == truth(k)._1, "counts are un-perturbed and must agree")
+        assert(qty.subtract(truth(k)._2).longValue() >= 1000000,
+          s"perturbation missing for $k: the MV did not serve the query")
+      }
+    } finally MvRewrite.clear()
+  }
+
+  test("q33's exact shape — sum under a presentation cast to double — " +
+    "is rewrite-served") {
+    val (dir, mvDef) = mkMv(truthful = true)
+    try {
+      MvRewrite.register(mvDef)
+      val df = Tables.lineitem(spark, sf)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").as("qty"))
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains(dir.split('/').last) && !p.contains("lineitem.parquet"),
+        s"the cast-wrapped sum must still translate:\n$p")
+    } finally MvRewrite.clear()
+  }
+
+  test("conservative matching: filters, unknown aggregates, and " +
+    "non-covered groupings are left on the fact scan") {
+    val (_, mvDef) = mkMv(truthful = true)
+    try {
+      MvRewrite.register(mvDef)
+      val li = Tables.lineitem(spark, sf)
+      val shapes = Seq(
+        // a filter between aggregate and scan
+        li.filter(col("l_quantity") > 10).groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n")),
+        // an aggregate the MV has no state for
+        li.groupBy(col("l_returnflag"))
+          .agg(max(col("l_extendedprice")).as("mx")),
+        // a grouping column outside the MV grouping
+        li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("n")))
+      shapes.foreach { df =>
+        val p = df.queryExecution.executedPlan.toString
+        assert(p.contains("lineitem.parquet"),
+          s"untranslatable shape must keep the fact scan:\n$p")
+      }
+    } finally MvRewrite.clear()
+  }
+}
