@@ -182,6 +182,41 @@ object EventQueries {
         .orderBy(col("purchase_id"))
     }),
 
+    // W27: per-window TOP-K through real streaming (streaming/
+    // TopKStream) — the live leaderboard native streaming cannot
+    // express (a rank over a streaming aggregate is neither computable
+    // nor retractable in append mode): per-hour event-type counts
+    // accumulate in window-keyed state and the RANKED top-3 emits
+    // exactly once when the watermark closes the window. Deterministic
+    // (count desc, category asc) ties make the close oracle-replayable:
+    // the oracle is the batch count + rank under the w20-style cutoff.
+    "w27_stream_topk" -> ((s0, dir) => {
+      val s = SparkHygiene.streamStateSession(s0, 8)
+      import s.implicits._
+      val ev = Tables.eventsStream(s, dir)
+        .select(
+          expr("unix_micros(ts) div 3600000000 * 3600000000").as("win_us"),
+          col("event_type").as("category"), col("ts"))
+        .as[graft.streaming.TopKStream.Ev]
+      val top = graft.streaming.TopKStream.topK(
+        ev, windowSec = 3600L, k = 3, watermarkDelay = "30 minutes")
+      val out = SparkHygiene.scratchDir("w27_out")
+      val ck = SparkHygiene.scratchDir("w27_ck")
+      val q = top.toDF.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val cut = Tables.events(s, dir).agg(
+        (unix_micros(max(col("ts"))) - lit(1810000000L)).as("cut_us"))
+      s.read.parquet(out)
+        .crossJoin(broadcast(cut))
+        .filter(col("win_us") + lit(3600000000L) < col("cut_us"))
+        .select(col("win_us"), col("category"), col("n"), col("rk"))
+        .orderBy(col("win_us"), col("rk"))
+    }),
+
     // Semi-structured extraction — the JSON-payload column every event
     // pipeline carries. from_json with an explicit schema (codegen'd,
     // vectorizable) pulls the typed field out ONCE in the scan
@@ -976,6 +1011,16 @@ object EventQueries {
         |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
         |LEFT JOIN p USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    "w27_stream_topk" ->
+      """WITH e AS (SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_us,
+        |             event_type AS category FROM events),
+        |c AS (SELECT win_us, category, count(*) AS n FROM e GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY win_us
+        |        ORDER BY n DESC, category) AS rk FROM c),
+        |cut AS (SELECT epoch_us(max(ts)) - 1810000000 AS cut_us FROM events)
+        |SELECT win_us, category, n, CAST(rk AS INT) AS rk
+        |FROM r, cut WHERE rk <= 3 AND win_us + 3600000000 < cut_us
+        |ORDER BY win_us, rk""".stripMargin,
     "w26_stream_asof" ->
       // j7's oracle with the purchase timestamp carried through and the
       // w20-style emission cutoff applied on both sides

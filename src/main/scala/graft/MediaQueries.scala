@@ -126,6 +126,50 @@ object MediaQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // SHARD-INDEXED POINT EXTRACTION — the serving half of m3's packing
+    // (the WebDataset random-access pattern): the pack layout yields a
+    // member index (modality, shard, offset-in-shard, length); shard
+    // BLOBS are assembled once (members concatenated in doc order —
+    // one exchange on the shard key, blobs never move again); a point
+    // read joins the index for its target ids and slices the member
+    // straight out of its shard blob. The md5 of the EXTRACTED bytes
+    // is the output — if any offset/length/assembly step were wrong,
+    // the hash would not match the oracle's md5 of the source payload.
+    // ASCII corpus ⇒ byte slice ≡ char slice (m2's documented caveat).
+    // At 100 TB: extraction touches only the target ids' shards (the
+    // index join prunes), and a real deployment persists blobs + index
+    // at pack time — this query exercises the whole round trip.
+    "m7_shard_extract" -> ((s, dir) => {
+      val m = graft.operators.Multimodal.mediaFrom(Tables.documents(s, dir))
+        .select(col("doc_id"), col("modality"),
+          col("payload").cast("string").as("body"))
+        .withColumn("n_bytes", octet_length(col("body")).cast("long"))
+      val cumW = Window.partitionBy(col("modality")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val idx = m
+        .withColumn("cum", sum(col("n_bytes")).over(cumW))
+        .withColumn("shard",
+          floor((col("cum") - col("n_bytes")) / 16384).cast("long"))
+      val inW = Window.partitionBy(col("modality"), col("shard"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val indexed = idx.withColumn("off_in",
+        (sum(col("n_bytes")).over(inW) - col("n_bytes")).cast("long"))
+      val blobs = indexed.groupBy(col("modality"), col("shard"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("body")))),
+          x => x.getField("body")), "").as("blob"))
+      indexed.filter(col("doc_id") % 97 === 3)
+        .select(col("doc_id"), col("modality"), col("shard"),
+          col("off_in"), col("n_bytes"))
+        .join(blobs, Seq("modality", "shard"))
+        .select(col("doc_id"), col("modality"), col("shard"), col("off_in"),
+          col("n_bytes"),
+          md5(col("blob").substr((col("off_in") + 1).cast("int"),
+            col("n_bytes").cast("int"))).as("member_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // frame sampling over the video modality: every 4th 32-byte chunk of
     // the payload is one "frame" (deterministic demux stub — the Spark
     // side is the real mapPartitions dataflow a codec would plug into).
@@ -145,6 +189,26 @@ object MediaQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "m7_shard_extract" ->
+      // the index math replayed (m3's running-sum layout + the
+      // within-shard offset); the md5 is of the SOURCE payload — equal
+      // to Spark's md5 of the blob slice only if every offset, length
+      // and assembly step was exact
+      """WITH m AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  text AS body,
+        |  octet_length(encode(text))::BIGINT AS n_bytes
+        |FROM documents),
+        |c AS (SELECT *, sum(n_bytes) OVER (PARTITION BY modality ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM m),
+        |s AS (SELECT *, CAST(floor((cum - n_bytes) / 16384) AS BIGINT) AS shard
+        |      FROM c),
+        |o AS (SELECT *, CAST(sum(n_bytes) OVER (PARTITION BY modality, shard
+        |        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        - n_bytes AS BIGINT) AS off_in FROM s)
+        |SELECT doc_id, modality, shard, off_in, n_bytes, md5(body) AS member_md5
+        |FROM o WHERE doc_id % 97 = 3 ORDER BY doc_id""".stripMargin,
     "m3_media_pack" ->
       """WITH m AS (SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
