@@ -916,6 +916,36 @@ object QueryCatalog {
       } finally graft.plans.MvRewrite.clear()
     }),
 
+    // q33's MV rewrite with a FILTER below the aggregate: the
+    // predicate touches only MV grouping columns (linestatus), so it
+    // applies identically to the rollup — the planner pushes it onto
+    // the MV scan and the fact still never reads. A filter on any
+    // NON-grouping column refuses the rewrite (MvRewriteSpec).
+    "q34_mv_filter" -> ((s, dir) => {
+      val mvDir = SparkHygiene.scratchDir("q34_mv")
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+        .write.mode("overwrite").parquet(mvDir)
+      graft.plans.MvRewrite.register(graft.plans.MvRewrite.MvDef(
+        factPathSuffix = s"$dir/lineitem.parquet",
+        mvPlan = s.read.parquet(mvDir).queryExecution.analyzed,
+        groupCols = Set("l_returnflag", "l_linestatus"),
+        countCol = "n_rows",
+        sumCols = Map("l_quantity" -> "sum_qty")))
+      try {
+        Tables.lineitem(s, dir)
+          .filter(col("l_linestatus") === "O")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .cast("double").as("qty"))
+          .localCheckpoint(true)
+          .orderBy(col("l_returnflag"))
+      } finally graft.plans.MvRewrite.clear()
+    }),
+
     // BUCKETED CO-LOCATED JOIN — the write-once-shuffle-never layout
     // a 100 TB fact⋈fact plan leans on: both tables bucketed AND
     // sorted by the join key at write time (one file per bucket), so
@@ -1739,6 +1769,11 @@ object QueryCatalog {
          |    AS est_distinct
          |FROM s ORDER BY event_type""".stripMargin
     },
+    "q34_mv_filter" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem WHERE l_linestatus = 'O'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q33_mv_rewrite" ->
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -15,10 +15,12 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * the OPTIMIZER instead of by hand). The query text never changes;
   * the 100 TB fact scan simply stops happening.
   *
-  * Matching is deliberately conservative — plain-column groupings, no
-  * filter between the aggregate and the scan, COMPLETE-mode
-  * count(1)/sum aggregates only (optionally under a cast) — and every
-  * output column must translate, or the plan is left untouched. The
+  * Matching is deliberately conservative — plain-column groupings; a
+  * filter below the aggregate only if it touches MV grouping columns
+  * exclusively (then it applies identically to the rollup);
+  * COMPLETE-mode count(1)/sum aggregates only (optionally under a
+  * cast) — and every output column must translate, or the plan is
+  * left untouched. The
   * rewritten aggregate preserves the original output `exprId`s (parents
   * keep resolving) and casts re-aggregated sums back to the original
   * result type (re-summing a pre-sum widens decimals by construction).
@@ -45,13 +47,20 @@ object MvRewrite extends Rule[LogicalPlan] {
   def register(mv: MvDef): Unit = { registry.updateAndGet(_ :+ mv); () }
   def clear(): Unit = registry.set(Nil)
 
-  private def factRelation(plan: LogicalPlan): Option[LogicalRelation] =
-    plan match {
-      case r: LogicalRelation => Some(r)
-      case Project(projList, r: LogicalRelation)
-          if projList.forall(_.isInstanceOf[AttributeReference]) => Some(r)
+  /** Peel attribute-only Projects and at most ONE Filter (in any
+    * order — the optimizer interleaves them) off the scan. */
+  private def decompose(plan: LogicalPlan)
+      : Option[(Option[Expression], LogicalRelation)] = plan match {
+    case r: LogicalRelation => Some((None, r))
+    case Project(projList, child)
+        if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      decompose(child)
+    case Filter(cond, child) => decompose(child).flatMap {
+      case (None, r) => Some((Some(cond), r))
       case _ => None
     }
+    case _ => None
+  }
 
   private def locationOf(rel: LogicalRelation): String = rel.relation match {
     case f: HadoopFsRelation =>
@@ -64,18 +73,34 @@ object MvRewrite extends Rule[LogicalPlan] {
     if (mvs.isEmpty) return plan
     plan.transformUp {
       case agg @ Aggregate(groupings, aggExprs, child, _) =>
+        // a filter BETWEEN the aggregate and the scan is translatable
+        // when it touches only MV grouping columns — it then applies
+        // identically to the rollup (every fact row of a group shares
+        // the group's values, so filtering groups ≡ filtering rows)
         (for {
-          rel <- factRelation(child)
+          (filterCond, rel) <- decompose(child)
           mv <- mvs.find(m => locationOf(rel).endsWith(m.factPathSuffix))
-          rewritten <- tryRewrite(groupings, aggExprs, mv)
+          rewritten <- tryRewrite(groupings, aggExprs, filterCond, mv)
         } yield rewritten).getOrElse(agg)
     }
   }
 
   private def tryRewrite(groupings: Seq[Expression],
                          aggExprs: Seq[NamedExpression],
+                         filterCond: Option[Expression],
                          mv: MvDef): Option[LogicalPlan] = {
     val mvOut = mv.mvPlan.output.map(a => a.name -> a).toMap
+
+    // every column the filter touches must be an MV grouping column;
+    // remap its attributes onto the MV's output
+    val newFilter = filterCond.map { cond =>
+      val ok = cond.references.forall(a =>
+        mv.groupCols.contains(a.name) && mvOut.contains(a.name))
+      if (!ok) return None
+      cond.transform {
+        case a: AttributeReference => mvOut(a.name)
+      }
+    }
 
     val newGroup = groupings.map {
       case a: AttributeReference if mv.groupCols.contains(a.name) &&
@@ -129,6 +154,7 @@ object MvRewrite extends Rule[LogicalPlan] {
         Alias(rewrap(translated), al.name)(exprId = al.exprId)
       case _ => return None
     }
-    Some(Aggregate(newGroup, newAggs, mv.mvPlan))
+    val base = newFilter.map(Filter(_, mv.mvPlan)).getOrElse(mv.mvPlan)
+    Some(Aggregate(newGroup, newAggs, base))
   }
 }

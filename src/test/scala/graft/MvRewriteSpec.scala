@@ -91,6 +91,29 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.clear()
   }
 
+  test("a filter over MV GROUPING columns translates — it filters rollup " +
+    "groups exactly as it filtered fact rows — and stays rewrite-served") {
+    val (dir, mvDef) = mkMv(truthful = true)
+    val q = Tables.lineitem(spark, sf)
+      .filter(col("l_linestatus") === "O")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+    val truth = collectMap(q)
+    try {
+      MvRewrite.register(mvDef)
+      val df = Tables.lineitem(spark, sf)
+        .filter(col("l_linestatus") === "O")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+      assert(collectMap(df) == truth)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains(dir.split('/').last) && !p.contains("lineitem.parquet"),
+        s"grouping-column filter must still be MV-served:\n$p")
+    } finally MvRewrite.clear()
+  }
+
   test("conservative matching: filters, unknown aggregates, and " +
     "non-covered groupings are left on the fact scan") {
     val (_, mvDef) = mkMv(truthful = true)
@@ -98,7 +121,7 @@ class MvRewriteSpec extends SparkSpec {
       MvRewrite.register(mvDef)
       val li = Tables.lineitem(spark, sf)
       val shapes = Seq(
-        // a filter between aggregate and scan
+        // a filter on a NON-grouping column (the MV lost row identity)
         li.filter(col("l_quantity") > 10).groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n")),
         // an aggregate the MV has no state for
