@@ -37,10 +37,14 @@ object MvRewrite extends Rule[LogicalPlan] {
     * @param groupCols      the MV's grouping columns (superset test)
     * @param countCol       MV column holding per-group row counts
     * @param sumCols        fact column name → MV pre-sum column name
+    * @param minCols        fact column name → MV pre-min column name
+    * @param maxCols        fact column name → MV pre-max column name
     */
   case class MvDef(factPathSuffix: String, mvPlan: LogicalPlan,
                    groupCols: Set[String], countCol: String,
-                   sumCols: Map[String, String])
+                   sumCols: Map[String, String],
+                   minCols: Map[String, String] = Map.empty,
+                   maxCols: Map[String, String] = Map.empty)
 
   private val registry =
     new java.util.concurrent.atomic.AtomicReference[Seq[MvDef]](Nil)
@@ -148,6 +152,23 @@ object MvRewrite extends Rule[LogicalPlan] {
             reSum(src) match {
               case Some(e) => Cast(e, inner.dataType)
               case None => return None
+            }
+          // min/max are SELF-mergeable: min of per-group mins IS the min
+          case AggregateExpression(m: Min, Complete, false, None, _) =>
+            m.child match {
+              case a: AttributeReference
+                  if mv.minCols.get(a.name).exists(mvOut.contains) =>
+                AggregateExpression(Min(mvOut(mv.minCols(a.name))),
+                  Complete, isDistinct = false)
+              case _ => return None
+            }
+          case AggregateExpression(m: Max, Complete, false, None, _) =>
+            m.child match {
+              case a: AttributeReference
+                  if mv.maxCols.get(a.name).exists(mvOut.contains) =>
+                AggregateExpression(Max(mvOut(mv.maxCols(a.name))),
+                  Complete, isDistinct = false)
+              case _ => return None
             }
           case _ => return None
         }

@@ -33,6 +33,39 @@ class MvRewriteSpec extends SparkSpec {
       sumCols = Map("l_quantity" -> "sum_qty")))
   }
 
+  test("min/max are self-mergeable: a min/max query over the fact is " +
+    "served by the MV's per-group extremes") {
+    val dir = SparkHygiene.scratchDir("mv_minmax")
+    Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_extendedprice")).as("min_px"),
+        max(col("l_extendedprice")).as("max_px"))
+      .write.mode("overwrite").parquet(dir)
+    def q() = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+    val truth = q().collect().map(r =>
+      r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    try {
+      MvRewrite.register(MvRewrite.MvDef(
+        factPathSuffix = s"$sf/lineitem.parquet",
+        mvPlan = spark.read.parquet(dir).queryExecution.analyzed,
+        groupCols = Set("l_returnflag", "l_linestatus"),
+        countCol = "n_rows", sumCols = Map.empty,
+        minCols = Map("l_extendedprice" -> "min_px"),
+        maxCols = Map("l_extendedprice" -> "max_px")))
+      val df = q()
+      val got = df.collect().map(r =>
+        r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+      assert(got == truth)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains(dir.split('/').last) && !p.contains("lineitem.parquet"),
+        s"min/max query must be MV-served:\n$p")
+    } finally MvRewrite.clear()
+  }
+
   private def query() = Tables.lineitem(spark, sf)
     .groupBy(col("l_returnflag"))
     .agg(count(lit(1)).as("n"),
