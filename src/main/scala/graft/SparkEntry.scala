@@ -734,6 +734,22 @@ object QueryCatalog {
         .orderBy(col("node"))
     }),
 
+    // HITS hubs-and-authorities (operators/Hits) over the directed
+    // part→supplier bipartite graph — the TWO-SIDED propagation
+    // (PageRank pushes one value along out-edges; HITS alternates
+    // authority and hub mass across edge directions, Kleinberg's
+    // mutual reinforcement). Exact fixed-point integers with
+    // quantized-total normalization, so the DuckDB oracle unrolls both
+    // rounds bit-for-bit; two aggregate exchanges per round plus two
+    // broadcast scalar normalizations, edge list cached once.
+    "g6_hits" -> ((s, dir) => {
+      val edges = Tables.lineitem(s, dir)
+        .select(col("l_partkey").as("src"),
+          (col("l_suppkey") + lit(1000000000L)).as("dst"))
+      graft.operators.Hits.run(edges, "src", "dst", rounds = 2)
+        .orderBy(col("node"))
+    }),
+
     // Join-size PRE-FLIGHT (operators/JoinSizeEstimate): estimate
     // |lineitem ⋈ orders| from coordinated bottom-k key samples —
     // one tiny aggregate per side, never the join itself — the guard
@@ -1687,6 +1703,35 @@ object QueryCatalog {
         |         FROM e JOIN d3 ON d3.node = e.src
         |         UNION ALL SELECT node, dist FROM d3) GROUP BY node)
         |SELECT node, dist FROM d4 ORDER BY node""".stripMargin,
+    "g6_hits" -> {
+      // one (raw-sum, total, quantized-normalize, keep-alive) quartet
+      // per side per round — the operator's exact integer arithmetic,
+      // CASTs pinning every sum to BIGINT (HUGEINT would fail the
+      // type-parity gate)
+      def round(i: Int, prevHub: String) =
+        s"""a${i}r AS (SELECT s AS node, CAST(sum(ph.hub) AS BIGINT) AS auth
+           |        FROM ps JOIN $prevHub ph ON ph.node = ps.p GROUP BY s),
+           |a${i}t AS (SELECT CAST(sum(auth) AS BIGINT) AS tot FROM a${i}r),
+           |a${i}n AS (SELECT node, auth // greatest(tot // 1000000000, 1) AS auth
+           |        FROM a${i}r, a${i}t),
+           |a$i AS (SELECT n.node, CAST(coalesce(x.auth, 0) AS BIGINT) AS auth
+           |        FROM nodes n LEFT JOIN a${i}n x USING (node)),
+           |h${i}r AS (SELECT p AS node, CAST(sum(pa.auth) AS BIGINT) AS hub
+           |        FROM ps JOIN a$i pa ON pa.node = ps.s GROUP BY p),
+           |h${i}t AS (SELECT CAST(sum(hub) AS BIGINT) AS tot FROM h${i}r),
+           |h${i}n AS (SELECT node, hub // greatest(tot // 1000000000, 1) AS hub
+           |        FROM h${i}r, h${i}t),
+           |h$i AS (SELECT n.node, CAST(coalesce(x.hub, 0) AS BIGINT) AS hub
+           |        FROM nodes n LEFT JOIN h${i}n x USING (node))""".stripMargin
+      s"""WITH ps AS (SELECT DISTINCT l_partkey AS p,
+         |              l_suppkey + 1000000000 AS s FROM lineitem),
+         |nodes AS (SELECT p AS node FROM ps UNION SELECT s FROM ps),
+         |h0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS hub FROM nodes),
+         |${round(1, "h0")},
+         |${round(2, "h1")}
+         |SELECT node, hub, auth FROM h2 JOIN a2 USING (node)
+         |ORDER BY node""".stripMargin
+    },
     "q26_join_size_guard" -> {
       // t19's 60-bit md5 digit-sum idiom with the jse: prefix
       def h(col: String) = (1 to 15).map(i =>
