@@ -217,6 +217,43 @@ object EventQueries {
         .orderBy(col("win_us"), col("rk"))
     }),
 
+    // W28: w14's daily-distinct KMV sketch through REAL streaming
+    // (streaming/SketchStream) — per-day state is the 32 smallest
+    // distinct user-hash values (k·8 bytes regardless of traffic,
+    // folded by the batch aggregator's own reduce), the estimate
+    // emitted exactly once at watermark close. Completes the triangle:
+    // t19/w14 prove the sketch batch-side, q30 proves its merge
+    // algebra, w28 proves the streaming close — all against the same
+    // bit-replayable oracle.
+    "w28_stream_distinct" -> ((s0, dir) => {
+      val s = SparkHygiene.streamStateSession(s0, 8)
+      import s.implicits._
+      val h = conv(substring(
+          md5(concat(lit("kmv:"), col("user_id").cast("string"))), 1, 15),
+        16, 10).cast("long")
+      val ev = Tables.eventsStream(s, dir)
+        .select(unix_micros(date_trunc("DAY", col("ts"))).as("win_us"),
+          h.as("h"), col("ts"))
+        .as[graft.streaming.SketchStream.Ev]
+      val est = graft.streaming.SketchStream.kmvDistinct(
+        ev, windowSec = 86400L, k = 32, watermarkDelay = "30 minutes")
+      val out = SparkHygiene.scratchDir("w28_out")
+      val ck = SparkHygiene.scratchDir("w28_ck")
+      val q = est.toDF.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val cut = Tables.events(s, dir).agg(
+        (unix_micros(max(col("ts"))) - lit(1810000000L)).as("cut_us"))
+      s.read.parquet(out)
+        .crossJoin(broadcast(cut))
+        .filter(col("win_us") + lit(86400000000L) < col("cut_us"))
+        .select(col("win_us"), col("n_sketch"), col("est_distinct"))
+        .orderBy(col("win_us"))
+    }),
+
     // Semi-structured extraction — the JSON-payload column every event
     // pipeline carries. from_json with an explicit schema (codegen'd,
     // vectorizable) pulls the typed field out ONCE in the scan
@@ -1011,6 +1048,28 @@ object EventQueries {
         |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
         |LEFT JOIN p USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    "w28_stream_distinct" -> {
+      // t19/w14's sketch replay keyed by epoch-micros day, under the
+      // emission cutoff (whole closed days only)
+      val hx = (1 to 15).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5('kmv:' || user_id::VARCHAR), $i, 1)) - 1) * ${1L << (4 * (15 - i))}")
+        .mkString(" + ")
+      s"""WITH h AS (SELECT DISTINCT epoch_us(date_trunc('day', ts)) AS win_us,
+         |             ($hx) AS h FROM events),
+         |r AS (SELECT win_us, h,
+         |        row_number() OVER (PARTITION BY win_us ORDER BY h) AS rn
+         |      FROM h),
+         |s AS (SELECT win_us, count(*) AS n_sketch,
+         |        max(CASE WHEN rn = 32 THEN h END) AS hk
+         |      FROM r WHERE rn <= 32 GROUP BY win_us),
+         |cut AS (SELECT epoch_us(max(ts)) - 1810000000 AS cut_us FROM events)
+         |SELECT win_us, n_sketch,
+         |  CASE WHEN n_sketch < 32 THEN n_sketch::DOUBLE
+         |       ELSE round(31.0 * 1152921504606846976 / hk::DOUBLE, 4) END
+         |    AS est_distinct
+         |FROM s, cut WHERE win_us + 86400000000 < cut_us
+         |ORDER BY win_us""".stripMargin
+    },
     "w27_stream_topk" ->
       """WITH e AS (SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_us,
         |             event_type AS category FROM events),
