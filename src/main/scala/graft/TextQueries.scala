@@ -454,6 +454,25 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // SNAPSHOT TIME TRAVEL (sources/Snapshots) — the versioning layer
+    // that makes "the table" a manifest, not a directory listing: two
+    // append commits build versions 1 and 2; the query reads VERSION 1
+    // after version 2 exists, and must see exactly the v1 rows (the
+    // reproducible-read property training-data lineage depends on).
+    // SnapshotsSpec pins the file-level contract (v1 read plans only
+    // v1 directories; a pinned historical read is immune to later
+    // commits). The oracle is the v1 predicate on the raw table.
+    "p23_time_travel" -> ((s, dir) => {
+      val t = SparkHygiene.scratchDir("p23_tbl")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.sources.Snapshots.commit(s, t, docs.filter(col("doc_id") < 250))
+      graft.sources.Snapshots.commit(s, t, docs.filter(col("doc_id") >= 250))
+      graft.sources.Snapshots.read(s, t, Some(1))
+        .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // token-distribution entropy (training-data quality signal: gibberish
     // and boilerplate sit at the entropy extremes). H = log2(N) − Σ c·log2(c)/N
     // over unigram counts — exact and one aggregation chain.
@@ -727,6 +746,10 @@ object TextQueries {
     "p22_bloom_prune" ->
       """SELECT doc_id, lang, length(text) AS text_len FROM documents
         |WHERE doc_id IN (3, 57, 111, 222, 444)
+        |ORDER BY doc_id""".stripMargin,
+    "p23_time_travel" ->
+      """SELECT doc_id, lang, length(text) AS text_len FROM documents
+        |WHERE doc_id < 250
         |ORDER BY doc_id""".stripMargin,
     "p12_parse_tags" ->
       """WITH t AS (SELECT doc_id,

@@ -1,0 +1,78 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SNAPSHOT log + time travel — the versioning layer that turns a
+  * directory of parquet into a table (the Delta-log / Iceberg-snapshot
+  * mechanism, reduced to its essence): each commit writes its data
+  * files under an immutable per-version directory and then publishes
+  * ONE manifest file listing every data directory visible in that
+  * version. Readers never list the data tree — they read the manifest
+  * of the version they want (the latest, or any historical one: time
+  * travel) and plan exactly those files. Data files are never mutated
+  * or deleted by a commit, so concurrent readers of any version are
+  * isolated from in-flight writers by construction; the manifest
+  * publish is the single atomic step (a rename in a real deployment).
+  *
+  * Why this matters at 100 TB: "the table" stops meaning "whatever the
+  * listing returns right now" — reproducible reads (training-data
+  * lineage!), safe concurrent append, and O(1) rollback are all
+  * properties of the manifest, not of the data. Composes with the
+  * sibling layers: [[Manifest]] prunes files WITHIN a version,
+  * `operators.Compaction` rewrites a version's layout (as a new
+  * commit), `operators.MergeInto` produces copy-on-write versions.
+  */
+object Snapshots {
+
+  private def logDir(tableDir: String) = s"$tableDir/_snapshots"
+
+  /** Latest committed version, 0 if none. */
+  def currentVersion(tableDir: String): Int = {
+    val d = Paths.get(logDir(tableDir))
+    if (!Files.isDirectory(d)) return 0
+    Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".list") =>
+        s.stripPrefix("v").stripSuffix(".list").toInt }
+      .foldLeft(0)(math.max)
+  }
+
+  /** Append-commit `df` as version current+1: data lands in an
+    * immutable per-version directory, the new manifest = previous
+    * version's directories plus the new one. Returns the version.
+    */
+  def commit(spark: SparkSession, tableDir: String, df: DataFrame): Int = {
+    val v = currentVersion(tableDir) + 1
+    val dataDir = s"$tableDir/data/v$v"
+    df.write.mode("error").parquet(dataDir)
+    val prev = readManifest(tableDir, v - 1)
+    Files.createDirectories(Paths.get(logDir(tableDir)))
+    Files.write(Paths.get(s"${logDir(tableDir)}/v$v.list"),
+      (prev :+ dataDir).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    v
+  }
+
+  private def readManifest(tableDir: String, version: Int): Seq[String] = {
+    if (version <= 0) return Nil
+    val p = Paths.get(s"${logDir(tableDir)}/v$version.list")
+    require(Files.exists(p), s"no snapshot v$version under $tableDir")
+    new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  /** Read a specific version (time travel), or the latest if
+    * `version` is None. Plans exactly the manifest's directories.
+    */
+  def read(spark: SparkSession, tableDir: String,
+           version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(tableDir))
+    val dirs = readManifest(tableDir, v)
+    require(dirs.nonEmpty, s"version $v of $tableDir is empty")
+    spark.read.parquet(dirs: _*)
+  }
+}
