@@ -33,6 +33,29 @@ object EventQueries {
         .orderBy(col("day"))
     }),
 
+    // UNPIVOT — a16's inverse reshape (wide report → long form, the
+    // melt every BI export round-trips): the per-day wide row of
+    // a16-style conditional counts turns back into (day, measure,
+    // value) rows via the codegen'd `stack` generator — a zero-shuffle
+    // projection over the already-aggregated wide relation (the
+    // generator multiplies ROWS, never exchanges). Completes the
+    // reshape pair: pivot = conditional aggregates, unpivot = stack.
+    "a21_unpivot" -> ((s, dir) => {
+      def cnt(t: String) =
+        count(when(col("event_type") === t, 1)).as(t)
+      Tables.events(s, dir)
+        .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .groupBy(col("day"))
+        .agg(cnt("click"), cnt("error"), cnt("purchase"),
+          cnt("signup"), cnt("view"))
+        .select(col("day"), expr(
+          """stack(5, 'click', click, 'error', error,
+            |'purchase', purchase, 'signup', signup,
+            |'view', view) AS (measure, n)""".stripMargin))
+        .orderBy(col("day"), col("measure"))
+    }),
+
     // LEAD — the forward-looking window w6's lag-based sessionize
     // doesn't cover: per-user gap to the NEXT event, with an
     // inactivity flag (gap > 1 h), null gap on each user's last event.
@@ -1048,6 +1071,22 @@ object EventQueries {
         |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
         |LEFT JOIN p USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    "a21_unpivot" ->
+      // the long form computed directly: per-(day, type) counts ARE
+      // the melted rows (semantics identical to stack over the wide
+      // row, including zero counts for absent (day, type) pairs —
+      // the cross-join scaffold supplies them)
+      """WITH d AS (SELECT DISTINCT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
+        |           FROM events),
+        |m(measure) AS (VALUES ('click'), ('error'), ('purchase'),
+        |               ('signup'), ('view')),
+        |c AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |        event_type AS measure, count(*) AS n
+        |      FROM events GROUP BY 1, 2)
+        |SELECT d.day, m.measure, coalesce(c.n, 0) AS n
+        |FROM d CROSS JOIN m
+        |LEFT JOIN c ON c.day = d.day AND c.measure = m.measure
+        |ORDER BY d.day, m.measure""".stripMargin,
     "w28_stream_distinct" -> {
       // t19/w14's sketch replay keyed by epoch-micros day, under the
       // emission cutoff (whole closed days only)
