@@ -1128,6 +1128,35 @@ object QueryCatalog {
           tieBreak = "event_id")
         .orderBy(col("user_id"), col("valid_from"))),
 
+    // TEMPORAL DIMENSION ENRICHMENT — the event-time-correct dimension
+    // join a warehouse needs once dimensions have history: each
+    // purchase is served the SCD2 version (j17's build) that was
+    // CURRENT at the purchase's own timestamp — not today's row, the
+    // classic "joined the dimension at query time" bug. Version
+    // containment over half-open intervals ≡ backward as-of against
+    // version starts (versions partition each key's timeline), so the
+    // plan is TemporalJoins' one-shuffle union+running-last — never a
+    // range join. The oracle replays the as-of with a LATERAL top-1.
+    "j19_temporal_dim" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val versions = graft.operators.Scd2.intervals(ev,
+          key = "user_id", state = "event_type", ts = "ts",
+          tieBreak = "event_id")
+        .select(col("user_id"), col("event_type").as("state"),
+          col("valid_from").as("ts"),
+          unix_micros(col("valid_from")).as("vid"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      graft.operators.TemporalJoins.asofBackward(purchases, versions,
+          keyCol = "user_id", tsCol = "ts",
+          leftIdCol = "purchase_id", rightIdCol = "vid",
+          payloadCols = Seq("state", "vid"))
+        .select(col("purchase_id"), col("user_id"),
+          col("asof_state").as("state_at_purchase"),
+          col("asof_vid").as("version_start_us"))
+        .orderBy(col("purchase_id"))
+    }),
+
     // Referential-integrity audit (the dbt "relationship test" shape):
     // both directions of each FK edge in ONE report — parent-less
     // children (true violations; 0 on consistent data, and the gate
@@ -1888,6 +1917,28 @@ object QueryCatalog {
         |         IS NULL THEN 1 ELSE 0 END AS is_current
         |FROM changes
         |ORDER BY user_id, valid_from""".stripMargin,
+    "j19_temporal_dim" ->
+      // j17's change rows + a per-purchase LATERAL top-1: the latest
+      // version starting at or before the purchase (versions partition
+      // the timeline, so backward as-of ≡ containment)
+      """WITH ordered AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |changes AS (
+        |  SELECT user_id, event_type, ts AS valid_from
+        |  FROM ordered WHERE prev IS NULL OR event_type <> prev),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id,
+        |       v.event_type AS state_at_purchase,
+        |       epoch_us(v.valid_from) AS version_start_us
+        |FROM p, LATERAL (
+        |  SELECT event_type, valid_from FROM changes c
+        |  WHERE c.user_id = p.user_id AND c.valid_from <= p.ts
+        |  ORDER BY c.valid_from DESC LIMIT 1) v
+        |ORDER BY purchase_id""".stripMargin,
     "q23_ri_audit" ->
       """SELECT * FROM (
         |  SELECT 'orders_without_customer' AS relation, count(*) AS n_rows
