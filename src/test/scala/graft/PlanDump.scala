@@ -41,7 +41,11 @@ object PlanDump {
       "j16_merge_upsert", "q28_dpp_prune", "g3_label_prop", "g5_bfs_hops",
       "q27_incremental_agg", "q30_incremental_distinct", "w24_funnel",
       "s13_ivf_pq", "s14_phrase_search", "t33_weighted_sample",
-      "d25_sorted_neighborhood", "q31_runtime_filter")
+      "d25_sorted_neighborhood", "q31_runtime_filter",
+      // session-2 batch heads (the materializing queries — q33/q34/
+      // j18/p23 — run side effects on construction and return a
+      // checkpoint read, so their plan evidence lives in their specs)
+      "s15_hybrid_rrf", "g6_hits", "j19_temporal_dim", "a21_unpivot")
     val out = new java.io.PrintWriter("artifacts/PLANS_r11.txt")
     out.println("Formatted physical plans, sf0.001, local[4] — regenerate " +
       "with `sbt \"Test/runMain graft.PlanDump\"`.\n")
