@@ -900,6 +900,56 @@ object EventQueries {
         .orderBy(col("error_id"), col("click_id"))
     }),
 
+    // W29: THREE-WAY stream-stream correlation (VERDICT r11 #8 — the
+    // multi-stream gap): click → error within 10 min → purchase within
+    // 10 min of the error, all per user, as TWO CHAINED native
+    // stream-stream inner joins (the multi-stateful-operator pipeline
+    // Spark 3.4+ unlocked). Each join rides the user-key equi-join
+    // with a watermark-analyzable time-range residual, so each pair
+    // has its own state budget: state₁ ∝ horizon(click, error), then
+    // the joined (click, error) rows enter join₂ against purchases
+    // with state₂ ∝ horizon(error, purchase) — never a 3-way product,
+    // never stream-length state (StreamScaleProbe's w29 row measures
+    // it). Inner semantics ⇒ the drained stream converges to the batch
+    // 3-way join exactly; the oracle is that batch join verbatim.
+    "w29_stream_join_3way" -> ((s0, dir) => {
+      val s = SparkHygiene.streamStateSession(s0, 8)
+      val ev = Tables.eventsStream(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("cts"))
+        .withWatermark("cts", "30 minutes")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id").as("eu"), col("event_id").as("error_id"),
+          col("ts").as("ets"))
+        .withWatermark("ets", "30 minutes")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+          col("ts").as("pts"))
+        .withWatermark("pts", "30 minutes")
+      val ce = clicks.join(errors,
+        col("user_id") === col("eu") &&
+          col("ets") > col("cts") &&
+          col("ets") <= col("cts") + expr("INTERVAL 10 MINUTES"))
+      val cep = ce.join(purchases,
+        col("user_id") === col("pu") &&
+          col("pts") > col("ets") &&
+          col("pts") <= col("ets") + expr("INTERVAL 10 MINUTES"))
+        .select(col("user_id"), col("click_id"), col("error_id"),
+          col("purchase_id"),
+          (unix_micros(col("pts")) - unix_micros(col("cts"))).as("span_us"))
+      val out = SparkHygiene.scratchDir("w29_out")
+      val ck = SparkHygiene.scratchDir("w29_ck")
+      val q = cep.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .orderBy(col("click_id"), col("error_id"), col("purchase_id"))
+    }),
+
     // W10 streaming exactly-once dedup under at-least-once delivery: the
     // events file read through TWO independent file streams and unioned
     // (every event delivered twice — the redelivery a real queue source
@@ -1481,6 +1531,21 @@ object EventQueries {
         |FROM j, wm
         |WHERE click_id IS NOT NULL OR win_start < cut
         |ORDER BY error_id, click_id""".stripMargin,
+    // chained inner joins converge to the batch 3-way join verbatim
+    "w29_stream_join_3way" ->
+      """SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
+        |       p.event_id AS purchase_id,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS span_us
+        |FROM events c
+        |JOIN events e
+        |  ON c.event_type = 'click' AND e.event_type = 'error'
+        | AND e.user_id = c.user_id
+        | AND e.ts > c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
+        |JOIN events p
+        |  ON p.event_type = 'purchase'
+        | AND p.user_id = c.user_id
+        | AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 10 MINUTE
+        |ORDER BY click_id, error_id, purchase_id""".stripMargin,
     "w15_stream_join_full" ->
       """WITH err AS (
         |  SELECT event_id AS error_id, ts AS win_start,

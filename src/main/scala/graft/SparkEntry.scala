@@ -703,8 +703,15 @@ object QueryCatalog {
       val k = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .agg(floor(percentile(col("deg"), lit(0.3))).cast("long"))
         .first().getLong(0)
-      graft.operators.KCore.peel(edges, "src", "dst", k.toInt, rounds = 3)
-        .orderBy(col("node"))
+      val (core, _) = graft.operators.KCore.peelWithRelease(
+        edges, "src", "dst", k.toInt, rounds = 3)
+      // the peel materialized every round eagerly (round caches pinned;
+      // the LAST one backs the returned frame and is swept by the
+      // harness), so the input edge cache has served all its reads —
+      // release it here instead of accumulating one per invocation
+      // (ADVICE r11)
+      edges.unpersist()
+      core.orderBy(col("node"))
     }),
 
     // Bounded-round multi-source shortest paths (operators/
@@ -915,7 +922,7 @@ object QueryCatalog {
         .agg(count(lit(1)).as("n_rows"),
           sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
         .write.mode("overwrite").parquet(mvDir)
-      graft.plans.MvRewrite.register(graft.plans.MvRewrite.MvDef(
+      graft.plans.MvRewrite.register(s, graft.plans.MvRewrite.MvDef(
         factPathSuffix = s"$dir/lineitem.parquet",
         mvPlan = s.read.parquet(mvDir).queryExecution.analyzed,
         groupCols = Set("l_returnflag", "l_linestatus"),
@@ -929,7 +936,7 @@ object QueryCatalog {
               .cast("double").as("qty"))
           .localCheckpoint(true)
           .orderBy(col("l_returnflag"))
-      } finally graft.plans.MvRewrite.clear()
+      } finally graft.plans.MvRewrite.clear(s)
     }),
 
     // q33's MV rewrite with a FILTER below the aggregate: the
@@ -944,7 +951,7 @@ object QueryCatalog {
         .agg(count(lit(1)).as("n_rows"),
           sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
         .write.mode("overwrite").parquet(mvDir)
-      graft.plans.MvRewrite.register(graft.plans.MvRewrite.MvDef(
+      graft.plans.MvRewrite.register(s, graft.plans.MvRewrite.MvDef(
         factPathSuffix = s"$dir/lineitem.parquet",
         mvPlan = s.read.parquet(mvDir).queryExecution.analyzed,
         groupCols = Set("l_returnflag", "l_linestatus"),
@@ -959,7 +966,7 @@ object QueryCatalog {
               .cast("double").as("qty"))
           .localCheckpoint(true)
           .orderBy(col("l_returnflag"))
-      } finally graft.plans.MvRewrite.clear()
+      } finally graft.plans.MvRewrite.clear(s)
     }),
 
     // BUCKETED CO-LOCATED JOIN — the write-once-shuffle-never layout
@@ -1136,15 +1143,19 @@ object QueryCatalog {
     // containment over half-open intervals ≡ backward as-of against
     // version starts (versions partition each key's timeline), so the
     // plan is TemporalJoins' one-shuffle union+running-last — never a
-    // range join. The oracle replays the as-of with a LATERAL top-1.
+    // range join. The version id / as-of tie-break is the opening
+    // change row's UNIQUE event_id (ADVICE r11: a timestamp-derived id
+    // goes nondeterministic the moment two versions of a key share a
+    // valid_from); the oracle replays the as-of with a LATERAL top-1
+    // over the same (valid_from, event_id) order.
     "j19_temporal_dim" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val versions = graft.operators.Scd2.intervals(ev,
           key = "user_id", state = "event_type", ts = "ts",
-          tieBreak = "event_id")
+          tieBreak = "event_id", carryTieBreak = true)
         .select(col("user_id"), col("event_type").as("state"),
           col("valid_from").as("ts"),
-          unix_micros(col("valid_from")).as("vid"))
+          col("event_id").as("vid"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
       graft.operators.TemporalJoins.asofBackward(purchases, versions,
@@ -1153,7 +1164,7 @@ object QueryCatalog {
           payloadCols = Seq("state", "vid"))
         .select(col("purchase_id"), col("user_id"),
           col("asof_state").as("state_at_purchase"),
-          col("asof_vid").as("version_start_us"))
+          col("asof_vid").as("version_id"))
         .orderBy(col("purchase_id"))
     }),
 
@@ -1920,24 +1931,26 @@ object QueryCatalog {
     "j19_temporal_dim" ->
       // j17's change rows + a per-purchase LATERAL top-1: the latest
       // version starting at or before the purchase (versions partition
-      // the timeline, so backward as-of ≡ containment)
+      // the timeline, so backward as-of ≡ containment). Tie-break at
+      // equal valid_from = greatest opening event_id, matching the
+      // as-of's (ts, vid) running-last order (ADVICE r11)
       """WITH ordered AS (
         |  SELECT user_id, event_type, ts, event_id,
         |         lag(event_type) OVER (PARTITION BY user_id
         |                               ORDER BY ts, event_id) AS prev
         |  FROM events),
         |changes AS (
-        |  SELECT user_id, event_type, ts AS valid_from
+        |  SELECT user_id, event_type, ts AS valid_from, event_id
         |  FROM ordered WHERE prev IS NULL OR event_type <> prev),
         |p AS (SELECT event_id AS purchase_id, user_id, ts
         |      FROM events WHERE event_type = 'purchase')
         |SELECT p.purchase_id, p.user_id,
         |       v.event_type AS state_at_purchase,
-        |       epoch_us(v.valid_from) AS version_start_us
+        |       v.event_id AS version_id
         |FROM p, LATERAL (
-        |  SELECT event_type, valid_from FROM changes c
+        |  SELECT event_type, valid_from, event_id FROM changes c
         |  WHERE c.user_id = p.user_id AND c.valid_from <= p.ts
-        |  ORDER BY c.valid_from DESC LIMIT 1) v
+        |  ORDER BY c.valid_from DESC, c.event_id DESC LIMIT 1) v
         |ORDER BY purchase_id""".stripMargin,
     "q23_ri_audit" ->
       """SELECT * FROM (

@@ -503,9 +503,173 @@ object TrainingQueries {
                 element_at(col("__mins"), k).cast("double"), 4))
             .as("est_users"))
         .orderBy(col("day"))
+    }),
+
+    // THE BRIEF-SHAPED TRAINING-RELEASE PIPELINE (VERDICT r11 #5) —
+    // the one query a training-data user actually ships, end to end:
+    // exact dedup (keep-first) → decontaminate against the held-out
+    // eval set → Gopher quality gate → temperature mixing → 2048-token
+    // sequence packing → deterministic sharding, reported as the SHARD
+    // MANIFEST (docs / tokens / bins / membership digest per shard).
+    // Every stage reuses the unit-operator formulation its own oracle
+    // row proves (d1/t29, t21/d7, t5, t15, t7, t14/t29, t20), and the
+    // DuckDB oracle replays the WHOLE chain — one hash-green row
+    // verifies the composition, and the t20-style id digest makes the
+    // manifest sensitive to any single membership change anywhere up
+    // the chain. Plan shape at 100 TB: the dedup pays one fingerprint
+    // exchange; decontamination explodes shingles MAP-SIDE against the
+    // broadcast eval shingles (the corpus never shuffles for it);
+    // quality is a scan-fused filter; mixing is a tiny lang-count
+    // aggregate broadcast back (corpus stays map-side); packing is
+    // t7's two-level prefix sum (the ordered pass runs over #chunks
+    // rows, never the corpus); the manifest pays the one shard
+    // exchange it must. PlanSpec pins the exchange census.
+    "t34_training_manifest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // 1. exact dedup, keep-first per normalized-text fingerprint
+      val fpW = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      val dedup = docs
+        .withColumn("fp", TextFns.fingerprint(col("text")))
+        .withColumn("rn", row_number().over(fpW))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("text"))
+      // 2. decontaminate: drop any candidate sharing a 5-gram shingle
+      // with the eval set (doc_id % 50 == 0 — the d7/t29 convention).
+      // Contaminated ids come from the RAW corpus — identical result
+      // (anti join against a superset of the survivors' contaminated
+      // ids) and the dedup subtree is not planned twice (t29)
+      val shSrc = docs.withColumn("__rtoks",
+        TextFns.repetitionTokens(col("text")))
+      val evalSh = shSrc.filter(col("doc_id") % 50 === 0)
+        .select(explode(TextFns.wordShinglesTokens(col("__rtoks"), 5)).as("sh"))
+        .distinct()
+      val contaminated = shSrc.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"),
+          explode(TextFns.wordShinglesTokens(col("__rtoks"), 5)).as("sh"))
+        .join(broadcast(evalSh), "sh")
+        .select(col("doc_id")).distinct()
+      val clean = dedup.filter(col("doc_id") % 50 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      // 3. quality gate — t5's Gopher pass verdict, verbatim
+      val toksQ = split(trim(col("text")), "\\s+")
+      val nWords = size(toksQ).cast("long")
+      val hasStop = size(filter(split(lower(trim(col("text"))), "\\s+"),
+        t => t.isin(TextFns.stopwordsEn: _*))) > 0
+      val gated = clean.filter(
+        nWords.between(5, 100000) &&
+          TextFns.meanWordLength(col("text")).between(2.0, 12.0) &&
+          TextFns.symbolRatio(col("text")) < 0.1 && hasStop)
+      // 4. temperature mixing (t15, α = 0.5) with rates computed over
+      // the SURVIVING corpus — the realistic order: mixture weights
+      // reflect what is actually left after cleaning
+      val counts = gated.groupBy(col("lang")).agg(count(lit(1)).as("n_d"))
+      val rates = counts
+        .crossJoin(broadcast(counts.agg(min(col("n_d")).as("n_min"))))
+        .select(col("lang"),
+          floor(sqrt(col("n_min").cast("double") / col("n_d").cast("double"))
+            * 10000).cast("long").as("rate"))
+      val bucket = conv(substring(
+          md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+        .cast("long")
+      val mixed = gated.join(broadcast(rates), Seq("lang"))
+        .filter(bucket * lit(10000L) < col("rate") * lit(65536L))
+      // 5. sequence packing (t7's two-level distributed prefix sum)
+      val base = mixed.select(col("doc_id"),
+          TextFns.tokenCountWs(col("text")).cast("long").as("n_tok"))
+        .withColumn("chunk", floor(col("doc_id") / 1000).cast("long"))
+      val chunkW = Window.orderBy(col("chunk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offsets = base.groupBy(col("chunk")).agg(sum(col("n_tok")).as("ctot"))
+        .withColumn("coffset", sum(col("ctot")).over(chunkW) - col("ctot"))
+        .select(col("chunk"), col("coffset"))
+      val inW = Window.partitionBy(col("chunk")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val packed = base.join(broadcast(offsets), "chunk")
+        .withColumn("cum", sum(col("n_tok")).over(inW) + col("coffset"))
+        .withColumn("bin", floor((col("cum") - col("n_tok")) / 2048).cast("long"))
+      // 6. shard (t29's 60-bit md5 key) + 7. manifest with the t20
+      // order-independent membership digest
+      val shard = (conv(substring(md5(concat(lit("shard:"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 8).as("shard")
+      val rowH = conv(substring(md5(concat(lit("tm:"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+      packed.select(shard, col("doc_id"), col("n_tok"), col("bin"),
+          rowH.as("__h"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          countDistinct(col("bin")).as("n_bins"),
+          pmod(sum(col("__h").cast("decimal(38,0)")),
+            lit(2305843009213693952L).cast("decimal(38,0)"))
+            .cast("long").as("id_digest"))
+        .orderBy(col("shard"))
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "t34_training_manifest" -> {
+      // digit-sum md5 hash fragments — the proven t15/t29/t20 idioms
+      val mixHx = (1 to 4).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5('mix:' || doc_id::VARCHAR), $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")
+        .mkString(" + ")
+      val shardH = (1 to 15).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5('shard:' || doc_id::VARCHAR), $i, 1)) - 1) * ${1L << (4 * (15 - i))}")
+        .mkString(" + ")
+      val rowH = (1 to 15).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5('tm:' || doc_id::VARCHAR), $i, 1)) - 1) * ${1L << (4 * (15 - i))}")
+        .mkString(" + ")
+      s"""WITH ded AS (SELECT doc_id, lang, text FROM (
+         |    SELECT doc_id, lang, text, row_number() OVER (
+         |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         |      ORDER BY doc_id) AS rn
+         |    FROM documents) WHERE rn = 1),
+         |ntok AS (SELECT doc_id, regexp_split_to_array(
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS rtoks
+         |  FROM documents),
+         |idx AS (SELECT doc_id, rtoks,
+         |  unnest(generate_series(1, greatest(len(rtoks)-5, 0)+1)) AS i FROM ntok),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(rtoks[i:i+4], ' ') AS sh
+         |       FROM idx),
+         |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+         |contam AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (sh)
+         |           WHERE s.doc_id % 50 <> 0),
+         |cln AS (SELECT d.* FROM ded d WHERE d.doc_id % 50 <> 0
+         |        AND NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = d.doc_id)),
+         |g AS (SELECT doc_id, lang, text FROM (
+         |    SELECT *,
+         |      len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_words,
+         |      round(length(regexp_replace(trim(text), '\\s+', '', 'g'))*1.0
+         |            / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS mean_wl,
+         |      round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))*1.0
+         |            / length(text), 6) AS symbol_ratio,
+         |      len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |          x -> x IN ($stopList))) > 0 AS has_stopword
+         |    FROM cln)
+         |  WHERE n_words BETWEEN 5 AND 100000 AND mean_wl BETWEEN 2.0 AND 12.0
+         |    AND symbol_ratio < 0.1 AND has_stopword),
+         |c AS (SELECT lang, count(*)::BIGINT AS n_d FROM g GROUP BY lang),
+         |mn AS (SELECT min(n_d) AS n_min FROM c),
+         |r AS (SELECT lang, CAST(floor(sqrt(n_min::DOUBLE / n_d::DOUBLE) * 10000) AS BIGINT) AS rate
+         |      FROM c CROSS JOIN mn),
+         |mx AS (SELECT g.doc_id, g.text FROM g JOIN r USING (lang)
+         |       WHERE ($mixHx) * 10000 < r.rate * 65536),
+         |tk AS (SELECT doc_id,
+         |    len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tok
+         |  FROM mx),
+         |cumt AS (SELECT doc_id, n_tok,
+         |    sum(n_tok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM tk),
+         |pk AS (SELECT doc_id, n_tok,
+         |    CAST(floor((cum - n_tok) / 2048) AS BIGINT) AS bin FROM cumt),
+         |fin AS (SELECT CAST(($shardH) % 8 AS BIGINT) AS shard,
+         |    doc_id, n_tok, bin, ($rowH) AS h FROM pk)
+         |SELECT shard, count(*) AS n_docs,
+         |  sum(n_tok)::BIGINT AS n_tokens,
+         |  count(DISTINCT bin) AS n_bins,
+         |  CAST(sum(h) % 2305843009213693952 AS BIGINT) AS id_digest
+         |FROM fin GROUP BY shard ORDER BY shard""".stripMargin
+    },
     "t4_repetition" ->
       """WITH norm AS (SELECT doc_id,
         |  regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks

@@ -21,11 +21,27 @@ import org.apache.spark.sql.functions._
   * dst, the hub sum on src) plus two SCALAR normalization aggregates
   * (broadcast one-row joins, no data shuffle). Score rows are two
   * longs per node.
+  *
+  * Plan-size discipline (VERDICT r11 #3): unlike PageRank — whose
+  * single rank frame gives LINEAR lineage growth, shallow at any fixed
+  * iteration count — HITS alternates TWO frames where each round's
+  * hub nests the round's fresh auth (itself nesting the previous hub)
+  * and the keep-alive left-outer re-references `nodes` on both sides,
+  * so an unrolled lazy plan grows SUPERLINEARLY (1,178 physical nodes
+  * at rounds = 2; a planner stall by rounds ≈ 10). Each (auth, hub)
+  * pair is therefore eagerly `localCheckpoint`ed per round: lineage
+  * truncates to a scan of the round's materialized score rows (two
+  * longs per node), the plan is O(1) in rounds — HitsSpec pins it flat
+  * through rounds = 6 — and superseded round checkpoints are freed
+  * deterministically as the next round lands.
   */
 object Hits {
 
   /** @return (node, hub, auth) after `rounds` full (auth, hub) updates,
-    *         plus a release handle for the pinned edge cache
+    *         plus a release handle for the pinned edge/node caches and
+    *         the final round's checkpoint blocks. The run is EAGER
+    *         (each round materializes); call the handle once the
+    *         result has been consumed.
     */
   def runWithRelease(edges: DataFrame, srcCol: String, dstCol: String,
                      rounds: Int, scale: Long = 1000000000L)
@@ -37,8 +53,13 @@ object Hits {
       .repartition(col("src"))
       .persist()
     e.count()
+    // persisted + materialized like PageRank's node set: `nodes` feeds
+    // BOTH sides' keep-alive joins every round — un-cached it would
+    // re-derive the distinct per reference
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .persist()
+    nodes.count()
 
     def normalize(raw: DataFrame, valCol: String): DataFrame = {
       // divide by the QUANTIZED total (tot div scale) rather than
@@ -59,18 +80,32 @@ object Hits {
     var hub = nodes.select(col("node"), lit(scale).as("hub"))
     var auth = nodes.select(col("node"), lit(0L).as("auth"))
     for (_ <- 1 to rounds) {
+      val prevAuth = auth
+      val prevHub = hub
       auth = full(normalize(
         e.join(hub, col("src") === col("node"))
           .groupBy(col("dst")).agg(sum(col("hub")).as("auth"))
           .withColumnRenamed("dst", "node"), "auth"), "auth")
+        .localCheckpoint(true)
       hub = full(normalize(
         e.join(auth, col("dst") === col("node"))
           .groupBy(col("src")).agg(sum(col("auth")).as("hub"))
           .withColumnRenamed("src", "node"), "hub"), "hub")
+        .localCheckpoint(true)
+      // superseded round blocks freed now, not at ContextCleaner's
+      // leisure (no-op for the round-0 literal frames)
+      graft.SparkHygiene.freeCheckpoint(prevAuth)
+      graft.SparkHygiene.freeCheckpoint(prevHub)
     }
     val out = hub.join(auth, Seq("node"))
       .select(col("node"), col("hub"), col("auth"))
-    (out, () => { e.unpersist(); () })
+    // the release handle frees only the LINEAGE caches (edges, nodes):
+    // the final round's checkpoint blocks BACK the returned frame — a
+    // local checkpoint has no lineage to recompute from, so freeing
+    // them here would break the "actions after release still compute"
+    // contract the sibling operators keep. They are two bounded score
+    // frames, swept by the harness-level dropAllPersisted.
+    (out, () => { e.unpersist(); nodes.unpersist(); () })
   }
 
   def run(edges: DataFrame, srcCol: String, dstCol: String, rounds: Int,

@@ -32,17 +32,26 @@ import org.apache.spark.sql.functions._
   */
 object Scd2 {
 
+  /** @param carryTieBreak when true, the output keeps the `tieBreak`
+    *        column of each version's OPENING change row — the unique
+    *        version id downstream as-of joins need as a deterministic
+    *        tie-break when two versions of a key could share a
+    *        `valid_from` timestamp (ADVICE r11 / j19)
+    */
   def intervals(log: DataFrame, key: String, state: String,
-                ts: String, tieBreak: String): DataFrame = {
+                ts: String, tieBreak: String,
+                carryTieBreak: Boolean = false): DataFrame = {
     val byKey = Window.partitionBy(col(key)).orderBy(col(ts), col(tieBreak))
     val byFrom = Window.partitionBy(col(key))
       .orderBy(col("valid_from"), col(tieBreak))
-    log
+    val base = log
       .withColumn("__s_prev", lag(col(state), 1).over(byKey))
       .filter(col("__s_prev").isNull || col(state) =!= col("__s_prev"))
       .select(col(key), col(state), col(ts).as("valid_from"), col(tieBreak))
       .withColumn("valid_to", lead(col("valid_from"), 1).over(byFrom))
-      .select(col(key), col(state), col("valid_from"), col("valid_to"),
-        when(col("valid_to").isNull, lit(1)).otherwise(lit(0)).as("is_current"))
+    val cols = Seq(col(key), col(state), col("valid_from"), col("valid_to"),
+      when(col("valid_to").isNull, lit(1)).otherwise(lit(0)).as("is_current")) ++
+      (if (carryTieBreak) Seq(col(tieBreak)) else Nil)
+    base.select(cols: _*)
   }
 }

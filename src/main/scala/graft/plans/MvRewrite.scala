@@ -46,10 +46,26 @@ object MvRewrite extends Rule[LogicalPlan] {
                    minCols: Map[String, String] = Map.empty,
                    maxCols: Map[String, String] = Map.empty)
 
-  private val registry =
-    new java.util.concurrent.atomic.AtomicReference[Seq[MvDef]](Nil)
-  def register(mv: MvDef): Unit = { registry.updateAndGet(_ :+ mv); () }
-  def clear(): Unit = registry.set(Nil)
+  // Registrations are scoped PER SESSION (ADVICE r11): the rule object
+  // is a process-wide singleton injected into every SparkSession, so a
+  // global registry would silently rewrite matching fact aggregates
+  // planned by UNRELATED sessions between register() and clear().
+  // Keyed by sessionUUID; apply() resolves the planning thread's active
+  // session and sees only that session's MVs.
+  private val registry = new java.util.concurrent.atomic.AtomicReference[
+    Map[String, Seq[MvDef]]](Map.empty)
+
+  private def keyOf(spark: org.apache.spark.sql.SparkSession): String =
+    org.apache.spark.sql.GraftShims.sessionKey(spark)
+
+  def register(spark: org.apache.spark.sql.SparkSession, mv: MvDef): Unit = {
+    val k = keyOf(spark)
+    registry.updateAndGet(m => m.updated(k, m.getOrElse(k, Nil) :+ mv))
+    ()
+  }
+  def clear(spark: org.apache.spark.sql.SparkSession): Unit = {
+    registry.updateAndGet(_ - keyOf(spark)); ()
+  }
 
   /** Peel attribute-only Projects and at most ONE Filter (in any
     * order — the optimizer interleaves them) off the scan. */
@@ -73,7 +89,8 @@ object MvRewrite extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val mvs = registry.get()
+    val mvs = org.apache.spark.sql.GraftShims.activeSessionKey
+      .flatMap(registry.get().get).getOrElse(Nil)
     if (mvs.isEmpty) return plan
     plan.transformUp {
       case agg @ Aggregate(groupings, aggExprs, child, _) =>

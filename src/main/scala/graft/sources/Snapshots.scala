@@ -35,16 +35,28 @@ object Snapshots {
   def currentVersion(tableDir: String): Int = {
     val d = Paths.get(logDir(tableDir))
     if (!Files.isDirectory(d)) return 0
-    Files.list(d).iterator().asScala
+    // Files.list holds a directory handle until closed (ADVICE r11):
+    // drain it under try/finally so every call releases the handle
+    val stream = Files.list(d)
+    try stream.iterator().asScala
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".list") =>
         s.stripPrefix("v").stripSuffix(".list").toInt }
       .foldLeft(0)(math.max)
+    finally stream.close()
   }
 
   /** Append-commit `df` as version current+1: data lands in an
     * immutable per-version directory, the new manifest = previous
     * version's directories plus the new one. Returns the version.
+    *
+    * Concurrency: the manifest is written CREATE_NEW, so of two racing
+    * committers that both derived the same next version exactly one
+    * publishes — the loser fails on the manifest write (the atomic
+    * step, BEFORE any reader can see its data) and its orphan
+    * `data/v<N>` directory is unreachable garbage: no manifest ever
+    * lists it, so correctness is unaffected and a retry commits the
+    * same content under the next version number.
     */
   def commit(spark: SparkSession, tableDir: String, df: DataFrame): Int = {
     val v = currentVersion(tableDir) + 1
@@ -53,7 +65,8 @@ object Snapshots {
     val prev = readManifest(tableDir, v - 1)
     Files.createDirectories(Paths.get(logDir(tableDir)))
     Files.write(Paths.get(s"${logDir(tableDir)}/v$v.list"),
-      (prev :+ dataDir).mkString("\n").getBytes(StandardCharsets.UTF_8))
+      (prev :+ dataDir).mkString("\n").getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
     v
   }
 

@@ -14,4 +14,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftShims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Stable per-session identity (the classic session's UUID, scoped
+    * `private[sql]`) — used to key session-scoped rule state such as
+    * [[graft.plans.MvRewrite]]'s MV registry. */
+  def sessionKey(spark: SparkSession): String = spark match {
+    case c: org.apache.spark.sql.classic.SparkSession => c.sessionUUID
+    case s => s"id:${System.identityHashCode(s)}"
+  }
+
+  /** The planning thread's active session key, if any. */
+  def activeSessionKey: Option[String] =
+    org.apache.spark.sql.classic.SparkSession.getActiveSession.map(_.sessionUUID)
 }

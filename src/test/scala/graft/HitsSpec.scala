@@ -61,6 +61,24 @@ class HitsSpec extends SparkSpec {
       "pure authorities have no hub mass and vice versa")
   }
 
+  test("plan size is O(1) in rounds (VERDICT r11 #3): the per-round " +
+    "localCheckpoint keeps the final plan flat from rounds=2 to rounds=6, " +
+    "and rounds=6 still matches the sequential reference") {
+    def planNodes(rounds: Int): (Int, Map[Long, (Long, Long)]) = {
+      val df = Hits.run(g.toDF("src", "dst"), "src", "dst", rounds)
+      val n = df.queryExecution.executedPlan.collect { case p => p }.size
+      (n, df.as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap)
+    }
+    val (n2, _) = planNodes(2)
+    val (n6, got6) = planNodes(6)
+    assert(n6 == n2,
+      s"plan must not grow with rounds: rounds=2 -> $n2 nodes, rounds=6 -> $n6")
+    assert(n6 < 60, s"final plan must be a bounded join of two score " +
+      s"scans, got $n6 nodes")
+    assert(got6 == reference(g, 6), "rounds=6 must still match the reference")
+  }
+
   test("runWithRelease unpins the edge cache; results survive release") {
     spark.sharedState.cacheManager.clearCache()
     val (scores, release) = Hits.runWithRelease(

@@ -49,7 +49,7 @@ class MvRewriteSpec extends SparkSpec {
     val truth = q().collect().map(r =>
       r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
     try {
-      MvRewrite.register(MvRewrite.MvDef(
+      MvRewrite.register(spark, MvRewrite.MvDef(
         factPathSuffix = s"$sf/lineitem.parquet",
         mvPlan = spark.read.parquet(dir).queryExecution.analyzed,
         groupCols = Set("l_returnflag", "l_linestatus"),
@@ -63,7 +63,7 @@ class MvRewriteSpec extends SparkSpec {
       val p = df.queryExecution.executedPlan.toString
       assert(p.contains(dir.split('/').last) && !p.contains("lineitem.parquet"),
         s"min/max query must be MV-served:\n$p")
-    } finally MvRewrite.clear()
+    } finally MvRewrite.clear(spark)
   }
 
   private def query() = Tables.lineitem(spark, sf)
@@ -80,7 +80,7 @@ class MvRewriteSpec extends SparkSpec {
     val truth = collectMap(query()) // registry empty: computed from fact
     val (dir, mvDef) = mkMv(truthful = true)
     try {
-      MvRewrite.register(mvDef)
+      MvRewrite.register(spark, mvDef)
       val df = query()
       assert(collectMap(df) == truth,
         "rewritten rollup must equal the from-scratch aggregate")
@@ -89,7 +89,7 @@ class MvRewriteSpec extends SparkSpec {
         s"plan must scan the MV:\n$p")
       assert(!p.contains("lineitem.parquet"),
         s"fact scan must be GONE from the plan:\n$p")
-    } finally MvRewrite.clear()
+    } finally MvRewrite.clear(spark)
   }
 
   test("the rewrite provably serves the query: a perturbed MV shows up " +
@@ -97,7 +97,7 @@ class MvRewriteSpec extends SparkSpec {
     val truth = collectMap(query())
     val (_, mvDef) = mkMv(truthful = false)
     try {
-      MvRewrite.register(mvDef)
+      MvRewrite.register(spark, mvDef)
       val got = collectMap(query())
       assert(got.keySet == truth.keySet)
       got.foreach { case (k, (n, qty)) =>
@@ -105,14 +105,14 @@ class MvRewriteSpec extends SparkSpec {
         assert(qty.subtract(truth(k)._2).longValue() >= 1000000,
           s"perturbation missing for $k: the MV did not serve the query")
       }
-    } finally MvRewrite.clear()
+    } finally MvRewrite.clear(spark)
   }
 
   test("q33's exact shape — sum under a presentation cast to double — " +
     "is rewrite-served") {
     val (dir, mvDef) = mkMv(truthful = true)
     try {
-      MvRewrite.register(mvDef)
+      MvRewrite.register(spark, mvDef)
       val df = Tables.lineitem(spark, sf)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
@@ -121,7 +121,7 @@ class MvRewriteSpec extends SparkSpec {
       val p = df.queryExecution.executedPlan.toString
       assert(p.contains(dir.split('/').last) && !p.contains("lineitem.parquet"),
         s"the cast-wrapped sum must still translate:\n$p")
-    } finally MvRewrite.clear()
+    } finally MvRewrite.clear(spark)
   }
 
   test("a filter over MV GROUPING columns translates — it filters rollup " +
@@ -134,7 +134,7 @@ class MvRewriteSpec extends SparkSpec {
         sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
     val truth = collectMap(q)
     try {
-      MvRewrite.register(mvDef)
+      MvRewrite.register(spark, mvDef)
       val df = Tables.lineitem(spark, sf)
         .filter(col("l_linestatus") === "O")
         .groupBy(col("l_returnflag"))
@@ -144,14 +144,37 @@ class MvRewriteSpec extends SparkSpec {
       val p = df.queryExecution.executedPlan.toString
       assert(p.contains(dir.split('/').last) && !p.contains("lineitem.parquet"),
         s"grouping-column filter must still be MV-served:\n$p")
-    } finally MvRewrite.clear()
+    } finally MvRewrite.clear(spark)
+  }
+
+  test("registrations are session-scoped: a sibling session planning the " +
+    "same fact aggregate is NOT rewritten (ADVICE r11)") {
+    val (dir, mvDef) = mkMv(truthful = true)
+    try {
+      MvRewrite.register(spark, mvDef)
+      // sibling session in the same JVM, same rule injected — the exact
+      // cross-session leak surface the global registry had
+      val s2 = spark.newSession()
+      GraftExtensions.register(s2)
+      val other = Tables.lineitem(s2, sf)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+      val p2 = other.queryExecution.executedPlan.toString
+      assert(p2.contains("lineitem.parquet") && !p2.contains(dir.split('/').last),
+        s"sibling session must keep its fact scan:\n$p2")
+      // while the REGISTERING session is served by the MV
+      val p1 = query().queryExecution.executedPlan.toString
+      assert(p1.contains(dir.split('/').last) && !p1.contains("lineitem.parquet"),
+        s"registering session must be MV-served:\n$p1")
+    } finally MvRewrite.clear(spark)
   }
 
   test("conservative matching: filters, unknown aggregates, and " +
     "non-covered groupings are left on the fact scan") {
     val (_, mvDef) = mkMv(truthful = true)
     try {
-      MvRewrite.register(mvDef)
+      MvRewrite.register(spark, mvDef)
       val li = Tables.lineitem(spark, sf)
       val shapes = Seq(
         // a filter on a NON-grouping column (the MV lost row identity)
@@ -167,6 +190,6 @@ class MvRewriteSpec extends SparkSpec {
         assert(p.contains("lineitem.parquet"),
           s"untranslatable shape must keep the fact scan:\n$p")
       }
-    } finally MvRewrite.clear()
+    } finally MvRewrite.clear(spark)
   }
 }

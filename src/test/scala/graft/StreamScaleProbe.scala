@@ -133,6 +133,32 @@ object StreamScaleProbe {
             .as(org.apache.spark.sql.Encoders.product[
               graft.streaming.FunnelStream.Ev]),
           timeoutSec = 1800L, watermarkDelay = "30 minutes").toDF),
+      // round-12 3-way chained stream join: TWO state stores, each
+      // horizon-bounded — the state-ratio claim must hold for the
+      // chained multi-stateful pipeline, not just single joins
+      "w29_3way" -> { ev =>
+        val cl = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("cts"))
+          .withWatermark("cts", "30 minutes")
+        val er = ev.filter(col("event_type") === "error")
+          .select(col("user_id").as("eu"), col("event_id").as("error_id"),
+            col("ts").as("ets"))
+          .withWatermark("ets", "30 minutes")
+        val pu = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+            col("ts").as("pts"))
+          .withWatermark("pts", "30 minutes")
+        cl.join(er,
+            col("user_id") === col("eu") &&
+              col("ets") > col("cts") &&
+              col("ets") <= col("cts") + expr("INTERVAL 10 MINUTES"))
+          .join(pu,
+            col("user_id") === col("pu") &&
+              col("pts") > col("ets") &&
+              col("pts") <= col("ets") + expr("INTERVAL 10 MINUTES"))
+          .select(col("click_id"), col("error_id"), col("purchase_id"))
+      },
       "w26_asof" -> (ev =>
         graft.streaming.AsofStream.asof(
           ev.filter(col("event_type").isin("click", "purchase"))
