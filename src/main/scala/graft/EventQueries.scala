@@ -927,17 +927,24 @@ object EventQueries {
         .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
           col("ts").as("pts"))
         .withWatermark("pts", "30 minutes")
+      // a stream side may carry at most ONE event-time column into the
+      // next stateful operator: demote the click time to a plain long
+      // right after join₁ — `ets` stays the side's event-time column
+      // (it drives join₂'s range condition and state eviction), the
+      // click instant survives as data for the span arithmetic
       val ce = clicks.join(errors,
         col("user_id") === col("eu") &&
           col("ets") > col("cts") &&
-          col("ets") <= col("cts") + expr("INTERVAL 10 MINUTES"))
+          col("ets") <= col("cts") + expr("INTERVAL 360 MINUTES"))
+        .select(col("user_id"), col("click_id"), col("error_id"),
+          unix_micros(col("cts")).as("cus"), col("ets"))
       val cep = ce.join(purchases,
         col("user_id") === col("pu") &&
           col("pts") > col("ets") &&
-          col("pts") <= col("ets") + expr("INTERVAL 10 MINUTES"))
+          col("pts") <= col("ets") + expr("INTERVAL 360 MINUTES"))
         .select(col("user_id"), col("click_id"), col("error_id"),
           col("purchase_id"),
-          (unix_micros(col("pts")) - unix_micros(col("cts"))).as("span_us"))
+          (unix_micros(col("pts")) - col("cus")).as("span_us"))
       val out = SparkHygiene.scratchDir("w29_out")
       val ck = SparkHygiene.scratchDir("w29_ck")
       val q = cep.writeStream.format("parquet")
@@ -1540,11 +1547,11 @@ object EventQueries {
         |JOIN events e
         |  ON c.event_type = 'click' AND e.event_type = 'error'
         | AND e.user_id = c.user_id
-        | AND e.ts > c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
+        | AND e.ts > c.ts AND e.ts <= c.ts + INTERVAL 360 MINUTE
         |JOIN events p
         |  ON p.event_type = 'purchase'
         | AND p.user_id = c.user_id
-        | AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 10 MINUTE
+        | AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 360 MINUTE
         |ORDER BY click_id, error_id, purchase_id""".stripMargin,
     "w15_stream_join_full" ->
       """WITH err AS (

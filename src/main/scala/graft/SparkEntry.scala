@@ -1037,6 +1037,12 @@ object QueryCatalog {
       try {
         conf.set(keys(0), "true")
         conf.set(keys(1), "0")
+        // the bloom rule refuses injection when the creation side is
+        // broadcastable by size (the join would be BHJ) — flip the
+        // session to the shuffle-join regime q31 documents; the detail
+        // arm keeps its DPP via the explicit broadcast(dim) hint, which
+        // overrides the threshold
+        conf.set(keys(2), "-1")
         conf.set(keys(2), "-1")
         val urgent = Tables.orders(s, dir)
           .filter(col("o_orderpriority") === "1-URGENT")
@@ -1051,6 +1057,97 @@ object QueryCatalog {
           .orderBy(col("l_returnflag"))
       } finally saved.foreach { case (k, v) =>
         v.fold(conf.unset(k))(conf.set(k, _))
+      }
+    }),
+
+    // OPTIMIZER-RULE COMPOSITION (VERDICT r11 #7) — the three runtime
+    // scan-reduction mechanisms in ONE query plan, the interaction
+    // surface where conservative-rule bugs hide: a rollup arm whose
+    // bare fact aggregate the MV REWRITE must serve, a detail arm over
+    // a hive-partitioned fact whose dim filter DPP must turn into a
+    // runtime partition filter, and a bloom arm whose shuffle join
+    // (merge-hinted — at 100 TB the orders side genuinely wouldn't
+    // broadcast) must get a runtime might_contain filter on its fact
+    // scan. The MV rule must fire on arm 1 ONLY — arms 2/3 aggregate
+    // over JOINS, which its conservative decompose refuses — and must
+    // not disturb the other two injections, which run in later
+    // optimizer phases over the partially-rewritten plan. PlanSpec
+    // pins all three plan artifacts in the one executed plan; the
+    // oracle recomputes all three arms from raw tables — every
+    // mechanism must be logically invisible.
+    "q35_rule_compose" -> ((s, dir) => {
+      // detail fact, q28's partitioned layout
+      val factDir = SparkHygiene.scratchDir("q35_fact")
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("c_nationkey").as("nation_key"))
+        .write.mode("overwrite").partitionBy("nation_key").parquet(factDir)
+      // rollup MV, q33's definition
+      val mvDir = SparkHygiene.scratchDir("q35_mv")
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+        .write.mode("overwrite").parquet(mvDir)
+      graft.plans.MvRewrite.register(s, graft.plans.MvRewrite.MvDef(
+        factPathSuffix = s"$dir/lineitem.parquet",
+        mvPlan = s.read.parquet(mvDir).queryExecution.analyzed,
+        groupCols = Set("l_returnflag", "l_linestatus"),
+        countCol = "n_rows",
+        sumCols = Map("l_quantity" -> "sum_qty")))
+      val conf = s.conf
+      val keys = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold")
+      val saved = keys.map(k => k -> conf.getOption(k))
+      try {
+        conf.set(keys(0), "true")
+        conf.set(keys(1), "0")
+        // the bloom rule refuses injection when the creation side is
+        // broadcastable by size (the join would be BHJ) — flip the
+        // session to the shuffle-join regime q31 documents; the detail
+        // arm keeps its DPP via the explicit broadcast(dim) hint, which
+        // overrides the threshold
+        conf.set(keys(2), "-1")
+        // arm 1: bare fact rollup — MV-served
+        val rollup = Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .cast("double").as("val"))
+          .select(lit("rollup").as("arm"), col("l_returnflag").as("key"),
+            col("n"), col("val"))
+        // arm 2: partitioned-fact star join — DPP-pruned scan
+        val dim = Tables.nation(s, dir)
+          .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "EUROPE")
+          .select(col("n_nationkey"), col("n_name"))
+        val detail = s.read.parquet(factDir)
+          .join(broadcast(dim), col("nation_key") === col("n_nationkey"))
+          .groupBy(col("n_name").as("key"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice").cast("decimal(18,6)")), 4)
+              .cast("double").as("val"))
+          .select(lit("detail").as("arm"), col("key"), col("n"), col("val"))
+        // arm 3: selective shuffle join — runtime bloom on the fact scan
+        val urgent = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        val bloom = Tables.lineitem(s, dir)
+          .join(urgent, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag").as("key"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .cast("double").as("val"))
+          .select(lit("urgent").as("arm"), col("key"), col("n"), col("val"))
+        rollup.unionByName(detail).unionByName(bloom)
+          .localCheckpoint(true)
+          .orderBy(col("arm"), col("key"))
+      } finally {
+        saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+        graft.plans.MvRewrite.clear(s)
       }
     }),
 
@@ -1875,6 +1972,29 @@ object QueryCatalog {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // all three arms recomputed from raw tables: every runtime
+    // mechanism (MV rewrite, DPP, bloom) must be logically invisible
+    "q35_rule_compose" ->
+      """SELECT * FROM (
+        |  SELECT 'rollup' AS arm, l_returnflag AS key, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS val
+        |  FROM lineitem GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT 'detail', n_name, count(*),
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DOUBLE)
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'
+        |  GROUP BY n_name
+        |  UNION ALL
+        |  SELECT 'urgent', l_returnflag, count(*),
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderpriority = '1-URGENT'
+        |  GROUP BY l_returnflag)
+        |ORDER BY arm, key""".stripMargin,
     "q24_scalar_subquery" ->
       """SELECT c_custkey,
         |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,

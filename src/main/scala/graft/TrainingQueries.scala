@@ -559,10 +559,23 @@ object TrainingQueries {
         nWords.between(5, 100000) &&
           TextFns.meanWordLength(col("text")).between(2.0, 12.0) &&
           TextFns.symbolRatio(col("text")) < 0.1 && hasStop)
+      // The SURVIVOR MANIFEST — (doc_id, lang, n_tok), three scalars
+      // per surviving doc — is materialized ONCE here (eager
+      // localCheckpoint; at 100 TB this is the persisted inter-stage
+      // table every release pipeline writes anyway). Four downstream
+      // consumers read it (language counts, the mixing join, the
+      // chunk-offset aggregate, the packed join): without the
+      // materialization each consumer re-plans the whole
+      // dedup+decontaminate+quality subtree — measured 30 exchanges vs
+      // the pinned census, i.e. the dedup of a 100 TB corpus running
+      // SIX times
+      val survivors = gated.select(col("doc_id"), col("lang"),
+          TextFns.tokenCountWs(col("text")).cast("long").as("n_tok"))
+        .localCheckpoint(true)
       // 4. temperature mixing (t15, α = 0.5) with rates computed over
       // the SURVIVING corpus — the realistic order: mixture weights
       // reflect what is actually left after cleaning
-      val counts = gated.groupBy(col("lang")).agg(count(lit(1)).as("n_d"))
+      val counts = survivors.groupBy(col("lang")).agg(count(lit(1)).as("n_d"))
       val rates = counts
         .crossJoin(broadcast(counts.agg(min(col("n_d")).as("n_min"))))
         .select(col("lang"),
@@ -571,11 +584,10 @@ object TrainingQueries {
       val bucket = conv(substring(
           md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
         .cast("long")
-      val mixed = gated.join(broadcast(rates), Seq("lang"))
+      val mixed = survivors.join(broadcast(rates), Seq("lang"))
         .filter(bucket * lit(10000L) < col("rate") * lit(65536L))
       // 5. sequence packing (t7's two-level distributed prefix sum)
-      val base = mixed.select(col("doc_id"),
-          TextFns.tokenCountWs(col("text")).cast("long").as("n_tok"))
+      val base = mixed.select(col("doc_id"), col("n_tok"))
         .withColumn("chunk", floor(col("doc_id") / 1000).cast("long"))
       val chunkW = Window.orderBy(col("chunk"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

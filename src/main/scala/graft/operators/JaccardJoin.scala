@@ -164,6 +164,66 @@ object JaccardJoin {
         if (probed <= threshold) BroadcastDocs else ShuffleDocs
       case v => v
     }
+    val (cand, docsA, docsB) =
+      crossIndex(probe, ref, idCol, textCol, t, shingleLen)
+    def maybeBroadcast(d: DataFrame): DataFrame = resolved match {
+      case BroadcastDocs => broadcast(d)
+      case _ => d
+    }
+    verified(cand.join(maybeBroadcast(docsA), "a")
+      .join(maybeBroadcast(docsB), "b"))
+  }
+
+  /** [[crossPairs]] with the VERIFY-side physical form chosen by a
+    * measured census ([[AdaptiveJoin]]) instead of the Auto size gate —
+    * the incremental-ingestion consumer VERDICT r11 #6 asked for. The
+    * Auto gate only knows the corpus SIZE; the census also sees the
+    * candidate DISTRIBUTION, which is where real ingestion breaks: a
+    * hot template document in the corpus gives one probe doc thousands
+    * of candidate pairs, and a plain hash verify join piles all of them
+    * onto one reducer. The ladder picks per side: broadcast when the
+    * doc-vector frame is small, SALTED when one doc id owns a
+    * partition-breaking share of the candidates, shuffle otherwise.
+    *
+    * The candidate id-pairs are materialized first (eager
+    * localCheckpoint — bounded: two longs per candidate) so the census
+    * costs two bounded aggregates over materialized rows rather than
+    * re-deriving the whole shingle pipeline per probe.
+    *
+    * @return verified pairs plus the (a-side, b-side) census decisions
+    *         for observability — a deployment logs them per delta
+    */
+  def crossPairsAdaptive(probe: DataFrame, ref: DataFrame, idCol: String,
+                         textCol: String, t: Double, shingleLen: Int = 3,
+                         broadcastMaxRows: Long = 1L << 20,
+                         skewFactor: Double = 4.0,
+                         maxSalts: Int = 64,
+                         heavyThreshold: Long = 1000L)
+      : (DataFrame, Seq[AdaptiveJoin.Decision]) = {
+    require(t > 0 && t <= 1, s"threshold out of (0,1]: $t")
+    val (cand0, docsA, docsB) =
+      crossIndex(probe, ref, idCol, textCol, t, shingleLen)
+    val cand = cand0.localCheckpoint(true)
+    val (ja, da) = AdaptiveJoin.join(cand, docsA, "a",
+      broadcastMaxRows, skewFactor, maxSalts, heavyThreshold = heavyThreshold)
+    val (jb, db) = AdaptiveJoin.join(ja, docsB, "b",
+      broadcastMaxRows, skewFactor, maxSalts, heavyThreshold = heavyThreshold)
+    (verified(jb), Seq(da, db))
+  }
+
+  /** Exact overlap + output projection shared by the verify variants. */
+  private def verified(joined: DataFrame): DataFrame =
+    joined
+      .withColumn("common", VectorFns.sortedIntersectCount(col("sha"), col("shb")))
+      .select(col("a"), col("b"), col("common"),
+        col("sza").as("sza"), col("szb").as("szb"))
+
+  /** The shared prefix-filtered cross index: candidate id pairs plus the
+    * two per-side doc-vector frames (`(a|b, sh<a|b>, sz<a|b>)`).
+    */
+  private def crossIndex(probe: DataFrame, ref: DataFrame, idCol: String,
+                         textCol: String, t: Double, shingleLen: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     def shingled(d: DataFrame, tag: Int): DataFrame = d
       .withColumn("__toks", TextFns.repetitionTokens(col(textCol)))
       .select(lit(tag).as("__side"), col(idCol).as("__id"),
@@ -192,15 +252,6 @@ object JaccardJoin {
         col("y.sz") * t <= col("x.sz") && col("x.sz") * t <= col("y.sz"))
       .select(col("x.__id").as("a"), col("y.__id").as("b"))
       .distinct()
-    def maybeBroadcast(d: DataFrame): DataFrame = resolved match {
-      case BroadcastDocs => broadcast(d)
-      case _ => d
-    }
-    cand
-      .join(maybeBroadcast(docsOf(1, "a")), "a")
-      .join(maybeBroadcast(docsOf(0, "b")), "b")
-      .withColumn("common", VectorFns.sortedIntersectCount(col("sha"), col("shb")))
-      .select(col("a"), col("b"), col("common"),
-        col("sza").as("sza"), col("szb").as("szb"))
+    (cand, docsOf(1, "a"), docsOf(0, "b"))
   }
 }

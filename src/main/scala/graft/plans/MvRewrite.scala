@@ -187,6 +187,15 @@ object MvRewrite extends Rule[LogicalPlan] {
                   Complete, isDistinct = false)
               case _ => return None
             }
+          // a NON-aggregate result expression over grouping columns only
+          // (CollapseProject folds `SELECT 'tag' AS arm, key AS k, ...`
+          // projections into the aggregate's result list): every fact
+          // row of a group shares the grouping values, so the expression
+          // evaluates identically over the rollup — remap its attributes
+          case e if !e.exists(_.isInstanceOf[AggregateExpression]) &&
+              e.references.forall(a =>
+                mv.groupCols.contains(a.name) && mvOut.contains(a.name)) =>
+            e.transform { case a: AttributeReference => mvOut(a.name) }
           case _ => return None
         }
         Alias(rewrap(translated), al.name)(exprId = al.exprId)

@@ -72,6 +72,42 @@ class AdaptiveJoinSpec extends SparkSpec {
     assert(counts(out) == counts(skewedFacts.join(dim(500), Seq("k"))))
   }
 
+  test("pipeline wiring (VERDICT r11 #6): a planted hot template in the " +
+    "d18 incremental-dedup path flips the verify join to Salted, and the " +
+    "adaptive result equals the plain crossPairs result") {
+    import graft.operators.JaccardJoin
+    // ref corpus: 200 near-identical copies of one template (the hot
+    // pile a scraped corpus really contains) + 50 distinct docs
+    val template = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val ref = ((1 to 200).map(i => (i.toLong, s"$template tail$i")) ++
+      (1001 to 1050).map(i => (i.toLong, s"unique text number $i with words " +
+        s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g")))
+      .toDF("doc_id", "text")
+    // delta: ONE probe doc matching the template → its candidate set is
+    // all 200 copies, all hashing to one verify reducer unsalted
+    val probe = Seq((9001L, s"$template tail0")).toDF("doc_id", "text")
+    val (out, decisions) = JaccardJoin.crossPairsAdaptive(
+      probe, ref, "doc_id", "text", t = 0.5,
+      broadcastMaxRows = 0, skewFactor = 1.0, heavyThreshold = 10)
+    decisions.head.strategy match {
+      case AdaptiveJoin.Salted(n) => assert(n >= 2)
+      case other => fail(s"a-side verify must salt the hot probe doc, " +
+        s"got $other (maxKeyPairs=${decisions.head.maxKeyPairs}, " +
+        s"fairShare=${decisions.head.fairShare})")
+    }
+    // b side: every ref doc appears once per candidate — uniform, so the
+    // census must NOT salt it
+    assert(decisions(1).strategy == AdaptiveJoin.Shuffle,
+      s"b-side should stay a plain shuffle, got ${decisions(1)}")
+    def rows(df: DataFrame) = df.select("a", "b", "common", "sza", "szb")
+      .collect().map(_.toSeq).toSet
+    val plain = JaccardJoin.crossPairs(probe, ref, "doc_id", "text",
+      t = 0.5, verify = JaccardJoin.ShuffleDocs)
+    assert(rows(out) == rows(plain),
+      "adaptive verify must be physically-only: identical pairs")
+    assert(rows(out).size >= 200, "the hot template's pairs must all verify")
+  }
+
   test("the estimate drives the fair share: est_pairs tracks the true " +
     "join size on both corpora") {
     val dU = AdaptiveJoin.decide(uniformFacts, "k", dim(500), "k",

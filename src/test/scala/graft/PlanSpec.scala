@@ -603,6 +603,37 @@ class PlanSpec extends SparkSpec {
     assert(broadcasts.nonEmpty, "eval-set shingles not broadcast")
   }
 
+  test("t34 training manifest: the corpus-width dedup/decontaminate/" +
+    "quality stages run ONCE into the survivor-manifest checkpoint; " +
+    "every exchange after it carries only the narrow manifest (no text), " +
+    "census pinned at 12") {
+    val root = QueryCatalog.queries("t34_training_manifest")(spark, sf)
+      .queryExecution.executedPlan
+    val inner = root match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case x => x
+    }
+    val p = inner.toString
+    // downstream plans against the materialized manifest, not a replay
+    // of the dedup subtree
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+      s"survivor manifest is not checkpoint-backed:\n$p")
+    assert(!p.contains("text#"),
+      s"document text leaked past the survivor manifest:\n$p")
+    val shuffles = inner.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.outputPartitioning.toString
+    }
+    assert(shuffles.length == 12,
+      s"post-manifest exchange census drifted (expected 12):\n" +
+        shuffles.mkString("\n"))
+    assert(shuffles.exists(_.contains("lang#")) &&
+      shuffles.exists(_.contains("chunk#")) &&
+      shuffles.exists(_.contains("shard#")),
+      s"unexpected exchange keys:\n${shuffles.mkString("\n")}")
+  }
+
   test("q8 market share: both dim arms broadcast onto the facts and the " +
     "ratio comes out of ONE aggregation pass") {
     val p = plan("q8_market_share")
@@ -732,7 +763,7 @@ class PlanSpec extends SparkSpec {
       "spark.sql.autoBroadcastJoinThreshold")
     val saved = keys.map(k => k -> conf.getOption(k))
     try {
-      conf.set(keys(0), "true"); conf.set(keys(1), "0"); conf.set(keys(2), "-1")
+      conf.set(keys(0), "true"); conf.set(keys(1), "0"); conf.set(keys(2), "-1"); conf.set(keys(2), "-1")
       val urgent = Tables.orders(spark, sf)
         .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
       val df = Tables.lineitem(spark, sf)
@@ -744,6 +775,98 @@ class PlanSpec extends SparkSpec {
         s"runtime bloom filter was not injected on the fact side:\n$p")
     } finally saved.foreach { case (k, v) =>
       v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
+  test("q35 composition: MV rewrite + DPP + runtime bloom fire together " +
+    "in ONE plan — MV serves the rollup arm (its fact scan gone), the " +
+    "detail arm keeps its runtime-pruned partitioned scan, the bloom arm " +
+    "keeps its might_contain fact scan") {
+    import graft.plans.MvRewrite
+    // same construction as the catalog entry, WITHOUT the eager
+    // localCheckpoint, so the composed executed plan is inspectable
+    val factDir = SparkHygiene.scratchDir("q35p_fact")
+    Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("c_nationkey").as("nation_key"))
+      .write.mode("overwrite").partitionBy("nation_key").parquet(factDir)
+    val mvDir = SparkHygiene.scratchDir("q35p_mv")
+    Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+      .write.mode("overwrite").parquet(mvDir)
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set(keys(0), "true"); conf.set(keys(1), "0"); conf.set(keys(2), "-1")
+      MvRewrite.register(spark, MvRewrite.MvDef(
+        factPathSuffix = s"$sf/lineitem.parquet",
+        mvPlan = spark.read.parquet(mvDir).queryExecution.analyzed,
+        groupCols = Set("l_returnflag", "l_linestatus"),
+        countCol = "n_rows",
+        sumCols = Map("l_quantity" -> "sum_qty")))
+      val rollup = Tables.lineitem(spark, sf)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("val"))
+        .select(lit("rollup").as("arm"), col("l_returnflag").as("key"),
+          col("n"), col("val"))
+      val dim = Tables.nation(spark, sf)
+        .join(Tables.region(spark, sf), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .select(col("n_nationkey"), col("n_name"))
+      val detail = spark.read.parquet(factDir)
+        .join(broadcast(dim), col("nation_key") === col("n_nationkey"))
+        .groupBy(col("n_name").as("key"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,6)")), 4)
+            .cast("double").as("val"))
+        .select(lit("detail").as("arm"), col("key"), col("n"), col("val"))
+      val urgent = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val bloom = Tables.lineitem(spark, sf)
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag").as("key"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("val"))
+        .select(lit("urgent").as("arm"), col("key"), col("n"), col("val"))
+      val df = rollup.unionByName(detail).unionByName(bloom)
+      df.collect() // finalize under AQE
+      // the MV substitution is a LOGICAL rewrite — pin it on the
+      // optimized plan's relation paths (AQE's executed-plan string
+      // elides materialized stages' scan details, so string-counting
+      // there is unstable): after the rewrite exactly one lineitem
+      // relation (the bloom arm's) and the MV relation must remain
+      val scanPaths = df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              f.location.rootPaths.mkString(",")
+            case _ => ""
+          }
+      }
+      assert(scanPaths.exists(_.contains(mvDir.split('/').last)),
+        s"rollup arm is not MV-served; scans: $scanPaths")
+      assert(scanPaths.count(_.contains("lineitem.parquet")) == 1,
+        s"exactly ONE lineitem scan (the bloom arm's) may survive; " +
+          s"scans: $scanPaths")
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"runtime bloom missing from the urgent arm:\n$p")
+      assert("PartitionFilters: \\[[^\\]]*dynamicpruningexpression\\(n".r
+          .findFirstIn(p).isDefined,
+        s"non-trivial DPP missing from the detail arm's partitioned scan " +
+          s"(a removed subquery prints dynamicpruningexpression(true)):\n$p")
+    } finally {
+      saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+      MvRewrite.clear(spark)
     }
   }
 

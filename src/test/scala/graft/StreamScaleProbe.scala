@@ -152,11 +152,14 @@ object StreamScaleProbe {
         cl.join(er,
             col("user_id") === col("eu") &&
               col("ets") > col("cts") &&
-              col("ets") <= col("cts") + expr("INTERVAL 10 MINUTES"))
+              col("ets") <= col("cts") + expr("INTERVAL 360 MINUTES"))
+          // one event-time column per stream side (see w29's entry)
+          .select(col("user_id"), col("click_id"), col("error_id"),
+            col("ets"))
           .join(pu,
             col("user_id") === col("pu") &&
               col("pts") > col("ets") &&
-              col("pts") <= col("ets") + expr("INTERVAL 10 MINUTES"))
+              col("pts") <= col("ets") + expr("INTERVAL 360 MINUTES"))
           .select(col("click_id"), col("error_id"), col("purchase_id"))
       },
       "w26_asof" -> (ev =>
