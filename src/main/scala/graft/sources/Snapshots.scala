@@ -88,4 +88,104 @@ object Snapshots {
     require(dirs.nonEmpty, s"version $v of $tableDir is empty")
     spark.read.parquet(dirs: _*)
   }
+
+  // -----------------------------------------------------------------
+  // POINTER LOG — the snapshot manifest over EXTERNALLY-written data
+  // directories (VERDICT r11 #4: the streaming pipeline's own state).
+  // The full-copy `commit` above owns its data; a streaming producer
+  // instead writes its per-batch version directory itself (idempotent
+  // replay via deterministic paths) and then PUBLISHES it here: one
+  // immutable pointer file `_snapshots/v<version>.<rank>.ptr` whose
+  // content is the data directory path. Readers list the tiny pointer
+  // dir and resolve max (version, rank) — never the data tree — which
+  // gives atomic publish (the pointer write is the commit point),
+  // time travel (resolve any version), and O(1) rollback (delete
+  // pointers above v). Rank orders same-version republications (the
+  // CdcConsumer's summarized overlay passes outrank their base).
+  // Hadoop-FS-based so it runs wherever the pipeline's state lives.
+  // -----------------------------------------------------------------
+
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+  private def pointerDir(tableBase: String) = s"$tableBase/_snapshots"
+  private def fsOf(spark: SparkSession, p: HPath): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Publish `(version, rank) → dataDir`. CREATE_NEW semantics: the
+    * pointer file is immutable — a concurrent/racing publish of the
+    * same (version, rank) loses cleanly. A REPLAY (same content, the
+    * streaming batch-retry case) is an idempotent no-op; a content
+    * MISMATCH is corruption and throws.
+    */
+  def publishPointer(spark: SparkSession, tableBase: String,
+                     version: Long, rank: Long, dataDir: String): Unit = {
+    val p = new HPath(s"${pointerDir(tableBase)}/v$version.$rank.ptr")
+    val fs = fsOf(spark, p)
+    if (fs.exists(p)) {
+      val existing = readPointerFile(fs, p)
+      require(existing == dataDir,
+        s"snapshot pointer $p already published with different content: " +
+          s"'$existing' vs '$dataDir'")
+      return
+    }
+    fs.mkdirs(p.getParent)
+    val out =
+      try fs.create(p, false)
+      catch { // lost a publish race: verify the winner wrote our content
+        case _: java.io.IOException =>
+          val existing = readPointerFile(fs, p)
+          require(existing == dataDir,
+            s"snapshot pointer $p raced with different content: " +
+              s"'$existing' vs '$dataDir'")
+          return
+      }
+    try out.write(dataDir.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readPointerFile(fs: FileSystem, p: HPath): String = {
+    val in = fs.open(p)
+    try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** All published pointers of a table, unordered:
+    * `(version, rank, dataDir)`. Empty when no pointer log exists
+    * (a pre-pointer-log state dir — callers fall back to listing).
+    */
+  def pointerEntries(spark: SparkSession, tableBase: String)
+      : Seq[(Long, Long, String)] = {
+    val d = new HPath(pointerDir(tableBase))
+    val fs = fsOf(spark, d)
+    if (!fs.exists(d)) return Nil
+    fs.listStatus(d).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      n.split('.') match {
+        case Array(v, r, "ptr") if v.startsWith("v") =>
+          for {
+            ver <- v.drop(1).toLongOption
+            rk <- r.toLongOption
+          } yield (ver, rk, readPointerFile(fs, st.getPath))
+        case _ => None
+      }
+    }
+  }
+
+  /** Retire pointers for versions ≤ `upTo` (pairs with the producer's
+    * state-version prune). */
+  def prunePointers(spark: SparkSession, tableBase: String, upTo: Long): Unit = {
+    val d = new HPath(pointerDir(tableBase))
+    val fs = fsOf(spark, d)
+    if (!fs.exists(d)) return
+    fs.listStatus(d).foreach { st =>
+      val n = st.getPath.getName
+      n.split('.') match {
+        case Array(v, _, "ptr") if v.startsWith("v") &&
+            v.drop(1).toLongOption.exists(_ <= upTo) =>
+          fs.delete(st.getPath, false); ()
+        case _ => ()
+      }
+    }
+  }
 }

@@ -165,6 +165,11 @@ object CdcConsumer {
         val dest = new Path(StreamingPipeline.overlayPassPath(tableBase, target, next))
         ClusterTable.summarizePass(input, pks, threshold)
           .write.mode("overwrite").parquet(dest.toString)
+        // snapshot publish: the overlay pass outranks the base version
+        // (rank = pass + 1, matching the legacy listing order) so
+        // latestTable's pointer resolution serves the summarized state
+        graft.sources.Snapshots.publishPointer(spark, tableBase, target,
+          next + 1L, dest.toString)
         // grace-window prune: keep the new pass and its `gracePasses`
         // predecessors so a reader that planned against a recent pass
         // still executes (see the object doc for the window's bound)

@@ -77,6 +77,29 @@ class StreamingSpec extends SparkSpec {
     val alphaArts = t2.filter(col("row_type") === "article" && col("PK") === alphaPk)
       .select("article_id").as[String].collect().toSet
     assert(alphaArts == Set("a1", "a2", "a3")) // cross-restart merge
+
+    // VERDICT r11 #4 — the kill/restart read path goes THROUGH the
+    // snapshot pointer log: the manifest exists, its max pointer names
+    // batch 1's version, version 0's pointer time-travels to the
+    // pre-restart state, and deleting the log falls back to the legacy
+    // listing with byte-identical results
+    import graft.sources.Snapshots
+    val ptrs = Snapshots.pointerEntries(spark, s"$state/table")
+    assert(ptrs.nonEmpty, "snapshot pointer log missing after the drain")
+    assert(ptrs.map(_._1).max == 1L,
+      s"two micro-batches must publish versions 0 and 1, got $ptrs")
+    val dir0 = ptrs.filter(_._1 == 0L).maxBy(_._2)._3
+    val ids0 = spark.read.parquet(dir0).filter(col("row_type") === "article")
+      .select("article_id").as[String].collect().toSet
+    assert(ids0 == Set("a1", "a2", "z1"),
+      "snapshot v0 must time-travel to the pre-restart state")
+    val viaPointers = t2.orderBy("PK", "SK").collect().toSeq
+    val fs = new org.apache.hadoop.fs.Path(s"$state/table/_snapshots")
+    fs.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(fs, true)
+    val viaListing = StreamingPipeline.latestTable(spark, state)
+      .orderBy("PK", "SK").collect().toSeq
+    assert(viaPointers == viaListing,
+      "pointer resolution and listing fallback must rank identically")
   }
 
   test("A5 pool stats surface as observed metrics on the state write") {
