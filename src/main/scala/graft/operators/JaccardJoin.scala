@@ -204,10 +204,25 @@ object JaccardJoin {
     val (cand0, docsA, docsB) =
       crossIndex(probe, ref, idCol, textCol, t, shingleLen)
     val cand = cand0.localCheckpoint(true)
-    val (ja, da) = AdaptiveJoin.join(cand, docsA, "a",
-      broadcastMaxRows, skewFactor, maxSalts, heavyThreshold = heavyThreshold)
-    val (jb, db) = AdaptiveJoin.join(ja, docsB, "b",
-      broadcastMaxRows, skewFactor, maxSalts, heavyThreshold = heavyThreshold)
+    // BOTH censuses run over the CHECKPOINTED candidate frame: the
+    // a-join enriches cand 1:1 (each candidate matches exactly one doc
+    // row), so per-key `b` counts over cand equal those over the
+    // a-join's output — deciding on cand is the same verdict without
+    // re-deriving the doc-vector pipeline for the census aggregates
+    def decideOn(key: String, dim: DataFrame) =
+      AdaptiveJoin.decide(cand, key, dim, key, broadcastMaxRows,
+        skewFactor, maxSalts, heavyThreshold = heavyThreshold)
+    def applyStrategy(facts: DataFrame, dim: DataFrame, key: String,
+                      d: AdaptiveJoin.Decision): DataFrame =
+      d.strategy match {
+        case AdaptiveJoin.Broadcast => facts.join(broadcast(dim), Seq(key))
+        case AdaptiveJoin.Shuffle => facts.join(dim, Seq(key))
+        case AdaptiveJoin.Salted(n) => SkewTools.saltedJoin(facts, dim, key, n)
+      }
+    val da = decideOn("a", docsA)
+    val db = decideOn("b", docsB)
+    val ja = applyStrategy(cand, docsA, "a", da)
+    val jb = applyStrategy(ja, docsB, "b", db)
     (verified(jb), Seq(da, db))
   }
 

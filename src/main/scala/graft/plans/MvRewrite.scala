@@ -191,8 +191,12 @@ object MvRewrite extends Rule[LogicalPlan] {
           // (CollapseProject folds `SELECT 'tag' AS arm, key AS k, ...`
           // projections into the aggregate's result list): every fact
           // row of a group shares the grouping values, so the expression
-          // evaluates identically over the rollup — remap its attributes
-          case e if !e.exists(_.isInstanceOf[AggregateExpression]) &&
+          // evaluates identically over the rollup — remap its
+          // attributes. Deterministic only: a nondeterministic
+          // expression is not "the same value per group" in any sense a
+          // rewrite may reason about.
+          case e if e.deterministic &&
+              !e.exists(_.isInstanceOf[AggregateExpression]) &&
               e.references.forall(a =>
                 mv.groupCols.contains(a.name) && mvOut.contains(a.name)) =>
             e.transform { case a: AttributeReference => mvOut(a.name) }

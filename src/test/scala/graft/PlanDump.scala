@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.ExplainMode
 
 /** Dump `explain("formatted")` for the headline catalog queries into
-  * `artifacts/PLANS_r11.txt` — the reviewable evidence that scans
+  * `artifacts/PLANS_r12.txt` — the reviewable evidence that scans
   * prune/push down, dims broadcast, aggregates partial map-side, and
   * the rewrites fire. Batch queries only: constructing the w9/w15/w18
   * streaming entries RUNS their streaming drain by design.
@@ -45,8 +45,15 @@ object PlanDump {
       // session-2 batch heads (the materializing queries — q33/q34/
       // j18/p23 — run side effects on construction and return a
       // checkpoint read, so their plan evidence lives in their specs)
-      "s15_hybrid_rrf", "g6_hits", "j19_temporal_dim", "a21_unpivot")
-    val out = new java.io.PrintWriter("artifacts/PLANS_r11.txt")
+      "s15_hybrid_rrf", "g6_hits", "j19_temporal_dim", "a21_unpivot",
+      // round-12 heads: the training-release chain (its plan is the
+      // post-manifest stages — the corpus-width prefix materializes at
+      // construction by design; the census pin lives in PlanSpec).
+      // q35 materializes under registered rules and w29 drains a
+      // stream on construction — their plan evidence lives in PlanSpec
+      // and the oracle rows.
+      "t34_training_manifest", "d18_incremental_dedup")
+    val out = new java.io.PrintWriter("artifacts/PLANS_r12.txt")
     out.println("Formatted physical plans, sf0.001, local[4] — regenerate " +
       "with `sbt \"Test/runMain graft.PlanDump\"`.\n")
     names.foreach { n =>
