@@ -473,6 +473,31 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // COPY-ON-WRITE ROW ERASURE (operators/DeleteRows) — the GDPR
+    // DELETE over a snapshot table: v1 commits the corpus
+    // range-clustered on doc_id (8 files with disjoint id ranges), the
+    // erase of one contiguous id band footer-prunes to the files that
+    // can contain it, rewrites ONLY those minus the targets, and
+    // publishes the rest BY REFERENCE as v2 (one manifest write). The
+    // query reads the LATEST version — erasure must be logically
+    // invisible (the oracle filters the raw table), while
+    // DeleteRowsSpec pins the surgery contract: untouched files are
+    // referenced verbatim (never rewritten), only range-overlapping
+    // files rewrite, v1 still time-travels to the pre-erasure rows,
+    // and a no-overlap erase commits nothing.
+    "p24_gdpr_erase" -> ((s, dir) => {
+      val t = SparkHygiene.scratchDir("p24_tbl")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.sources.Snapshots.commit(s, t,
+        docs.repartitionByRange(8, col("doc_id")))
+      graft.operators.DeleteRows.deleteRange(s, t, "doc_id",
+        lo = 100L, hi = 299L)
+      graft.sources.Snapshots.read(s, t)
+        .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // token-distribution entropy (training-data quality signal: gibberish
     // and boilerplate sit at the entropy extremes). H = log2(N) − Σ c·log2(c)/N
     // over unigram counts — exact and one aggregation chain.
@@ -750,6 +775,12 @@ object TextQueries {
     "p23_time_travel" ->
       """SELECT doc_id, lang, length(text) AS text_len FROM documents
         |WHERE doc_id < 250
+        |ORDER BY doc_id""".stripMargin,
+    // erasure must be logically invisible: latest version ≡ the raw
+    // table minus the erased band
+    "p24_gdpr_erase" ->
+      """SELECT doc_id, lang, length(text) AS text_len FROM documents
+        |WHERE doc_id NOT BETWEEN 100 AND 299
         |ORDER BY doc_id""".stripMargin,
     "p12_parse_tags" ->
       """WITH t AS (SELECT doc_id,

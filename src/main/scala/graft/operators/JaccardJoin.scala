@@ -208,10 +208,17 @@ object JaccardJoin {
     // a-join enriches cand 1:1 (each candidate matches exactly one doc
     // row), so per-key `b` counts over cand equal those over the
     // a-join's output — deciding on cand is the same verdict without
-    // re-deriving the doc-vector pipeline for the census aggregates
+    // re-deriving the doc-vector pipeline for the census aggregates.
+    // The dim side enters the census as its KEY COLUMN ONLY: the
+    // census needs row counts and per-key counts, never the shingle
+    // vectors — and with the vectors pruned, Catalyst drops the
+    // collect_list/sort work from the census plan entirely (measured:
+    // the wide-frame census re-ran the corpus shingle pipeline once
+    // per census aggregate)
     def decideOn(key: String, dim: DataFrame) =
-      AdaptiveJoin.decide(cand, key, dim, key, broadcastMaxRows,
-        skewFactor, maxSalts, heavyThreshold = heavyThreshold)
+      AdaptiveJoin.decide(cand, key, dim.select(col(key)), key,
+        broadcastMaxRows, skewFactor, maxSalts,
+        heavyThreshold = heavyThreshold)
     def applyStrategy(facts: DataFrame, dim: DataFrame, key: String,
                       d: AdaptiveJoin.Decision): DataFrame =
       d.strategy match {

@@ -39,29 +39,35 @@ object Manifest {
     fs.listStatus(new Path(dir))
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .toSeq
-      .map { st =>
-        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
-        try {
-          val blocks = reader.getFooter.getBlocks.asScala
-          var rows = 0L
-          var lo = Long.MaxValue
-          var hi = Long.MinValue
-          blocks.foreach { b =>
-            rows += b.getRowCount
-            b.getColumns.asScala
-              .find(_.getPath.toDotString == keyCol)
-              .foreach { c =>
-                val s = c.getStatistics
-                if (s != null && !s.isEmpty) {
-                  lo = math.min(lo, s.genericGetMin.asInstanceOf[Number].longValue)
-                  hi = math.max(hi, s.genericGetMax.asInstanceOf[Number].longValue)
-                }
-              }
-          }
-          FileStat(st.getPath.toString, st.getLen, rows, lo, hi)
-        } finally reader.close()
-      }
+      .map(st => fileStat(conf, st.getPath, st.getLen, keyCol))
       .sortBy(_.lo)
+  }
+
+  /** Footer-only stats for ONE parquet file (the unit [[stats]] maps
+    * over; public for consumers that resolve their file lists from a
+    * snapshot manifest instead of a directory listing — DeleteRows). */
+  def fileStat(conf: org.apache.hadoop.conf.Configuration, path: Path,
+               len: Long, keyCol: String): FileStat = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      var rows = 0L
+      var lo = Long.MaxValue
+      var hi = Long.MinValue
+      blocks.foreach { b =>
+        rows += b.getRowCount
+        b.getColumns.asScala
+          .find(_.getPath.toDotString == keyCol)
+          .foreach { c =>
+            val s = c.getStatistics
+            if (s != null && !s.isEmpty) {
+              lo = math.min(lo, s.genericGetMin.asInstanceOf[Number].longValue)
+              hi = math.max(hi, s.genericGetMax.asInstanceOf[Number].longValue)
+            }
+          }
+      }
+      FileStat(path.toString, len, rows, lo, hi)
+    } finally reader.close()
   }
 
   /** Read only the files whose [lo, hi] stats can intersect

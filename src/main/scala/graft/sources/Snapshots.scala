@@ -70,6 +70,32 @@ object Snapshots {
     v
   }
 
+  /** The entries (data directories and/or individual files) a version's
+    * manifest lists — public for copy-on-write maintenance operators
+    * ([[graft.operators.DeleteRows]]) that replace a SUBSET of a
+    * version's files.
+    */
+  def manifestEntries(tableDir: String, version: Int): Seq[String] =
+    readManifest(tableDir, version)
+
+  /** Commit an EXPLICIT manifest as the next version — the
+    * copy-on-write publish path: a maintenance operator (DELETE,
+    * compaction) keeps untouched files BY REFERENCE and adds its
+    * rewritten output, so the new version costs only the rewritten
+    * bytes. Entries may be directories or individual parquet files
+    * (both are valid `spark.read.parquet` paths). Same CREATE_NEW
+    * atomicity as [[commit]]. Returns the committed version.
+    */
+  def commitManifest(tableDir: String, entries: Seq[String]): Int = {
+    require(entries.nonEmpty, "refusing to commit an empty manifest")
+    val v = currentVersion(tableDir) + 1
+    Files.createDirectories(Paths.get(logDir(tableDir)))
+    Files.write(Paths.get(s"${logDir(tableDir)}/v$v.list"),
+      entries.mkString("\n").getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    v
+  }
+
   private def readManifest(tableDir: String, version: Int): Seq[String] = {
     if (version <= 0) return Nil
     val p = Paths.get(s"${logDir(tableDir)}/v$version.list")
@@ -170,6 +196,72 @@ object Snapshots {
         case _ => None
       }
     }
+  }
+
+  /** VACUUM — physical reclamation, the second half of the GDPR
+    * erasure story ([[graft.operators.DeleteRows]] removes rows
+    * LOGICALLY; the superseded files still hold the bytes until
+    * retention passes): keep the newest `keepVersions` manifests,
+    * delete older manifest files, then delete every file under
+    * `$tableDir/data` that no retained manifest references (whole
+    * version directories go when fully unreferenced). After a vacuum,
+    * time travel beyond the retention window is gone BY CONSTRUCTION —
+    * that is the point.
+    *
+    * Single-writer like [[commit]]: run it from the table's owner, not
+    * concurrently with a committer. Readers of RETAINED versions are
+    * safe (their files are never touched); a reader still executing
+    * against a version that falls out of retention mid-vacuum loses
+    * its files — the standard retention contract (size `keepVersions`
+    * to the longest reader).
+    *
+    * @return (manifests dropped, data files deleted)
+    */
+  def vacuum(spark: SparkSession, tableDir: String,
+             keepVersions: Int = 1): (Int, Int) = {
+    require(keepVersions >= 1, "must retain at least the current version")
+    val cur = currentVersion(tableDir)
+    if (cur == 0) return (0, 0)
+    val keepFrom = math.max(1, cur - keepVersions + 1)
+    // normalized (scheme-less) paths referenced by retained manifests
+    val referenced: Set[String] = (keepFrom to cur)
+      .flatMap(v => readManifest(tableDir, v))
+      .map(e => new HPath(e).toUri.getPath)
+      .toSet
+    val fsRoot = new HPath(tableDir)
+    val fs = fsOf(spark, fsRoot)
+    // drop out-of-retention manifests first: after this no reader can
+    // even resolve a version whose files are about to disappear
+    var manifestsDropped = 0
+    (1 until keepFrom).foreach { v =>
+      val m = new HPath(s"${logDir(tableDir)}/v$v.list")
+      if (fs.exists(m) && fs.delete(m, false)) manifestsDropped += 1
+    }
+    // delete unreferenced data files; remove emptied version dirs
+    var filesDeleted = 0
+    val dataRoot = new HPath(s"$tableDir/data")
+    if (fs.exists(dataRoot)) {
+      fs.listStatus(dataRoot).foreach { dir =>
+        val dirPath = dir.getPath.toUri.getPath
+        if (referenced.contains(dirPath)) ()
+        else {
+          val children = fs.listStatus(dir.getPath).toSeq
+          val hasReferencedFile = children.exists(g =>
+            referenced.contains(g.getPath.toUri.getPath))
+          children.foreach { f =>
+            val keep = referenced.contains(f.getPath.toUri.getPath) ||
+              // markers (_SUCCESS) stay while any sibling file is still
+              // referenced; they go with the dir once nothing is
+              (f.getPath.getName.startsWith("_") && hasReferencedFile)
+            if (!keep && fs.delete(f.getPath, false)) filesDeleted += 1
+          }
+          if (fs.listStatus(dir.getPath).isEmpty) {
+            fs.delete(dir.getPath, false); ()
+          }
+        }
+      }
+    }
+    (manifestsDropped, filesDeleted)
   }
 
   /** Retire pointers for versions ≤ `upTo` (pairs with the producer's

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.DeleteRows
+import graft.sources.Snapshots
+
+/** Copy-on-write erasure: logically a filter, physically file surgery —
+  * untouched files are republished BY REFERENCE (byte-identical paths,
+  * never rewritten), only stat-overlapping files rewrite, the prior
+  * version still time-travels to the pre-erasure rows, and a
+  * no-overlap erase is a no-op commit.
+  */
+class DeleteRowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String = {
+    val t = SparkHygiene.scratchDir("delrows") + "/t"
+    val rows = (0L until 800L).map(i => (i, s"payload_$i")).toDF("id", "v")
+    // 8 range-clustered files with disjoint id ranges
+    Snapshots.commit(spark, t, rows.repartitionByRange(8, col("id")))
+    t
+  }
+
+  test("erasing a contiguous band rewrites ONLY the overlapping files; " +
+    "every other v1 file is referenced verbatim in the v2 manifest") {
+    val t = freshTable()
+    val v1Files = Snapshots.manifestEntries(t, 1).flatMap { d =>
+      new java.io.File(d).listFiles.toSeq
+        .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    }
+    assert(v1Files.size == 8, s"expected 8 range files, got ${v1Files.size}")
+    val res = DeleteRows.deleteRange(spark, t, "id", 150L, 249L)
+    assert(res.version == 2)
+    // [150, 249] spans at most two 100-wide range files (plus boundary)
+    assert(res.filesRewritten >= 1 && res.filesRewritten <= 3,
+      s"band should touch 1-3 of 8 files, rewrote ${res.filesRewritten}")
+    assert(res.filesRewritten + res.filesKept == 8)
+    // manifest entries carry the Hadoop `file:` scheme; normalize
+    val v2 = Snapshots.manifestEntries(t, 2).map(_.stripPrefix("file:"))
+    val keptRefs = v2.filter(v1Files.contains)
+    assert(keptRefs.size == res.filesKept,
+      s"kept files must appear as verbatim v1 paths in v2: $v2")
+    // logical contract: v2 = v1 minus the band
+    val got = Snapshots.read(spark, t).select("id").as[Long].collect().toSet
+    assert(got == (0L until 800L).filterNot(i => i >= 150 && i <= 249).toSet)
+    // time travel: v1 is untouched
+    assert(Snapshots.read(spark, t, Some(1)).count() == 800)
+    // surviving payloads byte-equal the originals
+    val v2Rows = Snapshots.read(spark, t).as[(Long, String)].collect().toMap
+    assert(v2Rows(0L) == "payload_0" && v2Rows(799L) == "payload_799")
+  }
+
+  test("an erase range overlapping no file's stats is a NO-OP: same " +
+    "version, nothing rewritten") {
+    val t = freshTable()
+    val res = DeleteRows.deleteRange(spark, t, "id", 5000L, 6000L)
+    assert(res.version == 1 && res.filesRewritten == 0 && res.filesKept == 8)
+    assert(Snapshots.currentVersion(t) == 1)
+    assert(Snapshots.read(spark, t).count() == 800)
+  }
+
+  test("vacuum completes the erasure: out-of-retention manifests drop, " +
+    "the superseded (pre-erasure) bytes are physically deleted, files " +
+    "referenced by the retained version survive untouched") {
+    val t = freshTable()
+    val res = DeleteRows.deleteRange(spark, t, "id", 150L, 249L)
+    val keptFiles = Snapshots.manifestEntries(t, 2)
+      .map(_.stripPrefix("file:")).filter(_.endsWith(".parquet"))
+    val (manifests, deleted) = Snapshots.vacuum(spark, t, keepVersions = 1)
+    assert(manifests == 1, "v1's manifest must drop")
+    // physically gone: exactly the files the erase superseded (the
+    // touched originals) — their bytes held the erased rows
+    assert(deleted == res.filesRewritten,
+      s"expected the ${res.filesRewritten} superseded files deleted, got $deleted")
+    // v1 is unreachable by construction
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, t, Some(1)).count()
+    }
+    // the retained version still reads completely, its by-reference
+    // files untouched on disk
+    assert(Snapshots.read(spark, t).count() == 700)
+    keptFiles.foreach(f => assert(new java.io.File(f).isFile, s"lost $f"))
+  }
+
+  test("repeated erasures chain: each commits one more version, reads " +
+    "compose, and every prior version remains readable") {
+    val t = freshTable()
+    DeleteRows.deleteRange(spark, t, "id", 0L, 99L)
+    DeleteRows.deleteRange(spark, t, "id", 700L, 799L)
+    assert(Snapshots.currentVersion(t) == 3)
+    assert(Snapshots.read(spark, t).count() == 600)
+    assert(Snapshots.read(spark, t, Some(2)).count() == 700)
+    assert(Snapshots.read(spark, t, Some(1)).count() == 800)
+  }
+}
