@@ -185,10 +185,16 @@ object JaccardJoin {
     * doc-vector frame is small, SALTED when one doc id owns a
     * partition-breaking share of the candidates, shuffle otherwise.
     *
-    * The candidate id-pairs are materialized first (eager
-    * localCheckpoint — bounded: two longs per candidate) so the census
-    * costs two bounded aggregates over materialized rows rather than
-    * re-deriving the whole shingle pipeline per probe.
+    * Cost model (D18Probe, sf0.1, warm): the per-doc index and the
+    * candidate id-pairs are materialized eagerly (the census and the
+    * verify run as separate jobs, where exchange reuse cannot serve
+    * them), so the adaptive form pays ~3× the Auto-gated crossPairs at
+    * gate scale (7.7 s vs 2.5 s) — the measured premium for a
+    * distribution-aware physical choice. In production the index
+    * materialization is the per-EPOCH snapshot the class doc
+    * describes, amortized across every delta, and the premium buys
+    * insurance against the failure mode that actually costs hours: a
+    * hot template piling one key's candidates onto one reducer.
     *
     * @return verified pairs plus the (a-side, b-side) census decisions
     *         for observability — a deployment logs them per delta
@@ -202,21 +208,25 @@ object JaccardJoin {
       : (DataFrame, Seq[AdaptiveJoin.Decision]) = {
     require(t > 0 && t <= 1, s"threshold out of (0,1]: $t")
     val (cand0, docsA, docsB) =
-      crossIndex(probe, ref, idCol, textCol, t, shingleLen)
+      crossIndex(probe, ref, idCol, textCol, t, shingleLen,
+        materializeIndex = true)
     val cand = cand0.localCheckpoint(true)
     // BOTH censuses run over the CHECKPOINTED candidate frame: the
     // a-join enriches cand 1:1 (each candidate matches exactly one doc
     // row), so per-key `b` counts over cand equal those over the
     // a-join's output — deciding on cand is the same verdict without
     // re-deriving the doc-vector pipeline for the census aggregates.
-    // The dim side enters the census as its KEY COLUMN ONLY: the
-    // census needs row counts and per-key counts, never the shingle
-    // vectors — and with the vectors pruned, Catalyst drops the
-    // collect_list/sort work from the census plan entirely (measured:
-    // the wide-frame census re-ran the corpus shingle pipeline once
-    // per census aggregate)
-    def decideOn(key: String, dim: DataFrame) =
-      AdaptiveJoin.decide(cand, key, dim.select(col(key)), key,
+    // The dim side enters the census as the RAW INPUT's distinct id
+    // column, NOT the doc-vector frame: the doc-vector key set IS the
+    // distinct input id set (groupBy(__id); every doc has ≥ 1 shingle),
+    // so the census sees identical counts while touching only a
+    // parquet id column — never the shingle explode/window pipeline
+    // (measured: censuses over the doc-vector frames, even
+    // column-pruned, re-ran that pipeline six times — d18 9.6 s vs
+    // ~5 s with input-id censuses).
+    def decideOn(key: String, src: DataFrame) =
+      AdaptiveJoin.decide(cand, key,
+        src.select(col(idCol).as(key)).distinct(), key,
         broadcastMaxRows, skewFactor, maxSalts,
         heavyThreshold = heavyThreshold)
     def applyStrategy(facts: DataFrame, dim: DataFrame, key: String,
@@ -226,8 +236,8 @@ object JaccardJoin {
         case AdaptiveJoin.Shuffle => facts.join(dim, Seq(key))
         case AdaptiveJoin.Salted(n) => SkewTools.saltedJoin(facts, dim, key, n)
       }
-    val da = decideOn("a", docsA)
-    val db = decideOn("b", docsB)
+    val da = decideOn("a", probe)
+    val db = decideOn("b", ref)
     val ja = applyStrategy(cand, docsA, "a", da)
     val jb = applyStrategy(ja, docsB, "b", db)
     (verified(jb), Seq(da, db))
@@ -244,7 +254,8 @@ object JaccardJoin {
     * two per-side doc-vector frames (`(a|b, sh<a|b>, sz<a|b>)`).
     */
   private def crossIndex(probe: DataFrame, ref: DataFrame, idCol: String,
-                         textCol: String, t: Double, shingleLen: Int)
+                         textCol: String, t: Double, shingleLen: Int,
+                         materializeIndex: Boolean = false)
       : (DataFrame, DataFrame, DataFrame) = {
     def shingled(d: DataFrame, tag: Int): DataFrame = d
       .withColumn("__toks", TextFns.repetitionTokens(col(textCol)))
@@ -263,11 +274,19 @@ object JaccardJoin {
         array_sort(col("ord")).as("shs"),
         slice(col("ord"), lit(1),
           (col("sz") - ceil(col("sz") * t) + 1).cast("int")).as("pref"))
+    // crossPairs keeps the index LAZY and lets AQE's exchange reuse
+    // serve its four consumers inside one job; crossPairsAdaptive
+    // materializes it — its census jobs and verify joins run as
+    // SEPARATE jobs, where reuse cannot cross, so an un-materialized
+    // index would re-run the shingle pipeline per job (this is the
+    // "snapshot the (df, prefix) index once per epoch" production
+    // shape the doc above describes, made literal)
+    val indexed = if (materializeIndex) base.localCheckpoint(true) else base
     def docsOf(tag: Int, n: String): DataFrame =
-      base.filter(col("__side") === tag)
+      indexed.filter(col("__side") === tag)
         .select(col("__id").as(n), col("shs").as(s"sh$n"), col("sz").as(s"sz$n"))
     def prefOf(tag: Int): DataFrame =
-      base.filter(col("__side") === tag)
+      indexed.filter(col("__side") === tag)
         .select(col("__id"), col("sz"), explode(col("pref")).as("sh"))
     val cand = prefOf(1).as("x").join(prefOf(0).as("y"),
       col("x.sh") === col("y.sh") &&
