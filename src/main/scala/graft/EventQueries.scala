@@ -901,8 +901,8 @@ object EventQueries {
     }),
 
     // W29: THREE-WAY stream-stream correlation (VERDICT r11 #8 — the
-    // multi-stream gap): click → error within 10 min → purchase within
-    // 10 min of the error, all per user, as TWO CHAINED native
+    // multi-stream gap): click → error within 360 min → purchase within
+    // 360 min of the error, all per user, as TWO CHAINED native
     // stream-stream inner joins (the multi-stateful-operator pipeline
     // Spark 3.4+ unlocked). Each join rides the user-key equi-join
     // with a watermark-analyzable time-range residual, so each pair
@@ -912,6 +912,13 @@ object EventQueries {
     // never stream-length state (StreamScaleProbe's w29 row measures
     // it). Inner semantics ⇒ the drained stream converges to the batch
     // 3-way join exactly; the oracle is that batch join verbatim.
+    // NOTE on watermark vs range (ADVICE r12): the 30-min watermark is
+    // SMALLER than the 360-min join range, so under a multi-batch
+    // source with cross-batch disorder a click could be evicted before
+    // its matching error arrives; the exact-convergence claim is tied
+    // to the AvailableNow single-drain harness here (one batch, no
+    // cross-batch eviction). A production deployment with out-of-order
+    // arrival must size `delay` ≥ the join range (cf. w15's cut math).
     "w29_stream_join_3way" -> ((s0, dir) => {
       val s = SparkHygiene.streamStateSession(s0, 8)
       val ev = Tables.eventsStream(s, dir)

@@ -1039,10 +1039,7 @@ object QueryCatalog {
         conf.set(keys(1), "0")
         // the bloom rule refuses injection when the creation side is
         // broadcastable by size (the join would be BHJ) — flip the
-        // session to the shuffle-join regime q31 documents; the detail
-        // arm keeps its DPP via the explicit broadcast(dim) hint, which
-        // overrides the threshold
-        conf.set(keys(2), "-1")
+        // session to the shuffle-join regime q31 documents
         conf.set(keys(2), "-1")
         val urgent = Tables.orders(s, dir)
           .filter(col("o_orderpriority") === "1-URGENT")

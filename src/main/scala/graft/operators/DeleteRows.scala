@@ -72,10 +72,29 @@ object DeleteRows {
       s.lo > s.hi || (s.lo <= hi && s.hi >= lo))
     if (touched.isEmpty) return Result(cur, 0, kept.size)
     val next = cur + 1
-    val dataDir = s"$tableDir/data/v$next"
-    spark.read.parquet(touched.map(_.path): _*)
+    val dataDir = Snapshots.versionDataDir(tableDir, next)
+    // materialize the surviving rows ONCE (touched-files-sized, the
+    // surgery working set) so the empty-rewrite case can be detected
+    // BEFORE committing: a predicate that kills every row of every
+    // touched file would otherwise publish a part-file-less directory
+    // that breaks schema inference for the whole version (ADVICE r12)
+    val rewritten = spark.read.parquet(touched.map(_.path): _*)
       .filter(!(col(keyCol) >= lo && col(keyCol) <= hi))
-      .write.mode("error").parquet(dataDir)
+      .localCheckpoint(true)
+    if (rewritten.isEmpty) {
+      if (kept.nonEmpty) {
+        val v = Snapshots.commitManifest(tableDir, kept.map(_.path))
+        return Result(v, touched.size, kept.size)
+      }
+      // the erase wipes the entire table: publish a schema-only empty
+      // version — an explicitly-empty write goes through the empty-
+      // LocalRelation path and emits ONE metadata-only parquet file,
+      // so read() of this version still plans and schema-infers
+      rewritten.limit(0).write.mode("error").parquet(dataDir)
+      val v = Snapshots.commitManifest(tableDir, Seq(dataDir))
+      return Result(v, touched.size, 0)
+    }
+    rewritten.write.mode("error").parquet(dataDir)
     val v = Snapshots.commitManifest(tableDir, kept.map(_.path) :+ dataDir)
     Result(v, touched.size, kept.size)
   }

@@ -46,21 +46,32 @@ object Snapshots {
     finally stream.close()
   }
 
+  /** A writer-unique data directory for version `v` — the `-w<id>`
+    * suffix means two committers that both derived the same next
+    * version NEVER contend on the data path (and a crashed committer's
+    * half-written directory can never block a later one), so the
+    * manifest CREATE_NEW below stays the SINGLE commit decider.
+    */
+  private[graft] def versionDataDir(tableDir: String, v: Int): String =
+    s"$tableDir/data/v$v-w${java.util.UUID.randomUUID().toString.take(8)}"
+
   /** Append-commit `df` as version current+1: data lands in an
-    * immutable per-version directory, the new manifest = previous
-    * version's directories plus the new one. Returns the version.
+    * immutable per-version writer-unique directory, the new manifest =
+    * previous version's directories plus the new one. Returns the
+    * version.
     *
     * Concurrency: the manifest is written CREATE_NEW, so of two racing
     * committers that both derived the same next version exactly one
     * publishes — the loser fails on the manifest write (the atomic
     * step, BEFORE any reader can see its data) and its orphan
-    * `data/v<N>` directory is unreachable garbage: no manifest ever
-    * lists it, so correctness is unaffected and a retry commits the
-    * same content under the next version number.
+    * `data/v<N>-w*` directory is unreachable garbage: no manifest ever
+    * lists it, so correctness is unaffected, a retry commits the same
+    * content under the next version number, and [[vacuum]] physically
+    * sweeps the orphan (it is referenced by no retained manifest).
     */
   def commit(spark: SparkSession, tableDir: String, df: DataFrame): Int = {
     val v = currentVersion(tableDir) + 1
-    val dataDir = s"$tableDir/data/v$v"
+    val dataDir = versionDataDir(tableDir, v)
     df.write.mode("error").parquet(dataDir)
     val prev = readManifest(tableDir, v - 1)
     Files.createDirectories(Paths.get(logDir(tableDir)))
@@ -137,11 +148,15 @@ object Snapshots {
   private def fsOf(spark: SparkSession, p: HPath): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Publish `(version, rank) → dataDir`. CREATE_NEW semantics: the
-    * pointer file is immutable — a concurrent/racing publish of the
-    * same (version, rank) loses cleanly. A REPLAY (same content, the
-    * streaming batch-retry case) is an idempotent no-op; a content
-    * MISMATCH is corruption and throws.
+  /** Publish `(version, rank) → dataDir`. The pointer file is
+    * immutable and its content becomes visible ATOMICALLY: the content
+    * is first written (and closed) under a hidden temp name, then
+    * rename()d into place — rename is the atomic publish on HDFS and
+    * local filesystems, so no reader can ever observe an empty or
+    * partially-written pointer (ADVICE r12). A concurrent/racing
+    * publish of the same (version, rank) loses the rename cleanly. A
+    * REPLAY (same content, the streaming batch-retry case) is an
+    * idempotent no-op; a content MISMATCH is corruption and throws.
     */
   def publishPointer(spark: SparkSession, tableBase: String,
                      version: Long, rank: Long, dataDir: String): Unit = {
@@ -155,18 +170,22 @@ object Snapshots {
       return
     }
     fs.mkdirs(p.getParent)
-    val out =
-      try fs.create(p, false)
-      catch { // lost a publish race: verify the winner wrote our content
-        case _: java.io.IOException =>
-          val existing = readPointerFile(fs, p)
-          require(existing == dataDir,
-            s"snapshot pointer $p raced with different content: " +
-              s"'$existing' vs '$dataDir'")
-          return
-      }
+    // stage the full content under a writer-unique hidden name first —
+    // pointerEntries skips "."-prefixed files, so in-flight temps are
+    // invisible to readers even before the rename
+    val tmp = new HPath(p.getParent,
+      s".${p.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, false)
     try out.write(dataDir.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    if (!fs.rename(tmp, p)) {
+      // lost the publish race: verify the winner wrote our content
+      fs.delete(tmp, false)
+      val existing = readPointerFile(fs, p)
+      require(existing == dataDir,
+        s"snapshot pointer $p raced with different content: " +
+          s"'$existing' vs '$dataDir'")
+    }
   }
 
   private def readPointerFile(fs: FileSystem, p: HPath): String = {
@@ -192,7 +211,11 @@ object Snapshots {
           for {
             ver <- v.drop(1).toLongOption
             rk <- r.toLongOption
-          } yield (ver, rk, readPointerFile(fs, st.getPath))
+            // belt-and-braces vs the atomic-rename publish: a pointer
+            // that somehow reads empty (pre-rename filesystems without
+            // atomic rename) is skipped, never surfaced as Path("")
+            dir = readPointerFile(fs, st.getPath) if dir.nonEmpty
+          } yield (ver, rk, dir)
         case _ => None
       }
     }
@@ -223,8 +246,12 @@ object Snapshots {
     val cur = currentVersion(tableDir)
     if (cur == 0) return (0, 0)
     val keepFrom = math.max(1, cur - keepVersions + 1)
-    // normalized (scheme-less) paths referenced by retained manifests
+    // normalized (scheme-less) paths referenced by retained manifests.
+    // A prior vacuum with a SMALLER retention may already have deleted
+    // manifests inside this window (vacuum(keep=1) then vacuum(keep=3),
+    // ADVICE r12) — retain what actually survives instead of throwing.
     val referenced: Set[String] = (keepFrom to cur)
+      .filter(v => Files.exists(Paths.get(s"${logDir(tableDir)}/v$v.list")))
       .flatMap(v => readManifest(tableDir, v))
       .map(e => new HPath(e).toUri.getPath)
       .toSet

@@ -83,6 +83,43 @@ class DeleteRowsSpec extends SparkSpec {
     keptFiles.foreach(f => assert(new java.io.File(f).isFile, s"lost $f"))
   }
 
+  test("an erase that kills EVERY row of the touched files commits a " +
+    "kept-only manifest — no empty data directory is ever published " +
+    "(ADVICE r12)") {
+    val t = SparkHygiene.scratchDir("delrows_empty") + "/t"
+    // two files with exactly-known disjoint ranges via two commits
+    Snapshots.commit(spark, t,
+      (0L until 100L).map(i => (i, s"a_$i")).toDF("id", "v").coalesce(1))
+    Snapshots.commit(spark, t,
+      (100L until 200L).map(i => (i, s"b_$i")).toDF("id", "v").coalesce(1))
+    val v2Dirs = Snapshots.manifestEntries(t, 2)
+    val res = DeleteRows.deleteRange(spark, t, "id", 0L, 99L)
+    assert(res.version == 3 && res.filesRewritten == 1 && res.filesKept == 1)
+    // v3 must reference ONLY files living inside pre-existing version
+    // directories — no fresh data directory for an empty rewrite
+    val v3 = Snapshots.manifestEntries(t, 3).map(_.stripPrefix("file:"))
+    assert(v3.nonEmpty && v3.forall(e => v2Dirs.exists(d => e.startsWith(d + "/"))),
+      s"v3 must reference ONLY pre-existing files (no fresh data dir): $v3")
+    assert(!new java.io.File(s"$t/data").listFiles.exists(_.getName.startsWith("v3")),
+      "no v3 data directory may exist on disk")
+    assert(Snapshots.read(spark, t).select("id").as[Long].collect().toSet ==
+      (100L until 200L).toSet)
+    assert(Snapshots.read(spark, t, Some(2)).count() == 200, "time travel intact")
+  }
+
+  test("a FULL-TABLE erase publishes a readable schema-only empty version") {
+    val t = SparkHygiene.scratchDir("delrows_wipe") + "/t"
+    Snapshots.commit(spark, t,
+      (0L until 50L).map(i => (i, s"x_$i")).toDF("id", "v").coalesce(1))
+    val res = DeleteRows.deleteRange(spark, t, "id", 0L, 49L)
+    assert(res.version == 2 && res.filesRewritten == 1 && res.filesKept == 0)
+    val wiped = Snapshots.read(spark, t)
+    assert(wiped.count() == 0, "v2 is empty")
+    assert(wiped.columns.toSeq == Seq("id", "v"),
+      "the empty version still carries the table schema")
+    assert(Snapshots.read(spark, t, Some(1)).count() == 50, "v1 time-travels")
+  }
+
   test("repeated erasures chain: each commits one more version, reads " +
     "compose, and every prior version remains readable") {
     val t = freshTable()
