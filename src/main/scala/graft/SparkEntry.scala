@@ -969,6 +969,44 @@ object QueryCatalog {
       } finally graft.plans.MvRewrite.clear(s)
     }),
 
+    // q33's MV rewrite serving AVG (VERDICT r12 #4) — the most common
+    // rollup aggregate a real user writes. avg is NOT self-mergeable
+    // (an average of per-group averages is wrong whenever group sizes
+    // differ), so the MV carries BOTH partial states — pre-sum and
+    // per-column non-null count — and the planner re-derives
+    // avg = Σpre-sums / Σcounts, exactly Spark's own Average merge
+    // algebra. The rounding is applied AFTER the materialized aggregate
+    // (an expression wrapping the aggregate would defeat the
+    // conservative matcher by design). MvRewriteSpec's perturbed-MV
+    // proof covers the avg column: poisoning a pre-sum visibly shifts
+    // the served average, and the fact scan is gone from the plan.
+    "q36_mv_avg" -> ((s, dir) => {
+      val mvDir = SparkHygiene.scratchDir("q36_mv")
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("double")).as("sum_qty"),
+          count(col("l_quantity")).as("cnt_qty"))
+        .write.mode("overwrite").parquet(mvDir)
+      graft.plans.MvRewrite.register(s, graft.plans.MvRewrite.MvDef(
+        factPathSuffix = s"$dir/lineitem.parquet",
+        mvPlan = s.read.parquet(mvDir).queryExecution.analyzed,
+        groupCols = Set("l_returnflag", "l_linestatus"),
+        countCol = "n_rows",
+        sumCols = Map("l_quantity" -> "sum_qty"),
+        cntCols = Map("l_quantity" -> "cnt_qty")))
+      val served =
+        try Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            avg(col("l_quantity").cast("double")).as("avg_raw"))
+          .localCheckpoint(true)
+        finally graft.plans.MvRewrite.clear(s)
+      served.select(col("l_returnflag"), col("n"),
+          round(col("avg_raw"), 6).as("avg_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // BUCKETED CO-LOCATED JOIN — the write-once-shuffle-never layout
     // a 100 TB fact⋈fact plan leans on: both tables bucketed AND
     // sorted by the join key at write time (one file per bucket), so
@@ -1956,6 +1994,11 @@ object QueryCatalog {
     "q33_mv_rewrite" ->
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q36_mv_avg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(avg(CAST(l_quantity AS DOUBLE)), 6) AS avg_qty
         |FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "j18_bucketed_join" ->

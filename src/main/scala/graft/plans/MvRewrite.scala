@@ -11,9 +11,10 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * a RE-AGGREGATION over a registered rollup MV whenever the MV can
   * answer it — query grouping ⊆ MV grouping, and every aggregate is
   * derivable from the MV's partial states (count → sum of per-group
-  * counts, sum → sum of pre-sums; the q27 merge algebra, applied by
-  * the OPTIMIZER instead of by hand). The query text never changes;
-  * the 100 TB fact scan simply stops happening.
+  * counts, sum → sum of pre-sums, min/max → self-merge, avg → Σpre-sums
+  * / Σnon-null counts; the q27 merge algebra, applied by the OPTIMIZER
+  * instead of by hand). The query text never changes; the 100 TB fact
+  * scan simply stops happening.
   *
   * Matching is deliberately conservative — plain-column groupings; a
   * filter below the aggregate only if it touches MV grouping columns
@@ -39,12 +40,18 @@ object MvRewrite extends Rule[LogicalPlan] {
     * @param sumCols        fact column name → MV pre-sum column name
     * @param minCols        fact column name → MV pre-min column name
     * @param maxCols        fact column name → MV pre-max column name
+    * @param cntCols        fact column name → MV per-column NON-NULL
+    *                       count column (`count(x)`, not `count(1)`) —
+    *                       the second partial state `avg(x)` needs:
+    *                       avg = Σpre-sums / Σnon-null-counts, which is
+    *                       exactly Spark's own Average merge algebra
     */
   case class MvDef(factPathSuffix: String, mvPlan: LogicalPlan,
                    groupCols: Set[String], countCol: String,
                    sumCols: Map[String, String],
                    minCols: Map[String, String] = Map.empty,
-                   maxCols: Map[String, String] = Map.empty)
+                   maxCols: Map[String, String] = Map.empty,
+                   cntCols: Map[String, String] = Map.empty)
 
   // Registrations are scoped PER SESSION (ADVICE r11): the rule object
   // is a process-wide singleton injected into every SparkSession, so a
@@ -170,6 +177,35 @@ object MvRewrite extends Rule[LogicalPlan] {
               case Some(e) => Cast(e, inner.dataType)
               case None => return None
             }
+          // avg(x) re-aggregates BOTH of Average's partial states from
+          // the MV: Σ(pre-sums) / Σ(per-column non-null counts). The
+          // denominator must be count(x), never count(1) — a null x
+          // contributes to neither state, so using the row count would
+          // deflate the average. The division is guarded (0 → NULL, the
+          // all-null-group answer) so the rewrite stays ANSI-safe.
+          case AggregateExpression(av: Average, Complete, false, None, _) =>
+            val src = av.child match {
+              case a: AttributeReference => a
+              case c: Cast => c.child match {
+                case a: AttributeReference => a
+                case _ => return None
+              }
+              case _ => return None
+            }
+            // double-result averages only: decimal avg carries its own
+            // precision/scale rules a re-derived division may not match
+            if (inner.dataType != org.apache.spark.sql.types.DoubleType)
+              return None
+            val num = reSum(src).getOrElse(return None)
+            val cnt = mv.cntCols.get(src.name).flatMap(mvOut.get)
+              .getOrElse(return None)
+            val den = AggregateExpression(Sum(cnt), Complete,
+              isDistinct = false)
+            Divide(
+              Cast(num, org.apache.spark.sql.types.DoubleType),
+              If(EqualTo(den, Literal(0L)),
+                Literal.create(null, org.apache.spark.sql.types.DoubleType),
+                Cast(den, org.apache.spark.sql.types.DoubleType)))
           // min/max are SELF-mergeable: min of per-group mins IS the min
           case AggregateExpression(m: Min, Complete, false, None, _) =>
             m.child match {

@@ -170,6 +170,74 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.clear(spark)
   }
 
+  // avg MV: pre-sum + per-column NON-NULL count (both Average partials)
+  private def mkAvgMv(truthful: Boolean): (String, MvRewrite.MvDef) = {
+    val dir = SparkHygiene.scratchDir("mv_avg")
+    val base = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("double")).as("sum_qty"),
+        count(col("l_quantity")).as("cnt_qty"))
+    val mv = if (truthful) base
+      else base.withColumn("sum_qty", col("sum_qty") + lit(1000000.0))
+    mv.write.mode("overwrite").parquet(dir)
+    (dir, MvRewrite.MvDef(
+      factPathSuffix = s"$sf/lineitem.parquet",
+      mvPlan = spark.read.parquet(dir).queryExecution.analyzed,
+      groupCols = Set("l_returnflag", "l_linestatus"),
+      countCol = "n_rows",
+      sumCols = Map("l_quantity" -> "sum_qty"),
+      cntCols = Map("l_quantity" -> "cnt_qty")))
+  }
+
+  private def avgQuery() = Tables.lineitem(spark, sf)
+    .groupBy(col("l_returnflag"))
+    .agg(avg(col("l_quantity").cast("double")).as("avg_qty"))
+
+  test("avg is served from BOTH partial states (Σpre-sums / Σnon-null " +
+    "counts) and equals the from-scratch average (VERDICT r12 #4)") {
+    val truth = avgQuery().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val (dir, mvDef) = mkAvgMv(truthful = true)
+    try {
+      MvRewrite.register(spark, mvDef)
+      val df = avgQuery()
+      val got = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got.keySet == truth.keySet)
+      got.foreach { case (k, v) =>
+        assert(math.abs(v - truth(k)) < 1e-9, s"avg mismatch for $k") }
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains(dir.split('/').last) && !p.contains("lineitem.parquet"),
+        s"avg query must be MV-served:\n$p")
+    } finally MvRewrite.clear(spark)
+  }
+
+  test("the avg rewrite provably serves the query: a perturbed pre-sum " +
+    "visibly shifts the served average") {
+    val truth = avgQuery().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val (_, mvDef) = mkAvgMv(truthful = false)
+    try {
+      MvRewrite.register(spark, mvDef)
+      avgQuery().collect().foreach { r =>
+        assert(r.getDouble(1) > truth(r.getString(0)) + 1.0,
+          s"perturbation missing for ${r.getString(0)}: avg not MV-served")
+      }
+    } finally MvRewrite.clear(spark)
+  }
+
+  test("avg refuses the rewrite when the MV lacks the non-null-count " +
+    "state — count(1) is NOT an acceptable denominator") {
+    // MV with row counts + pre-sums but no cnt_qty registration
+    val (_, mvDef) = mkAvgMv(truthful = true)
+    try {
+      MvRewrite.register(spark, mvDef.copy(cntCols = Map.empty))
+      val p = avgQuery().queryExecution.executedPlan.toString
+      assert(p.contains("lineitem.parquet"),
+        s"avg without a per-column count must keep the fact scan:\n$p")
+    } finally MvRewrite.clear(spark)
+  }
+
   test("conservative matching: filters, unknown aggregates, and " +
     "non-covered groupings are left on the fact scan") {
     val (_, mvDef) = mkMv(truthful = true)
