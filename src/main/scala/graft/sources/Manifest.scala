@@ -111,11 +111,24 @@ object Manifest {
   }
 
   def bloomStats(spark: SparkSession, dir: String, keyCol: String,
-                 bits: Int = 1 << 15, hashes: Int = 5): Seq[BloomStat] = {
+                 bits: Int = 1 << 15, hashes: Int = 5): Seq[BloomStat] =
+    bloomStatsOf(spark.read.parquet(dir), keyCol, bits, hashes)
+
+  /** [[bloomStats]] over an explicit file list — for consumers whose
+    * files come from a snapshot manifest rather than one directory
+    * ([[graft.operators.DeleteRows.deleteKeys]]).
+    */
+  def bloomStatsForPaths(spark: SparkSession, paths: Seq[String],
+                         keyCol: String, bits: Int = 1 << 15,
+                         hashes: Int = 5): Seq[BloomStat] =
+    bloomStatsOf(spark.read.parquet(paths: _*), keyCol, bits, hashes)
+
+  private def bloomStatsOf(df: DataFrame, keyCol: String,
+                           bits: Int, hashes: Int): Seq[BloomStat] = {
     require(bits > 0 && (bits & (bits - 1)) == 0, s"bits must be a power of two: $bits")
     import org.apache.spark.sql.functions._
     val nWords = bits >>> 6
-    val perFileWords = spark.read.parquet(dir)
+    val perFileWords = df
       .select(input_file_name().as("f"), col(keyCol).cast("long").as("k"))
       .select(col("f"), explode(array(
         (0 until hashes).map(i =>

@@ -29,8 +29,12 @@ object D18Probe {
       graft.operators.JaccardJoin.crossPairs(p, r, "doc_id", "text", t = 0.5)
         .write.format("noop").mode("overwrite").save()
     }
+    // shared epoch dir across draws — the d18 cadence: run 1 pays the
+    // per-epoch snapshot build, runs 2-3 measure the per-delta path
+    val epoch = SparkHygiene.scratchDir("d18probe_epoch")
     timed("adaptive") {
-      graft.operators.JaccardJoin.crossPairsAdaptive(p, r, "doc_id", "text", t = 0.5)._1
+      graft.operators.JaccardJoin.crossPairsAdaptive(p, r, "doc_id", "text",
+          t = 0.5, epochIndexDir = Some(epoch))._1
         .write.format("noop").mode("overwrite").save()
     }
     spark.stop()
