@@ -964,6 +964,71 @@ object EventQueries {
         .orderBy(col("click_id"), col("error_id"), col("purchase_id"))
     }),
 
+    // W30: LEFT-OUTER hop in the chained multi-stateful pipeline
+    // (VERDICT r12 #6 — w29 is inner-only): clicks ⟕ errors (user-key
+    // equi-join, error within 360 min) feeding a SECOND stateful
+    // operator — an hourly windowed aggregation splitting clicks by
+    // error-presence. The property under test: an unmatched click's
+    // NULL row is emitted only when the watermark passes its join
+    // horizon, and that deferred emission must still land in the right
+    // window of the downstream aggregate — Spark delays the agg's
+    // eviction watermark by the join's state horizon, so a window
+    // closes only after every one of its clicks has either matched or
+    // been evicted-and-emitted. The left side keeps `cts` as its ONE
+    // event-time column through the join (ets is dropped — w29's
+    // constraint, opposite resolution). Both sides filter to windows
+    // whose end is strictly below max-event-time − delay − join
+    // horizon − 10 s: below that cut the engine has provably emitted
+    // complete windows, so the drained stream equals the batch
+    // left-join aggregate exactly; the oracle is that batch aggregate.
+    "w30_stream_outer_agg" -> ((s0, dir) => {
+      val s = SparkHygiene.streamStateSession(s0, 8)
+      val ev = Tables.eventsStream(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("cts"))
+        .withWatermark("cts", "30 minutes")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id").as("eu"), col("event_id").as("error_id"),
+          col("ts").as("ets"))
+        .withWatermark("ets", "30 minutes")
+      val joined = clicks.join(errors,
+          col("user_id") === col("eu") &&
+            col("ets") > col("cts") &&
+            col("ets") <= col("cts") + expr("INTERVAL 360 MINUTES"),
+          "left_outer")
+        .select(col("cts"), col("error_id"))
+      val agg = joined
+        .groupBy(window(col("cts"), "1 hour"),
+          col("error_id").isNotNull.cast("int").as("has_error"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("window.end").as("we"),
+          col("has_error"), col("n"))
+      val out = SparkHygiene.scratchDir("w30_out")
+      val ck = SparkHygiene.scratchDir("w30_ck")
+      val q = agg.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // cut from the FILTERED streams' max event times (they drive the
+      // watermark), minus delay, minus join₁'s 360-min state horizon
+      // (the downstream agg's eviction watermark is delayed by it),
+      // minus the 10 s engine-boundary slack
+      val cut = Tables.events(s, dir).agg(
+        (least(max(when(col("event_type") === "click", col("ts"))),
+               max(when(col("event_type") === "error", col("ts"))))
+          - expr("INTERVAL 30 MINUTES") - expr("INTERVAL 360 MINUTES")
+          - expr("INTERVAL 10 SECONDS")).as("cut"))
+      s.read.parquet(out)
+        .crossJoin(broadcast(cut))
+        .filter(col("we") < col("cut"))
+        .select(date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("has_error"), col("n"))
+        .orderBy(col("win_start"), col("has_error"))
+    }),
+
     // W10 streaming exactly-once dedup under at-least-once delivery: the
     // events file read through TWO independent file streams and unioned
     // (every event delivered twice — the redelivery a real queue source
@@ -1560,6 +1625,26 @@ object EventQueries {
         | AND p.user_id = c.user_id
         | AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 360 MINUTE
         |ORDER BY click_id, error_id, purchase_id""".stripMargin,
+    // the batch left-join aggregate, restricted to windows the final
+    // watermark (delayed by join₁'s 360-min horizon) provably emitted
+    "w30_stream_outer_agg" ->
+      """WITH c AS (SELECT user_id, ts AS cts FROM events
+        |           WHERE event_type = 'click'),
+        |e AS (SELECT user_id AS eu, event_id AS error_id, ts AS ets
+        |      FROM events WHERE event_type = 'error'),
+        |cut AS (SELECT least(
+        |    (SELECT max(ts) FROM events WHERE event_type = 'click'),
+        |    (SELECT max(ts) FROM events WHERE event_type = 'error'))
+        |  - INTERVAL 390 MINUTE - INTERVAL 10 SECOND AS cut),
+        |j AS (SELECT c.cts, e.error_id FROM c LEFT JOIN e
+        |  ON c.user_id = e.eu AND e.ets > c.cts
+        | AND e.ets <= c.cts + INTERVAL 360 MINUTE)
+        |SELECT strftime(date_trunc('hour', cts), '%Y-%m-%d %H:%M:%S')
+        |    AS win_start,
+        |  (error_id IS NOT NULL)::INT AS has_error, count(*) AS n
+        |FROM j, cut
+        |WHERE date_trunc('hour', cts) + INTERVAL 1 HOUR < cut.cut
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "w15_stream_join_full" ->
       """WITH err AS (
         |  SELECT event_id AS error_id, ts AS win_start,

@@ -999,10 +999,11 @@ object QueryCatalog {
         try Tables.lineitem(s, dir)
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"),
+            count(col("l_quantity")).as("n_qty"),
             avg(col("l_quantity").cast("double")).as("avg_raw"))
           .localCheckpoint(true)
         finally graft.plans.MvRewrite.clear(s)
-      served.select(col("l_returnflag"), col("n"),
+      served.select(col("l_returnflag"), col("n"), col("n_qty"),
           round(col("avg_raw"), 6).as("avg_qty"))
         .orderBy(col("l_returnflag"))
     }),
@@ -1997,7 +1998,7 @@ object QueryCatalog {
         |FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q36_mv_avg" ->
-      """SELECT l_returnflag, count(*) AS n,
+      """SELECT l_returnflag, count(*) AS n, count(l_quantity) AS n_qty,
         |  round(avg(CAST(l_quantity AS DOUBLE)), 6) AS avg_qty
         |FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

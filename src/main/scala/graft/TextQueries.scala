@@ -498,6 +498,28 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // SNAPSHOT RESTORE — the undo button time travel implies (Delta
+    // `RESTORE TABLE`): v1 commits the corpus, v2 is a (bad) erase of
+    // a third of it, restore(1) republishes v1's manifest verbatim as
+    // v3 — zero data movement, the bad v2 stays time-travelable, and
+    // the table's LATEST read equals the original corpus again. The
+    // oracle is the raw table: a correct restore is logically
+    // invisible. SnapshotsSpec pins the zero-copy contract (v3's
+    // manifest is byte-identical to v1's) and the preserved history.
+    "p26_restore" -> ((s, dir) => {
+      val t = SparkHygiene.scratchDir("p26_tbl")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.sources.Snapshots.commit(s, t,
+        docs.repartitionByRange(8, col("doc_id")))
+      graft.operators.DeleteRows.deleteRange(s, t, "doc_id",
+        lo = 0L, hi = 166L)
+      graft.sources.Snapshots.restore(s, t, 1)
+      graft.sources.Snapshots.read(s, t)
+        .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // KEY-LIST GDPR ERASURE (VERDICT r12 #5) — the real right-to-be-
     // forgotten request: "erase THESE users", non-contiguous keys that
     // footer [min,max] ranges cannot prune on a hash-distributed table
@@ -807,6 +829,10 @@ object TextQueries {
     "p25_gdpr_erase_keys" ->
       """SELECT doc_id, lang, length(text) AS text_len FROM documents
         |WHERE doc_id NOT IN (3, 57, 111, 222, 444)
+        |ORDER BY doc_id""".stripMargin,
+    // restore is logically invisible: latest ≡ the raw table
+    "p26_restore" ->
+      """SELECT doc_id, lang, length(text) AS text_len FROM documents
         |ORDER BY doc_id""".stripMargin,
     "p12_parse_tags" ->
       """WITH t AS (SELECT doc_id,

@@ -162,6 +162,26 @@ object MvRewrite extends Rule[LogicalPlan] {
               Cast(AggregateExpression(Sum(mvOut(mv.countCol)), Complete,
                 isDistinct = false), inner.dataType),
               Literal.create(0L, inner.dataType)))
+          // count(x) — the NON-NULL count of a column — re-aggregates
+          // from the same per-column count state avg uses
+          case AggregateExpression(cnt: Count, Complete, false, None, _)
+              if cnt.children.size == 1 =>
+            val src = cnt.children.head match {
+              case a: AttributeReference => a
+              case c: Cast => c.child match {
+                case a: AttributeReference => a
+                case _ => return None
+              }
+              case _ => return None
+            }
+            mv.cntCols.get(src.name).flatMap(mvOut.get) match {
+              case Some(c) =>
+                Coalesce(Seq(
+                  Cast(AggregateExpression(Sum(c), Complete,
+                    isDistinct = false), inner.dataType),
+                  Literal.create(0L, inner.dataType)))
+              case None => return None
+            }
           case AggregateExpression(s: Sum, Complete, false, None, _) =>
             val src = s.child match {
               case a: AttributeReference => a

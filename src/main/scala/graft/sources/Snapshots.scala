@@ -107,6 +107,21 @@ object Snapshots {
     v
   }
 
+  /** RESTORE — roll the table back to `version` by committing that
+    * version's manifest verbatim as the NEW latest version (the Delta
+    * `RESTORE TABLE ... TO VERSION` semantics): zero data movement
+    * (every entry is republished by reference), the bad intermediate
+    * versions stay time-travelable until [[vacuum]] retires them, and
+    * the restore is itself just a commit — CREATE_NEW-atomic, shows up
+    * in history, and is undoable by another restore. Returns the new
+    * version number.
+    */
+  def restore(spark: SparkSession, tableDir: String, version: Int): Int = {
+    val entries = readManifest(tableDir, version)
+    require(entries.nonEmpty, s"cannot restore to empty/unknown version $version")
+    commitManifest(tableDir, entries)
+  }
+
   private def readManifest(tableDir: String, version: Int): Seq[String] = {
     if (version <= 0) return Nil
     val p = Paths.get(s"${logDir(tableDir)}/v$version.list")

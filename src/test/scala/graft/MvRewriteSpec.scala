@@ -226,6 +226,34 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.clear(spark)
   }
 
+  test("count(x) — the non-null column count — is served from the same " +
+    "per-column count state, and refuses without it") {
+    val truth = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(count(col("l_quantity")).as("nq"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (dir, mvDef) = mkAvgMv(truthful = true)
+    try {
+      MvRewrite.register(spark, mvDef)
+      val df = Tables.lineitem(spark, sf)
+        .groupBy(col("l_returnflag"))
+        .agg(count(col("l_quantity")).as("nq"))
+      assert(df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        == truth)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains(dir.split('/').last) && !p.contains("lineitem.parquet"),
+        s"count(x) must be MV-served:\n$p")
+      MvRewrite.clear(spark)
+      MvRewrite.register(spark, mvDef.copy(cntCols = Map.empty))
+      val p2 = Tables.lineitem(spark, sf)
+        .groupBy(col("l_returnflag"))
+        .agg(count(col("l_quantity")).as("nq"))
+        .queryExecution.executedPlan.toString
+      assert(p2.contains("lineitem.parquet"),
+        s"count(x) without the count state must keep the fact scan:\n$p2")
+    } finally MvRewrite.clear(spark)
+  }
+
   test("avg refuses the rewrite when the MV lacks the non-null-count " +
     "state — count(1) is NOT an acceptable denominator") {
     // MV with row counts + pre-sums but no cnt_qty registration

@@ -122,6 +122,25 @@ class SnapshotsSpec extends SparkSpec {
       Set("a", "b", "c"))
   }
 
+  test("restore republishes a historical manifest VERBATIM as the new " +
+    "latest: zero data movement, history preserved, undoable") {
+    val t = SparkHygiene.scratchDir("snap_restore")
+    Snapshots.commit(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    Snapshots.commit(spark, t, Seq((3L, "c")).toDF("id", "s"))
+    val v3 = Snapshots.restore(spark, t, 1)
+    assert(v3 == 3 && Snapshots.currentVersion(t) == 3)
+    // zero-copy: v3's manifest is byte-identical to v1's
+    assert(Snapshots.manifestEntries(t, 3) == Snapshots.manifestEntries(t, 1))
+    assert(Snapshots.read(spark, t).select("s").as[String].collect().toSet ==
+      Set("a", "b"), "latest reads as v1 again")
+    // the rolled-back-over version is STILL time-travelable
+    assert(Snapshots.read(spark, t, Some(2)).count() == 3)
+    // restore is undoable by another restore
+    Snapshots.restore(spark, t, 2)
+    assert(Snapshots.read(spark, t).count() == 3)
+    intercept[IllegalArgumentException] { Snapshots.restore(spark, t, 9) }
+  }
+
   test("pointer hygiene: an empty (pre-atomic-rename) pointer and an " +
     "in-flight staging temp are both invisible to readers") {
     val t = SparkHygiene.scratchDir("snap_ptr")

@@ -162,6 +162,30 @@ object StreamScaleProbe {
               col("pts") <= col("ets") + expr("INTERVAL 360 MINUTES"))
           .select(col("click_id"), col("error_id"), col("purchase_id"))
       },
+      // round-13 left-outer hop into a second stateful operator: the
+      // join's state is horizon-bounded exactly as the inner form, and
+      // the downstream windowed agg's state is window-count-bounded —
+      // neither may grow with stream length
+      "w30_outer_agg" -> { ev =>
+        val cl = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("cts"))
+          .withWatermark("cts", "30 minutes")
+        val er = ev.filter(col("event_type") === "error")
+          .select(col("user_id").as("eu"), col("event_id").as("error_id"),
+            col("ts").as("ets"))
+          .withWatermark("ets", "30 minutes")
+        cl.join(er,
+            col("user_id") === col("eu") &&
+              col("ets") > col("cts") &&
+              col("ets") <= col("cts") + expr("INTERVAL 360 MINUTES"),
+            "left_outer")
+          .select(col("cts"), col("error_id"))
+          .groupBy(window(col("cts"), "1 hour"),
+            col("error_id").isNotNull.cast("int").as("has_error"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("ws"), col("has_error"), col("n"))
+      },
       "w26_asof" -> (ev =>
         graft.streaming.AsofStream.asof(
           ev.filter(col("event_type").isin("click", "purchase"))
