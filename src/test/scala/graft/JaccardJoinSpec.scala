@@ -118,4 +118,51 @@ class JaccardJoinSpec extends SparkSpec {
       assert(got.forall { case (a, b) => a >= 1000L && b < 1000L })
     }
   }
+
+  test("epoch extension: a verified delta folds into the snapshot under " +
+    "the FROZEN shingle order, and the next delta catches " +
+    "cross-generation near-dups losslessly") {
+    val t = 0.5
+    val gen0 = randomCorpus(11, 30).filter(_._1 < 1000L)
+    // delta1: one brand-new doc (vocabulary the epoch has never seen —
+    // its shingles all land in the frozen order's df-0 stratum) plus a
+    // near-dup of a gen0 doc
+    val novel = "zeta yotta kappa lambda mu nu xi omicron pi rho"
+    val delta1 = Seq((5000L, novel), (5001L, gen0.head._2 + " w0"))
+    // delta2: a near-dup of the DELTA1-ONLY doc (only catchable if the
+    // extension really indexed delta1) plus a near-dup of gen0
+    val delta2 = Seq((6000L, novel + " extra"),
+      (6001L, gen0(3)._2 + " w1"))
+    def pairsOf(out: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = out
+      .withColumn("j",
+        col("common") * lit(1.0) / (col("sza") + col("szb") - col("common")))
+      .filter(col("j") >= t)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // asymmetric oracle: probe × ref only
+    def naiveCross(prb: Seq[(Long, String)],
+                   ref: Seq[(Long, String)]): Set[(Long, Long)] =
+      naivePairs(prb ++ ref, t).collect {
+        case (a, b) if prb.exists(_._1 == b) && ref.exists(_._1 == a) => (b, a)
+        case (a, b) if prb.exists(_._1 == a) && ref.exists(_._1 == b) => (a, b)
+      }
+    val epoch = SparkHygiene.scratchDir("epoch_ext")
+    // delta1's run BUILDS the snapshot (gen0 only), then folds in
+    val (out1, _) = JaccardJoin.crossPairsAdaptive(
+      delta1.toDF("doc_id", "text"), gen0.toDF("doc_id", "text"),
+      "doc_id", "text", t, epochIndexDir = Some(epoch))
+    assert(pairsOf(out1) == naiveCross(delta1, gen0))
+    JaccardJoin.extendEpochIndex(delta1.toDF("doc_id", "text"),
+      "doc_id", "text", t, epoch)
+    // delta2 runs against the EXTENDED snapshot (ref arg is unused when
+    // the snapshot exists — pass gen0 to prove it: 6000's only match
+    // lives in delta1)
+    val (out2, _) = JaccardJoin.crossPairsAdaptive(
+      delta2.toDF("doc_id", "text"), gen0.toDF("doc_id", "text"),
+      "doc_id", "text", t, epochIndexDir = Some(epoch))
+    val got = pairsOf(out2)
+    assert(got.contains((6000L, 5000L)),
+      "the cross-generation (delta2 × delta1) near-dup must surface")
+    assert(got == naiveCross(delta2, gen0 ++ delta1),
+      s"lossless vs the naive cross oracle: $got")
+  }
 }
