@@ -129,22 +129,34 @@ object DeleteRows {
     * the rewrite set is ~(distinct home files of the keys), not
     * O(table).
     *
-    * The bloom build here scans the current version's key column once;
-    * a production deployment persists the per-file filters at write
-    * time next to the manifest (the p21/p22 pattern) and pays that
-    * scan never.
+    * Per-file filters persisted by [[Manifest.persistBlooms]] (one
+    * sidecar per version data directory, written at commit time) are
+    * consumed FIRST; only files no sidecar covers pay the key-column
+    * scan — with sidecars everywhere the prune costs footer-weight
+    * metadata reads, the p21/p22 "pay the build once per write"
+    * economics.
     */
   def deleteKeys(spark: SparkSession, tableDir: String, keyCol: String,
                  keys: Seq[Long], bits: Int = 1 << 15,
                  hashes: Int = 5): Result = {
     require(keys.nonEmpty, "empty erase key list")
     val cur = Snapshots.currentVersion(tableDir)
+    val entries = Snapshots.manifestEntries(tableDir, cur)
     val paths = resolveFiles(spark, tableDir, cur).map(_._1.toString)
-    val blooms = Manifest.bloomStatsForPaths(spark, paths, keyCol, bits, hashes)
-    val pos = Manifest.bloomPositions(spark, keys, bits, hashes)
     // input_file_name() URIs vs manifest paths can differ in scheme
     // spelling (file:/ vs file:///) — compare on scheme-less paths
     def norm(p: String): String = new Path(p).toUri.getPath
+    // sidecars first: every manifest DIRECTORY entry may carry one
+    val persisted: Map[String, Manifest.BloomStat] = entries
+      .flatMap(e => Manifest.readBlooms(spark, e, keyCol, bits, hashes)
+        .getOrElse(Nil))
+      .map(b => norm(b.path) -> b).toMap
+    val uncovered = paths.filterNot(p => persisted.contains(norm(p)))
+    val computed =
+      if (uncovered.isEmpty) Nil
+      else Manifest.bloomStatsForPaths(spark, uncovered, keyCol, bits, hashes)
+    val blooms = persisted.values.toSeq ++ computed
+    val pos = Manifest.bloomPositions(spark, keys, bits, hashes)
     val mightContain: Map[String, Boolean] = blooms.map(b =>
       norm(b.path) -> keys.exists(k => b.mightContain(pos(k)))).toMap
     // a file absent from the bloom census (no rows surfaced) stays

@@ -146,6 +146,47 @@ object Manifest {
     }.toSeq.sortBy(_.path)
   }
 
+  /** Persist per-file Bloom filters as a SIDECAR next to the data —
+    * the "pay the build once per write" half of the p22 story, made
+    * literal (the same move the d18 epoch index makes for its df
+    * table): one parquet file under `dir/_bloom_<keyCol>` holding
+    * `(path, words)` rows. Underscore-prefixed, so Spark's own data
+    * listing ignores it. Re-running after new files appear rebuilds
+    * the whole sidecar (blooms don't merge incrementally here; the
+    * build is one scan of the key column).
+    */
+  def persistBlooms(spark: SparkSession, dir: String, keyCol: String,
+                    bits: Int = 1 << 15, hashes: Int = 5): Unit = {
+    import spark.implicits._
+    bloomStats(spark, dir, keyCol, bits, hashes)
+      .map(b => (b.path, b.words.toSeq, bits, hashes))
+      .toDF("path", "words", "bits", "hashes")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(sidecarPath(dir, keyCol))
+  }
+
+  private def sidecarPath(dir: String, keyCol: String) =
+    s"$dir/_bloom_$keyCol"
+
+  /** Read a persisted bloom sidecar back. None when absent OR when its
+    * recorded (bits, hashes) disagree with the requested geometry — a
+    * mismatched filter would silently produce false NEGATIVES, so it
+    * must read as "no sidecar", never as a wrong answer.
+    */
+  def readBlooms(spark: SparkSession, dir: String, keyCol: String,
+                 bits: Int = 1 << 15, hashes: Int = 5)
+      : Option[Seq[BloomStat]] = {
+    val p = new Path(sidecarPath(dir, keyCol))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    import spark.implicits._
+    val rows = spark.read.parquet(p.toString)
+      .as[(String, Seq[Long], Int, Int)].collect().toSeq
+    if (rows.exists(r => r._3 != bits || r._4 != hashes)) return None
+    Some(rows.map { case (path, words, _, _) => BloomStat(path, words.toArray) }
+      .sortBy(_.path))
+  }
+
   /** The probe side's bit positions for `keys`, computed THROUGH Spark's
     * own xxhash64 (a one-partition job over the tiny key list) so build
     * and probe can never disagree on the hash.

@@ -292,10 +292,13 @@ object Snapshots {
             referenced.contains(g.getPath.toUri.getPath))
           children.foreach { f =>
             val keep = referenced.contains(f.getPath.toUri.getPath) ||
-              // markers (_SUCCESS) stay while any sibling file is still
-              // referenced; they go with the dir once nothing is
+              // markers (_SUCCESS) and sidecars (_bloom_*) stay while
+              // any sibling file is still referenced; they go with the
+              // dir once nothing is
               (f.getPath.getName.startsWith("_") && hasReferencedFile)
-            if (!keep && fs.delete(f.getPath, false)) filesDeleted += 1
+            // recursive for directory children (a _bloom_* sidecar is
+            // itself a parquet directory)
+            if (!keep && fs.delete(f.getPath, f.isDirectory)) filesDeleted += 1
           }
           if (fs.listStatus(dir.getPath).isEmpty) {
             fs.delete(dir.getPath, false); ()

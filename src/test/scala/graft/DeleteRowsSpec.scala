@@ -163,6 +163,50 @@ class DeleteRowsSpec extends SparkSpec {
     assert(Snapshots.read(spark, t).count() == 200)
   }
 
+  test("deleteKeys consumes persisted bloom sidecars: an authoritative " +
+    "sidecar replaces the key-column scan entirely, and a geometry " +
+    "mismatch falls back to computing") {
+    import graft.sources.Manifest
+    val t = SparkHygiene.scratchDir("delrows_sidecar") + "/t"
+    Snapshots.commit(spark, t,
+      (0L until 200L).map(i => (i, s"p_$i")).toDF("id", "v")
+        .repartition(4, col("id")))
+    val dataDir = Snapshots.manifestEntries(t, 1).head
+    val files = new java.io.File(dataDir).listFiles.toSeq
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    // an all-zero sidecar claims NO file can contain any key: if the
+    // erase becomes a no-op despite key 5 existing, the sidecar — not
+    // a data scan — drove the prune (the persisted-stats trust model:
+    // filters are authoritative, exactly like a table format's stats)
+    files.map(f => (f, Seq.fill(512)(0L), 1 << 15, 5))
+      .toDF("path", "words", "bits", "hashes")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dataDir/_bloom_id")
+    val res0 = DeleteRows.deleteKeys(spark, t, "id", Seq(5L))
+    assert(res0.version == 1 && res0.filesRewritten == 0,
+      "the all-zero sidecar must preempt the scan and prune every file")
+    // a geometry-mismatched sidecar must be IGNORED (recompute), never
+    // trusted: mismatched filters would produce false negatives
+    Manifest.persistBlooms(spark, dataDir, "id", bits = 1 << 10, hashes = 3)
+    val res1 = DeleteRows.deleteKeys(spark, t, "id", Seq(5L))
+    assert(res1.version == 2 && res1.filesRewritten >= 1,
+      "mismatched sidecar geometry must fall back to computing blooms")
+    assert(!Snapshots.read(spark, t).select("id").as[Long]
+      .collect().contains(5L))
+    // the honest sidecar: persisted with the probe geometry, consumed,
+    // and the erase still lands exactly
+    val dirs2 = Snapshots.manifestEntries(t, 2)
+    dirs2.filter(d => new java.io.File(d).isDirectory)
+      .foreach(d => Manifest.persistBlooms(spark, d, "id"))
+    val res2 = DeleteRows.deleteKeys(spark, t, "id", Seq(17L, 101L))
+    assert(res2.version == 3 && res2.filesRewritten >= 1)
+    val ids = Snapshots.read(spark, t).select("id").as[Long].collect().toSet
+    assert(ids == (0L until 200L).toSet -- Seq(5L, 17L, 101L))
+    // retention sweep tolerates sidecar DIRECTORIES inside dead version
+    // dirs (they are parquet directories, not plain marker files)
+    Snapshots.vacuum(spark, t, keepVersions = 1)
+    assert(Snapshots.read(spark, t).count() == 197)
+  }
+
   test("repeated erasures chain: each commits one more version, reads " +
     "compose, and every prior version remains readable") {
     val t = freshTable()
