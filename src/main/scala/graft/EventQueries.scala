@@ -1029,6 +1029,49 @@ object EventQueries {
         .orderBy(col("win_start"), col("has_error"))
     }),
 
+    // W31: chained WINDOWED AGGREGATIONS — the third multi-stateful
+    // chaining shape (w29 = join→join, w30 = join→agg, this = agg→agg):
+    // hourly per-type counts re-aggregated into a daily rollup, the
+    // classic streaming-rollup cascade (emit fine-grained early, coarse
+    // later, ONE pipeline). The second aggregate keys on
+    // window_time(window) — the event-time column a windowed result
+    // carries — and its eviction watermark is delayed by the first
+    // window's size, so a daily row emits only when every hourly slice
+    // beneath it is final. n_hours counts the slices that fed each
+    // daily row — a multiplicity proof the flat sum alone wouldn't
+    // give. Cut: max event time − delay − 1 h (upstream window) − 10 s;
+    // the oracle is the batch two-level rollup below the same cut.
+    "w31_stream_agg_chain" -> ((s0, dir) => {
+      val s = SparkHygiene.streamStateSession(s0, 8)
+      val hourly = Tables.eventsStream(s, dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_h"))
+      val daily = hourly
+        .groupBy(window(window_time(col("window")), "1 day"),
+          col("event_type"))
+        .agg(sum(col("n_h")).as("n"), count(lit(1)).as("n_hours"))
+        .select(col("window.start").as("ws"), col("window.end").as("we"),
+          col("event_type"), col("n"), col("n_hours"))
+      val out = SparkHygiene.scratchDir("w31_out")
+      val ck = SparkHygiene.scratchDir("w31_ck")
+      val q = daily.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val cut = Tables.events(s, dir).agg(
+        (max(col("ts")) - expr("INTERVAL 30 MINUTES")
+          - expr("INTERVAL 1 HOUR") - expr("INTERVAL 10 SECONDS")).as("cut"))
+      s.read.parquet(out)
+        .crossJoin(broadcast(cut))
+        .filter(col("we") < col("cut"))
+        .select(date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n"), col("n_hours"))
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
     // W10 streaming exactly-once dedup under at-least-once delivery: the
     // events file read through TWO independent file streams and unioned
     // (every event delivered twice — the redelivery a real queue source
@@ -1625,6 +1668,19 @@ object EventQueries {
         | AND p.user_id = c.user_id
         | AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 360 MINUTE
         |ORDER BY click_id, error_id, purchase_id""".stripMargin,
+    // the batch two-level rollup, restricted to daily windows the final
+    // watermark (delayed by the hourly window size) provably emitted
+    "w31_stream_agg_chain" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hs, event_type,
+        |  count(*) AS n_h FROM events GROUP BY 1, 2),
+        |cut AS (SELECT max(ts) - INTERVAL 90 MINUTE - INTERVAL 10 SECOND
+        |        AS c FROM events)
+        |SELECT strftime(date_trunc('day', hs), '%Y-%m-%d %H:%M:%S')
+        |    AS win_start,
+        |  event_type, CAST(sum(n_h) AS BIGINT) AS n, count(*) AS n_hours
+        |FROM h, cut
+        |WHERE date_trunc('day', hs) + INTERVAL 1 DAY < c
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the batch left-join aggregate, restricted to windows the final
     // watermark (delayed by join₁'s 360-min horizon) provably emitted
     "w30_stream_outer_agg" ->

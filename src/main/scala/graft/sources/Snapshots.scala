@@ -107,6 +107,32 @@ object Snapshots {
     v
   }
 
+  /** Resolve `AS OF TIMESTAMP` to a version: the newest version whose
+    * manifest was PUBLISHED at or before `asOfMillis` (publication
+    * time = the manifest file's mtime — the moment the version became
+    * visible, which is what "the table as of 3pm" means; Delta
+    * resolves timestamp travel from its commit-file timestamps the
+    * same way). Throws when every version is newer than the ask.
+    */
+  def versionAsOf(tableDir: String, asOfMillis: Long): Int = {
+    val cur = currentVersion(tableDir)
+    require(cur > 0, s"no snapshots under $tableDir")
+    val candidates = (1 to cur).filter { v =>
+      val p = Paths.get(s"${logDir(tableDir)}/v$v.list")
+      Files.exists(p) && Files.getLastModifiedTime(p).toMillis <= asOfMillis
+    }
+    require(candidates.nonEmpty,
+      s"no version of $tableDir existed at or before $asOfMillis " +
+        "(or retention already dropped it)")
+    candidates.max
+  }
+
+  /** Time travel by wall clock: read the table as it was visible at
+    * `asOfMillis`. */
+  def readAsOf(spark: SparkSession, tableDir: String,
+               asOfMillis: Long): DataFrame =
+    read(spark, tableDir, Some(versionAsOf(tableDir, asOfMillis)))
+
   /** RESTORE — roll the table back to `version` by committing that
     * version's manifest verbatim as the NEW latest version (the Delta
     * `RESTORE TABLE ... TO VERSION` semantics): zero data movement

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.ExplainMode
 
 /** Dump `explain("formatted")` for the headline catalog queries into
-  * `artifacts/PLANS_r12.txt` — the reviewable evidence that scans
+  * `artifacts/PLANS_r13.txt` — the reviewable evidence that scans
   * prune/push down, dims broadcast, aggregates partial map-side, and
   * the rewrites fire. Batch queries only: constructing the w9/w15/w18
   * streaming entries RUNS their streaming drain by design.
@@ -53,7 +53,7 @@ object PlanDump {
       // stream on construction — their plan evidence lives in PlanSpec
       // and the oracle rows.
       "t34_training_manifest", "d18_incremental_dedup")
-    val out = new java.io.PrintWriter("artifacts/PLANS_r12.txt")
+    val out = new java.io.PrintWriter("artifacts/PLANS_r13.txt")
     out.println("Formatted physical plans, sf0.001, local[4] — regenerate " +
       "with `sbt \"Test/runMain graft.PlanDump\"`.\n")
     names.foreach { n =>

@@ -141,6 +141,24 @@ class SnapshotsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Snapshots.restore(spark, t, 9) }
   }
 
+  test("AS OF TIMESTAMP resolves to the newest version published at or " +
+    "before the asked instant") {
+    val t = SparkHygiene.scratchDir("snap_asof")
+    Snapshots.commit(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(1100) // manifest mtimes must be distinguishable
+    Snapshots.commit(spark, t, Seq((2L, "b")).toDF("id", "s"))
+    val afterV2 = System.currentTimeMillis()
+    assert(Snapshots.versionAsOf(t, afterV1) == 1)
+    assert(Snapshots.readAsOf(spark, t, afterV1).count() == 1)
+    assert(Snapshots.versionAsOf(t, afterV2) == 2)
+    assert(Snapshots.readAsOf(spark, t, afterV2).count() == 2)
+    // asking for a time before the table existed fails loudly
+    intercept[IllegalArgumentException] {
+      Snapshots.versionAsOf(t, afterV1 - 3600_000L)
+    }
+  }
+
   test("pointer hygiene: an empty (pre-atomic-rename) pointer and an " +
     "in-flight staging temp are both invisible to readers") {
     val t = SparkHygiene.scratchDir("snap_ptr")

@@ -186,6 +186,17 @@ object StreamScaleProbe {
           .agg(count(lit(1)).as("n"))
           .select(col("window.start").as("ws"), col("has_error"), col("n"))
       },
+      // round-13 agg→agg cascade: open hourly + open daily windows,
+      // both watermark-bounded — the rollup chain must not accumulate
+      // closed windows
+      "w31_agg_chain" -> (ev =>
+        ev.withWatermark("ts", "30 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_h"))
+          .groupBy(window(window_time(col("window")), "1 day"),
+            col("event_type"))
+          .agg(sum(col("n_h")).as("n"))
+          .select(col("window.start").as("ws"), col("event_type"), col("n"))),
       "w26_asof" -> (ev =>
         graft.streaming.AsofStream.asof(
           ev.filter(col("event_type").isin("click", "purchase"))
