@@ -520,6 +520,35 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // CHANGE DATA FEED (operators/ChangeFeed) — Delta's table_changes
+    // between ANY two versions, derived from the manifest log: v1
+    // commits the corpus, v2 erases a band (copy-on-write), v3 appends
+    // new docs; changes(v1 → v3) reads ONLY the manifest diff (the
+    // touched originals, their rewrites, the appended dir — never the
+    // untouched files: immutable + referenced ⇒ unchanged), cancels
+    // COW survivors by full-row hash, and emits the exact delete +
+    // insert set. The oracle replays the diff from the raw table;
+    // ChangeFeedSpec pins the update pre/post pairing and the
+    // unchanged-file fast path (inputFiles ⊆ manifest diff).
+    "p27_change_feed" -> ((s, dir) => {
+      val t = SparkHygiene.scratchDir("p27_tbl")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.sources.Snapshots.commit(s, t,
+        docs.repartitionByRange(8, col("doc_id")))
+      graft.operators.DeleteRows.deleteRange(s, t, "doc_id",
+        lo = 100L, hi = 299L)
+      graft.sources.Snapshots.commit(s, t,
+        docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            col("text"), col("lang")))
+      graft.operators.ChangeFeed.changes(s, t, 1, 3, "doc_id")
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).as("text_len"),
+          col("_change_type").as("change_type"))
+        .orderBy(col("change_type"), col("doc_id"))
+    }),
+
     // KEY-LIST GDPR ERASURE (VERDICT r12 #5) — the real right-to-be-
     // forgotten request: "erase THESE users", non-contiguous keys that
     // footer [min,max] ranges cannot prune on a hash-distributed table
@@ -834,6 +863,16 @@ object TextQueries {
     "p26_restore" ->
       """SELECT doc_id, lang, length(text) AS text_len FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // the v1 → v3 diff replayed from the raw table
+    "p27_change_feed" ->
+      """SELECT * FROM (
+        |  SELECT doc_id, lang, length(text) AS text_len,
+        |         'delete' AS change_type
+        |  FROM documents WHERE doc_id BETWEEN 100 AND 299
+        |  UNION ALL
+        |  SELECT doc_id + 10000, lang, length(text), 'insert'
+        |  FROM documents WHERE doc_id < 50)
+        |ORDER BY change_type, doc_id""".stripMargin,
     "p12_parse_tags" ->
       """WITH t AS (SELECT doc_id,
         |  CASE WHEN doc_id % 7 = 0 THEN substr(text, 1, 50)
