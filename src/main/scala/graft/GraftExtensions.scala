@@ -32,6 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // rewrite fact-scan aggregates to registered rollup MVs — see
     // [[graft.plans.MvRewrite]]
     ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
+    // drop inner PK-FK joins whose parents read only fact columns —
+    // see [[graft.plans.JoinElimination]]
+    ext.injectOptimizerRule(_ => graft.plans.JoinElimination)
   }
 }
 
@@ -99,5 +102,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.MvRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.MvRewrite
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.JoinElimination))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.JoinElimination
   }
 }

@@ -1008,6 +1008,38 @@ object QueryCatalog {
         .orderBy(col("l_returnflag"))
     }),
 
+    // PK-FK JOIN ELIMINATION (plans/JoinElimination) — the
+    // constraint-driven rewrite Spark cannot do on its own (no declared
+    // constraints): the query below JOINS lineitem to orders on the
+    // orderkey but reads only lineitem columns, and under the
+    // registered RI contract (o_orderkey unique, every l_orderkey
+    // non-null and present) the optimizer deletes the join — the
+    // orders scan and its exchange never run. The generic-view /
+    // BI-layer pattern this serves joins "just in case" on every
+    // query; at 100 TB the eliminated dim scan is the entire cost
+    // delta. The oracle RUNS the genuine join in DuckDB — RI makes
+    // elimination logically invisible, and the hash-match proves it.
+    // JoinEliminationSpec pins the plan (no join, no orders scan) and
+    // every refusal shape (dim column used, dim-side filter,
+    // unregistered session).
+    "q37_join_elim" -> ((s, dir) => {
+      graft.plans.JoinElimination.register(s, graft.plans.JoinElimination.RiDef(
+        factPathSuffix = s"$dir/lineitem.parquet",
+        dimPathSuffix = s"$dir/orders.parquet",
+        factKey = "l_orderkey", dimKey = "o_orderkey"))
+      try {
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .cast("double").as("qty"))
+          .localCheckpoint(true)
+          .orderBy(col("l_returnflag"))
+      } finally graft.plans.JoinElimination.clear(s)
+    }),
+
     // BUCKETED CO-LOCATED JOIN — the write-once-shuffle-never layout
     // a 100 TB fact⋈fact plan leans on: both tables bucketed AND
     // sorted by the join key at write time (one file per bucket), so
@@ -2001,6 +2033,12 @@ object QueryCatalog {
       """SELECT l_returnflag, count(*) AS n, count(l_quantity) AS n_qty,
         |  round(avg(CAST(l_quantity AS DOUBLE)), 6) AS avg_qty
         |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the GENUINE join: RI makes the elimination logically invisible
+    "q37_join_elim" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "j18_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n,

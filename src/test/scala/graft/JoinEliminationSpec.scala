@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.JoinElimination
+
+/** The PK-FK elimination must (1) actually DELETE the join — the dim
+  * scan and the join operator vanish from the physical plan — while
+  * (2) computing the same answer as the genuine join (RI holds in the
+  * TPC-H-ish generator: every l_orderkey exists once in orders), and
+  * (3) refuse every shape the contract doesn't cover: a dim column in
+  * the output, a dim-side filter, an unregistered session.
+  */
+class JoinEliminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def ri = JoinElimination.RiDef(
+    factPathSuffix = s"$sf/lineitem.parquet",
+    dimPathSuffix = s"$sf/orders.parquet",
+    factKey = "l_orderkey", dimKey = "o_orderkey")
+
+  private def joined() = Tables.lineitem(spark, sf)
+    .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+
+  private def aggOf(df: org.apache.spark.sql.DataFrame) = df
+    .groupBy(col("l_returnflag"))
+    .agg(count(lit(1)).as("n"),
+      sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+
+  private def collectMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getDecimal(2)))).toMap
+
+  test("the join and the dim scan VANISH from the plan, and the answer " +
+    "equals the genuine join (RI holds in the generator)") {
+    val truth = collectMap(aggOf(joined())) // unregistered: real join
+    try {
+      JoinElimination.register(spark, ri)
+      val df = aggOf(joined())
+      assert(collectMap(df) == truth,
+        "elimination must be logically invisible under RI")
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("orders.parquet"), s"dim scan must be gone:\n$p")
+      assert(!p.toLowerCase.contains("join"), s"join must be gone:\n$p")
+    } finally JoinElimination.clear(spark)
+  }
+
+  test("a Project parent (row-level query) is eliminated too") {
+    try {
+      JoinElimination.register(spark, ri)
+      val df = joined().select(col("l_orderkey"), col("l_quantity"))
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("orders.parquet") && !p.toLowerCase.contains("join"),
+        s"fact-only projection over the join must eliminate:\n$p")
+      assert(df.count() == Tables.lineitem(spark, sf).count(),
+        "row multiplicity must equal the fact table")
+    } finally JoinElimination.clear(spark)
+  }
+
+  test("a FACT-side filter rides along; the join still eliminates") {
+    try {
+      JoinElimination.register(spark, ri)
+      val df = Tables.lineitem(spark, sf)
+        .filter(col("l_quantity") > 25)
+        .join(Tables.orders(spark, sf),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"))
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("orders.parquet") && !p.toLowerCase.contains("join"),
+        s"fact-side filter must not block elimination:\n$p")
+      assert(df.count() ==
+        Tables.lineitem(spark, sf).filter(col("l_quantity") > 25).count())
+    } finally JoinElimination.clear(spark)
+  }
+
+  test("refusals: a dim column in the output, a dim-side filter, and an " +
+    "unregistered session all keep the join") {
+    val shapes: Seq[() => org.apache.spark.sql.DataFrame] = Seq(
+      // dim column used → the join is load-bearing
+      () => joined().select(col("l_orderkey"), col("o_orderpriority")),
+      // dim-side filter → multiplicity changes; contract doesn't cover it
+      () => Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf)
+            .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey")))
+    try {
+      JoinElimination.register(spark, ri)
+      shapes.foreach { mk =>
+        val p = mk().queryExecution.executedPlan.toString
+        assert(p.contains("orders.parquet"),
+          s"uncovered shape must keep the dim scan:\n$p")
+      }
+      // sibling session: registration must not leak
+      val s2 = spark.newSession()
+      GraftExtensions.register(s2)
+      val p2 = Tables.lineitem(s2, sf)
+        .join(Tables.orders(s2, sf), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(p2.contains("orders.parquet"),
+        s"sibling session must keep its join:\n$p2")
+    } finally JoinElimination.clear(spark)
+  }
+}
