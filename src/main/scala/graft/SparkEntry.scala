@@ -1040,6 +1040,30 @@ object QueryCatalog {
       } finally graft.plans.JoinElimination.clear(s)
     }),
 
+    // q37's LEFT-OUTER sibling — elimination that needs only HALF the
+    // contract: a left join preserves every fact row regardless of RI
+    // presence, so pk UNIQUENESS alone (no duplication) makes the
+    // unread dim side droppable. This is the lookup-enrichment view
+    // shape ("left join the dims, read what you need") — the single
+    // most common generated-SQL pattern a warehouse serves.
+    "q38_left_join_elim" -> ((s, dir) => {
+      graft.plans.JoinElimination.register(s, graft.plans.JoinElimination.RiDef(
+        factPathSuffix = s"$dir/lineitem.parquet",
+        dimPathSuffix = s"$dir/orders.parquet",
+        factKey = "l_orderkey", dimKey = "o_orderkey"))
+      try {
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir),
+            col("l_orderkey") === col("o_orderkey"), "left_outer")
+          .groupBy(col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast("decimal(18,2)"))
+              .cast("double").as("revenue"))
+          .localCheckpoint(true)
+          .orderBy(col("l_linestatus"))
+      } finally graft.plans.JoinElimination.clear(s)
+    }),
+
     // BUCKETED CO-LOCATED JOIN — the write-once-shuffle-never layout
     // a 100 TB fact⋈fact plan leans on: both tables bucketed AND
     // sorted by the join key at write time (one file per bucket), so
@@ -2040,6 +2064,12 @@ object QueryCatalog {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q38_left_join_elim" ->
+      """SELECT l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "j18_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -116,28 +116,43 @@ object JoinElimination extends Rule[LogicalPlan] {
 
   private def tryEliminate(j: Join, refs: Seq[Attribute],
                            ris: Seq[RiDef]): Option[LogicalPlan] = j match {
+    // LEFT OUTER fact ⟕ dim needs only HALF the contract — pk
+    // uniqueness (no duplication); presence is irrelevant because the
+    // outer join preserves every fact row and the unread dim columns
+    // are null for non-matches. The dim must be the null-producing
+    // right side. The IsNotNull(pk) peel stays harmless: null pks
+    // never match, matched-or-not is invisible when no dim column is
+    // read.
+    case Join(l, r, LeftOuter, Some(EqualTo(x: AttributeReference,
+        y: AttributeReference)), _) =>
+      attemptWith(l, r, x, y, refs, ris)
     case Join(l, r, Inner, Some(EqualTo(x: AttributeReference,
         y: AttributeReference)), _) =>
       // try both side assignments and both condition orientations
-      def attempt(fact: LogicalPlan, dim: LogicalPlan): Option[LogicalPlan] =
-        for {
-          (dimRel, dimFilters) <- bareScan(dim)
-          factRel <- factScan(fact)
-          fk <- Seq(x, y).find(fact.outputSet.contains)
-          pk <- Seq(x, y).find(a => a != fk && dim.outputSet.contains(a))
-          // every peeled dim filter must be the harmless inferred
-          // IsNotNull(pk) — anything else changes multiplicity
-          if dimFilters.forall {
-            case IsNotNull(a: AttributeReference) => a.semanticEquals(pk)
-            case _ => false
-          }
-          _ <- ris.find(ri =>
-            locationOf(factRel).endsWith(ri.factPathSuffix) &&
-              locationOf(dimRel).endsWith(ri.dimPathSuffix) &&
-              fk.name == ri.factKey && pk.name == ri.dimKey)
-          if refs.forall(fact.outputSet.contains)
-        } yield fact
-      attempt(l, r).orElse(attempt(r, l))
+      attemptWith(l, r, x, y, refs, ris)
+        .orElse(attemptWith(r, l, x, y, refs, ris))
     case _ => None
   }
+
+  private def attemptWith(fact: LogicalPlan, dim: LogicalPlan,
+                          x: AttributeReference, y: AttributeReference,
+                          refs: Seq[Attribute],
+                          ris: Seq[RiDef]): Option[LogicalPlan] =
+    for {
+      (dimRel, dimFilters) <- bareScan(dim)
+      factRel <- factScan(fact)
+      fk <- Seq(x, y).find(fact.outputSet.contains)
+      pk <- Seq(x, y).find(a => a != fk && dim.outputSet.contains(a))
+      // every peeled dim filter must be the harmless inferred
+      // IsNotNull(pk) — anything else changes multiplicity
+      if dimFilters.forall {
+        case IsNotNull(a: AttributeReference) => a.semanticEquals(pk)
+        case _ => false
+      }
+      _ <- ris.find(ri =>
+        locationOf(factRel).endsWith(ri.factPathSuffix) &&
+          locationOf(dimRel).endsWith(ri.dimPathSuffix) &&
+          fk.name == ri.factKey && pk.name == ri.dimKey)
+      if refs.forall(fact.outputSet.contains)
+    } yield fact
 }

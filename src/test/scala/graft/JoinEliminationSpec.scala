@@ -75,6 +75,36 @@ class JoinEliminationSpec extends SparkSpec {
     } finally JoinElimination.clear(spark)
   }
 
+  test("LEFT OUTER elimination: the null-producing dim side drops on " +
+    "pk uniqueness alone, and the answer equals the genuine left join") {
+    val lj = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"), "left_outer")
+      .groupBy(col("l_linestatus")).agg(count(lit(1)).as("n"))
+    val truth = lj.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    try {
+      JoinElimination.register(spark, ri)
+      val df = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf),
+          col("l_orderkey") === col("o_orderkey"), "left_outer")
+        .groupBy(col("l_linestatus")).agg(count(lit(1)).as("n"))
+      assert(df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        == truth)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("orders.parquet") && !p.toLowerCase.contains("join"),
+        s"left-outer with fact-only refs must eliminate:\n$p")
+      // a RIGHT-side fact (dim on the preserved side) must refuse: the
+      // outer join would null-extend FACT rows, not dim rows
+      val p2 = Tables.orders(spark, sf)
+        .join(Tables.lineitem(spark, sf),
+          col("l_orderkey") === col("o_orderkey"), "left_outer")
+        .select(col("o_orderpriority"))
+        .queryExecution.executedPlan.toString
+      assert(p2.toLowerCase.contains("join"),
+        s"dim-preserved left join must keep the join:\n$p2")
+    } finally JoinElimination.clear(spark)
+  }
+
   test("refusals: a dim column in the output, a dim-side filter, and an " +
     "unregistered session all keep the join") {
     val shapes: Seq[() => org.apache.spark.sql.DataFrame] = Seq(
