@@ -1072,6 +1072,52 @@ object EventQueries {
         .orderBy(col("win_start"), col("event_type"))
     }),
 
+    // W32: THREE chained stateful operators — exactly-once dedup under
+    // 2× delivery (w10's state store) feeding the hourly aggregation
+    // feeding the daily rollup (w31's cascade): the full
+    // at-least-once-queue → clean-rollup pipeline in ONE streaming
+    // query, the deepest operator chain in the catalog. Dedup is a
+    // passthrough for event times (it drops rows, never delays them),
+    // so the downstream cut is exactly w31's: max event time − delay −
+    // the hourly window − 10 s. The oracle is DISTINCT then the batch
+    // two-level rollup — redelivery and chaining must both be
+    // invisible below the cut.
+    "w32_stream_dedup_rollup" -> ((s0, dir) => {
+      val s = SparkHygiene.streamStateSession(s0, 8)
+      val once = Tables.eventsStream(s, dir)
+        .select(col("event_id"), col("ts"), col("event_type"))
+      val twice = once.unionByName(
+        Tables.eventsStream(s, dir)
+          .select(col("event_id"), col("ts"), col("event_type")))
+      val daily = twice
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark("event_id", "event_type")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_h"))
+        .groupBy(window(window_time(col("window")), "1 day"),
+          col("event_type"))
+        .agg(sum(col("n_h")).as("n"))
+        .select(col("window.start").as("ws"), col("window.end").as("we"),
+          col("event_type"), col("n"))
+      val out = SparkHygiene.scratchDir("w32_out")
+      val ck = SparkHygiene.scratchDir("w32_ck")
+      val q = daily.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val cut = Tables.events(s, dir).agg(
+        (max(col("ts")) - expr("INTERVAL 30 MINUTES")
+          - expr("INTERVAL 1 HOUR") - expr("INTERVAL 10 SECONDS")).as("cut"))
+      s.read.parquet(out)
+        .crossJoin(broadcast(cut))
+        .filter(col("we") < col("cut"))
+        .select(date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n"))
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
     // W10 streaming exactly-once dedup under at-least-once delivery: the
     // events file read through TWO independent file streams and unioned
     // (every event delivered twice — the redelivery a real queue source
@@ -1668,6 +1714,23 @@ object EventQueries {
         | AND p.user_id = c.user_id
         | AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 360 MINUTE
         |ORDER BY click_id, error_id, purchase_id""".stripMargin,
+    // DISTINCT (the redelivery must vanish) then the batch two-level
+    // rollup, below the same delayed cut as w31
+    "w32_stream_dedup_rollup" ->
+      """WITH d AS (SELECT DISTINCT event_id, ts, event_type FROM (
+        |    SELECT event_id, ts, event_type FROM events
+        |    UNION ALL
+        |    SELECT event_id, ts, event_type FROM events)),
+        |h AS (SELECT date_trunc('hour', ts) AS hs, event_type,
+        |  count(*) AS n_h FROM d GROUP BY 1, 2),
+        |cut AS (SELECT max(ts) - INTERVAL 90 MINUTE - INTERVAL 10 SECOND
+        |        AS c FROM events)
+        |SELECT strftime(date_trunc('day', hs), '%Y-%m-%d %H:%M:%S')
+        |    AS win_start,
+        |  event_type, CAST(sum(n_h) AS BIGINT) AS n
+        |FROM h, cut
+        |WHERE date_trunc('day', hs) + INTERVAL 1 DAY < c
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the batch two-level rollup, restricted to daily windows the final
     // watermark (delayed by the hourly window size) provably emitted
     "w31_stream_agg_chain" ->

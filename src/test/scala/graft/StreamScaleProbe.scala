@@ -197,6 +197,21 @@ object StreamScaleProbe {
             col("event_type"))
           .agg(sum(col("n_h")).as("n"))
           .select(col("window.start").as("ws"), col("event_type"), col("n"))),
+      // round-13 THREE-operator chain: dedup-under-2×-delivery state
+      // (ids within the watermark horizon) + open hourly + open daily
+      // windows — the deepest chain must stay event-time bounded too
+      "w32_dedup_rollup" -> { ev =>
+        val once = ev.select(col("event_id"), col("ts"), col("event_type"))
+        once.unionByName(once)
+          .withWatermark("ts", "30 minutes")
+          .dropDuplicatesWithinWatermark("event_id", "event_type")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_h"))
+          .groupBy(window(window_time(col("window")), "1 day"),
+            col("event_type"))
+          .agg(sum(col("n_h")).as("n"))
+          .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      },
       "w26_asof" -> (ev =>
         graft.streaming.AsofStream.asof(
           ev.filter(col("event_type").isin("click", "purchase"))
