@@ -125,19 +125,27 @@ object JoinElimination extends Rule[LogicalPlan] {
     // read.
     case Join(l, r, LeftOuter, Some(EqualTo(x: AttributeReference,
         y: AttributeReference)), _) =>
-      attemptWith(l, r, x, y, refs, ris)
+      attemptWith(l, r, x, y, refs, ris, stripFk = false)
     case Join(l, r, Inner, Some(EqualTo(x: AttributeReference,
         y: AttributeReference)), _) =>
-      // try both side assignments and both condition orientations
-      attemptWith(l, r, x, y, refs, ris)
-        .orElse(attemptWith(r, l, x, y, refs, ris))
+      // try both side assignments and both condition orientations. The
+      // INNER path strips IsNotNull(fk) conjuncts from the fact side:
+      // the contract declares fk non-null, so the filter (inferred by
+      // Catalyst from the join it annotated) is a no-op — and leaving
+      // it would block downstream single-scan rewrites (the MV
+      // matcher) from recognizing the bare fact scan. The LEFT OUTER
+      // path never strips: only the pk-uniqueness half of the contract
+      // is load-bearing there, and any fk filter is user semantics.
+      attemptWith(l, r, x, y, refs, ris, stripFk = true)
+        .orElse(attemptWith(r, l, x, y, refs, ris, stripFk = true))
     case _ => None
   }
 
   private def attemptWith(fact: LogicalPlan, dim: LogicalPlan,
                           x: AttributeReference, y: AttributeReference,
                           refs: Seq[Attribute],
-                          ris: Seq[RiDef]): Option[LogicalPlan] =
+                          ris: Seq[RiDef],
+                          stripFk: Boolean): Option[LogicalPlan] =
     for {
       (dimRel, dimFilters) <- bareScan(dim)
       factRel <- factScan(fact)
@@ -154,5 +162,17 @@ object JoinElimination extends Rule[LogicalPlan] {
           locationOf(dimRel).endsWith(ri.dimPathSuffix) &&
           fk.name == ri.factKey && pk.name == ri.dimKey)
       if refs.forall(fact.outputSet.contains)
-    } yield fact
+    } yield if (stripFk) stripFkNotNull(fact, fk) else fact
+
+  /** Remove IsNotNull(fk) conjuncts (no-ops under the declared
+    * contract) so the eliminated fact side is the bare scan shape. */
+  private def stripFkNotNull(plan: LogicalPlan, fk: Attribute): LogicalPlan =
+    plan.transformUp {
+      case Filter(cond, child) =>
+        val kept = splitConjuncts(cond).filterNot {
+          case IsNotNull(a: AttributeReference) => a.semanticEquals(fk)
+          case _ => false
+        }
+        if (kept.isEmpty) child else Filter(kept.reduce(And), child)
+    }
 }

@@ -105,6 +105,41 @@ class JoinEliminationSpec extends SparkSpec {
     } finally JoinElimination.clear(spark)
   }
 
+  test("COMPOSITION: elimination unlocks the MV rewrite in the same " +
+    "optimizer fixed point — the join-aggregate is served from the " +
+    "rollup MV, scanning NEITHER base table") {
+    import graft.plans.MvRewrite
+    val truth = collectMap(aggOf(joined()))
+    // a rollup MV over the FACT table (q33's definition)
+    val mvDir = SparkHygiene.scratchDir("elim_mv")
+    Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+      .write.mode("overwrite").parquet(mvDir)
+    try {
+      JoinElimination.register(spark, ri)
+      MvRewrite.register(spark, MvRewrite.MvDef(
+        factPathSuffix = s"$sf/lineitem.parquet",
+        mvPlan = spark.read.parquet(mvDir).queryExecution.analyzed,
+        groupCols = Set("l_returnflag", "l_linestatus"),
+        countCol = "n_rows",
+        sumCols = Map("l_quantity" -> "sum_qty")))
+      val df = aggOf(joined())
+      assert(collectMap(df) == truth,
+        "the composed rewrite must be logically invisible")
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains(mvDir.split('/').last),
+        s"the MV must serve the query:\n$p")
+      assert(!p.contains("orders.parquet") && !p.contains("lineitem.parquet"),
+        s"NEITHER base table may be scanned — elimination then MV:\n$p")
+      assert(!p.toLowerCase.contains("join"), s"join must be gone:\n$p")
+    } finally {
+      JoinElimination.clear(spark)
+      MvRewrite.clear(spark)
+    }
+  }
+
   test("refusals: a dim column in the output, a dim-side filter, and an " +
     "unregistered session all keep the join") {
     val shapes: Seq[() => org.apache.spark.sql.DataFrame] = Seq(
