@@ -35,6 +35,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // drop inner PK-FK joins whose parents read only fact columns —
     // see [[graft.plans.JoinElimination]]
     ext.injectOptimizerRule(_ => graft.plans.JoinElimination)
+    // as-of join: marker-condition joins become the whole-operator
+    // logical node, planned by the sorted-merge exec — see
+    // [[graft.plans.AsOf]]
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 
@@ -69,7 +74,11 @@ object GraftExtensions {
       info("z_interleave",
         "z_interleave(x, y) - Morton (Z-order) bit interleave of two integral columns; domain [0, 4294967295] per input (out-of-domain values error rather than scramble the curve)"),
       (children: Seq[Expression]) =>
-        graft.functions.ZInterleaveExpr(children(0), children(1))))
+        graft.functions.ZInterleaveExpr(children(0), children(1))),
+    (FunctionIdentifier(graft.plans.AsOf.FnName),
+      info(graft.plans.AsOf.FnName,
+        "asof_match(lk, rk, lt, rt, tie, tolMicros) - as-of join marker condition; rewritten to the sorted-merge as-of operator (unevaluable if left in place)"),
+      (children: Seq[Expression]) => graft.plans.AsOfMark(children)))
 
   /** Register into an existing session (tests, notebooks), and apply
     * session-setup conf the engine relies on. This is the one setup
@@ -105,5 +114,11 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.JoinElimination))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.JoinElimination
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.AsOfJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.AsOfJoinRewrite
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
   }
 }

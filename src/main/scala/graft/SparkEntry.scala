@@ -1537,6 +1537,57 @@ object QueryCatalog {
         .select(col("s_suppkey"), col("s_name"),
           col("n_dominant"), col("qty_total"))
         .orderBy(col("s_suppkey"))
+    }),
+
+    // AS-OF JOIN through the custom physical operator
+    // ([[graft.plans.AsOfJoinExec]]): each purchase picks up the user's
+    // latest prior "view" event — marker condition → optimizer rule →
+    // logical node → sorted-merge exec, ONE hash exchange + sort per
+    // side, O(1) merge state (vs the window composition j19 uses, which
+    // rides every left row through the running-last machinery). The
+    // right side is deduped to one row per (user, ts) — max event_id —
+    // because DuckDB's ASOF picks arbitrarily among equal timestamps;
+    // the exec's own tie-break is oracle-exercised by j21 instead.
+    "j20_asof_exec" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"), col("ts"))
+            .orderBy(col("event_id").desc)))
+        .filter(col("rn") === 1)
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("event_id").as("view_id"), col("value").as("view_value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      graft.plans.AsOf.backward(purchases, views,
+          purchases("user_id"), views("v_user"),
+          purchases("ts"), views("v_ts"), views("view_id"))
+        .select(col("purchase_id"), col("user_id"),
+          col("view_id"), col("view_value"))
+        .orderBy(col("purchase_id"))
+    }),
+
+    // The same operator under a match-window TOLERANCE (nearest view
+    // within 2 h, else null) and WITHOUT the right-side dedup — this is
+    // the query that oracle-exercises the exec's deterministic
+    // greatest-tie-break-at-equal-time rule, because the LATERAL oracle
+    // orders by (ts DESC, event_id DESC) explicitly. Tolerance compares
+    // in the timestamp's internal microseconds; testdata timestamps are
+    // µs-aligned so the DuckDB INTERVAL arithmetic is exact.
+    "j21_asof_tolerance" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("event_id").as("view_id"), col("value").as("view_value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      graft.plans.AsOf.backward(purchases, views,
+          purchases("user_id"), views("v_user"),
+          purchases("ts"), views("v_ts"), views("view_id"),
+          toleranceMicros = 2L * 3600L * 1000000L)
+        .select(col("purchase_id"), col("user_id"),
+          col("view_id"), col("view_value"))
+        .orderBy(col("purchase_id"))
     }))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -2265,7 +2316,39 @@ object QueryCatalog {
         |        GROUP BY l_suppkey)
         |SELECT s_suppkey, s_name, n_dominant, qty_total
         |FROM dom JOIN supplier ON s_suppkey = l_suppkey
-        |ORDER BY s_suppkey""".stripMargin)
+        |ORDER BY s_suppkey""".stripMargin,
+    "j20_asof_exec" ->
+      // DuckDB's native ASOF LEFT JOIN replays the backward semantics;
+      // the right side is pre-deduped to max event_id per (user, ts)
+      // because ASOF's pick among equal timestamps is unspecified
+      """WITH v0 AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    row_number() OVER (PARTITION BY user_id, ts
+        |                       ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'view'),
+        |v AS (SELECT user_id, ts, value, event_id FROM v0 WHERE rn = 1),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id,
+        |  v.event_id AS view_id, v.value AS view_value
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.purchase_id""".stripMargin,
+    "j21_asof_tolerance" ->
+      // LATERAL top-1 with the (ts DESC, event_id DESC) order — the
+      // explicit replay of the exec's tolerance + tie-break contract
+      """WITH v AS (
+        |  SELECT user_id, ts, value, event_id
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id, x.view_id, x.view_value
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT v.event_id AS view_id, v.value AS view_value
+        |  FROM v WHERE v.user_id = p.user_id AND v.ts <= p.ts
+        |    AND v.ts >= p.ts - INTERVAL 2 HOUR
+        |  ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) x ON TRUE
+        |ORDER BY p.purchase_id""".stripMargin)
 
   val oracleSql: Map[String, String] =
     baseOracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++

@@ -52,7 +52,9 @@ object PlanDump {
       // q35 materializes under registered rules and w29 drains a
       // stream on construction — their plan evidence lives in PlanSpec
       // and the oracle rows.
-      "t34_training_manifest", "d18_incremental_dedup")
+      "t34_training_manifest", "d18_incremental_dedup",
+      // round-14 heads: the custom physical as-of operator
+      "j20_asof_exec", "j21_asof_tolerance")
     val out = new java.io.PrintWriter("artifacts/PLANS_r13.txt")
     out.println("Formatted physical plans, sf0.001, local[4] — regenerate " +
       "with `sbt \"Test/runMain graft.PlanDump\"`.\n")
