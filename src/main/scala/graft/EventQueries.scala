@@ -1118,6 +1118,36 @@ object EventQueries {
         .orderBy(col("win_start"), col("event_type"))
     }),
 
+    // STREAMING FROM A SNAPSHOT TABLE (sources/v2) — the engine's
+    // tables as Structured Streaming SOURCES: three commits build the
+    // table, `readStream.format("graft_snapshots")` drains it with
+    // manifest-VERSION offsets (maxVersionsPerTrigger=1 forces one
+    // micro-batch per commit — the incremental path, not one bulk
+    // read), and each batch plans exactly the files its commit added
+    // (the manifest diff), never the table. Timestamps ride through
+    // the record-API reader (INT96-normalized). SnapshotsV2Spec pins
+    // the checkpoint-restart and non-append-refusal contracts; the
+    // oracle is the full table — a lossless drain is logically
+    // invisible.
+    "w33_v2_stream" -> ((s, dir) => {
+      val t = SparkHygiene.scratchDir("w33_tbl")
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      (0L until 3L).foreach(i =>
+        graft.sources.Snapshots.commit(s, t,
+          ev.filter(pmod(col("event_id"), lit(3)) === i)))
+      val out = SparkHygiene.scratchDir("w33_out")
+      val ck = SparkHygiene.scratchDir("w33_ck")
+      val q = s.readStream.format("graft_snapshots").option("path", t)
+        .option("maxVersionsPerTrigger", 1).load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy(col("event_id"))
+    }),
+
     // W10 streaming exactly-once dedup under at-least-once delivery: the
     // events file read through TWO independent file streams and unioned
     // (every event delivered twice — the redelivery a real queue source
@@ -1731,6 +1761,10 @@ object EventQueries {
         |FROM h, cut
         |WHERE date_trunc('day', hs) + INTERVAL 1 DAY < c
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // a lossless versioned drain ≡ the raw table
+    "w33_v2_stream" ->
+      """SELECT event_id, ts, user_id, event_type FROM events
+        |ORDER BY event_id""".stripMargin,
     // the batch two-level rollup, restricted to daily windows the final
     // watermark (delayed by the hourly window size) provably emitted
     "w31_stream_agg_chain" ->

@@ -549,6 +549,31 @@ object TextQueries {
         .orderBy(col("change_type"), col("doc_id"))
     }),
 
+    // DATASOURCE V2 READ (sources/v2/SnapshotsDataSource) — the
+    // standard `spark.read.format(...)` front door over snapshot
+    // tables: version resolution happens INSIDE the plan
+    // (`versionAsOf` pins v1 after v2 exists — the reproducible-read
+    // property, now addressable from the public read API and from SQL
+    // `USING graft_snapshots`), the pushed doc_id filter skips
+    // non-overlapping files at plan time via footer stats (v1 is
+    // range-clustered into 4 files; SnapshotsV2Spec pins the
+    // kept/skipped counts), and Spark re-applies the filter on rows so
+    // the skip is a superset bound, never a semantics change. The
+    // oracle replays the v1 predicate + filter on the raw table.
+    "p28_v2_read" -> ((s, dir) => {
+      val t = SparkHygiene.scratchDir("p28_tbl")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.sources.Snapshots.commit(s, t,
+        docs.filter(col("doc_id") < 250).repartitionByRange(4, col("doc_id")))
+      graft.sources.Snapshots.commit(s, t, docs.filter(col("doc_id") >= 250))
+      s.read.format("graft_snapshots").option("path", t)
+        .option("versionAsOf", 1).load()
+        .filter(col("doc_id") >= 100L)
+        .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // KEY-LIST GDPR ERASURE (VERDICT r12 #5) — the real right-to-be-
     // forgotten request: "erase THESE users", non-contiguous keys that
     // footer [min,max] ranges cannot prune on a hash-distributed table
@@ -873,6 +898,11 @@ object TextQueries {
         |  SELECT doc_id + 10000, lang, length(text), 'insert'
         |  FROM documents WHERE doc_id < 50)
         |ORDER BY change_type, doc_id""".stripMargin,
+    // the pinned v1 (doc_id < 250) + the pushed filter, replayed raw
+    "p28_v2_read" ->
+      """SELECT doc_id, lang, length(text) AS text_len FROM documents
+        |WHERE doc_id >= 100 AND doc_id < 250
+        |ORDER BY doc_id""".stripMargin,
     "p12_parse_tags" ->
       """WITH t AS (SELECT doc_id,
         |  CASE WHEN doc_id % 7 = 0 THEN substr(text, 1, 50)

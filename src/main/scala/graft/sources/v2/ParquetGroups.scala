@@ -1,0 +1,225 @@
+package graft.sources.v2
+
+import java.io.{IOException, ObjectInputStream, ObjectOutputStream}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{GroupType, LogicalTypeAnnotation, MessageType, PrimitiveType, Type}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Executor-side parquet → InternalRow machinery for the DataSource V2
+  * snapshot connector ([[SnapshotsDataSource]]).
+  *
+  * Spark's vectorized parquet reader is not a public executor-side API,
+  * so the connector's partition readers materialize rows through
+  * parquet-hadoop's record API (`GroupReadSupport`) — the documented
+  * public surface of the parquet library. Column pruning is REAL at
+  * this layer: the requested Spark schema is intersected with the
+  * file's own footer schema and handed to parquet as the read
+  * projection, so unprojected columns are never decoded (and never
+  * even read off disk for whole skipped pages). Columns absent from a
+  * file (schema evolution: a later commit added them) read as null.
+  *
+  * Supported column shapes — the engine's table surface (flat
+  * relational columns plus embedding vectors): boolean, int, long,
+  * float, double, string, binary, date, timestamp (INT64
+  * millis/micros/nanos or legacy INT96, normalized to Spark's
+  * microsecond internal form), and arrays of those primitives in
+  * Spark's 3-level LIST encoding. Decimals and nested structs are
+  * rejected loudly at reader construction — silently misreading a type
+  * would corrupt results downstream.
+  */
+private[v2] object ParquetGroups {
+
+  /** Hadoop `Configuration` is not `java.io.Serializable`; it IS a
+    * Hadoop `Writable`, so serialize through its own wire format (the
+    * same trick Spark uses internally for task broadcast).
+    */
+  final class SerializableConf(@transient var value: Configuration)
+      extends Serializable {
+    @throws(classOf[IOException])
+    private def writeObject(out: ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    @throws(classOf[IOException])
+    private def readObject(in: ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** One scan task = a bin of whole files (see
+    * [[SnapshotsDataSource]]'s bin packing). */
+  final case class FileBin(files: Seq[String]) extends InputPartition
+
+  final case class GroupReaderFactory(conf: SerializableConf,
+                                      schema: StructType)
+      extends PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+      new BinReader(p.asInstanceOf[FileBin].files, conf.value, schema)
+  }
+
+  /** Reads the bin's files sequentially; one open reader at a time. */
+  private final class BinReader(files: Seq[String], conf: Configuration,
+                                schema: StructType)
+      extends PartitionReader[InternalRow] {
+    private val queue = files.iterator
+    private var current: FileReader = _
+    private var row: InternalRow = _
+
+    override def next(): Boolean = {
+      row = null
+      while (row == null) {
+        if (current == null) {
+          if (!queue.hasNext) return false
+          current = new FileReader(queue.next(), conf, schema)
+        }
+        row = current.readOne()
+        if (row == null) { current.close(); current = null }
+      }
+      true
+    }
+
+    override def get(): InternalRow = row
+
+    override def close(): Unit = if (current != null) current.close()
+  }
+
+  /** Single-file reader: prunes the projection against the file's own
+    * footer schema, compiles one extractor per requested column, and
+    * converts record by record.
+    */
+  private final class FileReader(file: String, conf: Configuration,
+                                 schema: StructType) {
+    private val hPath = new Path(file)
+    private val fileSchema: MessageType = {
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf))
+      try r.getFooter.getFileMetaData.getSchema finally r.close()
+    }
+    private val present: Array[Boolean] =
+      schema.fields.map(f => fileSchema.containsField(f.name))
+    private val projection = new MessageType("spark_schema",
+      schema.fields.iterator.zipWithIndex
+        .collect { case (f, i) if present(i) =>
+          fileSchema.getType(Seq(f.name): _*) }
+        .toSeq: _*)
+    private val extractors: Array[Group => Any] =
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        if (!present(i)) (_: Group) => null
+        else compile(f.name, f.dataType,
+          projection.getType(projection.getFieldIndex(f.name)))
+      }
+
+    private val reader: ParquetReader[Group] = {
+      val c = new Configuration(conf)
+      c.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
+      ParquetReader.builder(new GroupReadSupport(), hPath).withConf(c).build()
+    }
+
+    /** Next row, or null at end of file. */
+    def readOne(): InternalRow = {
+      val g = reader.read()
+      if (g == null) return null
+      val values = new Array[Any](extractors.length)
+      var i = 0
+      while (i < values.length) { values(i) = extractors(i)(g); i += 1 }
+      new GenericInternalRow(values)
+    }
+
+    def close(): Unit = reader.close()
+
+    private def compile(name: String, dt: DataType, pt: Type): Group => Any =
+      dt match {
+        case ArrayType(et, _) =>
+          val eg = pt.asGroupType().getType(0).asGroupType() // repeated list
+          val prim = primitive(et, eg.getType(0))
+          (g: Group) =>
+            if (g.getFieldRepetitionCount(name) == 0) null
+            else {
+              val list = g.getGroup(name, 0)
+              val n = list.getFieldRepetitionCount(0)
+              val out = new Array[Any](n)
+              var j = 0
+              while (j < n) {
+                val e = list.getGroup(0, j)
+                out(j) = if (e.getFieldRepetitionCount(0) == 0) null
+                         else prim(e, 0)
+                j += 1
+              }
+              new GenericArrayData(out)
+            }
+        case _ =>
+          val prim = primitive(dt, pt)
+          (g: Group) =>
+            if (g.getFieldRepetitionCount(name) == 0) null
+            else prim(g, g.getType.getFieldIndex(name))
+      }
+
+    /** Extractor for a required/optional primitive at field index
+      * `idx` of group `g` (occurrence 0 — flat relational data).
+      */
+    private def primitive(dt: DataType, pt: Type): (Group, Int) => Any = {
+      require(pt.isPrimitive,
+        s"$file: nested type ${pt.getName} is not a supported column shape")
+      val prim = pt.asPrimitiveType()
+      dt match {
+        case BooleanType => (g, i) => g.getBoolean(i, 0)
+        case IntegerType | DateType => (g, i) => g.getInteger(i, 0)
+        case LongType => (g, i) => g.getLong(i, 0)
+        case FloatType => (g, i) => g.getFloat(i, 0)
+        case DoubleType => (g, i) => g.getDouble(i, 0)
+        case StringType => (g, i) =>
+          UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+        case BinaryType => (g, i) => g.getBinary(i, 0).getBytes
+        case TimestampType | TimestampNTZType =>
+          prim.getPrimitiveTypeName match {
+            case PrimitiveType.PrimitiveTypeName.INT96 =>
+              (g, i) => int96ToMicros(g.getInt96(i, 0))
+            case PrimitiveType.PrimitiveTypeName.INT64 =>
+              val scale = prim.getLogicalTypeAnnotation match {
+                case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                  t.getUnit match {
+                    case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000L
+                    case LogicalTypeAnnotation.TimeUnit.MICROS => 1L
+                    case LogicalTypeAnnotation.TimeUnit.NANOS => -1000L
+                  }
+                case _ => 1L // unannotated INT64: assume micros
+              }
+              if (scale > 0) (g, i) => g.getLong(i, 0) * scale
+              else (g, i) => Math.floorDiv(g.getLong(i, 0), -scale)
+            case other => throw new UnsupportedOperationException(
+              s"$file: timestamp stored as $other is not supported")
+          }
+        case other => throw new UnsupportedOperationException(
+          s"$file: column type $other is not a supported column shape " +
+            "(flat relational columns + primitive arrays)")
+      }
+    }
+  }
+
+  /** Legacy INT96 timestamp: 8-byte little-endian nanos-of-day then
+    * 4-byte little-endian Julian day — normalize to epoch micros.
+    */
+  private def int96ToMicros(b: Binary): Long = {
+    val buf = b.toByteBuffer.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nanosOfDay = buf.getLong
+    val julianDay = buf.getInt
+    val epochDays = julianDay - 2440588L // Julian day of 1970-01-01
+    epochDays * 86400L * 1000000L + nanosOfDay / 1000L
+  }
+}

@@ -1,0 +1,199 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.sources.Snapshots
+
+/** The DataSource V2 connector over snapshot tables: batch reads with
+  * time travel + manifest file skipping, type round-trips through the
+  * record-API reader, schema evolution, and the version-offset
+  * micro-batch stream (drain, incremental restart, per-version
+  * batching, non-append refusal).
+  */
+class SnapshotsV2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def fmt = "graft_snapshots"
+
+  private def freshTable(): String = {
+    val d = SparkHygiene.scratchDir("v2tbl")
+    // Snapshots.commit wants the dir to not pre-exist as a data dir;
+    // scratchDir creates it empty, which is fine (commit writes under it)
+    d
+  }
+
+  private def rows(n: Range): DataFrame =
+    n.map(i => (i.toLong, s"doc_$i", i * 2.0)).toDF("id", "name", "score")
+
+  test("batch read equals Snapshots.read; versionAsOf time-travels") {
+    val t = freshTable()
+    Snapshots.commit(spark, t, rows(0 until 100))
+    Snapshots.commit(spark, t, rows(100 until 250))
+    val latest = spark.read.format(fmt).option("path", t).load()
+    assert(latest.count() == 250)
+    assert(latest.select(sum($"id")).as[Long].head() ==
+      Snapshots.read(spark, t).select(sum($"id")).as[Long].head())
+    val v1 = spark.read.format(fmt).option("path", t)
+      .option("versionAsOf", 1).load()
+    assert(v1.count() == 100 && v1.agg(max($"id")).as[Long].head() == 99L)
+  }
+
+  test("timestampAsOf resolves from manifest publication times") {
+    val t = freshTable()
+    Snapshots.commit(spark, t, rows(0 until 10))
+    val between = System.currentTimeMillis()
+    Thread.sleep(15)
+    Snapshots.commit(spark, t, rows(10 until 30))
+    val asOf = spark.read.format(fmt).option("path", t)
+      .option("timestampAsOf", between.toString).load()
+    assert(asOf.count() == 10)
+  }
+
+  test("column pruning reaches the scan and the reader") {
+    val t = freshTable()
+    Snapshots.commit(spark, t, rows(0 until 50))
+    val q = spark.read.format(fmt).option("path", t).load()
+      .select($"name")
+    // the scan's readSchema is the pruned one
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty && scans.head.scan.readSchema().fieldNames.toSeq == Seq("name"))
+    assert(q.as[String].collect().sorted.head == "doc_0")
+  }
+
+  test("long-column filters skip non-overlapping files at plan time") {
+    val t = freshTable()
+    Snapshots.commit(spark, t,
+      rows(0 until 800).repartitionByRange(8, $"id"))
+    val q = spark.read.format(fmt).option("path", t).load()
+      .filter($"id" >= 700L)
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    val desc = scans.head.scan.description()
+    val kept = "files=(\\d+)".r.findFirstMatchIn(desc).get.group(1).toInt
+    val skipped = "skipped=(\\d+)".r.findFirstMatchIn(desc).get.group(1).toInt
+    assert(kept + skipped == 8, desc)
+    assert(skipped >= 6, s"range-clustered table should skip most files: $desc")
+    // and skipping is logically invisible
+    assert(q.count() == 100)
+    assert(q.agg(min($"id")).as[Long].head() == 700L)
+  }
+
+  test("timestamps (INT96 default) and float arrays round-trip") {
+    val t = freshTable()
+    val df = Seq(
+      (1L, new Timestamp(1723700000123456L / 1000), Array(0.25f, -1.5f)),
+      (2L, null.asInstanceOf[Timestamp], Array.empty[Float]),
+      (3L, new Timestamp(0L), null.asInstanceOf[Array[Float]]))
+      .toDF("id", "ts", "vec")
+    Snapshots.commit(spark, t, df)
+    val back = spark.read.format(fmt).option("path", t).load()
+      .as[(Long, Option[Timestamp], Option[Seq[Float]])].collect().sortBy(_._1)
+    assert(back(0) == ((1L, Some(new Timestamp(1723700000123456L / 1000)),
+      Some(Seq(0.25f, -1.5f)))))
+    assert(back(1) == ((2L, None, Some(Seq.empty[Float]))))
+    assert(back(2) == ((3L, Some(new Timestamp(0L)), None)))
+  }
+
+  test("schema evolution: columns absent from old files read as null") {
+    val t = freshTable()
+    Snapshots.commit(spark, t, Seq((1L, "a")).toDF("id", "name"))
+    Snapshots.commit(spark, t, Seq((2L, "b", 9.5)).toDF("id", "name", "score"))
+    val evolved = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("score", DoubleType)))
+    val back = spark.read.format(fmt).schema(evolved).option("path", t).load()
+      .as[(Long, String, Option[Double])].collect().sortBy(_._1)
+    assert(back.toSeq == Seq((1L, "a", None), (2L, "b", Some(9.5))))
+  }
+
+  test("stream drains history, then a restart picks up ONLY new commits") {
+    val t = freshTable()
+    val out = SparkHygiene.scratchDir("v2out")
+    val ckpt = SparkHygiene.scratchDir("v2ckpt")
+    Snapshots.commit(spark, t, rows(0 until 40))
+    Snapshots.commit(spark, t, rows(40 until 100))
+
+    def drain(): Unit = {
+      val q = spark.readStream.format(fmt).option("path", t).load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      assert(!q.isActive)
+    }
+    drain()
+    assert(spark.read.parquet(out).count() == 100)
+
+    // restart with the same checkpoint: the already-processed versions
+    // must NOT replay; only the new commit arrives
+    Snapshots.commit(spark, t, rows(100 until 130))
+    drain()
+    val all = spark.read.parquet(out)
+    assert(all.count() == 130)
+    assert(all.select(countDistinct($"id")).as[Long].head() == 130)
+  }
+
+  test("maxVersionsPerTrigger=1 yields one micro-batch per commit") {
+    val t = freshTable()
+    val out = SparkHygiene.scratchDir("v2out1")
+    val ckpt = SparkHygiene.scratchDir("v2ckpt1")
+    (0 until 3).foreach(i =>
+      Snapshots.commit(spark, t, rows(i * 10 until (i + 1) * 10)))
+    val q = spark.readStream.format(fmt).option("path", t)
+      .option("maxVersionsPerTrigger", 1).load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length == 3,
+      batches.map(p => s"${p.batchId}:${p.numInputRows}").mkString(","))
+    assert(batches.forall(_.numInputRows == 10))
+    assert(spark.read.parquet(out).count() == 30)
+  }
+
+  test("a non-append commit fails the stream unless ignoreChanges") {
+    val t = freshTable()
+    val out = SparkHygiene.scratchDir("v2out2")
+    val ckpt = SparkHygiene.scratchDir("v2ckpt2")
+    Snapshots.commit(spark, t,
+      rows(0 until 400).repartitionByRange(4, $"id"))
+    // drain v1 first so the erase is the only unprocessed commit
+    val q1 = spark.readStream.format(fmt).option("path", t).load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination(60000)
+    // copy-on-write erase: v2 removes entries
+    graft.operators.DeleteRows.deleteRange(spark, t, "id", lo = 0L, hi = 99L)
+    val q2 = spark.readStream.format(fmt).option("path", t).load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.awaitTermination(60000)
+    }
+    assert(err.getMessage.contains("ignoreChanges") ||
+      Option(err.getCause).exists(_.getMessage.contains("ignoreChanges")))
+    // opting in replays the rewritten files (at-least-once)
+    val ckpt3 = SparkHygiene.scratchDir("v2ckpt3")
+    val out3 = SparkHygiene.scratchDir("v2out3")
+    val q3 = spark.readStream.format(fmt).option("path", t)
+      .option("ignoreChanges", "true").load()
+      .writeStream.format("parquet")
+      .option("path", out3).option("checkpointLocation", ckpt3)
+      .trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination(60000)
+    // full history replay under ignoreChanges: v1's 400 + v2's
+    // rewritten survivors of the touched file(s)
+    val n = spark.read.parquet(out3).count()
+    assert(n >= 400, s"got $n")
+  }
+}
