@@ -574,6 +574,30 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // OPTIMIZE ZORDER (operators/Optimize) — multi-dimensional
+    // re-clustering as a maintenance COMMIT: v1 is range-clustered on
+    // user_id only (the 1-D layout whose second access path is a full
+    // scan), the optimize rewrites it Morton-interleaved on
+    // (user_id, event_id) and publishes atomically as v2, and the
+    // two-dimensional read below goes through the V2 connector, whose
+    // footer-stats skip now prunes on BOTH predicates (OptimizeSpec
+    // pins the kept/skipped counts per dimension and that v1 still
+    // time-travels). The oracle filters the raw table — re-layout must
+    // be logically invisible.
+    "p29_zorder_optimize" -> ((s, dir) => {
+      val t = SparkHygiene.scratchDir("p29_tbl")
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      graft.sources.Snapshots.commit(s, t,
+        ev.repartitionByRange(8, col("user_id")))
+      graft.operators.Optimize.zorder(s, t, "user_id", "event_id",
+        targetBytes = 64L << 10)
+      s.read.format("graft_snapshots").option("path", t).load()
+        .filter(col("user_id") < 100L && col("event_id") < 1000L)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    }),
+
     // KEY-LIST GDPR ERASURE (VERDICT r12 #5) — the real right-to-be-
     // forgotten request: "erase THESE users", non-contiguous keys that
     // footer [min,max] ranges cannot prune on a hash-distributed table
@@ -903,6 +927,11 @@ object TextQueries {
       """SELECT doc_id, lang, length(text) AS text_len FROM documents
         |WHERE doc_id >= 100 AND doc_id < 250
         |ORDER BY doc_id""".stripMargin,
+    // re-layout is logically invisible: the raw two-dim filter
+    "p29_zorder_optimize" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE user_id < 100 AND event_id < 1000
+        |ORDER BY event_id""".stripMargin,
     "p12_parse_tags" ->
       """WITH t AS (SELECT doc_id,
         |  CASE WHEN doc_id % 7 = 0 THEN substr(text, 1, 50)
