@@ -1588,6 +1588,32 @@ object QueryCatalog {
         .select(col("purchase_id"), col("user_id"),
           col("view_id"), col("view_value"))
         .orderBy(col("purchase_id"))
+    }),
+
+    // FOOTER-SERVED AGGREGATES through the V2 connector
+    // (SupportsPushDownAggregates): a global count/min/max/count(col)
+    // over a snapshot table is answered from parquet FOOTER statistics
+    // — the scan ships ONE precomputed row and reads ZERO data pages
+    // (scan description says FOOTER-AGG; SnapshotsV2Spec pins it, plus
+    // the decline paths: any filter, group-by, distinct, or a file
+    // with unusable stats falls back to the row-level scan with the
+    // same answers). At 100 TB this is `count(*)` priced at a manifest
+    // sweep. The oracle replays the aggregates on the raw table.
+    "q39_footer_agg" -> ((s, dir) => {
+      val t = SparkHygiene.scratchDir("q39_tbl")
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("props"))
+      graft.sources.Snapshots.commit(s, t,
+        ev.filter(pmod(col("event_id"), lit(2)) === 0).repartition(4))
+      graft.sources.Snapshots.commit(s, t,
+        ev.filter(pmod(col("event_id"), lit(2)) === 1))
+      s.read.format("graft_snapshots").option("path", t).load()
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("event_id")).as("lo_event"),
+          max(col("event_id")).as("hi_event"),
+          min(col("user_id")).as("lo_user"),
+          max(col("user_id")).as("hi_user"),
+          count(col("props")).as("n_props"))
     }))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -2348,7 +2374,14 @@ object QueryCatalog {
         |  FROM v WHERE v.user_id = p.user_id AND v.ts <= p.ts
         |    AND v.ts >= p.ts - INTERVAL 2 HOUR
         |  ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) x ON TRUE
-        |ORDER BY p.purchase_id""".stripMargin)
+        |ORDER BY p.purchase_id""".stripMargin,
+    "q39_footer_agg" ->
+      // footer-served or not, the aggregates must equal the raw table's
+      """SELECT count(*) AS n_rows,
+        |  min(event_id) AS lo_event, max(event_id) AS hi_event,
+        |  min(user_id) AS lo_user, max(user_id) AS hi_user,
+        |  count(props) AS n_props
+        |FROM events""".stripMargin)
 
   val oracleSql: Map[String, String] =
     baseOracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++

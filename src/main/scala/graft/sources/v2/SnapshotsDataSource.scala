@@ -9,9 +9,12 @@ import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{ArrayType, LongType, StructType}
@@ -182,6 +185,136 @@ object SnapshotsDataSource {
     } finally reader.close()
   }
 
+  /** Per-column footer aggregate state; `hasMinMax` is false when any
+    * row group lacks usable stats (all-null pages, stats disabled). */
+  private[v2] case class ColAgg(lo: Long, hi: Long, nulls: Long,
+                                hasMinMax: Boolean, nullsKnown: Boolean)
+  private[v2] case class FileAgg(rows: Long, cols: Map[String, ColAgg])
+
+  /** One footer open: row count + per-column min/max/null-count. */
+  private[v2] def footerAgg(conf: Configuration, file: String,
+                            cols: Set[String]): FileAgg = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), conf))
+    try {
+      var rows = 0L
+      val acc = scala.collection.mutable.Map.empty[String, ColAgg]
+      reader.getFooter.getBlocks.asScala.foreach { b =>
+        rows += b.getRowCount
+        b.getColumns.asScala.foreach { c =>
+          val name = c.getPath.toDotString
+          if (cols.contains(name)) {
+            val s = c.getStatistics
+            val prev = acc.getOrElse(name,
+              ColAgg(Long.MaxValue, Long.MinValue, 0L, hasMinMax = true,
+                nullsKnown = true))
+            acc(name) =
+              if (s == null) prev.copy(hasMinMax = false, nullsKnown = false)
+              else {
+                val nullsKnown = prev.nullsKnown && s.isNumNullsSet
+                val nulls = prev.nulls + (if (s.isNumNullsSet) s.getNumNulls else 0L)
+                if (s.isEmpty || !s.hasNonNullValue)
+                  // no values in this group: min/max unusable only if
+                  // the group actually holds non-null rows unaccounted
+                  ColAgg(prev.lo, prev.hi, nulls,
+                    prev.hasMinMax && s.isNumNullsSet &&
+                      s.getNumNulls == b.getRowCount,
+                    nullsKnown)
+                else (s.genericGetMin, s.genericGetMax) match {
+                  // min/max only usable for integral columns (the only
+                  // types the agg layer accepts); string/binary stats
+                  // still contribute their null counts for COUNT(col)
+                  case (mn: Number, mx: Number) => ColAgg(
+                    math.min(prev.lo, mn.longValue),
+                    math.max(prev.hi, mx.longValue),
+                    nulls, prev.hasMinMax, nullsKnown)
+                  case _ =>
+                    ColAgg(prev.lo, prev.hi, nulls, hasMinMax = false,
+                      nullsKnown)
+                }
+              }
+          }
+        }
+      }
+      FileAgg(rows, cols.iterator.map(c => c -> acc.getOrElse(c,
+        ColAgg(Long.MaxValue, Long.MinValue, 0L, hasMinMax = false,
+          nullsKnown = false))).toMap)
+    } finally reader.close()
+  }
+
+  /** Output schema of a completely-pushed aggregation, in Spark's
+    * expected shape: counts are long, min/max keep the column type. */
+  private[v2] def aggSchema(schema: StructType, agg: Aggregation): StructType = {
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression) =
+      schema(e.asInstanceOf[NamedReference].fieldNames.head)
+    StructType(agg.aggregateExpressions.zipWithIndex.map {
+      case (_: CountStar, i) =>
+        org.apache.spark.sql.types.StructField(s"count_star_$i", LongType,
+          nullable = false)
+      case (c: Count, i) =>
+        org.apache.spark.sql.types.StructField(s"count_$i", LongType,
+          nullable = false)
+      case (m: Min, i) => org.apache.spark.sql.types.StructField(
+        s"min_$i", fieldOf(m.column).dataType)
+      case (m: Max, i) => org.apache.spark.sql.types.StructField(
+        s"max_$i", fieldOf(m.column).dataType)
+      case (other, _) => throw new IllegalStateException(
+        s"unservable aggregate accepted: $other")
+    })
+  }
+
+  /** The single result row of a pushed aggregation, computed from the
+    * footer sweep — the 100 TB `count(*)` that reads zero data pages. */
+  private[v2] def aggRow(schema: StructType, agg: Aggregation,
+                         files: Seq[FileAgg]): InternalRow = {
+    def name(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e.asInstanceOf[NamedReference].fieldNames.head
+    def isInt(c: String) =
+      schema(c).dataType == org.apache.spark.sql.types.IntegerType
+    val totalRows = files.iterator.map(_.rows).sum
+    val values: Array[Any] = agg.aggregateExpressions.map {
+      case _: CountStar => totalRows
+      case c: Count =>
+        totalRows - files.iterator.map(_.cols(name(c.column)).nulls).sum
+      case m: Min =>
+        val col = name(m.column)
+        val present = files.filter(f => f.rows > f.cols(col).nulls)
+        if (present.isEmpty) null
+        else {
+          val v = present.iterator.map(_.cols(col).lo).min
+          if (isInt(col)) v.toInt else v
+        }
+      case m: Max =>
+        val col = name(m.column)
+        val present = files.filter(f => f.rows > f.cols(col).nulls)
+        if (present.isEmpty) null
+        else {
+          val v = present.iterator.map(_.cols(col).hi).max
+          if (isInt(col)) v.toInt else v
+        }
+      case other => throw new IllegalStateException(
+        s"unservable aggregate accepted: $other")
+    }
+    new GenericInternalRow(values)
+  }
+
+  /** Ship-a-row partition for completely-pushed aggregates. */
+  private[v2] case class PrecomputedRow(row: GenericInternalRow)
+      extends InputPartition
+
+  private[v2] object PrecomputedRowReaderFactory
+      extends PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+      new PartitionReader[InternalRow] {
+        private var emitted = false
+        override def next(): Boolean =
+          if (emitted) false else { emitted = true; true }
+        override def get(): InternalRow =
+          p.asInstanceOf[PrecomputedRow].row
+        override def close(): Unit = ()
+      }
+  }
+
   /** Can a file with [lo, hi] per column possibly satisfy `f`? */
   private[v2] def mightMatch(stats: Map[String, (Long, Long)],
                              f: Filter): Boolean = f match {
@@ -237,17 +370,23 @@ class SnapshotTable(schema: StructType, options: CaseInsensitiveStringMap)
 class SnapshotScanBuilder(fullSchema: StructType,
                           options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var skipFilters: Array[Filter] = Array.empty
+  private var sawFilters = false
+  private var pushedAgg: Option[Aggregation] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    // preserve the table's declared types; Spark hands back a subset
-    required = StructType(
-      requiredSchema.fields.flatMap(f => fullSchema.fields.find(_.name == f.name)))
+    // preserve the table's declared types; Spark hands back a subset.
+    // Under a complete aggregate pushdown the "columns" are the
+    // aggregate outputs — keep the agg schema untouched then.
+    if (pushedAgg.isEmpty)
+      required = StructType(
+        requiredSchema.fields.flatMap(f => fullSchema.fields.find(_.name == f.name)))
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    sawFilters = filters.nonEmpty
     skipFilters = filters.filter(SnapshotsDataSource.skippable(fullSchema, _))
     // file-level stats are a superset bound, never an exact evaluation:
     // hand every filter back so Spark re-applies them on the rows
@@ -256,12 +395,82 @@ class SnapshotScanBuilder(fullSchema: StructType,
 
   override def pushedFilters(): Array[Filter] = skipFilters
 
+  // ---- AGGREGATE pushdown: global COUNT/MIN/MAX served from parquet
+  // FOOTERS — the scan never reads a data page. Complete pushdown
+  // only (no partial form), and only when NO filter survives above the
+  // scan (Spark only attempts it then; the sawFilters guard makes the
+  // invariant local too — a footer aggregate cannot see row filters).
+  // MIN/MAX additionally require every file to carry non-empty stats
+  // for the column (checked eagerly against the resolved version's
+  // footers before accepting); COUNT(col) requires null counts.
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    pushedAgg.isDefined || canServe(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!canServe(agg)) return false
+    pushedAgg = Some(agg)
+    required = SnapshotsDataSource.aggSchema(fullSchema, agg)
+    true
+  }
+
+  // footer sweep of the resolved version, shared between the
+  // accept-check and execution (one open per file, all columns at once)
+  private var aggFiles: Seq[SnapshotsDataSource.FileAgg] = Nil
+
+  private def canServe(agg: Aggregation): Boolean = {
+    if (sawFilters || agg.groupByExpressions.nonEmpty) return false
+    def col(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case n: NamedReference if n.fieldNames.length == 1 =>
+        Some(n.fieldNames.head)
+      case _ => None
+    }
+    def longOrInt(c: String) = fullSchema.fields.exists(f =>
+      f.name == c && (f.dataType == LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType))
+    // shape check first (cheap), then one footer sweep
+    val needed: Option[Set[String]] =
+      agg.aggregateExpressions.foldLeft(Option(Set.empty[String])) {
+        case (None, _) => None
+        case (acc, _: CountStar) => acc
+        case (acc, c: Count) if !c.isDistinct =>
+          col(c.column).filter(fullSchema.fieldNames.contains)
+            .flatMap(n => acc.map(_ + n))
+        case (acc, m: Min) => col(m.column).filter(longOrInt)
+          .flatMap(n => acc.map(_ + n))
+        case (acc, m: Max) => col(m.column).filter(longOrInt)
+          .flatMap(n => acc.map(_ + n))
+        case _ => None
+      }
+    needed match {
+      case None => false
+      case Some(cols) =>
+        val conf = SparkSession.active.sparkContext.hadoopConfiguration
+        val (dir, version) = SnapshotsDataSource.resolve(options)
+        aggFiles = SnapshotsDataSource.filesOf(conf,
+            Snapshots.manifestEntries(dir, version))
+          .map(f => SnapshotsDataSource.footerAgg(conf, f._1, cols))
+        agg.aggregateExpressions.forall {
+          case _: CountStar => true
+          case c: Count => col(c.column).exists(n =>
+            aggFiles.forall(_.cols(n).nullsKnown))
+          case m: Min => col(m.column).exists(n =>
+            aggFiles.forall(_.cols(n).hasMinMax))
+          case m: Max => col(m.column).exists(n =>
+            aggFiles.forall(_.cols(n).hasMinMax))
+          case _ => false
+        }
+    }
+  }
+
   override def build(): Scan = new SnapshotScan(fullSchema, required,
-    skipFilters, options)
+    skipFilters, pushedAgg.map(a => (a, aggFiles)), options)
 }
 
 class SnapshotScan(fullSchema: StructType, required: StructType,
                    skipFilters: Array[Filter],
+                   pushedAgg: Option[(Aggregation,
+                     Seq[SnapshotsDataSource.FileAgg])],
                    options: CaseInsensitiveStringMap) extends Scan {
 
   private val spark = SparkSession.active
@@ -284,20 +493,40 @@ class SnapshotScan(fullSchema: StructType, required: StructType,
 
   override def readSchema(): StructType = required
 
-  override def description(): String = {
-    val (kept, skipped) = planned
-    s"graft_snapshots $tableDir v$version files=${kept.size} " +
-      s"skipped=$skipped pushed=[${skipFilters.mkString(", ")}]"
+  override def description(): String = pushedAgg match {
+    case Some((agg, files)) =>
+      s"graft_snapshots $tableDir v$version FOOTER-AGG " +
+        s"over=${files.size} files, zero data pages, " +
+        s"agg=[${agg.aggregateExpressions.mkString(", ")}]"
+    case None =>
+      val (kept, skipped) = planned
+      s"graft_snapshots $tableDir v$version files=${kept.size} " +
+        s"skipped=$skipped pushed=[${skipFilters.mkString(", ")}]"
   }
 
-  override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] = {
-      val target = options.getLong("targetBytesPerPartition", 128L << 20)
-      SnapshotsDataSource.bin(planned._1, target).toArray
+  override def toBatch: Batch = pushedAgg match {
+    case Some((agg, files)) =>
+      // the whole result is one row computed from footers on the
+      // driver; the single "partition" just replays it on an executor
+      val row = SnapshotsDataSource.aggRow(fullSchema, agg, files)
+        .copy() // detach from any buffer before shipping in the task
+      val schema = required
+      new Batch {
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(SnapshotsDataSource.PrecomputedRow(
+            row.asInstanceOf[GenericInternalRow]))
+        override def createReaderFactory(): PartitionReaderFactory =
+          SnapshotsDataSource.PrecomputedRowReaderFactory
+      }
+    case None => new Batch {
+      override def planInputPartitions(): Array[InputPartition] = {
+        val target = options.getLong("targetBytesPerPartition", 128L << 20)
+        SnapshotsDataSource.bin(planned._1, target).toArray
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        ParquetGroups.GroupReaderFactory(
+          new ParquetGroups.SerializableConf(hadoopConf), required)
     }
-    override def createReaderFactory(): PartitionReaderFactory =
-      ParquetGroups.GroupReaderFactory(
-        new ParquetGroups.SerializableConf(hadoopConf), required)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =

@@ -113,6 +113,49 @@ class SnapshotsV2Spec extends SparkSpec {
     assert(back.toSeq == Seq((1L, "a", None), (2L, "b", Some(9.5))))
   }
 
+  private def scanDesc(df: DataFrame): String =
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.description()
+    }.headOption.getOrElse("")
+
+  test("global count/min/max are served from footers, zero data pages") {
+    val t = freshTable()
+    Snapshots.commit(spark, t, rows(0 until 100))
+    Snapshots.commit(spark, t,
+      Seq((999L, null.asInstanceOf[String], 1.0)).toDF("id", "name", "score"))
+    val q = spark.read.format(fmt).option("path", t).load()
+      .agg(count(lit(1)).as("n"), min($"id").as("lo"), max($"id").as("hi"),
+        count($"name").as("named"))
+    assert(scanDesc(q).contains("FOOTER-AGG"), scanDesc(q))
+    val r = q.as[(Long, Long, Long, Long)].head()
+    assert(r == ((101L, 0L, 999L, 100L)))
+  }
+
+  test("min/max over an all-null column serve null from footers") {
+    val t = freshTable()
+    Snapshots.commit(spark, t,
+      Seq((1L, null.asInstanceOf[java.lang.Long]), (2L, null.asInstanceOf[java.lang.Long]))
+        .toDF("id", "v"))
+    val q = spark.read.format(fmt).option("path", t).load()
+      .agg(min($"v").as("lo"), max($"v").as("hi"), count($"v").as("n"))
+    assert(scanDesc(q).contains("FOOTER-AGG"), scanDesc(q))
+    assert(q.as[(Option[Long], Option[Long], Long)].head() == ((None, None, 0L)))
+  }
+
+  test("filters and group-bys keep the row-level path, same answers") {
+    val t = freshTable()
+    Snapshots.commit(spark, t, rows(0 until 100))
+    val filtered = spark.read.format(fmt).option("path", t).load()
+      .filter($"id" >= 50L).agg(count(lit(1)).as("n"), max($"id").as("hi"))
+    assert(!scanDesc(filtered).contains("FOOTER-AGG"), scanDesc(filtered))
+    assert(filtered.as[(Long, Long)].head() == ((50L, 99L)))
+    val grouped = spark.read.format(fmt).option("path", t).load()
+      .groupBy(($"id" % 2).as("par")).agg(count(lit(1)).as("n"))
+    assert(!scanDesc(grouped).contains("FOOTER-AGG"), scanDesc(grouped))
+    assert(grouped.as[(Long, Long)].collect().toSet == Set((0L, 50L), (1L, 50L)))
+  }
+
   test("stream drains history, then a restart picks up ONLY new commits") {
     val t = freshTable()
     val out = SparkHygiene.scratchDir("v2out")
