@@ -1148,6 +1148,54 @@ object EventQueries {
       s.read.parquet(out).orderBy(col("event_id"))
     }),
 
+    // BACKFILL THROUGH THE STREAMING PIPELINE — the V2 snapshot source
+    // feeding a STATEFUL event-time aggregation: three commits hold
+    // time-ordered thirds of the event log (the shape a lakehouse
+    // backfill actually has), the connector streams them one commit per
+    // micro-batch, and the watermark + hourly tumbling window close and
+    // emit exactly as they would against a live queue. This is the
+    // property that makes the versioned table a REPLAYABLE stream: the
+    // same stateful query text runs against history and the live feed.
+    // Oracle = batch hourly counts below the final-watermark cut (the
+    // w31/w32 convention).
+    "w34_v2_stream_agg" -> ((s0, dir) => {
+      val s = SparkHygiene.streamStateSession(s0, 8)
+      val t = SparkHygiene.scratchDir("w34_tbl")
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("event_type"))
+      val cuts = ev.agg(
+        expr("percentile_approx(ts, 0.34, 10000)").as("c1"),
+        expr("percentile_approx(ts, 0.67, 10000)").as("c2")).head()
+      val (c1, c2) = (cuts.getTimestamp(0), cuts.getTimestamp(1))
+      graft.sources.Snapshots.commit(s, t, ev.filter(col("ts") <= c1))
+      graft.sources.Snapshots.commit(s, t,
+        ev.filter(col("ts") > c1 && col("ts") <= c2))
+      graft.sources.Snapshots.commit(s, t, ev.filter(col("ts") > c2))
+      val hourly = s.readStream.format("graft_snapshots").option("path", t)
+        .option("maxVersionsPerTrigger", 1).load()
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("window.end").as("we"),
+          col("event_type"), col("n"))
+      val out = SparkHygiene.scratchDir("w34_out")
+      val ck = SparkHygiene.scratchDir("w34_ck")
+      val q = hourly.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val cut = ev.agg((max(col("ts")) - expr("INTERVAL 30 MINUTES")
+        - expr("INTERVAL 10 SECONDS")).as("cut"))
+      s.read.parquet(out)
+        .crossJoin(broadcast(cut))
+        .filter(col("we") < col("cut"))
+        .select(date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n"))
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
     // W10 streaming exactly-once dedup under at-least-once delivery: the
     // events file read through TWO independent file streams and unioned
     // (every event delivered twice — the redelivery a real queue source
@@ -1765,6 +1813,17 @@ object EventQueries {
     "w33_v2_stream" ->
       """SELECT event_id, ts, user_id, event_type FROM events
         |ORDER BY event_id""".stripMargin,
+    // batch hourly counts below the final-watermark cut — time-ordered
+    // commits make the backfill watermark-equivalent to a live feed
+    "w34_v2_stream_agg" ->
+      """WITH cut AS (SELECT max(ts) - INTERVAL 30 MINUTE
+        |  - INTERVAL 10 SECOND AS c FROM events)
+        |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |    AS win_start,
+        |  event_type, count(*) AS n
+        |FROM events, cut
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR < c
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the batch two-level rollup, restricted to daily windows the final
     // watermark (delayed by the hourly window size) provably emitted
     "w31_stream_agg_chain" ->
