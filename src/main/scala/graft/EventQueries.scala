@@ -1148,6 +1148,36 @@ object EventQueries {
       s.read.parquet(out).orderBy(col("event_id"))
     }),
 
+    // LAKEHOUSE-TO-LAKEHOUSE PIPE — the V2 source AND the V2 streaming
+    // SINK in one query: three source commits stream one-per-batch into
+    // a second snapshot table, each micro-batch committing one
+    // destination version through the epoch-idempotent manifest publish
+    // (a replayed epoch publishes nothing — the exactly-once contract
+    // from BOTH sides, SnapshotWriteSpec pins the replay and restart).
+    // The destination is bootstrapped with a schema-only empty v1 (the
+    // documented first-write pattern). Oracle = the raw table: a
+    // lossless pipe is logically invisible.
+    "w35_v2_pipe" -> ((s, dir) => {
+      val src = SparkHygiene.scratchDir("w35_src")
+      val dst = SparkHygiene.scratchDir("w35_dst")
+      val ck = SparkHygiene.scratchDir("w35_ck")
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      (0L until 3L).foreach(i =>
+        graft.sources.Snapshots.commit(s, src,
+          ev.filter(pmod(col("event_id"), lit(3)) === i)))
+      graft.sources.Snapshots.commit(s, dst, ev.limit(0))
+      val q = s.readStream.format("graft_snapshots").option("path", src)
+        .option("maxVersionsPerTrigger", 1).load()
+        .writeStream.format("graft_snapshots")
+        .option("path", dst).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.format("graft_snapshots").option("path", dst).load()
+        .orderBy(col("event_id"))
+    }),
+
     // BACKFILL THROUGH THE STREAMING PIPELINE — the V2 snapshot source
     // feeding a STATEFUL event-time aggregation: three commits hold
     // time-ordered thirds of the event log (the shape a lakehouse
@@ -1812,6 +1842,10 @@ object EventQueries {
     // a lossless versioned drain ≡ the raw table
     "w33_v2_stream" ->
       """SELECT event_id, ts, user_id, event_type FROM events
+        |ORDER BY event_id""".stripMargin,
+    // a lossless source→sink pipe ≡ the raw table
+    "w35_v2_pipe" ->
+      """SELECT event_id, user_id, event_type, value FROM events
         |ORDER BY event_id""".stripMargin,
     // batch hourly counts below the final-watermark cut — time-ordered
     // commits make the backfill watermark-equivalent to a live feed

@@ -574,6 +574,28 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // V2 BATCH WRITE — `df.write.format("graft_snapshots")` appends as
+    // a manifest COMMIT: every task writes its own file into a
+    // writer-unique staging dir and reports it in its commit message;
+    // the driver publishes previous-entries + exactly-the-committed
+    // files, so speculative/retried task leftovers are never referenced
+    // (no output committer — the manifest IS the committer;
+    // SnapshotWriteSpec pins zombie-sweep, empty-append no-op, epoch
+    // idempotency). The oracle is the raw table: bootstrap commit +
+    // connector append must equal it.
+    "p30_v2_write" -> ((s, dir) => {
+      val t = SparkHygiene.scratchDir("p30_tbl")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.sources.Snapshots.commit(s, t, docs.filter(col("doc_id") < 200))
+      docs.filter(col("doc_id") >= 200)
+        .write.format("graft_snapshots").option("path", t)
+        .mode("append").save()
+      s.read.format("graft_snapshots").option("path", t).load()
+        .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // OPTIMIZE ZORDER (operators/Optimize) — multi-dimensional
     // re-clustering as a maintenance COMMIT: v1 is range-clustered on
     // user_id only (the 1-D layout whose second access path is a full
@@ -926,6 +948,10 @@ object TextQueries {
     "p28_v2_read" ->
       """SELECT doc_id, lang, length(text) AS text_len FROM documents
         |WHERE doc_id >= 100 AND doc_id < 250
+        |ORDER BY doc_id""".stripMargin,
+    // bootstrap + connector append ≡ the raw table
+    "p30_v2_write" ->
+      """SELECT doc_id, lang, length(text) AS text_len FROM documents
         |ORDER BY doc_id""".stripMargin,
     // re-layout is logically invisible: the raw two-dim filter
     "p29_zorder_optimize" ->

@@ -42,7 +42,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * rejected loudly at reader construction — silently misreading a type
   * would corrupt results downstream.
   */
-private[v2] object ParquetGroups {
+private[graft] object ParquetGroups {
 
   /** Hadoop `Configuration` is not `java.io.Serializable`; it IS a
     * Hadoop `Writable`, so serialize through its own wire format (the

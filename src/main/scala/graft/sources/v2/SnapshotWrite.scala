@@ -1,0 +1,279 @@
+package graft.sources.v2
+
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType, Type, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types._
+
+import graft.sources.Snapshots
+
+/** WRITE side of the V2 snapshot connector — append-only batch writes
+  * and an EXACTLY-ONCE streaming sink, both riding the manifest
+  * commit's atomicity:
+  *
+  *  - Every task writes its own parquet file into a writer-unique
+  *    staging directory and reports the file path in its commit
+  *    message. The DRIVER commit publishes `previous manifest entries
+  *    + exactly the committed files` — so a speculative duplicate or a
+  *    retried task's leftover file is simply never referenced (and
+  *    [[Snapshots.vacuum]] physically sweeps it later). No rename
+  *    dance, no output committer: the manifest IS the committer.
+  *  - The streaming sink makes micro-batch retries idempotent with an
+  *    epoch marker (`_snapshots/epoch-<queryId>-<epochId>.cmt`,
+  *    CREATE_NEW): a replayed `commit(epochId, …)` after a driver
+  *    crash sees the marker and publishes nothing — the
+  *    Structured-Streaming exactly-once contract from the sink side
+  *    (the mirror of [[SnapshotMicroBatchStream]]'s immutable-version
+  *    replay on the source side).
+  *
+  * Append-only by design: `SaveMode.Append` / streaming `append` are
+  * the supported modes; overwrite/truncate would be a RESTORE-shaped
+  * table operation, not a write (Spark rejects the others at analysis).
+  * Rows are encoded through the public parquet-hadoop record API with
+  * the same type surface the read side supports.
+  */
+class SnapshotWriteBuilder(tableDir: String, schema: StructType,
+                           conf: ParquetGroups.SerializableConf,
+                           queryId: String)
+    extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new SnapshotBatchWrite(tableDir, schema, conf)
+    override def toStreaming: StreamingWrite =
+      new SnapshotStreamingWrite(tableDir, schema, conf, queryId)
+    override def description(): String = s"graft_snapshots append $tableDir"
+  }
+}
+
+private[graft] case class FileCommit(path: String, rows: Long)
+    extends WriterCommitMessage
+
+private[v2] object SnapshotWriteSupport {
+
+  /** Staging directory for the NEXT version's files — named like the
+    * commit path's writer-unique dirs so vacuum's unreferenced-file
+    * sweep covers aborted/zombie leftovers. */
+  def stagingDir(tableDir: String): String =
+    s"$tableDir/data/w-${UUID.randomUUID().toString.take(12)}"
+
+  /** Publish staged files as the next version (previous entries kept
+    * by reference). Returns the version, or -1 for an empty write
+    * (nothing to publish — an empty append is a no-op, not an empty
+    * table version). */
+  def publish(tableDir: String, files: Seq[String]): Int =
+    if (files.isEmpty) -1
+    else Snapshots.commitManifest(tableDir,
+      Snapshots.manifestEntries(tableDir,
+        Snapshots.currentVersion(tableDir)) ++ files.sorted)
+
+  def deleteQuietly(conf: Configuration, paths: Seq[String]): Unit =
+    paths.foreach { p =>
+      val hp = new Path(p)
+      try { hp.getFileSystem(conf).delete(hp, false); () }
+      catch { case _: Throwable => () }
+    }
+
+  /** Spark row schema → parquet message type (the write-side mirror of
+    * the reader's supported surface). */
+  def messageType(schema: StructType): MessageType = {
+    SnapshotsDataSource.validate(schema)
+    val b = Types.buildMessage()
+    schema.fields.foreach(f => b.addField(fieldType(f.name, f.dataType)))
+    b.named("spark_schema")
+  }
+
+  private def fieldType(name: String, dt: DataType): Type = dt match {
+    case ArrayType(et, _) =>
+      Types.optionalList().element(fieldType("element", et)).named(name)
+    case _ =>
+      val b = dt match {
+        case BooleanType => Types.optional(PrimitiveTypeName.BOOLEAN)
+        case IntegerType => Types.optional(PrimitiveTypeName.INT32)
+        case DateType => Types.optional(PrimitiveTypeName.INT32)
+          .as(LogicalTypeAnnotation.dateType())
+        case LongType => Types.optional(PrimitiveTypeName.INT64)
+        case FloatType => Types.optional(PrimitiveTypeName.FLOAT)
+        case DoubleType => Types.optional(PrimitiveTypeName.DOUBLE)
+        case StringType => Types.optional(PrimitiveTypeName.BINARY)
+          .as(LogicalTypeAnnotation.stringType())
+        case BinaryType => Types.optional(PrimitiveTypeName.BINARY)
+        case TimestampType => Types.optional(PrimitiveTypeName.INT64)
+          .as(LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS))
+        case TimestampNTZType => Types.optional(PrimitiveTypeName.INT64)
+          .as(LogicalTypeAnnotation.timestampType(false,
+            LogicalTypeAnnotation.TimeUnit.MICROS))
+        case other => throw new UnsupportedOperationException(
+          s"graft_snapshots write: unsupported type $other")
+      }
+      b.named(name)
+  }
+
+  /** One parquet file per task; returns the per-row appender. */
+  final class FileWriter(file: String, conf: Configuration,
+                         schema: StructType) {
+    private val mt = messageType(schema)
+    private val factory = new SimpleGroupFactory(mt)
+    private val writer: ParquetWriter[Group] =
+      ExampleParquetWriter.builder(new Path(file))
+        .withType(mt).withConf(conf).build()
+    private var rows = 0L
+
+    private val appenders: Array[(Group, InternalRow) => Unit] =
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        appender(f.name, f.dataType, i)
+      }
+
+    def write(row: InternalRow): Unit = {
+      val g = factory.newGroup()
+      var i = 0
+      while (i < appenders.length) {
+        if (!row.isNullAt(i)) appenders(i)(g, row)
+        i += 1
+      }
+      writer.write(g)
+      rows += 1
+    }
+
+    def close(): Long = { writer.close(); rows }
+
+    private def appender(name: String, dt: DataType, i: Int)
+        : (Group, InternalRow) => Unit = dt match {
+      case BooleanType => (g, r) => g.add(name, r.getBoolean(i))
+      case IntegerType | DateType => (g, r) => g.add(name, r.getInt(i))
+      case LongType | TimestampType | TimestampNTZType =>
+        (g, r) => g.add(name, r.getLong(i))
+      case FloatType => (g, r) => g.add(name, r.getFloat(i))
+      case DoubleType => (g, r) => g.add(name, r.getDouble(i))
+      case StringType => (g, r) =>
+        g.add(name, Binary.fromReusedByteArray(r.getUTF8String(i).getBytes))
+      case BinaryType => (g, r) =>
+        g.add(name, Binary.fromConstantByteArray(r.getBinary(i)))
+      case ArrayType(et, _) =>
+        val elem = elementAdder(et)
+        (g, r) => {
+          val arr = r.getArray(i)
+          val outer = g.addGroup(name)
+          var j = 0
+          while (j < arr.numElements()) {
+            val e = outer.addGroup(0)
+            if (!arr.isNullAt(j)) elem(e, arr, j)
+            j += 1
+          }
+        }
+      case other => throw new UnsupportedOperationException(
+        s"graft_snapshots write: unsupported type $other")
+    }
+
+    private def elementAdder(et: DataType)
+        : (Group, org.apache.spark.sql.catalyst.util.ArrayData, Int) => Unit =
+      et match {
+        case BooleanType => (e, a, j) => e.add(0, a.getBoolean(j))
+        case IntegerType | DateType => (e, a, j) => e.add(0, a.getInt(j))
+        case LongType | TimestampType | TimestampNTZType =>
+          (e, a, j) => e.add(0, a.getLong(j))
+        case FloatType => (e, a, j) => e.add(0, a.getFloat(j))
+        case DoubleType => (e, a, j) => e.add(0, a.getDouble(j))
+        case StringType => (e, a, j) =>
+          e.add(0, Binary.fromReusedByteArray(a.getUTF8String(j).getBytes))
+        case other => throw new UnsupportedOperationException(
+          s"graft_snapshots write: unsupported array element $other")
+      }
+  }
+
+  final class TaskWriter(file: String, conf: Configuration,
+                         schema: StructType)
+      extends DataWriter[InternalRow] {
+    private val w = new FileWriter(file, conf, schema)
+    override def write(row: InternalRow): Unit = w.write(row)
+    override def commit(): WriterCommitMessage = FileCommit(file, w.close())
+    override def abort(): Unit = {
+      w.close()
+      deleteQuietly(conf, Seq(file))
+    }
+    override def close(): Unit = ()
+  }
+}
+
+class SnapshotBatchWrite(tableDir: String, schema: StructType,
+                         conf: ParquetGroups.SerializableConf)
+    extends BatchWrite {
+  private val staging = SnapshotWriteSupport.stagingDir(tableDir)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = {
+    val dir = staging; val c = conf; val s = schema
+    (partitionId: Int, taskId: Long) =>
+      new SnapshotWriteSupport.TaskWriter(
+        s"$dir/part-$partitionId-$taskId.parquet", c.value, s)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // only non-empty task outputs are referenced
+    val files = messages.collect {
+      case FileCommit(p, rows) if rows > 0 => p
+    }.toSeq
+    SnapshotWriteSupport.publish(tableDir, files)
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    SnapshotWriteSupport.deleteQuietly(conf.value,
+      messages.collect { case FileCommit(p, _) => p }.toSeq)
+}
+
+class SnapshotStreamingWrite(tableDir: String, schema: StructType,
+                             conf: ParquetGroups.SerializableConf,
+                             queryId: String)
+    extends StreamingWrite {
+  private val staging = SnapshotWriteSupport.stagingDir(tableDir)
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory = {
+    val dir = staging; val c = conf; val s = schema
+    (partitionId: Int, taskId: Long, epochId: Long) =>
+      new SnapshotWriteSupport.TaskWriter(
+        s"$dir/part-e$epochId-$partitionId-$taskId.parquet", c.value, s)
+  }
+
+  /** Idempotent per epoch: the CREATE_NEW marker is the replay guard —
+    * a retried commit publishes nothing, so the version log holds each
+    * epoch exactly once. */
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage])
+      : Unit = {
+    val marker = new Path(
+      s"$tableDir/_snapshots/epoch-$queryId-$epochId.cmt")
+    val fs = marker.getFileSystem(conf.value)
+    fs.mkdirs(marker.getParent)
+    val out = try fs.create(marker, false) catch {
+      case _: java.io.IOException =>
+        // marker exists: this epoch already committed (micro-batch
+        // replay after failure) — drop the duplicate files
+        SnapshotWriteSupport.deleteQuietly(conf.value,
+          messages.collect { case FileCommit(p, _) => p }.toSeq)
+        return
+    }
+    try out.writeBytes(staging) finally out.close()
+    val files = messages.collect {
+      case FileCommit(p, rows) if rows > 0 => p
+    }.toSeq
+    SnapshotWriteSupport.publish(tableDir, files)
+    ()
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage])
+      : Unit =
+    SnapshotWriteSupport.deleteQuietly(conf.value,
+      messages.collect { case FileCommit(p, _) => p }.toSeq)
+}

@@ -88,10 +88,22 @@ class SnapshotsDataSource extends TableProvider with DataSourceRegister {
 
 object SnapshotsDataSource {
 
+  /** The catalog hands `path` back scheme-qualified (`file:/x/y`);
+    * the manifest log is plain-filesystem (java.nio) — normalize to a
+    * local path and reject non-local schemes loudly. */
+  private[v2] def normalizePath(options: CaseInsensitiveStringMap): String = {
+    val raw = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft_snapshots requires a path"))
+    val uri = new Path(raw).toUri
+    require(uri.getScheme == null || uri.getScheme == "file",
+      s"graft_snapshots tables live on the local/posix filesystem " +
+        s"(the manifest log is nio-based); got scheme ${uri.getScheme}")
+    uri.getPath
+  }
+
   /** (tableDir, resolved version) from read options. */
   private[v2] def resolve(options: CaseInsensitiveStringMap): (String, Int) = {
-    val dir = Option(options.get("path")).getOrElse(
-      throw new IllegalArgumentException("graft_snapshots requires a path"))
+    val dir = normalizePath(options)
     val v = Option(options.get("versionAsOf")).map(_.toInt)
       .orElse(Option(options.get("timestampAsOf")).map { t =>
         val millis = t.toLongOption.getOrElse(
@@ -347,7 +359,8 @@ object SnapshotsDataSource {
   * micro-batch streaming of the commit feed.
   */
 class SnapshotTable(schema: StructType, options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"graft_snapshots(${options.get("path")})"
 
@@ -355,7 +368,9 @@ class SnapshotTable(schema: StructType, options: CaseInsensitiveStringMap)
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(schema,
@@ -365,6 +380,17 @@ class SnapshotTable(schema: StructType, options: CaseInsensitiveStringMap)
         m.putAll(o)
         m
       }))
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val dir = SnapshotsDataSource.normalizePath(
+      if (info.options.containsKey("path")) info.options else options)
+    new SnapshotWriteBuilder(dir, info.schema(),
+      new ParquetGroups.SerializableConf(
+        SparkSession.active.sparkContext.hadoopConfiguration),
+      info.queryId())
+  }
 }
 
 class SnapshotScanBuilder(fullSchema: StructType,
@@ -530,6 +556,6 @@ class SnapshotScan(fullSchema: StructType, required: StructType,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new SnapshotMicroBatchStream(options.get("path"), required,
-      new ParquetGroups.SerializableConf(hadoopConf), options)
+    new SnapshotMicroBatchStream(SnapshotsDataSource.normalizePath(options),
+      required, new ParquetGroups.SerializableConf(hadoopConf), options)
 }

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.Snapshots
+import graft.sources.v2.{FileCommit, SnapshotStreamingWrite, ParquetGroups}
+
+/** The V2 WRITE side: append-only batch writes commit manifest
+  * versions, the streaming sink is exactly-once under epoch replay,
+  * and uncommitted task leftovers are unreferenced + vacuum-swept.
+  */
+class SnapshotWriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fmt = "graft_snapshots"
+
+  test("batch append commits one version per write; reads equal") {
+    val t = SparkHygiene.scratchDir("wr_tbl")
+    // bootstrap the table (v1) through the engine API, then append
+    // through the connector
+    Snapshots.commit(spark, t,
+      (0L until 50L).map(i => (i, s"n$i")).toDF("id", "name"))
+    (50L until 120L).map(i => (i, s"n$i")).toDF("id", "name")
+      .write.format(fmt).option("path", t).mode("append").save()
+    assert(Snapshots.currentVersion(t) == 2)
+    val back = spark.read.format(fmt).option("path", t).load()
+    assert(back.count() == 120)
+    assert(back.agg(sum($"id")).as[Long].head() == (0L until 120L).sum)
+    // the appended version time-travels independently
+    assert(Snapshots.read(spark, t, Some(1)).count() == 50)
+    // arrays + timestamps written by the connector read back by Spark
+    val t2 = SparkHygiene.scratchDir("wr_tbl2")
+    Snapshots.commit(spark, t2, Seq(
+      (1L, new java.sql.Timestamp(123456789L), Array(1.5f, -2f)))
+      .toDF("id", "ts", "vec"))
+    Seq((2L, new java.sql.Timestamp(987654321L), Array(0f)))
+      .toDF("id", "ts", "vec")
+      .write.format(fmt).option("path", t2).mode("append").save()
+    val both = Snapshots.read(spark, t2)
+      .as[(Long, java.sql.Timestamp, Seq[Float])].collect().sortBy(_._1)
+    assert(both(1) == ((2L, new java.sql.Timestamp(987654321L), Seq(0f))))
+  }
+
+  test("empty append is a no-op version-wise") {
+    val t = SparkHygiene.scratchDir("wr_empty")
+    Snapshots.commit(spark, t, Seq((1L, "a")).toDF("id", "name"))
+    Seq.empty[(Long, String)].toDF("id", "name")
+      .write.format(fmt).option("path", t).mode("append").save()
+    assert(Snapshots.currentVersion(t) == 1)
+  }
+
+  test("streaming sink: lakehouse-to-lakehouse pipe, restart adds only new data") {
+    val src = SparkHygiene.scratchDir("wr_src")
+    val dst = SparkHygiene.scratchDir("wr_dst")
+    val ck = SparkHygiene.scratchDir("wr_ck")
+    Snapshots.commit(spark, src, (0L until 30L).map(i => (i, i * 2)).toDF("id", "v"))
+    Snapshots.commit(spark, dst, (-1L until 0L).map(i => (i, i)).toDF("id", "v"))
+
+    def pipe(): Unit = {
+      val q = spark.readStream.format(fmt).option("path", src)
+        .option("maxVersionsPerTrigger", 1).load()
+        .writeStream.format(fmt)
+        .option("path", dst).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      assert(!q.isActive)
+    }
+    pipe()
+    assert(spark.read.format(fmt).option("path", dst).load().count() == 31)
+    Snapshots.commit(spark, src, (30L until 45L).map(i => (i, i * 2)).toDF("id", "v"))
+    pipe()
+    val back = spark.read.format(fmt).option("path", dst).load()
+    assert(back.count() == 46)
+    assert(back.select(countDistinct($"id")).as[Long].head() == 46)
+  }
+
+  test("epoch replay is idempotent: a second commit of the same epoch publishes nothing") {
+    val t = SparkHygiene.scratchDir("wr_epoch")
+    Snapshots.commit(spark, t, Seq((1L, "a")).toDF("id", "name"))
+    val conf = new ParquetGroups.SerializableConf(
+      spark.sparkContext.hadoopConfiguration)
+    val w = new SnapshotStreamingWrite(t,
+      Seq((1L, "a")).toDF("id", "name").schema, conf, "q-test")
+    // a real staged file so the duplicate path is exercised end to end
+    val staged = s"$t/data/w-replay/part-e7-0-0.parquet"
+    Seq((2L, "b")).toDF("id", "name").coalesce(1)
+      .write.mode("overwrite").parquet(s"$t/data/w-replay-src")
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$t/data/w-replay-src"))
+      .find(_.getPath.getName.endsWith(".parquet")).get.getPath
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$t/data/w-replay"))
+    org.apache.hadoop.fs.FileUtil.copy(fs, part, fs,
+      new org.apache.hadoop.fs.Path(staged), false,
+      spark.sparkContext.hadoopConfiguration)
+    w.commit(7L, Array(FileCommit(staged, 1L)))
+    assert(Snapshots.currentVersion(t) == 2)
+    w.commit(7L, Array(FileCommit(staged, 1L))) // replay
+    assert(Snapshots.currentVersion(t) == 2, "replayed epoch must not re-publish")
+  }
+
+  test("zombie-task leftovers are never referenced and vacuum sweeps them") {
+    val t = SparkHygiene.scratchDir("wr_zombie")
+    Snapshots.commit(spark, t, Seq((1L, "a")).toDF("id", "name"))
+    Seq((2L, "b")).toDF("id", "name")
+      .write.format(fmt).option("path", t).mode("append").save()
+    // plant an uncommitted leftover in a staging-shaped dir
+    val orphanDir = s"$t/data/w-zombie"
+    Seq((99L, "zombie")).toDF("id", "name").coalesce(1)
+      .write.mode("overwrite").parquet(orphanDir)
+    assert(spark.read.format(fmt).option("path", t).load().count() == 2,
+      "orphan must be invisible to reads")
+    val (_, deleted) = Snapshots.vacuum(spark, t, keepVersions = 2)
+    assert(deleted > 0, "vacuum should sweep the unreferenced staging files")
+    assert(spark.read.format(fmt).option("path", t).load().count() == 2)
+  }
+}

@@ -156,6 +156,27 @@ class SnapshotsV2Spec extends SparkSpec {
     assert(grouped.as[(Long, Long)].collect().toSet == Set((0L, 50L), (1L, 50L)))
   }
 
+  test("SQL surface: CREATE TABLE USING, INSERT INTO, SELECT, footer agg") {
+    val t = SparkHygiene.scratchDir("sql_tbl")
+    spark.sql(s"CREATE TABLE graft_sql_tab (id BIGINT, name STRING) " +
+      s"USING graft_snapshots OPTIONS (path '$t')")
+    try {
+      // CREATE supplies the schema (external metadata), so the FIRST
+      // insert into the still-empty table works; each INSERT is one
+      // manifest version
+      spark.sql("INSERT INTO graft_sql_tab VALUES (1,'a'),(2,'b')")
+      spark.sql("INSERT INTO graft_sql_tab VALUES (3,'c')")
+      assert(Snapshots.currentVersion(t) == 2)
+      assert(spark.sql("SELECT * FROM graft_sql_tab ORDER BY id")
+        .as[(Long, String)].collect().toSeq ==
+        Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      val agg = spark.sql(
+        "SELECT count(*) AS n, max(id) AS hi FROM graft_sql_tab")
+      assert(scanDesc(agg).contains("FOOTER-AGG"), scanDesc(agg))
+      assert(agg.as[(Long, Long)].head() == ((3L, 3L)))
+    } finally spark.sql("DROP TABLE graft_sql_tab")
+  }
+
   test("stream drains history, then a restart picks up ONLY new commits") {
     val t = freshTable()
     val out = SparkHygiene.scratchDir("v2out")
