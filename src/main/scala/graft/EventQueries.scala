@@ -1148,6 +1148,39 @@ object EventQueries {
       s.read.parquet(out).orderBy(col("event_id"))
     }),
 
+    // CHANGE-FEED STREAM WITH ATTRIBUTION — `readChangeFeed=true` adds
+    // the Delta CDF metadata columns: every emitted row carries its
+    // `_change_type` and the `_commit_version` that introduced it
+    // (per-version bins make the attribution exact; the option is
+    // rejected on batch reads, where a version has no change story).
+    // The downstream CAN therefore build per-commit audit rollups from
+    // the stream alone. Oracle: event_id % 3 decides which of the three
+    // commits a row landed in, so the attribution is replayable from
+    // the raw table.
+    "w36_v2_cdf" -> ((s, dir) => {
+      val t = SparkHygiene.scratchDir("w36_tbl")
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      (0L until 3L).foreach(i =>
+        graft.sources.Snapshots.commit(s, t,
+          ev.filter(pmod(col("event_id"), lit(3)) === i)))
+      val out = SparkHygiene.scratchDir("w36_out")
+      val ck = SparkHygiene.scratchDir("w36_ck")
+      val q = s.readStream.format("graft_snapshots").option("path", t)
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerTrigger", 1).load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .select(col("event_id"), col("user_id"),
+          col("_change_type").as("change_type"),
+          col("_commit_version").as("commit_version"))
+        .orderBy(col("event_id"))
+    }),
+
     // LAKEHOUSE-TO-LAKEHOUSE PIPE — the V2 source AND the V2 streaming
     // SINK in one query: three source commits stream one-per-batch into
     // a second snapshot table, each micro-batch committing one
@@ -1843,6 +1876,12 @@ object EventQueries {
     "w33_v2_stream" ->
       """SELECT event_id, ts, user_id, event_type FROM events
         |ORDER BY event_id""".stripMargin,
+    // change attribution replayed from the commit rule
+    "w36_v2_cdf" ->
+      """SELECT event_id, user_id,
+        |  'insert' AS change_type,
+        |  event_id % 3 + 1 AS commit_version
+        |FROM events ORDER BY event_id""".stripMargin,
     // a lossless source→sink pipe ≡ the raw table
     "w35_v2_pipe" ->
       """SELECT event_id, user_id, event_type, value FROM events

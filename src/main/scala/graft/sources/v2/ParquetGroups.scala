@@ -63,22 +63,42 @@ private[graft] object ParquetGroups {
     }
   }
 
+  /** Change-feed metadata column names (the Delta CDF vocabulary). */
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+
   /** One scan task = a bin of whole files (see
-    * [[SnapshotsDataSource]]'s bin packing). */
-  final case class FileBin(files: Seq[String]) extends InputPartition
+    * [[SnapshotsDataSource]]'s bin packing). `changeType`/
+    * `commitVersion` are set on change-feed stream bins and surface as
+    * the metadata columns when the read schema asks for them. */
+  final case class FileBin(files: Seq[String], changeType: String = null,
+                           commitVersion: Long = -1L) extends InputPartition
 
   final case class GroupReaderFactory(conf: SerializableConf,
                                       schema: StructType)
       extends PartitionReaderFactory {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-      new BinReader(p.asInstanceOf[FileBin].files, conf.value, schema)
+      new BinReader(p.asInstanceOf[FileBin], conf.value, schema)
   }
 
-  /** Reads the bin's files sequentially; one open reader at a time. */
-  private final class BinReader(files: Seq[String], conf: Configuration,
+  /** Reads the bin's files sequentially; one open reader at a time.
+    * Metadata columns (change type / commit version) are per-bin
+    * constants appended after the data columns. */
+  private final class BinReader(bin: FileBin, conf: Configuration,
                                 schema: StructType)
       extends PartitionReader[InternalRow] {
-    private val queue = files.iterator
+    private val metaNames = Set(ChangeTypeCol, CommitVersionCol)
+    private val dataSchema = StructType(
+      schema.fields.filterNot(f => metaNames.contains(f.name)))
+    private val metaValues: Array[Any] = schema.fields
+      .filter(f => metaNames.contains(f.name)).map {
+        case f if f.name == ChangeTypeCol =>
+          if (bin.changeType == null) null
+          else UTF8String.fromString(bin.changeType)
+        case _ => bin.commitVersion
+      }
+
+    private val queue = bin.files.iterator
     private var current: FileReader = _
     private var row: InternalRow = _
 
@@ -87,10 +107,18 @@ private[graft] object ParquetGroups {
       while (row == null) {
         if (current == null) {
           if (!queue.hasNext) return false
-          current = new FileReader(queue.next(), conf, schema)
+          current = new FileReader(queue.next(), conf, dataSchema,
+            extraSlots = metaValues.length)
         }
         row = current.readOne()
         if (row == null) { current.close(); current = null }
+        else {
+          val n = dataSchema.length
+          var j = 0
+          while (j < metaValues.length) {
+            row.update(n + j, metaValues(j)); j += 1
+          }
+        }
       }
       true
     }
@@ -105,7 +133,7 @@ private[graft] object ParquetGroups {
     * converts record by record.
     */
   private final class FileReader(file: String, conf: Configuration,
-                                 schema: StructType) {
+                                 schema: StructType, extraSlots: Int = 0) {
     private val hPath = new Path(file)
     private val fileSchema: MessageType = {
       val r = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf))
@@ -121,8 +149,13 @@ private[graft] object ParquetGroups {
     private val extractors: Array[Group => Any] =
       schema.fields.zipWithIndex.map { case (f, i) =>
         if (!present(i)) (_: Group) => null
-        else compile(f.name, f.dataType,
-          projection.getType(projection.getFieldIndex(f.name)))
+        else {
+          // records arrive typed exactly as `projection`, so the field
+          // index is a compile-time constant — resolving by name per
+          // row would be a hash lookup per cell
+          val idx = projection.getFieldIndex(f.name)
+          compile(idx, f.dataType, projection.getType(idx))
+        }
       }
 
     private val reader: ParquetReader[Group] = {
@@ -135,23 +168,23 @@ private[graft] object ParquetGroups {
     def readOne(): InternalRow = {
       val g = reader.read()
       if (g == null) return null
-      val values = new Array[Any](extractors.length)
+      val values = new Array[Any](extractors.length + extraSlots)
       var i = 0
-      while (i < values.length) { values(i) = extractors(i)(g); i += 1 }
+      while (i < extractors.length) { values(i) = extractors(i)(g); i += 1 }
       new GenericInternalRow(values)
     }
 
     def close(): Unit = reader.close()
 
-    private def compile(name: String, dt: DataType, pt: Type): Group => Any =
+    private def compile(idx: Int, dt: DataType, pt: Type): Group => Any =
       dt match {
         case ArrayType(et, _) =>
           val eg = pt.asGroupType().getType(0).asGroupType() // repeated list
           val prim = primitive(et, eg.getType(0))
           (g: Group) =>
-            if (g.getFieldRepetitionCount(name) == 0) null
+            if (g.getFieldRepetitionCount(idx) == 0) null
             else {
-              val list = g.getGroup(name, 0)
+              val list = g.getGroup(idx, 0)
               val n = list.getFieldRepetitionCount(0)
               val out = new Array[Any](n)
               var j = 0
@@ -166,8 +199,8 @@ private[graft] object ParquetGroups {
         case _ =>
           val prim = primitive(dt, pt)
           (g: Group) =>
-            if (g.getFieldRepetitionCount(name) == 0) null
-            else prim(g, g.getType.getFieldIndex(name))
+            if (g.getFieldRepetitionCount(idx) == 0) null
+            else prim(g, idx)
       }
 
     /** Extractor for a required/optional primitive at field index

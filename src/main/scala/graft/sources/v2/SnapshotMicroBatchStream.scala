@@ -76,7 +76,9 @@ class SnapshotMicroBatchStream(tableDir: String, schema: StructType,
                                    end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[VersionOffset].version
     val e = end.asInstanceOf[VersionOffset].version
-    val added = (s + 1 to e).flatMap { v =>
+    val cdf = options.getBoolean("readChangeFeed", false)
+    val target = options.getLong("targetBytesPerPartition", 128L << 20)
+    (s + 1 to e).flatMap { v =>
       val prev = Snapshots.manifestEntries(tableDir, v - 1).toSet
       val cur = Snapshots.manifestEntries(tableDir, v).toSet
       val removed = prev -- cur
@@ -86,10 +88,15 @@ class SnapshotMicroBatchStream(tableDir: String, schema: StructType,
             "non-append commit (erase/compaction) cannot stream " +
             "exactly-once; set ignoreChanges=true to replay rewritten " +
             "files at-least-once")
-      SnapshotsDataSource.filesOf(conf.value, (cur -- prev).toSeq.sorted)
-    }
-    val target = options.getLong("targetBytesPerPartition", 128L << 20)
-    SnapshotsDataSource.bin(added, target).toArray
+      val added = SnapshotsDataSource.filesOf(conf.value,
+        (cur -- prev).toSeq.sorted)
+      // bins stay per-version: for the change feed the version IS the
+      // change attribution, and a multi-version catch-up batch keeps
+      // file locality per commit either way
+      if (cdf) SnapshotsDataSource.bin(added, target)
+        .map(b => b.copy(changeType = "insert", commitVersion = v.toLong))
+      else SnapshotsDataSource.bin(added, target)
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

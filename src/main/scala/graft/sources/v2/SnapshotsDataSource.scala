@@ -77,13 +77,19 @@ class SnapshotsDataSource extends TableProvider with DataSourceRegister {
     require(files.nonEmpty, s"snapshot table $dir v$version has no files")
     val schema = spark.read.parquet(files.head._1).schema
     SnapshotsDataSource.validate(schema)
-    schema
+    SnapshotsDataSource.withCdfColumns(schema, options)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new SnapshotTable(schema,
-      new CaseInsensitiveStringMap(properties))
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    // when the schema came from CREATE TABLE DDL (external metadata)
+    // rather than inferSchema, the CDF columns still need appending
+    val full =
+      if (schema.fieldNames.contains(ParquetGroups.ChangeTypeCol)) schema
+      else SnapshotsDataSource.withCdfColumns(schema, opts)
+    new SnapshotTable(full, opts)
+  }
 }
 
 object SnapshotsDataSource {
@@ -310,6 +316,18 @@ object SnapshotsDataSource {
     new GenericInternalRow(values)
   }
 
+  /** Append the change-feed metadata columns when
+    * `readChangeFeed=true` (the Delta CDF column vocabulary). */
+  private[v2] def withCdfColumns(schema: StructType,
+                                 options: CaseInsensitiveStringMap)
+      : StructType =
+    if (!options.getBoolean("readChangeFeed", false)) schema
+    else StructType(schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(
+        ParquetGroups.ChangeTypeCol, org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(
+        ParquetGroups.CommitVersionCol, LongType)))
+
   /** Ship-a-row partition for completely-pushed aggregates. */
   private[v2] case class PrecomputedRow(row: GenericInternalRow)
       extends InputPartition
@@ -530,7 +548,14 @@ class SnapshotScan(fullSchema: StructType, required: StructType,
         s"skipped=$skipped pushed=[${skipFilters.mkString(", ")}]"
   }
 
-  override def toBatch: Batch = pushedAgg match {
+  override def toBatch: Batch = {
+    require(!options.getBoolean("readChangeFeed", false),
+      "readChangeFeed is a STREAMING read option (batch reads of a " +
+        "version have no change attribution); use readStream")
+    toBatchImpl
+  }
+
+  private def toBatchImpl: Batch = pushedAgg match {
     case Some((agg, files)) =>
       // the whole result is one row computed from footers on the
       // driver; the single "partition" just replays it on an executor

@@ -223,6 +223,33 @@ class SnapshotsV2Spec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 30)
   }
 
+  test("readChangeFeed streams _change_type/_commit_version per commit") {
+    val t = freshTable()
+    val out = SparkHygiene.scratchDir("v2cdf")
+    val ckpt = SparkHygiene.scratchDir("v2cdfck")
+    (0 until 3).foreach(i =>
+      Snapshots.commit(spark, t, rows(i * 5 until (i + 1) * 5)))
+    val q = spark.readStream.format(fmt).option("path", t)
+      .option("readChangeFeed", "true").load()
+      .select($"id", $"_change_type", $"_commit_version")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.read.parquet(out)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got.length == 15)
+    assert(got.forall(_._2 == "insert"))
+    // commit attribution: ids 0-4 → v1, 5-9 → v2, 10-14 → v3
+    assert(got.forall { case (id, _, v) => v == id / 5 + 1 })
+    // and the option is streaming-only on the batch path
+    val e = intercept[Exception] {
+      spark.read.format(fmt).option("path", t)
+        .option("readChangeFeed", "true").load().count()
+    }
+    assert(e.getMessage.contains("STREAMING"), e.getMessage)
+  }
+
   test("a non-append commit fails the stream unless ignoreChanges") {
     val t = freshTable()
     val out = SparkHygiene.scratchDir("v2out2")
