@@ -1590,6 +1590,28 @@ object QueryCatalog {
         .orderBy(col("purchase_id"))
     }),
 
+    // The FORWARD direction of the physical as-of operator — the
+    // time-to-conversion shape: each view attaches the user's NEXT
+    // purchase at or after it. Same plan as j20 with the right side's
+    // tie order flipped (first-at-or-after, greatest event_id at equal
+    // timestamps, cursor never consumed so consecutive views share the
+    // same next purchase); the LATERAL oracle replays the
+    // (ts ASC, event_id DESC) top-1 explicitly.
+    "j22_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
+      graft.plans.AsOf.forward(views, purchases,
+          views("user_id"), purchases("p_user"),
+          views("ts"), purchases("p_ts"), purchases("purchase_id"))
+        .select(col("view_id"), col("user_id"),
+          col("purchase_id"), col("purchase_value"))
+        .orderBy(col("view_id"))
+    }),
+
     // FOOTER-SERVED AGGREGATES through the V2 connector
     // (SupportsPushDownAggregates): a global count/min/max/count(col)
     // over a snapshot table is answered from parquet FOOTER statistics
@@ -2375,6 +2397,19 @@ object QueryCatalog {
         |    AND v.ts >= p.ts - INTERVAL 2 HOUR
         |  ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) x ON TRUE
         |ORDER BY p.purchase_id""".stripMargin,
+    "j22_asof_forward" ->
+      // LATERAL top-1 with the (ts ASC, event_id DESC) order — the
+      // forward mirror of j21's contract replay
+      """WITH v AS (SELECT event_id AS view_id, user_id, ts
+        |           FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, ts, event_id, value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT v.view_id, v.user_id, x.purchase_id, x.purchase_value
+        |FROM v LEFT JOIN LATERAL (
+        |  SELECT p.event_id AS purchase_id, p.value AS purchase_value
+        |  FROM p WHERE p.user_id = v.user_id AND p.ts >= v.ts
+        |  ORDER BY p.ts ASC, p.event_id DESC LIMIT 1) x ON TRUE
+        |ORDER BY v.view_id""".stripMargin,
     "q39_footer_agg" ->
       // footer-served or not, the aggregates must equal the raw table's
       """SELECT count(*) AS n_rows,

@@ -68,9 +68,33 @@ object AsOf {
                rightTie: Column,
                toleranceMicros: Long = -1L,
                keepUnmatched: Boolean = true): DataFrame =
+    join(left, right, leftKey, rightKey, leftTime, rightTime, rightTie,
+      toleranceMicros, keepUnmatched, forward = false)
+
+  /** Forward (first-at-or-after) as-of join — the
+    * "next activity after the event" direction: for each left row, the
+    * EARLIEST right row with equal key and right-time ≥ left-time;
+    * ties at the matched time resolve to the greatest `tie`, matching
+    * [[graft.operators.TemporalJoins.asofForward]]. `toleranceMicros`
+    * bounds `right-time − left-time`.
+    */
+  def forward(left: DataFrame, right: DataFrame,
+              leftKey: Column, rightKey: Column,
+              leftTime: Column, rightTime: Column,
+              rightTie: Column,
+              toleranceMicros: Long = -1L,
+              keepUnmatched: Boolean = true): DataFrame =
+    join(left, right, leftKey, rightKey, leftTime, rightTime, rightTie,
+      toleranceMicros, keepUnmatched, forward = true)
+
+  private def join(left: DataFrame, right: DataFrame,
+                   leftKey: Column, rightKey: Column,
+                   leftTime: Column, rightTime: Column,
+                   rightTie: Column, toleranceMicros: Long,
+                   keepUnmatched: Boolean, forward: Boolean): DataFrame =
     left.join(right,
       call_function(FnName, leftKey, rightKey, leftTime, rightTime,
-        rightTie, lit(toleranceMicros)),
+        rightTie, lit(toleranceMicros), lit(forward)),
       if (keepUnmatched) "left" else "inner")
 }
 
@@ -80,8 +104,9 @@ object AsOf {
   */
 case class AsOfMark(children: Seq[Expression])
     extends Expression with Unevaluable {
-  require(children.length == 6,
-    "asof_match(leftKey, rightKey, leftTime, rightTime, rightTie, tolMicros)")
+  require(children.length == 7,
+    "asof_match(leftKey, rightKey, leftTime, rightTime, rightTie, " +
+      "tolMicros, forward)")
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
   override protected def withNewChildrenInternal(
@@ -97,7 +122,7 @@ case class AsOfJoinNode(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     rightTie: Expression, toleranceMicros: Long,
-    keepUnmatched: Boolean) extends BinaryNode {
+    keepUnmatched: Boolean, forward: Boolean) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     if (keepUnmatched) left.output ++ right.output.map(_.withNullability(true))
@@ -131,7 +156,7 @@ object AsOfJoinRewrite extends Rule[LogicalPlan] {
     case j @ Join(left, right, jt, Some(m: AsOfMark), _)
         if (jt == LeftOuter || jt == Inner) &&
           left.resolved && right.resolved =>
-      val Seq(lk, rk, lt, rt, tie, tol) = m.children
+      val Seq(lk, rk, lt, rt, tie, tol, fwd) = m.children
       val sided =
         lk.references.subsetOf(left.outputSet) &&
         lt.references.subsetOf(left.outputSet) &&
@@ -141,11 +166,13 @@ object AsOfJoinRewrite extends Rule[LogicalPlan] {
       val typed = lk.dataType == rk.dataType &&
         lt.dataType == rt.dataType &&
         timeTypes.contains(lt.dataType) && tol.foldable &&
-        tol.dataType == LongType
+        tol.dataType == LongType && fwd.foldable &&
+        fwd.dataType == BooleanType
       if (sided && typed) {
         val tolMicros = tol.eval().asInstanceOf[Long]
         AsOfJoinNode(left, right, lk, rk, lt, rt, tie, tolMicros,
-          keepUnmatched = jt == LeftOuter)
+          keepUnmatched = jt == LeftOuter,
+          forward = fwd.eval().asInstanceOf[Boolean])
       } else j
   }
 }

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
@@ -14,8 +14,8 @@ import org.apache.spark.sql.types.{DateType, IntegerType}
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, tie, tol, outer) =>
-      AsOfJoinExec(lk, rk, lt, rt, tie, tol, outer,
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, tie, tol, outer, fwd) =>
+      AsOfJoinExec(lk, rk, lt, rt, tie, tol, outer, fwd,
         planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
@@ -55,6 +55,7 @@ case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     rightTie: Expression, toleranceMicros: Long, keepUnmatched: Boolean,
+    forward: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -65,10 +66,13 @@ case class AsOfJoinExec(
     ClusteredDistribution(Seq(leftKey)) ::
     ClusteredDistribution(Seq(rightKey)) :: Nil
 
+  // Tie order: within equal (key, time) the MATCH must be the greatest
+  // tie-break. Backward remembers the LAST consumed row → ties ascend;
+  // forward matches the cursor's FIRST at-or-after row → ties descend.
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
-      SortOrder(rightTie, Ascending)))
+      SortOrder(rightTie, if (forward) Descending else Ascending)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
@@ -91,6 +95,7 @@ case class AsOfJoinExec(
     val lt = leftTime; val rt = rightTime
     val tol = toleranceMicros
     val outer = keepUnmatched
+    val fwd = forward
     val outAttrs = output
     // int-backed time encodings widen to long in the merge
     val timeIsInt = lt.dataType == IntegerType || lt.dataType == DateType
@@ -144,30 +149,53 @@ case class AsOfJoinExec(
             val lKeyRow = lKeyProj(lRow)
             val lTimeRow = lTimeProj(lRow)
             var ok = false
+            var matchRow: InternalRow = null
             if (!lKeyRow.isNullAt(0) && !lTimeRow.isNullAt(0)) {
               val lTime = timeOf(lTimeRow)
-              // consume right rows up to (key, time]; remember the last
-              // same-key one — ties at equal time resolve to the sort
-              // order's last, i.e. the greatest tie-break
-              var advancing = rRow != null
-              while (advancing) {
-                val cmp = if (rValid) keyOrd.compare(rKeyRow, lKeyRow) else -1
-                if (!rValid || cmp < 0 || (cmp == 0 && rTime <= lTime)) {
-                  if (rValid && cmp == 0) {
-                    matched = rRow.copy()
-                    matchedKey = rKeyRow.copy()
-                    matchedTime = rTime
-                  }
-                  loadRight()
-                  advancing = rRow != null
-                } else advancing = false
+              if (!fwd) {
+                // BACKWARD: consume right rows up to (key, time];
+                // remember the last same-key one — ties at equal time
+                // resolve to the sort order's last, i.e. the greatest
+                // tie-break
+                var advancing = rRow != null
+                while (advancing) {
+                  val cmp = if (rValid) keyOrd.compare(rKeyRow, lKeyRow) else -1
+                  if (!rValid || cmp < 0 || (cmp == 0 && rTime <= lTime)) {
+                    if (rValid && cmp == 0) {
+                      matched = rRow.copy()
+                      matchedKey = rKeyRow.copy()
+                      matchedTime = rTime
+                    }
+                    loadRight()
+                    advancing = rRow != null
+                  } else advancing = false
+                }
+                ok = matched != null &&
+                  keyOrd.compare(matchedKey, lKeyRow) == 0 &&
+                  (tol < 0L || lTime - matchedTime <= tol)
+                if (ok) matchRow = matched
+              } else {
+                // FORWARD: consume right rows strictly before (key,
+                // time); the match is the CURSOR itself (first
+                // at-or-after, ties pre-sorted greatest-first), left
+                // unconsumed — later left rows may share it
+                var advancing = rRow != null
+                while (advancing) {
+                  val cmp = if (rValid) keyOrd.compare(rKeyRow, lKeyRow) else -1
+                  if (!rValid || cmp < 0 || (cmp == 0 && rTime < lTime)) {
+                    loadRight()
+                    advancing = rRow != null
+                  } else advancing = false
+                }
+                ok = rRow != null && rValid &&
+                  keyOrd.compare(rKeyRow, lKeyRow) == 0 &&
+                  (tol < 0L || rTime - lTime <= tol)
+                if (ok) matchRow = rRow
               }
-              ok = matched != null && keyOrd.compare(matchedKey, lKeyRow) == 0 &&
-                (tol < 0L || lTime - matchedTime <= tol)
             }
             if (ok) {
               numMatched += 1
-              pending = resultProj(joined(lRow, matched))
+              pending = resultProj(joined(lRow, matchRow))
             } else if (outer) {
               pending = resultProj(joined(lRow, nullRight))
             }

@@ -127,6 +127,54 @@ class AsOfJoinExecSpec extends SparkSpec {
     assert(viaExec == viaWindow)
   }
 
+  private def asofFwd(l: DataFrame, r: DataFrame, tolMicros: Long = -1L,
+                      outer: Boolean = true): DataFrame =
+    AsOf.forward(l, r, l("t_key"), r("q_key"), l("t_ts"), r("q_ts"),
+      r("quote_id"), tolMicros, outer)
+
+  test("forward: earliest at-or-after, greatest tie, tolerance") {
+    val l = trades((1L, 1L, 10L), (2L, 1L, 16L), (3L, 2L, 10L))
+    val r = quotes((10L, 1L, 10L, 1.0), (12L, 1L, 10L, 3.0), (11L, 1L, 15L, 2.0),
+      (13L, 2L, 5L, 9.0))
+    val got = asofFwd(l, r).select($"trade_id", $"quote_id")
+      .as[(Long, Option[Long])].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, Some(12L)), // at-or-after inclusive; tie at t=10 → greatest id
+      (2L, None),      // nothing at or after 16 for key 1
+      (3L, None)))     // key 2's only quote is earlier
+    val tol = asofFwd(l, r, tolMicros = 3L * 1000000L)
+      .select($"trade_id", $"quote_id").as[(Long, Option[Long])]
+      .collect().sortBy(_._1)
+    assert(tol.toSeq == Seq((1L, Some(12L)), (2L, None), (3L, None)))
+    val phys = asofFwd(l, r).queryExecution.executedPlan.toString
+    assert(phys.contains("AsOfJoin") && phys.contains("DESC"), phys)
+  }
+
+  test("forward randomized cross-check vs brute force and vs TemporalJoins") {
+    val rnd = new scala.util.Random(99)
+    val lRows = (1L to 300L).map(i => (i, rnd.nextInt(6).toLong, rnd.nextInt(40).toLong))
+    val rRows = (1L to 200L).map(i =>
+      (i, rnd.nextInt(6).toLong, rnd.nextInt(40).toLong, rnd.nextDouble()))
+    val l = trades(lRows: _*)
+    val r = quotes(rRows: _*)
+    val got = asofFwd(l, r).select($"trade_id", $"quote_id")
+      .as[(Long, Option[Long])].collect().toMap
+    val expected = lRows.map { case (i, k, t) =>
+      val cands = rRows.filter(q => q._2 == k && q._3 >= t)
+      i -> (if (cands.isEmpty) None
+            else Some(cands.minBy(q => (q._3, -q._1))._1))
+    }.toMap
+    assert(got == expected)
+    val viaWindow = graft.operators.TemporalJoins.asofForward(
+        l, r.withColumnRenamed("q_key", "t_key").withColumnRenamed("q_ts", "t_ts"),
+        keyCol = "t_key", tsCol = "t_ts",
+        leftIdCol = "trade_id", rightIdCol = "quote_id",
+        payloadCols = Seq("quote_id"))
+      .select($"trade_id", $"asof_quote_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == viaWindow)
+  }
+
   test("downstream same-key aggregate plans no extra exchange") {
     val l = trades((1L, 1L, 10L), (2L, 1L, 20L), (3L, 2L, 10L))
     val r = quotes((10L, 1L, 5L, 1.0))
