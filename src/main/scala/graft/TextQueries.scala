@@ -596,6 +596,34 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // V2 RUNTIME FILTERING (DPP over the connector) — the fact side is
+    // a snapshot table range-clustered on doc_id; the dim side's
+    // selective key range is known only after ITS filter runs, so no
+    // static pushdown can prune the fact scan. SnapshotScan implements
+    // SupportsRuntimeFiltering: Catalyst wires the dim's join keys back
+    // as a runtime IN-set, and the scan re-plans its partitions against
+    // footer [min,max] before any task launches (SnapshotsV2Spec pins
+    // the 1-kept/7-skipped census and join-semantics invariance). At
+    // 100 TB this is the star-join fact scan collapsing to the dim
+    // selection's key range with zero hand-written predicates. The
+    // oracle replays the join on the raw table.
+    "p31_v2_runtime_filter" -> ((s, dir) => {
+      val t = SparkHygiene.scratchDir("p31_tbl")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.sources.Snapshots.commit(s, t,
+        docs.repartitionByRange(8, col("doc_id")))
+      val dim = Tables.documents(s, dir)
+        .filter(col("doc_id") >= 100L && col("doc_id") < 150L)
+        .select(col("doc_id").as("k"))
+      s.read.format("graft_snapshots").option("path", t).load()
+        .join(dim, col("doc_id") === col("k"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+          sum(length(col("text")).cast("long")).as("len_sum"))
+        .orderBy(col("lang"))
+    }),
+
     // OPTIMIZE ZORDER (operators/Optimize) — multi-dimensional
     // re-clustering as a maintenance COMMIT: v1 is range-clustered on
     // user_id only (the 1-D layout whose second access path is a full
@@ -953,6 +981,16 @@ object TextQueries {
     "p30_v2_write" ->
       """SELECT doc_id, lang, length(text) AS text_len FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // runtime pruning is logically invisible: the raw join, replayed
+    "p31_v2_runtime_filter" ->
+      """SELECT d.lang, count(*) AS n,
+        |  CAST(sum(d.doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(length(d.text)) AS BIGINT) AS len_sum
+        |FROM documents d
+        |JOIN (SELECT doc_id AS k FROM documents
+        |      WHERE doc_id >= 100 AND doc_id < 150) dim
+        |  ON d.doc_id = dim.k
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     // re-layout is logically invisible: the raw two-dim filter
     "p29_zorder_optimize" ->
       """SELECT event_id, user_id, event_type FROM events

@@ -14,9 +14,9 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{ArrayType, LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -357,6 +357,14 @@ object SnapshotsDataSource {
     case _ => true
   }
 
+  /** Spec/plan observability for RUNTIME file skipping: last
+    * (kept, skipped) census per table dir, recorded when a runtime
+    * IN-filter re-plans the scan's partitions. `description()` cannot
+    * carry it — explain strings render before execution, and runtime
+    * filters only arrive at execution time. */
+  private[graft] val runtimeSkipCensus =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+
   /** The filters the file-skip layer understands: single long-column
     * comparisons against a long literal. */
   private[v2] def skippable(schema: StructType, f: Filter): Boolean = {
@@ -515,7 +523,8 @@ class SnapshotScan(fullSchema: StructType, required: StructType,
                    skipFilters: Array[Filter],
                    pushedAgg: Option[(Aggregation,
                      Seq[SnapshotsDataSource.FileAgg])],
-                   options: CaseInsensitiveStringMap) extends Scan {
+                   options: CaseInsensitiveStringMap) extends Scan
+    with SupportsRuntimeFiltering with SupportsReportStatistics {
 
   private val spark = SparkSession.active
   private val hadoopConf = spark.sparkContext.hadoopConfiguration
@@ -533,6 +542,73 @@ class SnapshotScan(fullSchema: StructType, required: StructType,
       }
       (kept, all.size - kept.size)
     }
+  }
+
+  // ---- RUNTIME filtering (the V2 face of dynamic partition pruning):
+  // declaring the long columns as filterable lets Catalyst's
+  // PartitionPruning rule wire a DynamicPruningSubquery from the
+  // OTHER side of a join — at execution BatchScanExec evaluates the
+  // build side (reusing its broadcast), hands the join-key values back
+  // as an IN filter, and RE-PLANS this scan's partitions. Files whose
+  // footer [min,max] contains none of the values leave the plan before
+  // a single task launches — the join itself still filters rows, so
+  // footer containment being a superset bound never changes semantics.
+  // At 100 TB this is the fact-table scan shrinking to the dim
+  // selection's key range with zero manual predicate plumbing.
+  @volatile private var runtimeIn: Map[String, Array[Long]] = Map.empty
+
+  override def filterAttributes(): Array[NamedReference] =
+    // footer-agg scans ship a precomputed row (nothing to prune), and
+    // the change feed is streaming-only (no batch runtime filters)
+    if (pushedAgg.isDefined) Array.empty
+    else fullSchema.fields.filter(_.dataType == LongType)
+      .map(f => org.apache.spark.sql.connector.expressions.Expressions
+        .column(f.name))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    runtimeIn = filters.collect {
+      case In(c, vs) if fullSchema.fields.exists(f =>
+          f.name == c && f.dataType == LongType) =>
+        c -> vs.collect { case n: Number => n.longValue }.sorted
+    }.toMap.filter(_._2.nonEmpty)
+  }
+
+  /** Apply the runtime IN-sets to the statically-planned file list:
+    * keep a file iff, for EVERY filtered column, at least one IN value
+    * lands inside the file's footer [lo, hi]. One footer open per file
+    * covers all filtered columns. */
+  private def runtimeKept(files: Seq[(String, Long)]): Seq[(String, Long)] =
+    if (runtimeIn.isEmpty) files
+    else {
+      val cols = runtimeIn.keySet
+      val kept = files.filter { case (f, _) =>
+        val st = SnapshotsDataSource.longStats(hadoopConf, f, cols)
+        runtimeIn.forall { case (c, vals) =>
+          val (lo, hi) = st(c)
+          // vals sorted: the smallest value ≥ lo decides containment
+          val i = java.util.Arrays.binarySearch(vals, lo)
+          val idx = if (i >= 0) i else -i - 1
+          idx < vals.length && vals(idx) <= hi
+        }
+      }
+      SnapshotsDataSource.runtimeSkipCensus.put(
+        tableDir, (kept.size, files.size - kept.size))
+      kept
+    }
+
+  // ---- statistics: the manifest knows the resolved version's exact
+  // byte size for free (file lengths were listed for planning anyway),
+  // so report it instead of Spark's "unknown = huge" default — a small
+  // snapshot table becomes auto-broadcastable on real numbers, and AQE
+  // sizes its shuffles from the true scan volume. Static skip filters
+  // are already reflected (planned prunes first).
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(
+        if (pushedAgg.isDefined) 64L else math.max(1L, planned._1.map(_._2).sum))
+    override def numRows(): java.util.OptionalLong =
+      if (pushedAgg.isDefined) java.util.OptionalLong.of(1L)
+      else java.util.OptionalLong.empty()
   }
 
   override def readSchema(): StructType = required
@@ -570,9 +646,12 @@ class SnapshotScan(fullSchema: StructType, required: StructType,
           SnapshotsDataSource.PrecomputedRowReaderFactory
       }
     case None => new Batch {
+      // re-planned AFTER SupportsRuntimeFiltering.filter(): BatchScanExec
+      // calls toBatch.planInputPartitions() again once runtime IN-sets
+      // arrive, so the binning must read `runtimeIn` at call time
       override def planInputPartitions(): Array[InputPartition] = {
         val target = options.getLong("targetBytesPerPartition", 128L << 20)
-        SnapshotsDataSource.bin(planned._1, target).toArray
+        SnapshotsDataSource.bin(runtimeKept(planned._1), target).toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =
         ParquetGroups.GroupReaderFactory(

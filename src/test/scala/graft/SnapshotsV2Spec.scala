@@ -287,4 +287,89 @@ class SnapshotsV2Spec extends SparkSpec {
     val n = spark.read.parquet(out3).count()
     assert(n >= 400, s"got $n")
   }
+
+  test("runtime IN-filter from a broadcast dim prunes files before tasks") {
+    val t = freshTable()
+    Snapshots.commit(spark, t,
+      rows(0 until 800).repartitionByRange(8, $"id"))
+    graft.sources.v2.SnapshotsDataSource.runtimeSkipCensus.remove(t)
+    // the classic star shape: the dim is FILTERED ON A NON-KEY
+    // ATTRIBUTE whose matching keys happen to cluster in one narrow
+    // range — statically uninferable onto the fact join key (unlike a
+    // direct key-range dim filter, which InferFiltersFromConstraints
+    // would copy across the join and the STATIC footer skip would
+    // swallow). The dim must also be a SCAN, not a local relation:
+    // Catalyst folds Filter-over-LocalRelation into the relation,
+    // erasing the selective predicate the pruning rule looks for.
+    val dimDir = SparkHygiene.scratchDir("v2dim")
+    rows(0 until 800)
+      .select($"id".as("k"),
+        (when($"id" >= 100L && $"id" < 140L && $"id" % 10L === 0L, "hot")
+          .otherwise("cold")).as("grp"))
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter($"grp" === "hot")
+    val fact = spark.read.format(fmt).option("path", t).load()
+    val q = fact.join(dim, $"id" === $"k")
+    assert(q.select(sum($"id")).as[Long].head() ==
+      (100L until 140L by 10L).sum,
+      "join result wrong under runtime pruning")
+    // run the JOIN plan itself so AQE finalizes; AQE query stages are
+    // LEAF nodes, so descend with the adaptive helper, not collect
+    q.collect()
+    val helper =
+      new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    val scans = helper.collectWithSubqueries(q.queryExecution.executedPlan) {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.exists(_.runtimeFilters.nonEmpty),
+      s"no runtime filter reached the V2 scan:\n${q.queryExecution.executedPlan}")
+    // ...and the re-plan dropped the 7 files whose [min,max] holds none
+    // of the dim keys (800 rows range-clustered 8 ways → 100-row files;
+    // all four surviving keys land in file [100,199])
+    val census = graft.sources.v2.SnapshotsDataSource.runtimeSkipCensus.get(t)
+    assert(census != null, "runtime skip census never recorded")
+    assert(census == ((1, 7)), s"kept/skipped = $census")
+  }
+
+  test("runtime pruning is logically invisible vs the DPP-disabled plan") {
+    val t = freshTable()
+    Snapshots.commit(spark, t,
+      rows(0 until 400).repartitionByRange(4, $"id"))
+    val dimDir = SparkHygiene.scratchDir("v2dim2")
+    rows(0 until 400)
+      .select($"id".as("k"), ($"id" % 37L === 0L).as("hot"))
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter($"hot")
+    def run(): Seq[(Long, String)] =
+      spark.read.format(fmt).option("path", t).load()
+        .join(dim, $"id" === $"k").select($"id", $"name")
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val pruned = run()
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+    try assert(run() == pruned)
+    finally spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+  }
+
+  test("reported statistics auto-broadcast a small snapshot table") {
+    val tSmall = freshTable()
+    Snapshots.commit(spark, tSmall, rows(0 until 50))
+    val tBig = freshTable()
+    Snapshots.commit(spark, tBig, rows(0 until 5000))
+    // pin the STATIC planner decision (AQE would also get there from
+    // runtime sizes, which would mask whether estimateStatistics works)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val small = spark.read.format(fmt).option("path", tSmall).load()
+        .select($"id".as("k"), $"score".as("s"))
+      val big = spark.read.format(fmt).option("path", tBig).load()
+      val q = big.join(small, $"id" === $"k")
+      val bhj = q.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(bhj.nonEmpty,
+        s"small snapshot side not broadcast:\n${q.queryExecution.executedPlan}")
+      assert(q.count() == 50)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
