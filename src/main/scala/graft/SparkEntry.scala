@@ -980,6 +980,38 @@ object QueryCatalog {
     // conservative matcher by design). MvRewriteSpec's perturbed-MV
     // proof covers the avg column: poisoning a pre-sum visibly shifts
     // the served average, and the fact scan is gone from the plan.
+    // INCREMENTAL MV MAINTENANCE (operators/IncrementalMv) — the other
+    // half of the MV story: q33/q34/q36 SERVE queries from a
+    // materialized aggregate; this keeps one CURRENT at delta cost as
+    // the base snapshot table commits. v1 bootstraps the base and
+    // materializes the per-lang rollup; then an APPEND commit and a
+    // key-list GDPR ERASE land on the base, and ONE refresh folds both
+    // through the change feed — counts/sums merge by signed addition,
+    // the erase-dirtied groups recompute min/max from a semi-join-
+    // bounded base read (IncrementalMvSpec pins refresh ≡ recompute
+    // across append/delete/update/group-death). The oracle computes
+    // the same rollup directly over the final base state — an
+    // incrementally-maintained MV must be indistinguishable from
+    // recompute.
+    "q40_mv_incremental" -> ((s, dir) => {
+      val base = SparkHygiene.scratchDir("q40_base")
+      val mv = SparkHygiene.scratchDir("q40_mv")
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("text_len"))
+      graft.sources.Snapshots.commit(s, base,
+        docs.filter(col("doc_id") < 300).repartition(4, col("doc_id")))
+      val mvSpec = graft.operators.IncrementalMv.MvSpec(
+        groupCols = Seq("lang"), sumCols = Seq("text_len"),
+        minMaxCols = Seq("text_len"))
+      graft.operators.IncrementalMv.initialize(s, base, mv, mvSpec)
+      graft.sources.Snapshots.commit(s, base,
+        docs.filter(col("doc_id") >= 300 && col("doc_id") < 450))
+      graft.operators.DeleteRows.deleteKeys(s, base, "doc_id",
+        keys = Seq(5L, 37L, 120L, 301L, 420L))
+      graft.operators.IncrementalMv.refresh(s, base, mv, "doc_id", mvSpec)
+      graft.sources.Snapshots.read(s, mv).orderBy(col("lang"))
+    }),
+
     "q36_mv_avg" -> ((s, dir) => {
       val mvDir = SparkHygiene.scratchDir("q36_mv")
       Tables.lineitem(s, dir)
@@ -2157,6 +2189,17 @@ object QueryCatalog {
         |  round(avg(CAST(l_quantity AS DOUBLE)), 6) AS avg_qty
         |FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the incrementally-maintained MV vs the rollup recomputed from the
+    // final base state (bootstrap < 300, append [300,450), erase keys)
+    "q40_mv_incremental" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+        |  count(length(text)) AS cnt_text_len,
+        |  CAST(min(length(text)) AS BIGINT) AS min_text_len,
+        |  CAST(max(length(text)) AS BIGINT) AS max_text_len
+        |FROM documents
+        |WHERE doc_id < 450 AND doc_id NOT IN (5, 37, 120, 301, 420)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // the GENUINE join: RI makes the elimination logically invisible
     "q37_join_elim" ->
       """SELECT l_returnflag, count(*) AS n,
