@@ -981,6 +981,41 @@ object EventQueries {
     // horizon − 10 s: below that cut the engine has provably emitted
     // complete windows, so the drained stream equals the batch
     // left-join aggregate exactly; the oracle is that batch aggregate.
+    // TIME-SERIES GAP FILL + FORWARD FILL — the resample step every
+    // metrics/feature pipeline runs before modeling: per-user daily
+    // rollup, missing days materialized, last observation carried
+    // forward. Shape matters at 100 TB: the ONLY corpus-sized operation
+    // is the first (user, day) partial-aggregated rollup; span
+    // detection, the per-user `sequence()` day explosion, the fill
+    // join, and the carry-forward window all run over the rollup's
+    // bounded output (users × days), and the final window rides the
+    // same user_id partitioning. No driver loops, no calendar table —
+    // the day range derives per key, inside the plan.
+    "w34_gapfill" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(
+          // decimal-summed for order independence (portable-agg
+          // convention), surfaced as double
+          sum(col("value").cast("decimal(38,12)")).cast("double")
+            .as("day_value"),
+          count(lit(1)).as("n_events"))
+      val spans = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val allDays = spans.select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      allDays.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          round(last(col("day_value"), ignoreNulls = true).over(w), 6)
+            .as("filled_value"),
+          col("day_value").isNull.as("is_gap"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
     "w30_stream_outer_agg" -> ((s0, dir) => {
       val s = SparkHygiene.streamStateSession(s0, 8)
       val ev = Tables.eventsStream(s, dir)
@@ -1857,6 +1892,33 @@ object EventQueries {
         |ORDER BY click_id, error_id, purchase_id""".stripMargin,
     // DISTINCT (the redelivery must vanish) then the batch two-level
     // rollup, below the same delayed cut as w31
+    // the resample replayed relationally: per-user day series from
+    // generate_series, LOCF via last_value IGNORE NULLS
+    "w34_gapfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS day_value,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(day) AS lo, max(day) AS hi
+        |          FROM daily GROUP BY 1),
+        |alldays AS (
+        |  SELECT user_id, CAST(gs AS DATE) AS day
+        |  FROM spans, unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS t(gs)),
+        |joined AS (
+        |  SELECT a.user_id, a.day, coalesce(d.n_events, 0) AS n_events,
+        |    d.day_value, (d.day_value IS NULL) AS is_gap
+        |  FROM alldays a
+        |  LEFT JOIN daily d ON a.user_id = d.user_id AND a.day = d.day)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n_events,
+        |  round(last_value(day_value IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        |    AS filled_value,
+        |  is_gap
+        |FROM joined ORDER BY user_id, day""".stripMargin,
+
     "w32_stream_dedup_rollup" ->
       """WITH d AS (SELECT DISTINCT event_id, ts, event_type FROM (
         |    SELECT event_id, ts, event_type FROM events
