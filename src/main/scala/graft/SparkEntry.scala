@@ -1141,6 +1141,51 @@ object QueryCatalog {
         conf.set("spark.sql.autoBroadcastJoinThreshold", _))
     }),
 
+    // STORAGE-PARTITIONED JOIN (SPARK-37377) — j18's property carried
+    // onto the LAKEHOUSE tables: both snapshot tables are
+    // OPTIMIZE CLUSTER BY BUCKETS on their join keys
+    // (operators/Optimize.clusterByBuckets), read through the V2
+    // catalog (sources/v2/SnapshotCatalog) whose FunctionCatalog face
+    // serves the bucket function, and the scan-reported
+    // KeyGroupedPartitioning lets the join plan with ZERO shuffle AND
+    // zero broadcast — each task reads bucket i of both tables and
+    // joins locally (SnapshotCatalogSpec pins the empty exchange
+    // census; a post-clustering append demotes to a shuffling join
+    // rather than lying). At 100 TB this turns every fact-fact join on
+    // the bucketed key into a metadata handshake. The oracle is the
+    // plain join — layout must be logically invisible.
+    "j23_spj" -> ((s, dir) => {
+      val conf = s.conf
+      val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.sources.v2.bucketing.enabled")
+        .map(k => k -> conf.getOption(k))
+      try {
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        conf.set("spark.sql.catalog.graft_spj",
+          classOf[graft.sources.v2.SnapshotCatalog].getName)
+        val ta = SparkHygiene.scratchDir("j23_orders")
+        val tb = SparkHygiene.scratchDir("j23_lineitem")
+        graft.sources.Snapshots.commit(s, ta,
+          Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")))
+        graft.operators.Optimize.clusterByBuckets(s, ta, "o_orderkey", 8)
+        graft.sources.Snapshots.commit(s, tb,
+          Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity")))
+        graft.operators.Optimize.clusterByBuckets(s, tb, "l_orderkey", 8)
+        val res = s.table(s"graft_spj.snap.`$ta`")
+          .join(s.table(s"graft_spj.snap.`$tb`"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .cast("double").as("qty"))
+          .localCheckpoint(true)
+        res.orderBy(col("o_orderpriority"))
+      } finally saved.foreach { case (k, v) =>
+        v.fold(conf.unset(k))(conf.set(k, _))
+      }
+    }),
+
     // RUNTIME BLOOM-FILTER JOIN — the row-level sibling of q28's
     // dynamic partition pruning: a selective dim-side filter (urgent
     // orders) becomes a bloom filter BUILT AT RUNTIME and pushed into
@@ -2213,6 +2258,13 @@ object QueryCatalog {
         |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "j18_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the storage-partitioned join vs the plain join — bucket layout,
+    // catalog routing, and shuffle elimination must be invisible
+    "j23_spj" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey

@@ -2,9 +2,10 @@ package graft.operators
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{call_function, col}
+import org.apache.spark.sql.functions.{call_function, col, lit, pmod, xxhash64}
 
 import graft.sources.Snapshots
+import graft.sources.v2.BucketLayout
 
 /** OPTIMIZE ZORDER — multi-dimensional re-clustering of a snapshot
   * table as a maintenance COMMIT (the Delta `OPTIMIZE t ZORDER BY
@@ -79,5 +80,61 @@ object Optimize {
         s.isFile && s.getPath.getName.endsWith(".parquet"))
     }
     Report(v, inFiles.size, inBytes, outFiles)
+  }
+
+  /** OPTIMIZE CLUSTER BY BUCKETS — rewrite the table's current version
+    * hash-bucketed on `keyCol` (`pmod(xxhash64(key), buckets)`), one
+    * manifest entry per bucket, and record the layout in a
+    * [[graft.sources.v2.BucketLayout]] sidecar. Read back through
+    * [[graft.sources.v2.SnapshotCatalog]], the V2 scan reports
+    * `KeyGroupedPartitioning(bucket(n, keyCol))` — two tables clustered
+    * with the same bucket count join with ZERO shuffle (the
+    * storage-partitioned join). The rewrite itself is one read + one
+    * bucket-keyed exchange + one write; the pre-optimize version still
+    * time-travels and a later append simply un-reports the partitioning
+    * (the sidecar no longer covers the manifest) rather than lying.
+    */
+  def clusterByBuckets(spark: SparkSession, tableDir: String,
+                       keyCol: String, buckets: Int): Report = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val cur = Snapshots.currentVersion(tableDir)
+    require(cur > 0, s"no snapshots under $tableDir")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val inFiles = Snapshots.manifestEntries(tableDir, cur).flatMap { e =>
+      val p = new Path(e)
+      val fs = p.getFileSystem(conf)
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory)
+        fs.listStatus(p).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(_.getLen)
+      else Seq(st.getLen)
+    }
+    val out = Snapshots.versionDataDir(tableDir, cur + 1)
+    // partitionBy splits the write per bucket; the exchange on __b puts
+    // each bucket's rows in exactly one task, so each bucket dir holds
+    // one file (plus Spark task-attempt bookkeeping)
+    Snapshots.read(spark, tableDir, Some(cur))
+      .withColumn("__b",
+        pmod(xxhash64(col(keyCol)), lit(buckets)).cast("int"))
+      .repartition(buckets, col("__b"))
+      .write.mode("error").partitionBy("__b").parquet(out)
+    // rename __b=<i> → bucket<i>: a k=v directory name would trigger
+    // Spark's partition-column inference on plain multi-dir reads and
+    // graft a phantom __b column onto Snapshots.read's schema
+    val outPath = new Path(out)
+    val fs = outPath.getFileSystem(conf)
+    val entries = fs.listStatus(outPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__b="))
+      .map { s =>
+        val b = s.getPath.getName.stripPrefix("__b=").toInt
+        val renamed = new Path(outPath, s"bucket$b")
+        require(fs.rename(s.getPath, renamed),
+          s"rename failed: ${s.getPath} -> $renamed")
+        renamed.toUri.getPath -> b
+      }.sortBy(_._2)
+    val v = Snapshots.commitManifest(tableDir, entries.map(_._1))
+    BucketLayout.write(tableDir, v, keyCol, buckets, entries)
+    Report(v, inFiles.size, inFiles.sum, entries.size)
   }
 }

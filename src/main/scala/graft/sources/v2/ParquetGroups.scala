@@ -74,11 +74,25 @@ private[graft] object ParquetGroups {
   final case class FileBin(files: Seq[String], changeType: String = null,
                            commitVersion: Long = -1L) extends InputPartition
 
+  /** A bucket's file set under a [[BucketLayout]]-clustered version:
+    * the partition key (the bucket id) is what lets Spark's
+    * storage-partitioned join align this partition with the same
+    * bucket of another co-clustered table, no shuffle. */
+  final case class BucketedBin(bin: FileBin, bucket: Int)
+      extends InputPartition
+      with org.apache.spark.sql.connector.read.HasPartitionKey {
+    override def partitionKey(): InternalRow =
+      new GenericInternalRow(Array[Any](bucket))
+  }
+
   final case class GroupReaderFactory(conf: SerializableConf,
                                       schema: StructType)
       extends PartitionReaderFactory {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-      new BinReader(p.asInstanceOf[FileBin], conf.value, schema)
+      p match {
+        case b: BucketedBin => new BinReader(b.bin, conf.value, schema)
+        case f: FileBin => new BinReader(f, conf.value, schema)
+      }
   }
 
   /** Reads the bin's files sequentially; one open reader at a time.

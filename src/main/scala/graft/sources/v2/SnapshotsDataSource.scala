@@ -14,7 +14,8 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{ArrayType, LongType, StructType}
@@ -524,7 +525,8 @@ class SnapshotScan(fullSchema: StructType, required: StructType,
                    pushedAgg: Option[(Aggregation,
                      Seq[SnapshotsDataSource.FileAgg])],
                    options: CaseInsensitiveStringMap) extends Scan
-    with SupportsRuntimeFiltering with SupportsReportStatistics {
+    with SupportsRuntimeFiltering with SupportsReportStatistics
+    with SupportsReportPartitioning {
 
   private val spark = SparkSession.active
   private val hadoopConf = spark.sparkContext.hadoopConfiguration
@@ -596,6 +598,32 @@ class SnapshotScan(fullSchema: StructType, required: StructType,
       kept
     }
 
+  // ---- STORAGE-PARTITIONED reads: when the resolved version carries a
+  // BucketLayout sidecar covering EXACTLY its manifest entries (i.e. no
+  // commit landed since the OPTIMIZE CLUSTER BY), the scan reports
+  // KeyGroupedPartitioning(bucket(n, col)) and emits one
+  // HasPartitionKey partition per bucket — two co-clustered tables read
+  // through [[SnapshotCatalog]] then JOIN WITH ZERO SHUFFLE
+  // (SPARK-37377). A stale or absent sidecar reports unknown
+  // partitioning: appends lose the property, they never corrupt it.
+  // The bucket column must survive projection (Spark resolves the
+  // transform against readSchema), and a pushed-down aggregate ships a
+  // single row (nothing left to co-partition).
+  private lazy val bucketLayout: Option[BucketLayout.Spec] =
+    if (pushedAgg.isDefined) None
+    else BucketLayout.read(tableDir, version).filter { bs =>
+      bs.entries.keySet ==
+        graft.sources.Snapshots.manifestEntries(tableDir, version).toSet &&
+        required.fieldNames.contains(bs.col)
+    }
+
+  override def outputPartitioning(): Partitioning = bucketLayout match {
+    case Some(bs) => new KeyGroupedPartitioning(
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .bucket(bs.n, bs.col)), bs.n)
+    case None => new UnknownPartitioning(0)
+  }
+
   // ---- statistics: the manifest knows the resolved version's exact
   // byte size for free (file lengths were listed for planning anyway),
   // so report it instead of Spark's "unknown = huge" default — a small
@@ -650,8 +678,23 @@ class SnapshotScan(fullSchema: StructType, required: StructType,
       // calls toBatch.planInputPartitions() again once runtime IN-sets
       // arrive, so the binning must read `runtimeIn` at call time
       override def planInputPartitions(): Array[InputPartition] = {
-        val target = options.getLong("targetBytesPerPartition", 128L << 20)
-        SnapshotsDataSource.bin(runtimeKept(planned._1), target).toArray
+        val files = runtimeKept(planned._1)
+        bucketLayout match {
+          case Some(bs) =>
+            // one partition PER BUCKET, empty buckets included: both
+            // sides of a storage-partitioned join must present the same
+            // partition-value set even when file skipping emptied one
+            val byBucket = files.groupBy { case (f, _) =>
+              bs.entries(new Path(f).getParent.toUri.getPath)
+            }
+            (0 until bs.n).map { b =>
+              ParquetGroups.BucketedBin(ParquetGroups.FileBin(
+                byBucket.getOrElse(b, Nil).map(_._1)), b)
+            }.toArray
+          case None =>
+            val target = options.getLong("targetBytesPerPartition", 128L << 20)
+            SnapshotsDataSource.bin(files, target).toArray
+        }
       }
       override def createReaderFactory(): PartitionReaderFactory =
         ParquetGroups.GroupReaderFactory(

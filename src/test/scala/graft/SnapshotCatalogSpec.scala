@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+
+import graft.operators.Optimize
+import graft.sources.Snapshots
+import graft.sources.v2.{GraftBucketFunction, SnapshotCatalog}
+
+/** Storage-partitioned joins over the snapshot catalog: two tables
+  * bucket-clustered on their join key join with ZERO shuffle (and zero
+  * broadcast) when read through [[SnapshotCatalog]]; the bucket
+  * function's scalar twin matches the written layout byte-for-byte; and
+  * an append after clustering degrades to a shuffling-but-correct join
+  * instead of lying about co-partitioning.
+  */
+class SnapshotCatalogSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  private val cat = "graft_snap"
+
+  private def withSpjConfs[T](f: => T): T = {
+    val prevBucketing = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevBroadcast = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // force a non-broadcast join so shuffle ELIMINATION is observable
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f
+    finally {
+      prevBucketing.fold(spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+      prevBroadcast.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+    }
+  }
+
+  private def clusteredTable(rows: DataFrame, buckets: Int): String = {
+    val t = SparkHygiene.scratchDir("spjtbl")
+    Snapshots.commit(spark, t, rows)
+    Optimize.clusterByBuckets(spark, t, "id", buckets)
+    t
+  }
+
+  private def exchanges(plan: SparkPlan): Seq[String] = {
+    val helper = this
+    helper.collectWithSubqueries(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        s"shuffle:${e.outputPartitioning}"
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+        s"broadcast:${b.mode}"
+    }
+  }
+
+  test("co-bucketed tables join with zero shuffle and zero broadcast") {
+    withSpjConfs {
+      val ta = clusteredTable(
+        (0L until 400L).map(i => (i, s"name_$i")).toDF("id", "name"), 4)
+      val tb = clusteredTable(
+        (0L until 400L by 2L).map(i => (i, i * 1.5)).toDF("id", "score"), 4)
+      val q = spark.table(s"$cat.snap.`$ta`")
+        .join(spark.table(s"$cat.snap.`$tb`"), "id")
+      assert(q.count() == 200)
+      val ex = exchanges(q.queryExecution.executedPlan)
+      assert(ex.isEmpty,
+        s"expected a storage-partitioned join, found exchanges: $ex\n" +
+          q.queryExecution.executedPlan)
+      // sanity: it IS a real join over 4 key-grouped partitions
+      assert(q.rdd.getNumPartitions == 4)
+      assert(q.filter($"id" === 100L).select($"name", $"score")
+        .as[(String, Double)].head() == (("name_100", 150.0)))
+    }
+  }
+
+  test("the scalar bucket function matches the written layout") {
+    withSpjConfs {
+      val t = clusteredTable(
+        (0L until 300L).map(i => (i * 7919L, s"d$i")).toDF("id", "name"), 8)
+      // every file of bucket dir b holds only keys whose bucketId is b
+      val spec = graft.sources.v2.BucketLayout.read(t,
+        Snapshots.currentVersion(t)).get
+      assert(spec.col == "id" && spec.n == 8)
+      spec.entries.foreach { case (dir, b) =>
+        val ids = spark.read.parquet(dir).select($"id").as[Long].collect()
+        assert(ids.nonEmpty)
+        ids.foreach(id =>
+          assert(GraftBucketFunction.bucketId(id, 8) == b,
+            s"key $id written to bucket $b but hashes to " +
+              GraftBucketFunction.bucketId(id, 8)))
+      }
+      // and the scalar twin equals the write-side Column for a sample
+      val viaExpr = spark.range(100)
+        .select($"id", pmod(xxhash64($"id"), lit(8)).cast("int").as("b"))
+        .as[(Long, Int)].collect()
+      viaExpr.foreach { case (id, b) =>
+        assert(GraftBucketFunction.bucketId(id, 8) == b)
+      }
+    }
+  }
+
+  test("an append after clustering shuffles again but stays correct") {
+    withSpjConfs {
+      val ta = clusteredTable(
+        (0L until 100L).map(i => (i, s"n$i")).toDF("id", "name"), 4)
+      val tb = clusteredTable(
+        (0L until 100L).map(i => (i, i * 2.0)).toDF("id", "score"), 4)
+      Snapshots.commit(spark, ta,
+        (100L until 120L).map(i => (i, s"n$i")).toDF("id", "name"))
+      val q = spark.table(s"$cat.snap.`$ta`")
+        .join(spark.table(s"$cat.snap.`$tb`"), "id")
+      assert(q.count() == 100)
+      assert(exchanges(q.queryExecution.executedPlan)
+        .exists(_.startsWith("shuffle:")),
+        "stale bucket layout must fall back to shuffling")
+    }
+  }
+}
