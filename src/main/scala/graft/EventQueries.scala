@@ -1164,6 +1164,45 @@ object EventQueries {
     // the checkpoint-restart and non-append-refusal contracts; the
     // oracle is the full table — a lossless drain is logically
     // invisible.
+    // CONTINUOUS MV MAINTENANCE — q40's refresh driven by the STREAM:
+    // IncrementalMv.follow subscribes to the base table's commit feed
+    // (the V2 connector's version-offset stream, checkpointed), and
+    // folds every arriving commit into the materialized rollup; the
+    // erase commit rides ignoreChanges (refresh reads the manifest
+    // diff, not the replayed rows). After the AvailableNow drain the
+    // MV must equal the rollup recomputed from the final base state —
+    // the oracle. At 100 TB this is the serving-layer aggregate that
+    // never recomputes and never lags more than a trigger.
+    "w37_stream_mv" -> ((s, dir) => {
+      val base = SparkHygiene.scratchDir("w37_base")
+      val mv = SparkHygiene.scratchDir("w37_mv")
+      val ck = SparkHygiene.scratchDir("w37_ck")
+      // micro-unit longs: exact signed-mergeable sums with no float
+      // drift anywhere, and a type the V2 record reader serves
+      // (decimal(18,6)·1e6 is integral, so the long cast is exact)
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        col("event_type"),
+        (col("value").cast("decimal(18,6)") * lit(1000000))
+          .cast("long").as("v"))
+      graft.sources.Snapshots.commit(s, base,
+        ev.filter(col("event_id") < 3000).repartition(4, col("event_id")))
+      val mvSpec = graft.operators.IncrementalMv.MvSpec(
+        groupCols = Seq("event_type"), sumCols = Seq("v"),
+        minMaxCols = Seq("v"))
+      graft.operators.IncrementalMv.initialize(s, base, mv, mvSpec)
+      graft.sources.Snapshots.commit(s, base,
+        ev.filter(col("event_id") >= 3000 && col("event_id") < 5000))
+      graft.operators.DeleteRows.deleteKeys(s, base, "event_id",
+        keys = Seq(7L, 1203L, 2048L, 3333L, 4999L))
+      val q = graft.operators.IncrementalMv.follow(
+        s, base, mv, "event_id", mvSpec, ck)
+      q.awaitTermination()
+      graft.sources.Snapshots.read(s, mv)
+        .select(col("event_type"), col("n"), col("sum_v"), col("cnt_v"),
+          col("min_v"), col("max_v"))
+        .orderBy(col("event_type"))
+    }),
+
     "w33_v2_stream" -> ((s, dir) => {
       val t = SparkHygiene.scratchDir("w33_tbl")
       val ev = Tables.events(s, dir)
@@ -1892,6 +1931,19 @@ object EventQueries {
         |ORDER BY click_id, error_id, purchase_id""".stripMargin,
     // DISTINCT (the redelivery must vanish) then the batch two-level
     // rollup, below the same delayed cut as w31
+    // the streamed MV vs the rollup recomputed from the final base
+    // state (bootstrap < 3000, append [3000,5000), erase keys)
+    "w37_stream_mv" ->
+      """WITH m AS (SELECT event_id, event_type,
+        |  CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+        |FROM events
+        |WHERE event_id < 5000
+        |  AND event_id NOT IN (7, 1203, 2048, 3333, 4999))
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(v) AS BIGINT) AS sum_v, count(v) AS cnt_v,
+        |  min(v) AS min_v, max(v) AS max_v
+        |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // the resample replayed relationally: per-user day series from
     // generate_series, LOCF via last_value IGNORE NULLS
     "w34_gapfill" ->

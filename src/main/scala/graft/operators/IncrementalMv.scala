@@ -169,6 +169,43 @@ object IncrementalMv {
     mvv
   }
 
+  /** CONTINUOUS maintenance: a streaming query that follows the base
+    * table's commit feed (the V2 connector's version-offset stream) and
+    * folds each micro-batch's commits into the MV with [[refresh]].
+    * The stream supplies ordering, checkpointed restart, and the
+    * trigger cadence; the delta math stays in refresh — the batch's
+    * ROWS are deliberately ignored (`ignoreChanges=true` keeps
+    * copy-on-write erase commits streamable; their replayed rows don't
+    * matter because refresh reads the manifest diff itself). Restarting
+    * after a crash is safe from either side: a replayed batch sees
+    * `toVersion <= lastBaseVersion` and no-ops.
+    */
+  def follow(spark: SparkSession, baseDir: String, mvDir: String,
+             keyCol: String, spec: MvSpec, checkpointDir: String,
+             trigger: org.apache.spark.sql.streaming.Trigger =
+               org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val feed = spark.readStream.format("graft_snapshots")
+      .option("path", baseDir)
+      .option("readChangeFeed", "true")
+      .option("ignoreChanges", "true")
+      .load()
+      .select(col(graft.sources.v2.ParquetGroups.CommitVersionCol).as("__v"))
+    feed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val hi = batch.agg(max(col("__v"))).head()
+        if (!hi.isNullAt(0)) {
+          val to = hi.getLong(0).toInt
+          if (to > lastBaseVersion(mvDir))
+            refresh(spark, baseDir, mvDir, keyCol, spec, Some(to))
+          ()
+        }
+      }
+      .start()
+  }
+
   /** The base version the MV's CURRENT version reflects. */
   def lastBaseVersion(mvDir: String): Int = {
     val v = Snapshots.currentVersion(mvDir)

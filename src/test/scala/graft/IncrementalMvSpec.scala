@@ -123,4 +123,30 @@ class IncrementalMvSpec extends SparkSpec {
     // prior MV versions still time-travel (replace commit, not erase)
     assert(Snapshots.read(spark, mv, Some(v0)).count() == 1)
   }
+
+  test("follow drains the commit feed into the MV and restarts idempotently") {
+    val base = SparkHygiene.scratchDir("imv_base7")
+    val mv = SparkHygiene.scratchDir("imv_mv7")
+    val ck = SparkHygiene.scratchDir("imv_ck7")
+    Snapshots.commit(spark, base, rows(Seq(
+      (1L, "a", 10L), (2L, "b", 20L))).repartition(2, $"id"))
+    IncrementalMv.initialize(spark, base, mv, spec)
+    Snapshots.commit(spark, base, rows(Seq((3L, "a", 30L), (4L, "c", 5L))))
+    DeleteRows.deleteKeys(spark, base, "id", keys = Seq(2L))
+    IncrementalMv.follow(spark, base, mv, "id", spec, ck)
+      .awaitTermination(120000)
+    assert(IncrementalMv.lastBaseVersion(mv) ==
+      Snapshots.currentVersion(base))
+    assertMatchesRecompute(base, mv)
+    val vAfter = Snapshots.currentVersion(mv)
+    // restart with the same checkpoint: nothing new → no MV commit
+    IncrementalMv.follow(spark, base, mv, "id", spec, ck)
+      .awaitTermination(120000)
+    assert(Snapshots.currentVersion(mv) == vAfter)
+    // a commit landing between runs is picked up from the checkpoint
+    Snapshots.commit(spark, base, rows(Seq((5L, "b", 50L))))
+    IncrementalMv.follow(spark, base, mv, "id", spec, ck)
+      .awaitTermination(120000)
+    assertMatchesRecompute(base, mv)
+  }
 }

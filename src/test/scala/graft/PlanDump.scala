@@ -54,7 +54,13 @@ object PlanDump {
       // and the oracle rows.
       "t34_training_manifest", "d18_incremental_dedup",
       // round-14 heads: the custom physical as-of operator
-      "j20_asof_exec", "j21_asof_tolerance")
+      "j20_asof_exec", "j21_asof_tolerance",
+      // session-3 heads: gap-fill resample (the only corpus-sized op
+      // must be the first rollup). p31/j23/q40 materialize snapshot
+      // tables and run maintenance commits on construction — their
+      // plan/exchange evidence lives in SnapshotsV2Spec,
+      // SnapshotCatalogSpec, and IncrementalMvSpec.
+      "w34_gapfill")
     val out = new java.io.PrintWriter("artifacts/PLANS_r13.txt")
     out.println("Formatted physical plans, sf0.001, local[4] — regenerate " +
       "with `sbt \"Test/runMain graft.PlanDump\"`.\n")
