@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
     // rewrite cartesian ε-similarity joins (crossJoin + cosine ≤ ε
     // filter) into the exact pivot-band equi-join — see
     // [[graft.plans.EpsilonJoinRewrite]]
@@ -80,6 +81,63 @@ object GraftExtensions {
         "asof_match(lk, rk, lt, rt, tie, tolMicros) - as-of join marker condition; rewritten to the sorted-merge as-of operator (unevaluable if left in place)"),
       (children: Seq[Expression]) => graft.plans.AsOfMark(children)))
 
+  /** SQL TABLE-VALUED FUNCTIONS over the snapshot log — the Delta SQL
+    * vocabulary (`table_changes`, time travel) for users who only speak
+    * SQL to the session:
+    *
+    * {{{
+    *   SELECT * FROM table_changes('/data/t', 1, 3)
+    *   SELECT * FROM snapshot_at('/data/t', 2)   -- or current: ('/t')
+    * }}}
+    *
+    * Arguments must be literals (they select WHICH table/versions to
+    * plan — they cannot be row-dependent); non-foldable arguments error
+    * at analysis with a clear message.
+    */
+  private def lit(e: Expression, what: String): Any = {
+    require(e.foldable, s"$what must be a literal, got ${e.sql}")
+    e.eval(null)
+  }
+  private def litStr(e: Expression, what: String): String =
+    String.valueOf(lit(e, what))
+  private def litInt(e: Expression, what: String): Int =
+    lit(e, what) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+
+  val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    (FunctionIdentifier("table_changes"),
+      info("table_changes",
+        "table_changes(dir, fromVersion, toVersion, keyCol) - row-level " +
+          "change feed (insert/delete/update pre+post) between two " +
+          "committed snapshot versions, manifest-diff-sized"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "table_changes(dir, fromVersion, toVersion, keyCol) takes 4 arguments")
+        graft.operators.ChangeFeed.changes(SparkSession.active,
+            litStr(children(0), "dir"),
+            litInt(children(1), "fromVersion"),
+            litInt(children(2), "toVersion"),
+            litStr(children(3), "keyCol"))
+          .queryExecution.analyzed
+      }),
+    (FunctionIdentifier("snapshot_at"),
+      info("snapshot_at",
+        "snapshot_at(dir[, version]) - a snapshot table pinned to a " +
+          "version (default: current) as a SQL relation"),
+      (children: Seq[Expression]) => {
+        require(children.nonEmpty && children.length <= 2,
+          "snapshot_at(dir[, version]) takes 1 or 2 arguments")
+        val dir = litStr(children(0), "dir")
+        val v = children.lift(1).map(litInt(_, "version"))
+        graft.sources.Snapshots.read(SparkSession.active, dir, v)
+          .queryExecution.analyzed
+      }))
+
   /** Register into an existing session (tests, notebooks), and apply
     * session-setup conf the engine relies on. This is the one setup
     * chokepoint every graft entry point (Bench/Verify/tests) passes
@@ -93,6 +151,10 @@ object GraftExtensions {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     functions.foreach { case (ident, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, inf, builder)
+    }
+    tableFunctions.foreach { case (ident, inf, builder) =>
+      spark.sessionState.tableFunctionRegistry
+        .registerFunction(ident, inf, builder)
     }
     // session-injection path for the ε-join rewrite. Note: experimental
     // rules run AFTER the main optimizer batches, so the rewritten plan

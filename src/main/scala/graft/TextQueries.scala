@@ -549,6 +549,34 @@ object TextQueries {
         .orderBy(col("change_type"), col("doc_id"))
     }),
 
+    // SQL TABLE-VALUED FUNCTIONS (GraftExtensions.tableFunctions) —
+    // p27's change feed and p23's time travel, addressable from PURE
+    // SQL: `table_changes(dir, from, to, key)` plans the manifest-diff
+    // change feed as a relation, `snapshot_at(dir, v)` pins a version
+    // (here as a scalar subquery counting v1 — the pre-erase state —
+    // next to each change row). Same table evolution as p27 (commit,
+    // COW erase, append), so the oracle replays the diff raw and
+    // cross-joins the v1 count.
+    "p32_sql_table_changes" -> ((s, dir) => {
+      val t = SparkHygiene.scratchDir("p32_tbl")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.sources.Snapshots.commit(s, t,
+        docs.repartitionByRange(8, col("doc_id")))
+      graft.operators.DeleteRows.deleteRange(s, t, "doc_id",
+        lo = 100L, hi = 299L)
+      graft.sources.Snapshots.commit(s, t,
+        docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            col("text"), col("lang")))
+      s.sql(
+        s"""SELECT doc_id, lang, length(text) AS text_len,
+           |  _change_type AS change_type,
+           |  (SELECT count(*) FROM snapshot_at('$t', 1)) AS v1_rows
+           |FROM table_changes('$t', 1, 3, 'doc_id')
+           |ORDER BY change_type, doc_id""".stripMargin)
+    }),
+
     // DATASOURCE V2 READ (sources/v2/SnapshotsDataSource) — the
     // standard `spark.read.format(...)` front door over snapshot
     // tables: version resolution happens INSIDE the plan
@@ -971,6 +999,16 @@ object TextQueries {
         |  UNION ALL
         |  SELECT doc_id + 10000, lang, length(text), 'insert'
         |  FROM documents WHERE doc_id < 50)
+        |ORDER BY change_type, doc_id""".stripMargin,
+    // the v1 → v3 diff replayed raw, with the v1 row count alongside
+    "p32_sql_table_changes" ->
+      """SELECT c.*, (SELECT count(*) FROM documents) AS v1_rows FROM (
+        |  SELECT doc_id, lang, length(text) AS text_len,
+        |         'delete' AS change_type
+        |  FROM documents WHERE doc_id BETWEEN 100 AND 299
+        |  UNION ALL
+        |  SELECT doc_id + 10000, lang, length(text), 'insert'
+        |  FROM documents WHERE doc_id < 50) c
         |ORDER BY change_type, doc_id""".stripMargin,
     // the pinned v1 (doc_id < 250) + the pushed filter, replayed raw
     "p28_v2_read" ->
