@@ -61,6 +61,26 @@ class SnapshotCatalog extends TableCatalog with FunctionCatalog {
     new SnapshotTable(schema, opts)
   }
 
+  /** SQL `VERSION AS OF n` — the version string resolves through the
+    * same read option the DataFrame path uses. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    withOption(ident, "versionAsOf", version)
+
+  /** SQL `TIMESTAMP AS OF t` — Spark hands MICROseconds since epoch;
+    * the manifest log resolves at millisecond publication times. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    withOption(ident, "timestampAsOf", (timestampMicros / 1000L).toString)
+
+  private def withOption(ident: Identifier, key: String,
+                         value: String): Table = {
+    val dir = ident.name()
+    if (Snapshots.currentVersion(dir) == 0) throw new NoSuchTableException(ident)
+    val opts = new CaseInsensitiveStringMap(
+      Map("path" -> dir, key -> value).asJava)
+    val schema = new SnapshotsDataSource().inferSchema(opts)
+    new SnapshotTable(schema, opts)
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     Snapshots.currentVersion(ident.name()) > 0
 

@@ -101,6 +101,34 @@ class SnapshotCatalogSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("SQL VERSION AS OF / TIMESTAMP AS OF resolve through the catalog") {
+    withSpjConfs {
+      val t = SparkHygiene.scratchDir("spj_tt")
+      Snapshots.commit(spark, t,
+        (0L until 40L).map(i => (i, s"a$i")).toDF("id", "name"))
+      val betweenMs = System.currentTimeMillis()
+      Thread.sleep(15)
+      Snapshots.commit(spark, t,
+        (40L until 100L).map(i => (i, s"a$i")).toDF("id", "name"))
+      assert(spark.sql(
+        s"SELECT count(*) FROM $cat.snap.`$t` VERSION AS OF 1")
+        .as[Long].head() == 40L)
+      assert(spark.sql(
+        s"SELECT count(*) FROM $cat.snap.`$t`").as[Long].head() == 100L)
+      val ts = new java.sql.Timestamp(betweenMs)
+      assert(spark.sql(
+        s"SELECT count(*) FROM $cat.snap.`$t` TIMESTAMP AS OF '$ts'")
+        .as[Long].head() == 40L)
+    }
+  }
+
+  // Boundary, probed and documented rather than pinned: the physical
+  // as-of exec does NOT ride SPJ — Spark's EnsureRequirements restricts
+  // KeyGroupedPartitioning compatibility checks to its own join execs
+  // (SortMergeJoin/ShuffledHashJoin), so a custom exec's
+  // ClusteredDistribution is satisfied the ordinary way (hash
+  // exchanges), even over co-bucketed inputs. Results stay correct.
+
   test("an append after clustering shuffles again but stays correct") {
     withSpjConfs {
       val ta = clusteredTable(
