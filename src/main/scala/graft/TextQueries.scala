@@ -577,6 +577,30 @@ object TextQueries {
            |ORDER BY change_type, doc_id""".stripMargin)
     }),
 
+    // SQL `DELETE FROM` (SupportsDelete on the V2 table → the p24/p25
+    // copy-on-write surgery): a range conjunct and an IN list deleted
+    // in two statements through pure SQL; footer stats prune the
+    // range-clustered files the range cannot touch, survivors rewrite,
+    // untouched files republish by reference, v1 still time-travels
+    // (SnapshotCatalogSpec pins the surgery, NULL-predicate row
+    // retention, no-op commits, and pinned-version refusal). The oracle
+    // filters the raw table — SQL deletion must equal predicate
+    // negation.
+    "p33_sql_delete" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_spj",
+        classOf[graft.sources.v2.SnapshotCatalog].getName)
+      val t = SparkHygiene.scratchDir("p33_tbl")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.sources.Snapshots.commit(s, t,
+        docs.repartitionByRange(8, col("doc_id")))
+      s.sql(s"DELETE FROM graft_spj.snap.`$t` WHERE doc_id >= 300 AND doc_id < 400")
+      s.sql(s"DELETE FROM graft_spj.snap.`$t` WHERE doc_id IN (3, 57, 111)")
+      s.table(s"graft_spj.snap.`$t`")
+        .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // DATASOURCE V2 READ (sources/v2/SnapshotsDataSource) — the
     // standard `spark.read.format(...)` front door over snapshot
     // tables: version resolution happens INSIDE the plan
@@ -1000,6 +1024,12 @@ object TextQueries {
         |  SELECT doc_id + 10000, lang, length(text), 'insert'
         |  FROM documents WHERE doc_id < 50)
         |ORDER BY change_type, doc_id""".stripMargin,
+    // SQL deletion ≡ predicate negation on the raw table
+    "p33_sql_delete" ->
+      """SELECT doc_id, lang, length(text) AS text_len FROM documents
+        |WHERE NOT (doc_id >= 300 AND doc_id < 400)
+        |  AND doc_id NOT IN (3, 57, 111)
+        |ORDER BY doc_id""".stripMargin,
     // the v1 → v3 diff replayed raw, with the v1 row count alongside
     "p32_sql_table_changes" ->
       """SELECT c.*, (SELECT count(*) FROM documents) AS v1_rows FROM (

@@ -1,8 +1,9 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or}
 
 import graft.sources.{Manifest, Snapshots}
 
@@ -166,5 +167,85 @@ object DeleteRows {
     if (touched.isEmpty) return Result(cur, 0, kept.size)
     commitSurgery(spark, tableDir, cur, touched, kept,
       !col(keyCol).isin(keys: _*))
+  }
+
+  /** Can the SQL-delete path serve this pushed filter? (The vocabulary
+    * [[toCondition]] translates — comparisons, IN, null tests, and
+    * their boolean closure.) */
+  private[graft] def translatable(f: Filter): Boolean =
+    toCondition(f).isDefined
+
+  /** Source filter → delete predicate Column. */
+  private[graft] def toCondition(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case Not(c) => toCondition(c).map(not)
+    case And(l, r) =>
+      for (lc <- toCondition(l); rc <- toCondition(r)) yield lc && rc
+    case Or(l, r) =>
+      for (lc <- toCondition(l); rc <- toCondition(r)) yield lc || rc
+    case _: AlwaysTrue => Some(lit(true))
+    case _: AlwaysFalse => Some(lit(false))
+    case _ => None
+  }
+
+  /** GENERIC predicate erase — the engine behind SQL `DELETE FROM`
+    * ([[graft.sources.v2.SnapshotTable]]'s `SupportsDelete`): the
+    * filters (a conjunction, as Spark pushes them) become the delete
+    * predicate, long-column comparison/IN conjuncts prune untouched
+    * files via footer [min, max] before any byte is read, and the same
+    * copy-on-write surgery publishes survivors + references. SQL
+    * semantics exactly: a row is deleted only when the predicate is
+    * TRUE — a NULL predicate keeps the row (the `coalesce(…, false)`
+    * below). Prior versions still time-travel; a delete that cannot
+    * touch anything commits nothing.
+    */
+  def deleteWhere(spark: SparkSession, tableDir: String,
+                  filters: Seq[Filter]): Result = {
+    val cur = Snapshots.currentVersion(tableDir)
+    require(cur > 0, s"no snapshots under $tableDir")
+    val conds = filters.map(f => toCondition(f).getOrElse(
+      throw new IllegalArgumentException(
+        s"DELETE predicate not translatable by this table: $f")))
+    // no predicate = delete everything (TRUE), per SQL
+    val cond = conds.reduceOption(_ && _).getOrElse(lit(true))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = resolveFiles(spark, tableDir, cur)
+    // per-conjunct footer pruning on long comparisons/IN: a file is
+    // touchable unless some conjunct PROVES no row of it can match
+    val statCache = scala.collection.mutable.Map.empty[(String, String),
+      Manifest.FileStat]
+    def stat(p: Path, len: Long, c: String): Manifest.FileStat =
+      statCache.getOrElseUpdate((p.toString, c),
+        Manifest.fileStat(conf, p, len, c))
+    def overlaps(p: Path, len: Long, f: Filter): Boolean = f match {
+      case EqualTo(c, v: Long) =>
+        val s = stat(p, len, c); s.lo > s.hi || (s.lo <= v && v <= s.hi)
+      case GreaterThan(c, v: Long) =>
+        val s = stat(p, len, c); s.lo > s.hi || s.hi > v
+      case GreaterThanOrEqual(c, v: Long) =>
+        val s = stat(p, len, c); s.lo > s.hi || s.hi >= v
+      case LessThan(c, v: Long) =>
+        val s = stat(p, len, c); s.lo > s.hi || s.lo < v
+      case LessThanOrEqual(c, v: Long) =>
+        val s = stat(p, len, c); s.lo > s.hi || s.lo <= v
+      case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Long]) =>
+        val s = stat(p, len, c)
+        s.lo > s.hi || vs.exists { case v: Long => s.lo <= v && v <= s.hi }
+      case _ => true
+    }
+    val (touched, kept) = files.partition { case (p, len) =>
+      filters.forall(overlaps(p, len, _))
+    }
+    if (touched.isEmpty) return Result(cur, 0, kept.size)
+    commitSurgery(spark, tableDir, cur,
+      touched.map(_._1.toString), kept.map(_._1.toString),
+      not(coalesce(cond, lit(false))))
   }
 }

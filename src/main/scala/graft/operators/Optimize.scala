@@ -95,7 +95,8 @@ object Optimize {
     * (the sidecar no longer covers the manifest) rather than lying.
     */
   def clusterByBuckets(spark: SparkSession, tableDir: String,
-                       keyCol: String, buckets: Int): Report = {
+                       keyCol: String, buckets: Int,
+                       maxRecordsPerFile: Long = 0L): Report = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val cur = Snapshots.currentVersion(tableDir)
     require(cur > 0, s"no snapshots under $tableDir")
@@ -118,7 +119,14 @@ object Optimize {
       .withColumn("__b",
         pmod(xxhash64(col(keyCol)), lit(buckets)).cast("int"))
       .repartition(buckets, col("__b"))
-      .write.mode("error").partitionBy("__b").parquet(out)
+      .write.mode("error")
+      // >0 splits each bucket into size-bounded files: the scan emits
+      // one key-tagged partition per file, so reads parallelize INSIDE
+      // a bucket while a storage-partitioned join still groups the
+      // bucket's files into one co-located task
+      .option("maxRecordsPerFile",
+        if (maxRecordsPerFile > 0) maxRecordsPerFile.toString else "0")
+      .partitionBy("__b").parquet(out)
     // rename __b=<i> → bucket<i>: a k=v directory name would trigger
     // Spark's partition-column inference on plain multi-dir reads and
     // graft a phantom __b column onto Snapshots.read's schema

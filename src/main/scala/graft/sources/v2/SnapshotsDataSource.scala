@@ -387,7 +387,8 @@ object SnapshotsDataSource {
   */
 class SnapshotTable(schema: StructType, options: CaseInsensitiveStringMap)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = s"graft_snapshots(${options.get("path")})"
 
@@ -407,6 +408,27 @@ class SnapshotTable(schema: StructType, options: CaseInsensitiveStringMap)
         m.putAll(o)
         m
       }))
+
+  // ---- SQL `DELETE FROM t WHERE …` — routed onto the copy-on-write
+  // surgery ([[graft.operators.DeleteRows.deleteWhere]]): long-column
+  // conjuncts prune untouched files via footer stats, survivors rewrite
+  // into the next version, prior versions still time-travel. Only
+  // whole-filter-translatable predicates are accepted (Spark fails the
+  // statement at analysis otherwise, rather than half-deleting); a
+  // version-pinned relation refuses (history is immutable).
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    !options.containsKey("versionAsOf") &&
+      !options.containsKey("timestampAsOf") &&
+      filters.forall(graft.operators.DeleteRows.translatable)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(!options.containsKey("versionAsOf") &&
+      !options.containsKey("timestampAsOf"),
+      "DELETE from a version-pinned snapshot relation: history is immutable")
+    graft.operators.DeleteRows.deleteWhere(SparkSession.active,
+      SnapshotsDataSource.normalizePath(options), filters.toSeq)
+    ()
+  }
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -681,15 +703,27 @@ class SnapshotScan(fullSchema: StructType, required: StructType,
         val files = runtimeKept(planned._1)
         bucketLayout match {
           case Some(bs) =>
-            // one partition PER BUCKET, empty buckets included: both
-            // sides of a storage-partitioned join must present the same
-            // partition-value set even when file skipping emptied one
+            // one partition PER FILE, tagged with its bucket key, plus
+            // an empty partition for any bucket left with no files.
+            // Spark groups key-equal partitions into one co-located
+            // task (a task reads a Seq of partitions), so a bucket
+            // split into many files by maxRecordsPerFile still joins
+            // exchange-free; and both sides always present the full
+            // partition-value set even when file skipping emptied a
+            // bucket. Per-file emission also positions the scan for
+            // the partially-clustered SPJ mode, where Spark splits a
+            // skewed key across tasks instead of grouping it.
             val byBucket = files.groupBy { case (f, _) =>
               bs.entries(new Path(f).getParent.toUri.getPath)
             }
-            (0 until bs.n).map { b =>
-              ParquetGroups.BucketedBin(ParquetGroups.FileBin(
-                byBucket.getOrElse(b, Nil).map(_._1)), b)
+            (0 until bs.n).flatMap { b =>
+              byBucket.getOrElse(b, Nil) match {
+                case Nil => Seq(ParquetGroups.BucketedBin(
+                  ParquetGroups.FileBin(Nil), b))
+                case fs => fs.map { case (f, _) => ParquetGroups.BucketedBin(
+                  ParquetGroups.FileBin(Seq(f)), b)
+                }
+              }
             }.toArray
           case None =>
             val target = options.getLong("targetBytesPerPartition", 128L << 20)

@@ -122,6 +122,73 @@ class SnapshotCatalogSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("multi-file buckets group into co-located tasks, join exchange-free") {
+    withSpjConfs {
+      val ta = SparkHygiene.scratchDir("spjtbl_mf")
+      Snapshots.commit(spark, ta,
+        (0L until 800L).map(i => (i, s"n$i")).toDF("id", "name"))
+      // ~200 rows/bucket split into ≤60-row files → >1 file per bucket
+      Optimize.clusterByBuckets(spark, ta, "id", 4, maxRecordsPerFile = 60L)
+      val spec = graft.sources.v2.BucketLayout.read(ta,
+        Snapshots.currentVersion(ta)).get
+      val filesPerBucket = spec.entries.keys.map { dir =>
+        new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+      }
+      assert(filesPerBucket.forall(_ > 1),
+        s"expected multi-file buckets, got $filesPerBucket")
+      val tb = clusteredTable(
+        (0L until 800L by 4L).map(i => (i, i * 0.5)).toDF("id", "score"), 4)
+      // the scan emits one key-tagged partition per file; Spark groups
+      // key-equal partitions into one co-located task, so the join
+      // still plans exchange-free over the multi-file layout
+      val q = spark.table(s"$cat.snap.`$ta`")
+        .join(spark.table(s"$cat.snap.`$tb`"), "id")
+      assert(q.count() == 200)
+      val ex = exchanges(q.queryExecution.executedPlan)
+      assert(ex.isEmpty, s"expected SPJ over multi-file buckets: $ex")
+      assert(q.rdd.getNumPartitions == 4)
+    }
+  }
+
+  test("SQL DELETE FROM: file surgery, null semantics, pinned-version refusal") {
+    withSpjConfs {
+      val t = SparkHygiene.scratchDir("sqldel")
+      Snapshots.commit(spark, t,
+        (0L until 800L).map(i =>
+          (i, if (i % 10 == 0) null else s"n$i"))
+          .toDF("id", "name").repartitionByRange(8, $"id"))
+      val v1Dir = Snapshots.manifestEntries(t, 1).head
+      // range delete: footer stats keep 7 of 8 range-clustered files
+      spark.sql(s"DELETE FROM $cat.snap.`$t` WHERE id >= 700")
+      assert(Snapshots.currentVersion(t) == 2)
+      assert(spark.table(s"$cat.snap.`$t`").count() == 700)
+      // untouched files referenced verbatim (v2 lists v1's files
+      // individually), v1 still time-travels
+      val entriesAfter = Snapshots.manifestEntries(t, 2)
+      assert(entriesAfter.count(_.contains(
+        new org.apache.hadoop.fs.Path(v1Dir).getName)) >= 6,
+        s"untouched files must survive by reference:\n$entriesAfter")
+      assert(Snapshots.read(spark, t, Some(1)).count() == 800)
+      // NULL predicate keeps the row (SQL semantics): name LIKE is not
+      // pushed as a translatable filter, so use an IN over a null col
+      spark.sql(s"DELETE FROM $cat.snap.`$t` WHERE name IN ('n5', 'n17')")
+      val left = spark.table(s"$cat.snap.`$t`")
+      assert(left.count() == 698)
+      assert(left.filter($"name".isNull).count() == 70,
+        "rows with NULL predicate value must be kept")
+      // a no-op delete commits nothing
+      val v = Snapshots.currentVersion(t)
+      spark.sql(s"DELETE FROM $cat.snap.`$t` WHERE id >= 5000")
+      assert(Snapshots.currentVersion(t) == v)
+      // pinned-version relations refuse
+      val e = intercept[Exception] {
+        spark.sql(s"DELETE FROM $cat.snap.`$t` VERSION AS OF 1 WHERE id < 5")
+      }
+      assert(e.getMessage.toLowerCase.contains("delete") ||
+        e.getMessage.contains("immutable"), e.getMessage)
+    }
+  }
+
   // Boundary, probed and documented rather than pinned: the physical
   // as-of exec does NOT ride SPJ — Spark's EnsureRequirements restricts
   // KeyGroupedPartitioning compatibility checks to its own join execs
