@@ -1012,6 +1012,59 @@ object QueryCatalog {
       graft.sources.Snapshots.read(s, mv).orderBy(col("lang"))
     }),
 
+    // THE MV LOOP CLOSED — q40 maintains, q33/q36 serve; this entry
+    // does BOTH against the same state: the per-lang rollup is
+    // incrementally refreshed through append + erase commits
+    // (IncrementalMv), then registered with MvRewrite under the exact
+    // partial-state vocabulary the maintainer writes (n / sum_<c> /
+    // cnt_<c> / min_<c> / max_<c>), and the user's aggregate over the
+    // BASE TABLE is served from the maintained MV — count, sum, min,
+    // max, non-null count, and avg (re-derived as Σsum/Σcnt) all
+    // translate (IncrementalMvSpec's perturbed-MV proof pins that the
+    // MV, not the fact, answers). The oracle recomputes from the raw
+    // final state — maintain + serve must be jointly invisible.
+    "q41_mv_serve_incremental" -> ((s, dir) => {
+      val base = SparkHygiene.scratchDir("q41_base")
+      val mv = SparkHygiene.scratchDir("q41_mv")
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("text_len"))
+      graft.sources.Snapshots.commit(s, base,
+        docs.filter(col("doc_id") < 300).repartition(4, col("doc_id")))
+      val mvSpec = graft.operators.IncrementalMv.MvSpec(
+        groupCols = Seq("lang"), sumCols = Seq("text_len"),
+        minMaxCols = Seq("text_len"))
+      graft.operators.IncrementalMv.initialize(s, base, mv, mvSpec)
+      graft.sources.Snapshots.commit(s, base,
+        docs.filter(col("doc_id") >= 300 && col("doc_id") < 450))
+      graft.operators.DeleteRows.deleteKeys(s, base, "doc_id",
+        keys = Seq(11L, 99L, 222L, 333L, 444L))
+      graft.operators.IncrementalMv.refresh(s, base, mv, "doc_id", mvSpec)
+      graft.plans.MvRewrite.register(s, graft.plans.MvRewrite.MvDef(
+        factPathSuffix = graft.sources.Snapshots.manifestEntries(base,
+          graft.sources.Snapshots.currentVersion(base)).head,
+        mvPlan = graft.sources.Snapshots.read(s, mv).queryExecution.analyzed,
+        groupCols = Set("lang"), countCol = "n",
+        sumCols = Map("text_len" -> "sum_text_len"),
+        minCols = Map("text_len" -> "min_text_len"),
+        maxCols = Map("text_len" -> "max_text_len"),
+        cntCols = Map("text_len" -> "cnt_text_len")))
+      val served =
+        try graft.sources.Snapshots.read(s, base)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"),
+            count(col("text_len")).as("n_len"),
+            sum(col("text_len")).as("sum_len"),
+            min(col("text_len")).as("min_len"),
+            max(col("text_len")).as("max_len"),
+            avg(col("text_len").cast("double")).as("avg_raw"))
+          .localCheckpoint(true)
+        finally graft.plans.MvRewrite.clear(s)
+      served.select(col("lang"), col("n"), col("n_len"), col("sum_len"),
+          col("min_len"), col("max_len"),
+          round(col("avg_raw"), 6).as("avg_len"))
+        .orderBy(col("lang"))
+    }),
+
     "q36_mv_avg" -> ((s, dir) => {
       val mvDir = SparkHygiene.scratchDir("q36_mv")
       Tables.lineitem(s, dir)
@@ -2234,6 +2287,17 @@ object QueryCatalog {
         |  round(avg(CAST(l_quantity AS DOUBLE)), 6) AS avg_qty
         |FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // maintain + serve jointly invisible: the raw recompute
+    "q41_mv_serve_incremental" ->
+      """WITH m AS (
+        |  SELECT lang, CAST(length(text) AS BIGINT) AS text_len
+        |  FROM documents
+        |  WHERE doc_id < 450 AND doc_id NOT IN (11, 99, 222, 333, 444))
+        |SELECT lang, count(*) AS n, count(text_len) AS n_len,
+        |  CAST(sum(text_len) AS BIGINT) AS sum_len,
+        |  min(text_len) AS min_len, max(text_len) AS max_len,
+        |  round(avg(CAST(text_len AS DOUBLE)), 6) AS avg_len
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
     // the incrementally-maintained MV vs the rollup recomputed from the
     // final base state (bootstrap < 300, append [300,450), erase keys)
     "q40_mv_incremental" ->

@@ -124,6 +124,41 @@ class IncrementalMvSpec extends SparkSpec {
     assert(Snapshots.read(spark, mv, Some(v0)).count() == 1)
   }
 
+  test("a maintained MV serves the base rollup via MvRewrite (perturbed proof)") {
+    val base = SparkHygiene.scratchDir("imv_base8")
+    val mv = SparkHygiene.scratchDir("imv_mv8")
+    Snapshots.commit(spark, base, rows(Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))).repartition(2, $"id"))
+    IncrementalMv.initialize(spark, base, mv, spec)
+    Snapshots.commit(spark, base, rows(Seq((4L, "b", 40L))))
+    DeleteRows.deleteKeys(spark, base, "id", keys = Seq(1L))
+    IncrementalMv.refresh(spark, base, mv, "id", spec)
+    def defFor(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      graft.plans.MvRewrite.MvDef(
+        factPathSuffix = Snapshots.manifestEntries(base,
+          Snapshots.currentVersion(base)).head,
+        mvPlan = plan, groupCols = Set("grp"), countCol = "n",
+        sumCols = Map("v" -> "sum_v"), minCols = Map("v" -> "min_v"),
+        maxCols = Map("v" -> "max_v"), cntCols = Map("v" -> "cnt_v"))
+    def serve(): Seq[(String, Long, Long)] = {
+      try Snapshots.read(spark, base).groupBy($"grp")
+        .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+        .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+      finally graft.plans.MvRewrite.clear(spark)
+    }
+    // a PERTURBED MV visibly changes the answer → the MV is serving
+    graft.plans.MvRewrite.register(spark, defFor(
+      Snapshots.read(spark, mv)
+        .withColumn("n", $"n" + when($"grp" === "a", 100L).otherwise(0L))
+        .queryExecution.analyzed))
+    assert(serve().find(_._1 == "a").get._2 == 101L,
+      "perturbation invisible: the rewrite did not serve from the MV")
+    // the REAL maintained MV serves the exact recompute
+    graft.plans.MvRewrite.register(spark, defFor(
+      Snapshots.read(spark, mv).queryExecution.analyzed))
+    assert(serve() == Seq(("a", 1L, 20L), ("b", 2L, 70L)))
+  }
+
   test("follow drains the commit feed into the MV and restarts idempotently") {
     val base = SparkHygiene.scratchDir("imv_base7")
     val mv = SparkHygiene.scratchDir("imv_mv7")
