@@ -37,22 +37,40 @@ import graft.sources.Snapshots
   *    (the mirror of [[SnapshotMicroBatchStream]]'s immutable-version
   *    replay on the source side).
   *
-  * Append-only by design: `SaveMode.Append` / streaming `append` are
-  * the supported modes; overwrite/truncate would be a RESTORE-shaped
-  * table operation, not a write (Spark rejects the others at analysis).
-  * Rows are encoded through the public parquet-hadoop record API with
-  * the same type surface the read side supports.
+  * Batch writes support `append` (new files join the previous entries)
+  * and `overwrite` / SQL `INSERT OVERWRITE` (SupportsTruncate — the
+  * commit publishes a manifest of ONLY the new files: a REPLACE
+  * version, with prior versions still time-traveling and vacuum
+  * reclaiming after retention). Streaming stays append-only. Rows are
+  * encoded through the public parquet-hadoop record API with the same
+  * type surface the read side supports.
   */
 class SnapshotWriteBuilder(tableDir: String, schema: StructType,
                            conf: ParquetGroups.SerializableConf,
                            queryId: String)
-    extends WriteBuilder {
+    extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  private var replace = false
+
+  /** `INSERT OVERWRITE` / `mode("overwrite")`: the commit publishes a
+    * manifest listing ONLY the new files — a REPLACE version, not an
+    * erase. Prior versions still time-travel; vacuum reclaims after
+    * retention. An empty overwrite publishes a schema-only version (the
+    * table reads as empty, never as missing). */
+  override def truncate(): WriteBuilder = { replace = true; this }
+
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new SnapshotBatchWrite(tableDir, schema, conf)
-    override def toStreaming: StreamingWrite =
+      new SnapshotBatchWrite(tableDir, schema, conf, replace)
+    override def toStreaming: StreamingWrite = {
+      require(!replace,
+        "graft_snapshots streaming writes are append-only (complete/" +
+          "update output modes would replace the table every epoch)")
       new SnapshotStreamingWrite(tableDir, schema, conf, queryId)
-    override def description(): String = s"graft_snapshots append $tableDir"
+    }
+    override def description(): String =
+      s"graft_snapshots ${if (replace) "overwrite" else "append"} $tableDir"
   }
 }
 
@@ -207,7 +225,8 @@ private[v2] object SnapshotWriteSupport {
 }
 
 class SnapshotBatchWrite(tableDir: String, schema: StructType,
-                         conf: ParquetGroups.SerializableConf)
+                         conf: ParquetGroups.SerializableConf,
+                         replace: Boolean = false)
     extends BatchWrite {
   private val staging = SnapshotWriteSupport.stagingDir(tableDir)
 
@@ -224,7 +243,19 @@ class SnapshotBatchWrite(tableDir: String, schema: StructType,
     val files = messages.collect {
       case FileCommit(p, rows) if rows > 0 => p
     }.toSeq
-    SnapshotWriteSupport.publish(tableDir, files)
+    if (replace) {
+      // REPLACE commit: only the new files. An empty overwrite still
+      // needs a readable version — write one schema-only file so the
+      // table plans and schema-infers as empty, not as missing.
+      val published =
+        if (files.nonEmpty) files.sorted
+        else {
+          val f = s"$staging/part-empty.parquet"
+          new SnapshotWriteSupport.FileWriter(f, conf.value, schema).close()
+          Seq(f)
+        }
+      Snapshots.commitManifest(tableDir, published)
+    } else SnapshotWriteSupport.publish(tableDir, files)
     ()
   }
 

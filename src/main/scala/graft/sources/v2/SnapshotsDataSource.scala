@@ -398,7 +398,8 @@ class SnapshotTable(schema: StructType, options: CaseInsensitiveStringMap)
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(schema,
@@ -582,10 +583,13 @@ class SnapshotScan(fullSchema: StructType, required: StructType,
   @volatile private var runtimeIn: Map[String, Array[Long]] = Map.empty
 
   override def filterAttributes(): Array[NamedReference] =
-    // footer-agg scans ship a precomputed row (nothing to prune), and
-    // the change feed is streaming-only (no batch runtime filters)
+    // footer-agg scans ship a precomputed row (nothing to prune).
+    // Only PROJECTED long columns are declared: Spark resolves these
+    // against the scan's (pruned) output, so a filterable-but-unread
+    // column would make PartitionPruning's ref resolution throw on any
+    // join over this scan
     if (pushedAgg.isDefined) Array.empty
-    else fullSchema.fields.filter(_.dataType == LongType)
+    else required.fields.filter(_.dataType == LongType)
       .map(f => org.apache.spark.sql.connector.expressions.Expressions
         .column(f.name))
 

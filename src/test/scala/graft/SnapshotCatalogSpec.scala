@@ -150,6 +150,37 @@ class SnapshotCatalogSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("partially-clustered SPJ splits multi-file buckets instead of grouping") {
+    withSpjConfs {
+      val prev = Seq("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+        .map(k => k -> spark.conf.getOption(k))
+      prev.foreach { case (k, _) => spark.conf.set(k, "true") }
+      try {
+        // the skewed side: every bucket split into many small files
+        val ta = SparkHygiene.scratchDir("spj_pc_big")
+        Snapshots.commit(spark, ta,
+          (0L until 2000L).map(i => (i % 40L, i)).toDF("id", "payload"))
+        Optimize.clusterByBuckets(spark, ta, "id", 4,
+          maxRecordsPerFile = 100L)
+        val tb = clusteredTable(
+          (0L until 40L).map(i => (i, s"dim$i")).toDF("id", "name"), 4)
+        val q = spark.table(s"$cat.snap.`$ta`")
+          .join(spark.table(s"$cat.snap.`$tb`"), "id")
+        assert(q.count() == 2000)
+        val ex = exchanges(q.queryExecution.executedPlan)
+        assert(ex.isEmpty, s"partially-clustered join still shuffled: $ex")
+        // the skewed side's file splits stay SEPARATE tasks (the dim
+        // partition replicates against each), instead of one
+        // giant grouped task per bucket
+        assert(q.rdd.getNumPartitions > 4,
+          s"expected >4 split tasks, got ${q.rdd.getNumPartitions}")
+      } finally prev.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      }
+    }
+  }
+
   test("SQL DELETE FROM: file surgery, null semantics, pinned-version refusal") {
     withSpjConfs {
       val t = SparkHygiene.scratchDir("sqldel")

@@ -100,6 +100,35 @@ class SnapshotWriteSpec extends SparkSpec {
     assert(Snapshots.currentVersion(t) == 2, "replayed epoch must not re-publish")
   }
 
+  test("overwrite publishes a REPLACE version; history still time-travels") {
+    val t = SparkHygiene.scratchDir("wr_ovw")
+    Snapshots.commit(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    Seq((10L, "x"), (11L, "y"), (12L, "z")).toDF("id", "name")
+      .write.format(fmt).option("path", t).mode("overwrite").save()
+    val cur = spark.read.format(fmt).option("path", t).load()
+    assert(cur.count() == 3 &&
+      cur.agg(org.apache.spark.sql.functions.min($"id")).as[Long].head() == 10L)
+    assert(Snapshots.read(spark, t, Some(1)).count() == 2,
+      "pre-overwrite version must still time-travel")
+    // SQL INSERT OVERWRITE through the catalog
+    spark.conf.set("spark.sql.catalog.graft_snap",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    spark.sql(s"INSERT OVERWRITE graft_snap.snap.`$t` " +
+      "SELECT id AS id, CONCAT('q', id) AS name FROM range(5)")
+    assert(spark.read.format(fmt).option("path", t).load().count() == 5)
+    assert(Snapshots.read(spark, t, Some(2)).count() == 3)
+  }
+
+  test("an empty overwrite reads as an empty table, not a missing one") {
+    val t = SparkHygiene.scratchDir("wr_ovw_empty")
+    Snapshots.commit(spark, t, Seq((1L, "a")).toDF("id", "name"))
+    Seq.empty[(Long, String)].toDF("id", "name")
+      .write.format(fmt).option("path", t).mode("overwrite").save()
+    val cur = spark.read.format(fmt).option("path", t).load()
+    assert(cur.count() == 0 && cur.schema.fieldNames.toSeq == Seq("id", "name"))
+    assert(Snapshots.read(spark, t, Some(1)).count() == 1)
+  }
+
   test("zombie-task leftovers are never referenced and vacuum sweeps them") {
     val t = SparkHygiene.scratchDir("wr_zombie")
     Snapshots.commit(spark, t, Seq((1L, "a")).toDF("id", "name"))
