@@ -1295,6 +1295,49 @@ object EventQueries {
     // same stateful query text runs against history and the live feed.
     // Oracle = batch hourly counts below the final-watermark cut (the
     // w31/w32 convention).
+    // TRANSFORM-WITH-STATE (Spark 4's arbitrary-state API, the
+    // flatMapGroupsWithState successor) — per-user NEW-PERSONAL-BEST
+    // detection (streaming/RecordTracker): 8 bytes of ValueState per
+    // key, rows sorted by event time within each batch, the running
+    // best carried ACROSS batches by the state store. The corpus
+    // arrives as three time-ordered snapshot commits (one micro-batch
+    // each), so records that straddle batch boundaries prove the
+    // cross-batch state; the oracle replays the semantics as a
+    // running-max window over the batch table.
+    "w38_tws_records" -> ((s0, dir) => {
+      val s = SparkHygiene.streamStateSession(s0, 8)
+      // transformWithState needs column families — RocksDB provider
+      // (session-scoped: streamStateSession is an isolated newSession)
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val t = SparkHygiene.scratchDir("w38_tbl")
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      val cuts = ev.agg(
+        expr("percentile_approx(ts, 0.34, 10000)").as("c1"),
+        expr("percentile_approx(ts, 0.67, 10000)").as("c2")).head()
+      val (c1, c2) = (cuts.getTimestamp(0), cuts.getTimestamp(1))
+      graft.sources.Snapshots.commit(s, t, ev.filter(col("ts") <= c1))
+      graft.sources.Snapshots.commit(s, t,
+        ev.filter(col("ts") > c1 && col("ts") <= c2))
+      graft.sources.Snapshots.commit(s, t, ev.filter(col("ts") > c2))
+      val records = graft.streaming.RecordTracker.records(
+        s.readStream.format("graft_snapshots").option("path", t)
+          .option("maxVersionsPerTrigger", 1).load())
+      val out = SparkHygiene.scratchDir("w38_out")
+      val ck = SparkHygiene.scratchDir("w38_ck")
+      val q = records.toDF().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("prev_best"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     "w34_v2_stream_agg" -> ((s0, dir) => {
       val s = SparkHygiene.streamStateSession(s0, 8)
       val t = SparkHygiene.scratchDir("w34_tbl")
@@ -1931,6 +1974,16 @@ object EventQueries {
         |ORDER BY click_id, error_id, purchase_id""".stripMargin,
     // DISTINCT (the redelivery must vanish) then the batch two-level
     // rollup, below the same delayed cut as w31
+    // new-personal-best ≡ running-max window in (ts, event_id) order
+    "w38_tws_records" ->
+      """WITH o AS (SELECT user_id, event_id, value,
+        |  max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_best
+        |FROM events)
+        |SELECT user_id, event_id, value, prev_best FROM o
+        |WHERE prev_best IS NULL OR value > prev_best
+        |ORDER BY user_id, event_id""".stripMargin,
+
     // the streamed MV vs the rollup recomputed from the final base
     // state (bootstrap < 3000, append [3000,5000), erase keys)
     "w37_stream_mv" ->

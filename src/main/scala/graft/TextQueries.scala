@@ -601,6 +601,28 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // SQL INSERT OVERWRITE (SupportsTruncate on the V2 write builder) —
+    // the REPLACE commit: the new manifest lists only the overwrite's
+    // files, the pre-overwrite version still time-travels, vacuum
+    // reclaims after retention (SnapshotWriteSpec pins replace +
+    // history + the empty-overwrite schema-only version). The oracle is
+    // the overwrite SELECT replayed raw.
+    "p34_sql_overwrite" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_spj",
+        classOf[graft.sources.v2.SnapshotCatalog].getName)
+      val t = SparkHygiene.scratchDir("p34_tbl")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.sources.Snapshots.commit(s, t, docs.filter(col("doc_id") < 200))
+      docs.createOrReplaceTempView("p34_docs")
+      s.sql(s"INSERT OVERWRITE graft_spj.snap.`$t` " +
+        "SELECT doc_id, text, lang FROM p34_docs " +
+        "WHERE doc_id BETWEEN 200 AND 399")
+      s.table(s"graft_spj.snap.`$t`")
+        .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // DATASOURCE V2 READ (sources/v2/SnapshotsDataSource) — the
     // standard `spark.read.format(...)` front door over snapshot
     // tables: version resolution happens INSIDE the plan
@@ -1024,6 +1046,11 @@ object TextQueries {
         |  SELECT doc_id + 10000, lang, length(text), 'insert'
         |  FROM documents WHERE doc_id < 50)
         |ORDER BY change_type, doc_id""".stripMargin,
+    // the overwrite SELECT replayed raw
+    "p34_sql_overwrite" ->
+      """SELECT doc_id, lang, length(text) AS text_len FROM documents
+        |WHERE doc_id BETWEEN 200 AND 399
+        |ORDER BY doc_id""".stripMargin,
     // SQL deletion ≡ predicate negation on the raw table
     "p33_sql_delete" ->
       """SELECT doc_id, lang, length(text) AS text_len FROM documents
