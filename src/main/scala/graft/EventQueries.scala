@@ -1338,6 +1338,41 @@ object EventQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // EVENT-TIME TIMERS on transformWithState — the other half of the
+    // API (w38 is data-driven state; this is watermark-driven
+    // emission): every event re-arms its key's single timer at
+    // last_seen + 7 days, and the key emits ONE inactivity alert when
+    // the watermark passes the armed timer — churn detection decided
+    // by event time, so replays produce identical alerts. The drain is
+    // one data batch + the standard no-data batch whose final
+    // watermark (max ts − 30 min) fires the timers; the oracle is
+    // therefore exactly "users whose last event is ≥ 7 days + 30 min
+    // before corpus end". RecordTrackerSpec pins the multi-batch
+    // re-arm behavior with controlled timestamps.
+    "w39_tws_timeout" -> ((s0, dir) => {
+      val s = SparkHygiene.streamStateSession(s0, 8)
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val t = SparkHygiene.scratchDir("w39_tbl")
+      graft.sources.Snapshots.commit(s, t, Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value")))
+      val alerts = graft.streaming.RecordTracker.inactivity(
+        s.readStream.format("graft_snapshots").option("path", t).load(),
+        gap = "7 days", watermarkDelay = "30 minutes")
+      val out = SparkHygiene.scratchDir("w39_out")
+      val ck = SparkHygiene.scratchDir("w39_ck")
+      alerts.toDF().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(out)
+        .select(col("user_id"),
+          date_format(col("last_seen"), "yyyy-MM-dd HH:mm:ss")
+            .as("last_seen"))
+        .orderBy(col("user_id"))
+    }),
+
     "w34_v2_stream_agg" -> ((s0, dir) => {
       val s = SparkHygiene.streamStateSession(s0, 8)
       val t = SparkHygiene.scratchDir("w34_tbl")
@@ -1974,6 +2009,17 @@ object EventQueries {
         |ORDER BY click_id, error_id, purchase_id""".stripMargin,
     // DISTINCT (the redelivery must vanish) then the batch two-level
     // rollup, below the same delayed cut as w31
+    // timer-fired inactivity ≡ last event at least gap+delay before end
+    "w39_tws_timeout" ->
+      """WITH b AS (SELECT user_id, max(ts) AS last_seen
+        |           FROM events GROUP BY 1),
+        |g AS (SELECT max(ts) AS gmax FROM events)
+        |SELECT user_id,
+        |  strftime(last_seen, '%Y-%m-%d %H:%M:%S') AS last_seen
+        |FROM b, g
+        |WHERE last_seen + INTERVAL 7 DAY <= gmax - INTERVAL 30 MINUTE
+        |ORDER BY user_id""".stripMargin,
+
     // new-personal-best ≡ running-max window in (ts, event_id) order
     "w38_tws_records" ->
       """WITH o AS (SELECT user_id, event_id, value,

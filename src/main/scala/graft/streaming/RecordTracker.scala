@@ -66,4 +66,72 @@ object RecordTracker {
       .groupByKey(_.user_id)
       .transformWithState(new Processor, TimeMode.None(), OutputMode.Append())
   }
+
+  case class Inactive(user_id: Long, last_seen: Timestamp)
+
+  /** INACTIVITY DETECTION — the TIMER half of transformWithState: each
+    * arriving event re-arms the key's single event-time timer at
+    * `last_seen + gap`; when the WATERMARK passes an armed timer (the
+    * key stayed quiet for a full gap of event time), the expired-timer
+    * callback emits one (key, last_seen) alert and clears the state.
+    * This is the churn/outage detector ("tell me when a device goes
+    * dark") that polling a table cannot express incrementally — the
+    * watermark, not a scheduler, decides quiet-ness, so replays and
+    * restarts produce the same alerts. State: one timestamp + one
+    * timer per key.
+    */
+  private class TimeoutProcessor(gapMillis: Long)
+      extends StatefulProcessor[Long, Ev, Inactive] {
+    @transient private var lastSeen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastSeen = getHandle.getValueState[Long]("last_seen",
+        Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 timers: TimerValues): Iterator[Inactive] = {
+      val newest = rows.map(_.ts.getTime).max
+      val last = math.max(newest,
+        if (lastSeen.exists()) lastSeen.get() else Long.MinValue)
+      lastSeen.update(last)
+      // ONE armed timer per key: disarm whatever an earlier batch set
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(last + gapMillis)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                    info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[Inactive] = {
+      val out =
+        if (lastSeen.exists())
+          Iterator.single(Inactive(key, new Timestamp(lastSeen.get())))
+        else Iterator.empty
+      lastSeen.clear()
+      out
+    }
+  }
+
+  /** Inactivity alerts over a watermarked streaming frame with columns
+    * (user_id, event_id, ts, value): one (user, last_seen) row per key
+    * whose event time goes quiet for `gap`, decided by the watermark. */
+  def inactivity(events: DataFrame, gap: String,
+                 watermarkDelay: String): Dataset[Inactive] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMillis =
+      org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(org.apache.spark.unsafe.types.UTF8String
+          .fromString(gap)) match {
+        case iv =>
+          require(iv.months == 0, "calendar-month gaps are not event-time")
+          iv.days * 86400000L + iv.microseconds / 1000L
+      }
+    events.select($"user_id", $"event_id", $"ts", $"value")
+      .withWatermark("ts", watermarkDelay)
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .transformWithState(new TimeoutProcessor(gapMillis),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

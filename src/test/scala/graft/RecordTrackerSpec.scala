@@ -54,4 +54,48 @@ class RecordTrackerSpec extends SparkSpec {
       (2L, 3L, 5.0, None),
       (3L, 6L, 1.0, None)))          // tie (u2 id 5) suppressed
   }
+
+  test("inactivity timers re-arm on new data and fire per quiet gap") {
+    val s = SparkHygiene.streamStateSession(spark, 4)
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    val t = SparkHygiene.scratchDir("rt_to_tbl")
+    // gap = 100 s, watermark delay = 10 s.
+    // batch 1 ends at t=1000: u1 last 100 (goes quiet), u2 last 990
+    Snapshots.commit(s, t, Seq(
+      ev(1, 1, 100, 1.0), ev(2, 2, 500, 1.0), ev(3, 2, 990, 1.0),
+      ev(4, 9, 1000, 1.0))
+      .toDF("event_id", "ts", "user_id", "value"))
+    // batch 2 (no u1 data): watermark 990 fires u1's timer at 200 —
+    // the mid-stream alert; u2's batch-1 timer (1090) re-arms to 2095
+    // BEFORE expiry runs (input precedes timers within a batch)
+    Snapshots.commit(s, t, Seq(
+      ev(5, 2, 1995, 1.0), ev(6, 9, 2000, 1.0))
+      .toDF("event_id", "ts", "user_id", "value"))
+    // batch 3: u1 RETURNS (second life) then the final watermark (2990)
+    // fires its new timer (2600); u2 (2095 ≤ 2990) alerts too; u9's
+    // last=3000 stays above the final watermark
+    Snapshots.commit(s, t, Seq(
+      ev(7, 1, 2500, 1.0), ev(8, 9, 3000, 1.0))
+      .toDF("event_id", "ts", "user_id", "value"))
+    val out = SparkHygiene.scratchDir("rt_to_out")
+    val ck = SparkHygiene.scratchDir("rt_to_ck")
+    RecordTracker.inactivity(
+      s.readStream.format("graft_snapshots").option("path", t)
+        .option("maxVersionsPerTrigger", 1).load(),
+      gap = "100 seconds", watermarkDelay = "10 seconds")
+      .toDF().writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    val got = s.read.parquet(out)
+      .as[(Long, Timestamp)].collect()
+      .map { case (u, ts) => (u, ts.getTime / 1000) }
+      .sortBy(identity).toSeq
+    // u1 alerts twice (one per quiet gap, state cleared between lives);
+    // u2 alerts once (re-armed past batch 1, expired at the end); u9
+    // never (last event inside the final watermark's gap)
+    assert(got == Seq((1L, 100L), (1L, 2500L), (2L, 1995L)))
+  }
 }
