@@ -222,7 +222,28 @@ object StreamScaleProbe {
                 .otherwise(lit(0.0)).as("value"))
             .as(org.apache.spark.sql.Encoders.product[
               graft.streaming.AsofStream.Ev]),
-          watermarkDelay = "30 minutes").toDF))
+          watermarkDelay = "30 minutes").toDF),
+
+      // the transformWithState pair: state must be KEY-bounded (one
+      // double / one timestamp+timer per user), so a 10× LONGER stream
+      // over the same key population must hold state rows flat
+      "w38_tws_records" -> { ev =>
+        ev.sparkSession.conf.set(
+          "spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        graft.streaming.RecordTracker.records(
+          ev.select(col("event_id"), col("ts"), col("user_id"),
+            col("value"))).toDF
+      },
+      "w39_tws_timeout" -> { ev =>
+        ev.sparkSession.conf.set(
+          "spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        graft.streaming.RecordTracker.inactivity(
+          ev.select(col("event_id"), col("ts"), col("user_id"),
+            col("value")),
+          gap = "7 days", watermarkDelay = "30 minutes").toDF
+      })
 
     for ((name, mk) <- shapes) {
       val r1 = run(name, s"$base/ev1x")(mk)
