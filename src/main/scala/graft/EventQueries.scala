@@ -1341,14 +1341,16 @@ object EventQueries {
     // EVENT-TIME TIMERS on transformWithState — the other half of the
     // API (w38 is data-driven state; this is watermark-driven
     // emission): every event re-arms its key's single timer at
-    // last_seen + 7 days, and the key emits ONE inactivity alert when
+    // last_seen + 1 day, and the key emits ONE inactivity alert when
     // the watermark passes the armed timer — churn detection decided
     // by event time, so replays produce identical alerts. The drain is
     // one data batch + the standard no-data batch whose final
     // watermark (max ts − 30 min) fires the timers; the oracle is
-    // therefore exactly "users whose last event is ≥ 7 days + 30 min
-    // before corpus end". RecordTrackerSpec pins the multi-batch
-    // re-arm behavior with controlled timestamps.
+    // therefore exactly "users whose last event is ≥ 1 day + 30 min
+    // before corpus end" — a gap the 30-day corpus actually triggers
+    // (14 alerts at sf0.01; a 7-day gap would be vacuous on this
+    // corpus). RecordTrackerSpec pins the multi-batch re-arm behavior
+    // with controlled timestamps.
     "w39_tws_timeout" -> ((s0, dir) => {
       val s = SparkHygiene.streamStateSession(s0, 8)
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -1358,7 +1360,7 @@ object EventQueries {
         .select(col("event_id"), col("ts"), col("user_id"), col("value")))
       val alerts = graft.streaming.RecordTracker.inactivity(
         s.readStream.format("graft_snapshots").option("path", t).load(),
-        gap = "7 days", watermarkDelay = "30 minutes")
+        gap = "1 day", watermarkDelay = "30 minutes")
       val out = SparkHygiene.scratchDir("w39_out")
       val ck = SparkHygiene.scratchDir("w39_ck")
       alerts.toDF().writeStream.format("parquet")
@@ -2017,7 +2019,7 @@ object EventQueries {
         |SELECT user_id,
         |  strftime(last_seen, '%Y-%m-%d %H:%M:%S') AS last_seen
         |FROM b, g
-        |WHERE last_seen + INTERVAL 7 DAY <= gmax - INTERVAL 30 MINUTE
+        |WHERE last_seen + INTERVAL 1 DAY <= gmax - INTERVAL 30 MINUTE
         |ORDER BY user_id""".stripMargin,
 
     // new-personal-best ≡ running-max window in (ts, event_id) order

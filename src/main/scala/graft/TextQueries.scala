@@ -623,6 +623,63 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // SQL `UPDATE` (SupportsRowLevelOperations → group-based
+    // copy-on-write, sources/v2/SnapshotRowLevel.scala): Spark rewrites
+    // the statement into ONE scan of the footer-overlapping files
+    // feeding a replace-groups write — matching rows re-emit with the
+    // assignments applied, NON-matching rows of touched files copy
+    // through, untouched files republish by reference, and the commit
+    // swaps exactly the scanned files (SnapshotRowLevelSpec pins all
+    // four properties + optimistic-concurrency refusal). The oracle is
+    // the update as a CASE projection over the raw table.
+    "p35_sql_update" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_spj",
+        classOf[graft.sources.v2.SnapshotCatalog].getName)
+      val t = SparkHygiene.scratchDir("p35_tbl")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.sources.Snapshots.commit(s, t,
+        docs.repartitionByRange(8, col("doc_id")))
+      s.sql(s"UPDATE graft_spj.snap.`$t` " +
+        "SET lang = concat(lang, '-r'), text = substring(text, 1, 40) " +
+        "WHERE doc_id >= 200 AND doc_id < 300")
+      s.table(s"graft_spj.snap.`$t`")
+        .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // SQL `MERGE INTO` (same row-level machinery, command=MERGE):
+    // matched-delete, matched-update, and not-matched-insert arms in
+    // one statement — the upsert j16 expresses through the engine API,
+    // now as pure SQL DML with the same manifest-commit atomicity and
+    // time-travel. MERGE's affected groups come from the JOIN (no
+    // static predicate), so the conservative plan scans and rewrites
+    // every file — correct always, and the p24/p25-style pruning
+    // remains available to UPDATE/DELETE, whose conditions push down.
+    // The oracle composes delete-filter, update-case, and insert-union
+    // over the raw table.
+    "p36_sql_merge" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_spj",
+        classOf[graft.sources.v2.SnapshotCatalog].getName)
+      val t = SparkHygiene.scratchDir("p36_tbl")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.sources.Snapshots.commit(s, t,
+        docs.filter(col("doc_id") < 400).repartitionByRange(8, col("doc_id")))
+      docs.filter(col("doc_id").between(300, 499))
+        .createOrReplaceTempView("p36_src")
+      s.sql(
+        s"""MERGE INTO graft_spj.snap.`$t` tgt
+           |USING p36_src src ON tgt.doc_id = src.doc_id
+           |WHEN MATCHED AND src.doc_id < 320 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET lang = 'dup'
+           |WHEN NOT MATCHED THEN INSERT (doc_id, text, lang)
+           |  VALUES (src.doc_id, src.text, src.lang)""".stripMargin)
+      s.table(s"graft_spj.snap.`$t`")
+        .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // DATASOURCE V2 READ (sources/v2/SnapshotsDataSource) — the
     // standard `spark.read.format(...)` front door over snapshot
     // tables: version resolution happens INSIDE the plan
@@ -1050,6 +1107,24 @@ object TextQueries {
     "p34_sql_overwrite" ->
       """SELECT doc_id, lang, length(text) AS text_len FROM documents
         |WHERE doc_id BETWEEN 200 AND 399
+        |ORDER BY doc_id""".stripMargin,
+    // the update as a CASE projection over the raw table
+    "p35_sql_update" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id >= 200 AND doc_id < 300
+        |       THEN lang || '-r' ELSE lang END AS lang,
+        |  CASE WHEN doc_id >= 200 AND doc_id < 300
+        |       THEN length(substring(text, 1, 40)) ELSE length(text)
+        |       END AS text_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // delete-filter + update-case + insert-union over the raw table
+    "p36_sql_merge" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id BETWEEN 320 AND 399 THEN 'dup' ELSE lang END
+        |    AS lang,
+        |  length(text) AS text_len
+        |FROM documents
+        |WHERE doc_id < 500 AND doc_id NOT BETWEEN 300 AND 319
         |ORDER BY doc_id""".stripMargin,
     // SQL deletion ≡ predicate negation on the raw table
     "p33_sql_delete" ->

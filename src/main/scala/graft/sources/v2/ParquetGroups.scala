@@ -67,6 +67,14 @@ private[graft] object ParquetGroups {
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
 
+  /** File-provenance metadata column (`SELECT _file FROM t` — the
+    * Spark `_metadata.file_path` idiom, connector-served). Also the
+    * backbone of row-level DML: [[SnapshotRowLevelOperation]] requires
+    * it so Spark's group-based rewrite carries a metadata projection,
+    * which keeps the replacement write's data rows in the clean table
+    * schema. */
+  val FilePathCol = "_file"
+
   /** One scan task = a bin of whole files (see
     * [[SnapshotsDataSource]]'s bin packing). `changeType`/
     * `commitVersion` are set on change-feed stream bins and surface as
@@ -101,16 +109,20 @@ private[graft] object ParquetGroups {
   private final class BinReader(bin: FileBin, conf: Configuration,
                                 schema: StructType)
       extends PartitionReader[InternalRow] {
-    private val metaNames = Set(ChangeTypeCol, CommitVersionCol)
+    private val metaNames = Set(ChangeTypeCol, CommitVersionCol, FilePathCol)
     private val dataSchema = StructType(
       schema.fields.filterNot(f => metaNames.contains(f.name)))
-    private val metaValues: Array[Any] = schema.fields
-      .filter(f => metaNames.contains(f.name)).map {
-        case f if f.name == ChangeTypeCol =>
-          if (bin.changeType == null) null
-          else UTF8String.fromString(bin.changeType)
-        case _ => bin.commitVersion
-      }
+    private val metaFields = schema.fields.filter(f => metaNames.contains(f.name))
+    // _change_type/_commit_version are per-BIN constants; _file is a
+    // per-FILE constant — recomputed when the reader advances files
+    private def metaValuesFor(file: String): Array[Any] = metaFields.map {
+      case f if f.name == ChangeTypeCol =>
+        if (bin.changeType == null) null
+        else UTF8String.fromString(bin.changeType)
+      case f if f.name == FilePathCol => UTF8String.fromString(file)
+      case _ => (bin.commitVersion: Any)
+    }
+    private var metaValues: Array[Any] = Array.empty
 
     private val queue = bin.files.iterator
     private var current: FileReader = _
@@ -121,7 +133,9 @@ private[graft] object ParquetGroups {
       while (row == null) {
         if (current == null) {
           if (!queue.hasNext) return false
-          current = new FileReader(queue.next(), conf, dataSchema,
+          val f = queue.next()
+          metaValues = metaValuesFor(f)
+          current = new FileReader(f, conf, dataSchema,
             extraSlots = metaValues.length)
         }
         row = current.readOne()

@@ -1,0 +1,182 @@
+package graft.sources.v2
+
+import java.util
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.Snapshots
+
+/** GROUP-BASED row-level operations (SQL `UPDATE` / `MERGE INTO`) on
+  * snapshot tables — the copy-on-write contract at FILE granularity,
+  * riding the same manifest-commit atomicity as every other mutation:
+  *
+  *  - Spark's analyzer rewrites `UPDATE t SET … WHERE c` /
+  *    `MERGE INTO t USING s …` over a [[SnapshotTable]] into a
+  *    `ReplaceData` plan (the table implements
+  *    `SupportsRowLevelOperations`): ONE scan of the affected groups
+  *    feeds a projection that emits every row of those groups —
+  *    updated where the condition/clause matches, byte-identical
+  *    copies elsewhere — and the write REPLACES exactly the scanned
+  *    groups.
+  *  - Our "group" is a parquet FILE. The operation's scan is the
+  *    ordinary [[SnapshotScan]] (footer-stats file skipping included),
+  *    so a condition on a range-clustered long column prunes the files
+  *    it cannot touch BEFORE any task launches — those files never
+  *    rewrite, and the commit republishes them by reference. This is
+  *    the p24/p25 copy-on-write surgery, now reached from standard SQL
+  *    DML instead of an engine-specific API. The scan records the file
+  *    list it finally planned; the write's driver-side commit publishes
+  *    `current files − scanned files + replacement files` as the next
+  *    manifest version. Prior versions still time-travel; vacuum
+  *    reclaims retired files after retention.
+  *  - Group-filter semantics: Spark pushes the DML condition into the
+  *    scan builder for GROUP pruning only (`SupportsPushDownFilters`) —
+  *    the scan must still return EVERY row of the kept files, because
+  *    non-matching rows of a rewritten file survive only by being
+  *    copied through the write. [[SnapshotScanBuilder]] already treats
+  *    pushed filters as a skip-bound, never a row filter, so the read
+  *    contract is identical to the plain path. Runtime (DPP-style)
+  *    group filtering is deliberately disabled on this scan: the
+  *    replaced set must equal the scanned set, and static footer
+  *    pruning keeps that equality trivially auditable.
+  *  - Optimistic concurrency: the scan records the version it planned
+  *    against; the commit refuses if the table moved underneath the
+  *    statement (the loser retries, never half-writes) — same
+  *    discipline as the CREATE_NEW manifest commit itself.
+  *
+  * At 100 TB the properties that matter: rewrite volume is
+  * O(files overlapping the predicate), not O(table); the scan, the
+  * update projection, and the replacement write are all fully
+  * distributed; and the commit is one driver-side manifest swap.
+  *
+  * Reference context: the reference stack mutates per-item rows through
+  * DynamoDB UpdateItem calls
+  * (`/root/reference/serving/lambda/update_item.py`-style paths); this
+  * is the set-oriented re-expression — declarative DML over immutable
+  * versioned files.
+  */
+class SnapshotRowLevelOperation(tableDir: String, tableSchema: StructType,
+                                conf: ParquetGroups.SerializableConf,
+                                cmd: Command,
+                                tableOptions: CaseInsensitiveStringMap)
+    extends RowLevelOperation {
+
+  /** What the operation's scan finally planned: the resolved manifest
+    * version and the post-pruning file list. Written on the driver at
+    * `planInputPartitions` time (always before the write commits —
+    * the scan feeds the replacement rows). */
+  private[v2] val scanned =
+    new AtomicReference[SnapshotRowLevelOperation.ScanRecord](null)
+
+  private[v2] def record(version: Int, files: Seq[String]): Unit =
+    scanned.set(SnapshotRowLevelOperation.ScanRecord(version, files))
+
+  override def command(): Command = cmd
+
+  override def description(): String =
+    s"graft_snapshots $cmd $tableDir (copy-on-write file groups)"
+
+  /** Requiring `_file` does two jobs: (1) it makes Spark's rewrite
+    * carry a METADATA projection, so the replacement write receives
+    * data rows projected to the clean table schema (without it, the
+    * plain writing task hands the connector raw query-output rows
+    * including the `__row_operation` marker column — positionally
+    * corrupt for any schema-driven writer); (2) it gives the rewrite
+    * plan per-row provenance, the natural group id for a file-granular
+    * copy-on-write. */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(ParquetGroups.FilePathCol))
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new CaseInsensitiveStringMap({
+      val m = new util.HashMap[String, String](tableOptions)
+      m.putAll(o)
+      m
+    })
+    new SnapshotScanBuilder(tableSchema, merged, rowLevel = Some(this))
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val op = this
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new SnapshotReplaceGroupsWrite(tableDir, info.schema(), conf, op)
+        override def description(): String = op.description()
+      }
+    }
+  }
+}
+
+private[v2] object SnapshotRowLevelOperation {
+  final case class ScanRecord(version: Int, files: Seq[String])
+}
+
+/** The REPLACE-GROUPS batch write behind `ReplaceData`: tasks stage
+  * replacement parquet files exactly like an append
+  * ([[SnapshotWriteSupport.TaskWriter]] — unreferenced leftovers swept
+  * by vacuum), and the driver commit swaps the scanned files for the
+  * staged ones in one manifest publication.
+  */
+class SnapshotReplaceGroupsWrite(tableDir: String, schema: StructType,
+                                 conf: ParquetGroups.SerializableConf,
+                                 op: SnapshotRowLevelOperation)
+    extends BatchWrite {
+
+  private val staging = SnapshotWriteSupport.stagingDir(tableDir)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = {
+    val dir = staging; val c = conf; val s = schema
+    (partitionId: Int, taskId: Long) =>
+      new SnapshotWriteSupport.TaskWriter(
+        s"$dir/part-$partitionId-$taskId.parquet", c.value, s)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val rec = op.scanned.get()
+    require(rec != null,
+      "row-level write committed before its scan planned any groups")
+    val newFiles = messages.collect {
+      case FileCommit(p, rows) if rows > 0 => p
+    }.toSeq
+    if (rec.files.isEmpty) {
+      // the condition pruned every file: nothing was scanned, so
+      // nothing may be replaced — a no-op, not a new version
+      SnapshotWriteSupport.deleteQuietly(conf.value, newFiles)
+      return
+    }
+    val cur = Snapshots.currentVersion(tableDir)
+    require(cur == rec.version,
+      s"concurrent commit detected on $tableDir: statement scanned " +
+        s"v${rec.version} but the table is now v$cur — retry")
+    val scannedSet = rec.files.toSet
+    val kept = SnapshotsDataSource.filesOf(conf.value,
+        Snapshots.manifestEntries(tableDir, cur))
+      .map(_._1).filterNot(scannedSet)
+    val published = (kept ++ newFiles).sorted
+    val entries =
+      if (published.nonEmpty) published
+      else {
+        // every row of every file updated away to zero output (only
+        // possible for MERGE deleting all rows): keep the version
+        // readable with one schema-only file, mirroring INSERT OVERWRITE
+        val f = s"$staging/part-empty.parquet"
+        new SnapshotWriteSupport.FileWriter(f, conf.value, schema).close()
+        Seq(f)
+      }
+    Snapshots.commitManifest(tableDir, entries)
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    SnapshotWriteSupport.deleteQuietly(conf.value,
+      messages.collect { case FileCommit(p, _) => p }.toSeq)
+}

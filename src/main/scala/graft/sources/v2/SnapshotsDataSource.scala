@@ -388,7 +388,9 @@ object SnapshotsDataSource {
 class SnapshotTable(schema: StructType, options: CaseInsensitiveStringMap)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   override def name(): String = s"graft_snapshots(${options.get("path")})"
 
@@ -431,6 +433,41 @@ class SnapshotTable(schema: StructType, options: CaseInsensitiveStringMap)
     ()
   }
 
+  // ---- metadata columns: `_file` — per-row file provenance
+  // (`SELECT _file, * FROM t` — the `_metadata.file_path` idiom,
+  // connector-served). Row-level DML requires it (see below), and it
+  // doubles as the audit column for copy-on-write surgery tests.
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (schema.fieldNames.contains(ParquetGroups.FilePathCol)) Array.empty
+    else Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = ParquetGroups.FilePathCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "path of the parquet file the row was read from"
+    })
+
+  // ---- SQL `UPDATE` / `MERGE INTO` — group-based (copy-on-write)
+  // row-level operations: Spark rewrites the statement into ONE scan of
+  // the affected file-groups feeding a replace-groups write (see
+  // [[SnapshotRowLevelOperation]]). Version-pinned relations refuse:
+  // history is immutable.
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(!options.containsKey("versionAsOf") &&
+      !options.containsKey("timestampAsOf"),
+      s"${info.command} on a version-pinned snapshot relation: " +
+        "history is immutable")
+    () => new SnapshotRowLevelOperation(
+      SnapshotsDataSource.normalizePath(options), schema,
+      new ParquetGroups.SerializableConf(
+        SparkSession.active.sparkContext.hadoopConfiguration),
+      info.command, options)
+  }
+
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -444,7 +481,8 @@ class SnapshotTable(schema: StructType, options: CaseInsensitiveStringMap)
 }
 
 class SnapshotScanBuilder(fullSchema: StructType,
-                          options: CaseInsensitiveStringMap)
+                          options: CaseInsensitiveStringMap,
+                          rowLevel: Option[SnapshotRowLevelOperation] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates {
 
@@ -457,9 +495,15 @@ class SnapshotScanBuilder(fullSchema: StructType,
     // preserve the table's declared types; Spark hands back a subset.
     // Under a complete aggregate pushdown the "columns" are the
     // aggregate outputs — keep the agg schema untouched then.
-    if (pushedAgg.isEmpty)
+    // Metadata columns (`_file`) are not in the table schema but may be
+    // requested; the reader emits all metadata slots AFTER the data
+    // columns, so readSchema orders them last to match.
+    if (pushedAgg.isEmpty) {
+      val (meta, data) = requiredSchema.fields.partition(
+        _.name == ParquetGroups.FilePathCol)
       required = StructType(
-        requiredSchema.fields.flatMap(f => fullSchema.fields.find(_.name == f.name)))
+        data.flatMap(f => fullSchema.fields.find(_.name == f.name)) ++ meta)
+    }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     sawFilters = filters.nonEmpty
@@ -494,6 +538,9 @@ class SnapshotScanBuilder(fullSchema: StructType,
   private var aggFiles: Seq[SnapshotsDataSource.FileAgg] = Nil
 
   private def canServe(agg: Aggregation): Boolean = {
+    // a row-level operation's scan must hand back full file-group rows;
+    // a footer-served aggregate has no rows to copy through the rewrite
+    if (rowLevel.isDefined) return false
     if (sawFilters || agg.groupByExpressions.nonEmpty) return false
     def col(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
@@ -540,14 +587,16 @@ class SnapshotScanBuilder(fullSchema: StructType,
   }
 
   override def build(): Scan = new SnapshotScan(fullSchema, required,
-    skipFilters, pushedAgg.map(a => (a, aggFiles)), options)
+    skipFilters, pushedAgg.map(a => (a, aggFiles)), options, rowLevel)
 }
 
 class SnapshotScan(fullSchema: StructType, required: StructType,
                    skipFilters: Array[Filter],
                    pushedAgg: Option[(Aggregation,
                      Seq[SnapshotsDataSource.FileAgg])],
-                   options: CaseInsensitiveStringMap) extends Scan
+                   options: CaseInsensitiveStringMap,
+                   rowLevel: Option[SnapshotRowLevelOperation] = None)
+    extends Scan
     with SupportsRuntimeFiltering with SupportsReportStatistics
     with SupportsReportPartitioning {
 
@@ -588,7 +637,11 @@ class SnapshotScan(fullSchema: StructType, required: StructType,
     // against the scan's (pruned) output, so a filterable-but-unread
     // column would make PartitionPruning's ref resolution throw on any
     // join over this scan
-    if (pushedAgg.isDefined) Array.empty
+    // a row-level (UPDATE/MERGE) scan opts out of runtime group
+    // filtering: the replaced file set must equal the scanned set, and
+    // static footer pruning keeps that equality auditable without a
+    // DPP-injected re-plan between the record and the commit
+    if (pushedAgg.isDefined || rowLevel.isDefined) Array.empty
     else required.fields.filter(_.dataType == LongType)
       .map(f => org.apache.spark.sql.connector.expressions.Expressions
         .column(f.name))
@@ -636,7 +689,9 @@ class SnapshotScan(fullSchema: StructType, required: StructType,
   // transform against readSchema), and a pushed-down aggregate ships a
   // single row (nothing left to co-partition).
   private lazy val bucketLayout: Option[BucketLayout.Spec] =
-    if (pushedAgg.isDefined) None
+    // row-level rewrites read per-file (the file IS the replace group);
+    // the new version's sidecar is stale anyway until the next OPTIMIZE
+    if (pushedAgg.isDefined || rowLevel.isDefined) None
     else BucketLayout.read(tableDir, version).filter { bs =>
       bs.entries.keySet ==
         graft.sources.Snapshots.manifestEntries(tableDir, version).toSet &&
@@ -705,6 +760,10 @@ class SnapshotScan(fullSchema: StructType, required: StructType,
       // arrive, so the binning must read `runtimeIn` at call time
       override def planInputPartitions(): Array[InputPartition] = {
         val files = runtimeKept(planned._1)
+        // UPDATE/MERGE contract: the files planned here are exactly the
+        // groups the commit will replace (recorded driver-side, always
+        // before the write commits — the scan feeds the written rows)
+        rowLevel.foreach(_.record(version, files.map(_._1)))
         bucketLayout match {
           case Some(bs) =>
             // one partition PER FILE, tagged with its bucket key, plus
