@@ -653,9 +653,10 @@ object TextQueries {
     // one statement — the upsert j16 expresses through the engine API,
     // now as pure SQL DML with the same manifest-commit atomicity and
     // time-travel. MERGE's affected groups come from the JOIN (no
-    // static predicate), so the conservative plan scans and rewrites
-    // every file — correct always, and the p24/p25-style pruning
-    // remains available to UPDATE/DELETE, whose conditions push down.
+    // static predicate), so pruning is RUNTIME: the matching-rows
+    // subquery hands `_file IN (...)` back to the row-level scan and
+    // only files actually holding matched keys rewrite — O(matching
+    // files) at 100 TB, with the no-match case degrading to a no-op.
     // The oracle composes delete-filter, update-case, and insert-union
     // over the raw table.
     "p36_sql_merge" -> ((s, dir) => {

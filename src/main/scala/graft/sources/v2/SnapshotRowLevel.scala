@@ -40,10 +40,15 @@ import graft.sources.Snapshots
   *    non-matching rows of a rewritten file survive only by being
   *    copied through the write. [[SnapshotScanBuilder]] already treats
   *    pushed filters as a skip-bound, never a row filter, so the read
-  *    contract is identical to the plain path. Runtime (DPP-style)
-  *    group filtering is deliberately disabled on this scan: the
-  *    replaced set must equal the scanned set, and static footer
-  *    pruning keeps that equality trivially auditable.
+  *    contract is identical to the plain path. RUNTIME group filtering
+  *    applies on top (`SupportsRuntimeFiltering` on the scan): Spark
+  *    plans a separate matching-rows subquery over a fresh plain scan
+  *    of the table and feeds the matching join keys back as an IN
+  *    filter, so a MERGE rewrites only the files whose footer range
+  *    contains a source key — O(matching files), not O(table). The
+  *    replaced set still equals the scanned set: the group record is
+  *    taken at the post-runtime-filter `planInputPartitions` call, the
+  *    one whose partitions execute.
   *  - Optimistic concurrency: the scan records the version it planned
   *    against; the commit refuses if the table moved underneath the
   *    statement (the loser retries, never half-writes) — same

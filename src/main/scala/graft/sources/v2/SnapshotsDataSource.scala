@@ -637,14 +637,30 @@ class SnapshotScan(fullSchema: StructType, required: StructType,
     // against the scan's (pruned) output, so a filterable-but-unread
     // column would make PartitionPruning's ref resolution throw on any
     // join over this scan
-    // a row-level (UPDATE/MERGE) scan opts out of runtime group
-    // filtering: the replaced file set must equal the scanned set, and
-    // static footer pruning keeps that equality auditable without a
-    // DPP-injected re-plan between the record and the commit
-    if (pushedAgg.isDefined || rowLevel.isDefined) Array.empty
+    if (pushedAgg.isDefined) Array.empty
+    // Row-level (UPDATE/MERGE) scans declare `_file` — their GROUP id —
+    // as the ONLY runtime-filterable attribute. Spark's
+    // RowLevelOperationRuntimeGroupFiltering plans a SEPARATE
+    // matching-rows subquery (a fresh DataSourceV2Relation.newInstance
+    // over the table's plain scan, so it never disturbs this
+    // operation's group record) and hands back `_file IN (...)`: the
+    // exact set of files containing rows the DML touches. A MERGE then
+    // rewrites O(matching files), not O(table). A single attribute
+    // matters — with several, the rule builds a struct-IN no V1 filter
+    // can express and the scan would silently never prune. The
+    // replaced set stays exactly the scanned set because the group
+    // record is (re)taken at the post-filter planInputPartitions call,
+    // the one whose partitions execute and feed the replacement write.
+    else if (rowLevel.isDefined)
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(ParquetGroups.FilePathCol))
     else required.fields.filter(_.dataType == LongType)
       .map(f => org.apache.spark.sql.connector.expressions.Expressions
         .column(f.name))
+
+  // exact file-name runtime filter (row-level group pruning): the
+  // matching-rows subquery's DISTINCT `_file` values
+  @volatile private var runtimeFiles: Option[Set[String]] = None
 
   override def filter(filters: Array[Filter]): Unit = {
     runtimeIn = filters.collect {
@@ -652,13 +668,29 @@ class SnapshotScan(fullSchema: StructType, required: StructType,
           f.name == c && f.dataType == LongType) =>
         c -> vs.collect { case n: Number => n.longValue }.sorted
     }.toMap.filter(_._2.nonEmpty)
+    filters.foreach {
+      case In(c, vs) if c == ParquetGroups.FilePathCol =>
+        // an EMPTY matching set is meaningful here: no file holds a
+        // matching row, so the rewrite plans zero groups
+        runtimeFiles = Some(vs.collect { case s: String => s }.toSet)
+      case _ => ()
+    }
   }
 
   /** Apply the runtime IN-sets to the statically-planned file list:
     * keep a file iff, for EVERY filtered column, at least one IN value
     * lands inside the file's footer [lo, hi]. One footer open per file
     * covers all filtered columns. */
-  private def runtimeKept(files: Seq[(String, Long)]): Seq[(String, Long)] =
+  private def runtimeKept(files0: Seq[(String, Long)]): Seq[(String, Long)] = {
+    // exact group filter first (no footer open — the values ARE paths)
+    val files = runtimeFiles match {
+      case Some(names) =>
+        val kept = files0.filter(f => names.contains(f._1))
+        SnapshotsDataSource.runtimeSkipCensus.put(
+          tableDir, (kept.size, files0.size - kept.size))
+        kept
+      case None => files0
+    }
     if (runtimeIn.isEmpty) files
     else {
       val cols = runtimeIn.keySet
@@ -676,6 +708,7 @@ class SnapshotScan(fullSchema: StructType, required: StructType,
         tableDir, (kept.size, files.size - kept.size))
       kept
     }
+  }
 
   // ---- STORAGE-PARTITIONED reads: when the resolved version carries a
   // BucketLayout sidecar covering EXACTLY its manifest entries (i.e. no

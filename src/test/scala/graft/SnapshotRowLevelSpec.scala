@@ -145,11 +145,13 @@ class SnapshotRowLevelSpec extends SparkSpec {
       assert(inserted.map(_.getLong(0)).toSeq == (100L to 109L))
       assert(out.forall(r => r.getLong(0) < 90 || r.getLong(0) >= 95))
 
-      // MERGE's affected groups come from the JOIN, not a static
-      // predicate — with runtime group filtering deliberately off, all
-      // files scan and rewrite (correct, conservatively); a new version
-      // exists and the table stays readable
+      // MERGE's affected groups come from the JOIN — runtime group
+      // filtering (the matching-rows IN subquery) prunes the three
+      // files whose id range contains no source key, so only the
+      // [75-99] file rewrites and the rest republish by reference
       assert(Snapshots.currentVersion(t) == 2)
+      assert(files(t, 1).intersect(files(t, 2)).size == 3,
+        "merge must rewrite only files overlapping the source key range")
 
       // pre-merge version intact
       assert(Snapshots.read(spark, t, Some(1)).count() == 100)
