@@ -681,6 +681,32 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // SCHEMA EVOLUTION (sources/Snapshots.scala `#schema=` manifest
+    // header): a later commit ADDS a column; the current version reads
+    // the union schema with pre-evolution files serving null (no
+    // rewrite of old data), SQL UPDATE then backfills part of the gap
+    // copy-on-write, and v1 still time-travels with its original
+    // columns (SchemaEvolutionSpec pins the narrower-history and
+    // restore-schema properties). The oracle is the union + backfill
+    // as one CASE projection over the raw table.
+    "p37_schema_evolution" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_spj",
+        classOf[graft.sources.v2.SnapshotCatalog].getName)
+      val t = SparkHygiene.scratchDir("p37_tbl")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.sources.Snapshots.commit(s, t,
+        docs.filter(col("doc_id") < 300).repartitionByRange(4, col("doc_id")))
+      graft.sources.Snapshots.commit(s, t,
+        docs.filter(col("doc_id").between(300, 499))
+          .withColumn("score", (col("doc_id") * 7).cast("long")))
+      s.sql(s"UPDATE graft_spj.snap.`$t` SET score = -1 " +
+        "WHERE score IS NULL AND doc_id < 100")
+      s.table(s"graft_spj.snap.`$t`")
+        .select(col("doc_id"), col("lang"), col("score"))
+        .orderBy(col("doc_id"))
+    }),
+
     // DATASOURCE V2 READ (sources/v2/SnapshotsDataSource) — the
     // standard `spark.read.format(...)` front door over snapshot
     // tables: version resolution happens INSIDE the plan
@@ -1126,6 +1152,14 @@ object TextQueries {
         |  length(text) AS text_len
         |FROM documents
         |WHERE doc_id < 500 AND doc_id NOT BETWEEN 300 AND 319
+        |ORDER BY doc_id""".stripMargin,
+    // union-read + partial backfill as one CASE projection
+    "p37_schema_evolution" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id < 100 THEN CAST(-1 AS BIGINT)
+        |       WHEN doc_id BETWEEN 300 AND 499
+        |       THEN CAST(doc_id * 7 AS BIGINT) END AS score
+        |FROM documents WHERE doc_id < 500
         |ORDER BY doc_id""".stripMargin,
     // SQL deletion ≡ predicate negation on the raw table
     "p33_sql_delete" ->

@@ -76,10 +76,55 @@ object Snapshots {
     val prev = readManifest(tableDir, v - 1)
     Files.createDirectories(Paths.get(logDir(tableDir)))
     Files.write(Paths.get(s"${logDir(tableDir)}/v$v.list"),
-      (prev :+ dataDir).mkString("\n").getBytes(StandardCharsets.UTF_8),
+      (s"$SchemaHeader${df.schema.json}" +: (prev :+ dataDir))
+        .mkString("\n").getBytes(StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE_NEW)
     v
   }
+
+  // -----------------------------------------------------------------
+  // SCHEMA EVOLUTION — the version's schema travels INSIDE its manifest
+  // (a `#schema=` header line), so schema publication shares the
+  // manifest's single-file CREATE_NEW atomicity: no second file, no
+  // window where a reader sees a version without its schema. A commit
+  // that adds a column records the widened schema; maintenance commits
+  // (copy-on-write surgery, compaction, restore-by-reference) publish
+  // no header and INHERIT the nearest schema at or below their version.
+  // Readers resolve the schema of the version they travel to — old
+  // files serve added columns as null, and v1 still reads with v1's
+  // columns.
+  // -----------------------------------------------------------------
+  private val SchemaHeader = "#schema="
+
+  /** The JSON schema recorded at or inherited by `version` (the
+    * nearest `#schema=` header at a version ≤ `version`), if any —
+    * pre-evolution tables have none and readers fall back to file
+    * inference. */
+  def schemaJsonOf(tableDir: String, version: Int): Option[String] = {
+    var v = version
+    while (v >= 1) {
+      val p = Paths.get(s"${logDir(tableDir)}/v$v.list")
+      if (Files.exists(p)) {
+        val hit = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+          .split("\n").find(_.startsWith(SchemaHeader))
+        if (hit.isDefined) return hit.map(_.stripPrefix(SchemaHeader))
+      }
+      v -= 1
+    }
+    None
+  }
+
+  /** [[schemaJsonOf]] parsed, with every field forced nullable — files
+    * older than an added column serve it as null, so the read-time
+    * contract is nullable regardless of what the writer declared. */
+  def schemaOf(tableDir: String, version: Int)
+      : Option[org.apache.spark.sql.types.StructType] =
+    schemaJsonOf(tableDir, version).map { j =>
+      val st = org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      org.apache.spark.sql.types.StructType(
+        st.fields.map(_.copy(nullable = true)))
+    }
 
   /** The entries (data directories and/or individual files) a version's
     * manifest lists — public for copy-on-write maintenance operators
@@ -97,12 +142,14 @@ object Snapshots {
     * (both are valid `spark.read.parquet` paths). Same CREATE_NEW
     * atomicity as [[commit]]. Returns the committed version.
     */
-  def commitManifest(tableDir: String, entries: Seq[String]): Int = {
+  def commitManifest(tableDir: String, entries: Seq[String],
+                     schemaJson: Option[String] = None): Int = {
     require(entries.nonEmpty, "refusing to commit an empty manifest")
     val v = currentVersion(tableDir) + 1
     Files.createDirectories(Paths.get(logDir(tableDir)))
     Files.write(Paths.get(s"${logDir(tableDir)}/v$v.list"),
-      entries.mkString("\n").getBytes(StandardCharsets.UTF_8),
+      (schemaJson.map(j => s"$SchemaHeader$j").toSeq ++ entries)
+        .mkString("\n").getBytes(StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE_NEW)
     v
   }
@@ -145,7 +192,10 @@ object Snapshots {
   def restore(spark: SparkSession, tableDir: String, version: Int): Int = {
     val entries = readManifest(tableDir, version)
     require(entries.nonEmpty, s"cannot restore to empty/unknown version $version")
-    commitManifest(tableDir, entries)
+    // carry the restored version's schema explicitly: a restore to a
+    // pre-evolution version must also restore its (narrower) schema,
+    // and walk-back inheritance alone would pick up the newest one
+    commitManifest(tableDir, entries, schemaJsonOf(tableDir, version))
   }
 
   private def readManifest(tableDir: String, version: Int): Seq[String] = {
@@ -153,18 +203,24 @@ object Snapshots {
     val p = Paths.get(s"${logDir(tableDir)}/v$version.list")
     require(Files.exists(p), s"no snapshot v$version under $tableDir")
     new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      .split("\n").toSeq.filter(_.nonEmpty)
+      .split("\n").toSeq.filter(l => l.nonEmpty && !l.startsWith("#"))
   }
 
   /** Read a specific version (time travel), or the latest if
-    * `version` is None. Plans exactly the manifest's directories.
+    * `version` is None. Plans exactly the manifest's directories,
+    * under the version's RESOLVED schema when one is on record —
+    * files predating an added column serve it as null, and a
+    * time-traveled version reads with the columns it had.
     */
   def read(spark: SparkSession, tableDir: String,
            version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(currentVersion(tableDir))
     val dirs = readManifest(tableDir, v)
     require(dirs.nonEmpty, s"version $v of $tableDir is empty")
-    spark.read.parquet(dirs: _*)
+    schemaOf(tableDir, v) match {
+      case Some(s) => spark.read.schema(s).parquet(dirs: _*)
+      case None => spark.read.parquet(dirs: _*)
+    }
   }
 
   // -----------------------------------------------------------------

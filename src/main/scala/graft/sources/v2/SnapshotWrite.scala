@@ -247,6 +247,8 @@ class SnapshotBatchWrite(tableDir: String, schema: StructType,
       // REPLACE commit: only the new files. An empty overwrite still
       // needs a readable version — write one schema-only file so the
       // table plans and schema-infers as empty, not as missing.
+      // The write schema is recorded in the manifest (an overwrite may
+      // legitimately reshape the table).
       val published =
         if (files.nonEmpty) files.sorted
         else {
@@ -254,7 +256,7 @@ class SnapshotBatchWrite(tableDir: String, schema: StructType,
           new SnapshotWriteSupport.FileWriter(f, conf.value, schema).close()
           Seq(f)
         }
-      Snapshots.commitManifest(tableDir, published)
+      Snapshots.commitManifest(tableDir, published, Some(schema.json))
     } else SnapshotWriteSupport.publish(tableDir, files)
     ()
   }

@@ -72,11 +72,17 @@ class SnapshotsDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val (dir, version) = SnapshotsDataSource.resolve(options)
-    val files = SnapshotsDataSource.filesOf(
-      spark.sparkContext.hadoopConfiguration,
-      Snapshots.manifestEntries(dir, version))
-    require(files.nonEmpty, s"snapshot table $dir v$version has no files")
-    val schema = spark.read.parquet(files.head._1).schema
+    // schema evolution: the manifest log records each version's schema
+    // — resolve it there (added columns visible even though older
+    // files lack them, pinned versions read with THEIR columns); only
+    // pre-evolution tables fall back to single-file inference
+    val schema = Snapshots.schemaOf(dir, version).getOrElse {
+      val files = SnapshotsDataSource.filesOf(
+        spark.sparkContext.hadoopConfiguration,
+        Snapshots.manifestEntries(dir, version))
+      require(files.nonEmpty, s"snapshot table $dir v$version has no files")
+      spark.read.parquet(files.head._1).schema
+    }
     SnapshotsDataSource.validate(schema)
     SnapshotsDataSource.withCdfColumns(schema, options)
   }

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Snapshots
+import graft.sources.v2.SnapshotCatalog
+
+/** Schema evolution on snapshot tables: each commit records its schema
+  * as a `#schema=` header INSIDE the manifest (shares the manifest's
+  * single-file CREATE_NEW atomicity), readers resolve the schema of
+  * the version they travel to, files predating an added column serve
+  * it as null, and maintenance commits inherit the nearest schema.
+  */
+class SchemaEvolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cat = "graft_se"
+
+  private def evolvedTable(): String = {
+    val t = SparkHygiene.scratchDir("schemaevo")
+    Snapshots.commit(spark, t,
+      spark.range(50).toDF("id").withColumn("a", col("id") * 2))
+    Snapshots.commit(spark, t,
+      spark.range(50, 80).toDF("id").withColumn("a", col("id") * 2)
+        .withColumn("b", lit("new")))
+    t
+  }
+
+  test("an added column reads as null from pre-evolution files; " +
+    "time travel keeps each version's own columns") {
+    val t = evolvedTable()
+    val cur = Snapshots.read(spark, t)
+    assert(cur.columns.toSeq == Seq("id", "a", "b"))
+    assert(cur.count() == 80)
+    assert(cur.filter(col("b").isNull).count() == 50)
+    assert(cur.filter(col("b") === "new").count() == 30)
+    // v1 still reads with v1's schema — the added column doesn't
+    // retroactively appear in history
+    val v1 = Snapshots.read(spark, t, Some(1))
+    assert(v1.columns.toSeq == Seq("id", "a"))
+    assert(v1.count() == 50)
+  }
+
+  test("the V2 connector and SQL catalog serve the evolved schema; " +
+    "a pinned version serves its own") {
+    val t = evolvedTable()
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+    val cur = spark.table(s"$cat.snap.`$t`")
+    assert(cur.columns.toSeq == Seq("id", "a", "b"))
+    assert(cur.filter(col("b").isNull).count() == 50)
+    val v1 = spark.read.format("graft_snapshots")
+      .option("path", t).option("versionAsOf", 1).load()
+    assert(v1.columns.toSeq == Seq("id", "a"))
+  }
+
+  test("maintenance commits inherit the schema; restore to a " +
+    "pre-evolution version restores its narrower schema") {
+    val t = evolvedTable()
+    // copy-on-write erase commits a header-less manifest → inherits
+    graft.operators.DeleteRows.deleteRange(spark, t, "id", 0L, 4L)
+    val afterErase = Snapshots.read(spark, t)
+    assert(afterErase.columns.toSeq == Seq("id", "a", "b"))
+    assert(afterErase.count() == 75)
+    // restore to v1 carries v1's schema explicitly
+    Snapshots.restore(spark, t, 1)
+    val restored = Snapshots.read(spark, t)
+    assert(restored.columns.toSeq == Seq("id", "a"))
+    assert(restored.count() == 50)
+  }
+
+  test("SQL UPDATE backfills an added column across pre-evolution " +
+    "files (copy-on-write under the evolved schema)") {
+    val t = evolvedTable()
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+    spark.sql(s"UPDATE $cat.snap.`$t` SET b = 'backfilled' WHERE b IS NULL")
+    val out = spark.table(s"$cat.snap.`$t`")
+    assert(out.filter(col("b").isNull).count() == 0)
+    assert(out.filter(col("b") === "backfilled").count() == 50)
+    assert(out.filter(col("b") === "new").count() == 30)
+    // pre-backfill version unchanged
+    assert(Snapshots.read(spark, t, Some(2))
+      .filter(col("b").isNull).count() == 50)
+  }
+}
