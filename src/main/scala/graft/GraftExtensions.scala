@@ -136,6 +136,34 @@ object GraftExtensions {
         val v = children.lift(1).map(litInt(_, "version"))
         graft.sources.Snapshots.read(SparkSession.active, dir, v)
           .queryExecution.analyzed
+      }),
+    (FunctionIdentifier("snapshot_history"),
+      info("snapshot_history",
+        "snapshot_history(dir) - one row per committed version: " +
+          "(version, n_entries, n_columns) straight from the manifest " +
+          "log, no data files opened (n_columns is -1 before any " +
+          "schema was recorded)"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "snapshot_history(dir) takes 1 argument")
+        val dir = litStr(children(0), "dir")
+        val spark = SparkSession.active
+        val cur = graft.sources.Snapshots.currentVersion(dir)
+        require(cur > 0, s"no snapshots under $dir")
+        // driver-side walk of the version log — O(versions) manifest
+        // reads, zero data-file opens (vacuumed versions are skipped)
+        val rows = (1 to cur).flatMap { v =>
+          scala.util.Try(
+            graft.sources.Snapshots.manifestEntries(dir, v)).toOption
+            .map { entries =>
+              val cols = graft.sources.Snapshots.schemaOf(dir, v)
+                .map(_.length).getOrElse(-1)
+              (v, entries.size, cols)
+            }
+        }
+        import spark.implicits._
+        rows.toDF("version", "n_entries", "n_columns")
+          .queryExecution.analyzed
       }))
 
   /** Register into an existing session (tests, notebooks), and apply

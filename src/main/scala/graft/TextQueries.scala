@@ -707,6 +707,30 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // SQL DDL + HISTORY surface: `ALTER TABLE … ADD COLUMNS` is a
+    // pure-metadata commit (entries republished by reference under a
+    // widened #schema header — zero data movement), `INSERT INTO` then
+    // lands rows carrying the new column, and `snapshot_history(dir)`
+    // exposes the version log (version, n_entries, n_columns) from
+    // manifests alone — no data files opened. The oracle is the
+    // expected history as literals: v1 bootstrap (1 entry, 3 cols),
+    // v2 ALTER (same entry, 4 cols), v3 insert (+2 files, 4 cols).
+    "p38_sql_history" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_spj",
+        classOf[graft.sources.v2.SnapshotCatalog].getName)
+      val t = SparkHygiene.scratchDir("p38_tbl")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.sources.Snapshots.commit(s, t, docs.filter(col("doc_id") < 300))
+      s.sql(s"ALTER TABLE graft_spj.snap.`$t` ADD COLUMNS (score BIGINT)")
+      docs.createOrReplaceTempView("p38_docs")
+      s.sql(s"INSERT INTO graft_spj.snap.`$t` " +
+        "SELECT /*+ REPARTITION(2) */ doc_id, text, lang, " +
+        "CAST(doc_id * 3 AS BIGINT) FROM p38_docs " +
+        "WHERE doc_id BETWEEN 300 AND 399")
+      s.sql(s"SELECT * FROM snapshot_history('$t') ORDER BY version")
+    }),
+
     // DATASOURCE V2 READ (sources/v2/SnapshotsDataSource) — the
     // standard `spark.read.format(...)` front door over snapshot
     // tables: version resolution happens INSIDE the plan
@@ -1161,6 +1185,11 @@ object TextQueries {
         |       THEN CAST(doc_id * 7 AS BIGINT) END AS score
         |FROM documents WHERE doc_id < 500
         |ORDER BY doc_id""".stripMargin,
+    // the expected version log as literals
+    "p38_sql_history" ->
+      """SELECT * FROM (VALUES (1, 1, 3), (2, 1, 4), (3, 3, 4))
+        |  AS t(version, n_entries, n_columns)
+        |ORDER BY version""".stripMargin,
     // SQL deletion ≡ predicate negation on the raw table
     "p33_sql_delete" ->
       """SELECT doc_id, lang, length(text) AS text_len FROM documents

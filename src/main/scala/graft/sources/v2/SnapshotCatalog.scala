@@ -93,9 +93,41 @@ class SnapshotCatalog extends TableCatalog with FunctionCatalog {
     throw new UnsupportedOperationException(
       "snapshot tables are created by Snapshots.commit, not catalog DDL")
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "snapshot tables evolve through commits, not ALTER")
+  /** SQL `ALTER TABLE … ADD COLUMNS` — pure-metadata schema evolution:
+    * the commit republishes the current entries BY REFERENCE under a
+    * widened `#schema=` header (zero data movement; old files serve
+    * the new column as null). Only ADD is served: dropping or renaming
+    * without Iceberg-style column-id mapping would silently resurrect
+    * old bytes if the name were ever re-added, so those refuse loudly.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = ident.name()
+    val cur = Snapshots.currentVersion(dir)
+    if (cur == 0) throw new NoSuchTableException(ident)
+    val base = Snapshots.schemaOf(dir, cur).getOrElse {
+      val opts = new CaseInsensitiveStringMap(Map("path" -> dir).asJava)
+      new SnapshotsDataSource().inferSchema(opts)
+    }
+    val widened = changes.foldLeft(base) {
+      case (s, add: TableChange.AddColumn) =>
+        require(add.fieldNames.length == 1,
+          "snapshot tables are flat: nested column adds are not supported")
+        val name = add.fieldNames.head
+        require(!s.fieldNames.contains(name),
+          s"column $name already exists on $dir")
+        // always nullable: pre-evolution files have no values for it
+        s.add(org.apache.spark.sql.types.StructField(
+          name, add.dataType, nullable = true))
+      case (_, other) => throw new UnsupportedOperationException(
+        s"snapshot tables support ADD COLUMNS only (got $other): " +
+          "DROP/RENAME without column-id mapping would resurrect old " +
+          "file bytes if the name were re-added later")
+    }
+    SnapshotsDataSource.validate(widened)
+    Snapshots.commitManifest(dir, Snapshots.manifestEntries(dir, cur),
+      Some(widened.json))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(

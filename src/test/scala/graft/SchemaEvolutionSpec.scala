@@ -68,6 +68,43 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(restored.count() == 50)
   }
 
+  test("ALTER TABLE ADD COLUMNS is a zero-data-movement metadata " +
+    "commit; DROP/RENAME refuse") {
+    val t = SparkHygiene.scratchDir("schemaevo")
+    Snapshots.commit(spark, t,
+      spark.range(20).toDF("id").withColumn("a", col("id") * 2))
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+    val v1Entries = Snapshots.manifestEntries(t, 1)
+
+    spark.sql(s"ALTER TABLE $cat.snap.`$t` ADD COLUMNS (score BIGINT)")
+    assert(Snapshots.currentVersion(t) == 2)
+    // same files by reference, widened schema, old rows read null
+    assert(Snapshots.manifestEntries(t, 2) == v1Entries)
+    val cur = spark.table(s"$cat.snap.`$t`")
+    assert(cur.columns.toSeq == Seq("id", "a", "score"))
+    assert(cur.filter(col("score").isNull).count() == 20)
+
+    val ex = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.snap.`$t` DROP COLUMN a")
+    }
+    assert(ex.getMessage.contains("ADD COLUMNS only"))
+    assert(intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.snap.`$t` RENAME COLUMN a TO b")
+    }.getMessage.contains("ADD COLUMNS only"))
+    // adding an existing name refuses too
+    assert(intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.snap.`$t` ADD COLUMNS (a BIGINT)")
+    }.getMessage.contains("already exists"))
+  }
+
+  test("snapshot_history serves the version log from manifests alone") {
+    val t = evolvedTable()
+    val h = spark.sql(s"SELECT * FROM snapshot_history('$t') ORDER BY version")
+      .collect()
+    assert(h.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(h.map(_.getInt(2)).toSeq == Seq(2, 3)) // [id,a] then [id,a,b]
+  }
+
   test("SQL UPDATE backfills an added column across pre-evolution " +
     "files (copy-on-write under the evolved schema)") {
     val t = evolvedTable()
