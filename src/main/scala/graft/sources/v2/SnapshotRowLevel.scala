@@ -111,10 +111,52 @@ class SnapshotRowLevelOperation(tableDir: String, tableSchema: StructType,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val op = this
     new WriteBuilder {
-      override def build(): Write = new Write {
+      override def build(): Write = new Write
+          with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
         override def toBatch: BatchWrite =
           new SnapshotReplaceGroupsWrite(tableDir, info.schema(), conf, op)
         override def description(): String = op.description()
+
+        // ---- LAYOUT PRESERVATION for MERGE: the join shuffles group
+        // rows across tasks, so an unconstrained rewrite would
+        // interleave every touched file into arbitrary output files —
+        // clustering the write back by `_file` keeps each rewritten
+        // group whole (its footer stats stay as tight as the source
+        // file's, so p22/p24-style pruning survives the merge).
+        // NON-strict + advisory size: Spark plans an AQE REBALANCE
+        // rather than a hard hash — the not-matched INSERT rows all
+        // carry _file = null, and a strict hash would funnel an
+        // insert-heavy 100 TB merge into ONE task; rebalance splits
+        // that skew while file groups (≤ one file ≤ advisory bytes)
+        // stay unsplit. UPDATE/DELETE rewrites are narrow (whole-file
+        // scan bins, no shuffle) and already group-aligned — no
+        // distribution requested, no shuffle added.
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution =
+          if (cmd == Command.MERGE)
+            org.apache.spark.sql.connector.distributions.Distributions
+              .clustered(Array(
+                org.apache.spark.sql.connector.expressions.Expressions
+                  .column(ParquetGroups.FilePathCol)))
+          else org.apache.spark.sql.connector.distributions.Distributions
+            .unspecified()
+
+        override def distributionStrictlyRequired(): Boolean = false
+
+        override def advisoryPartitionSizeInBytes(): Long =
+          if (cmd == Command.MERGE) 128L << 20 else 0L
+
+        // groups contiguous inside each output file → row-group stats
+        // stay as selective as the source layout's
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          if (cmd == Command.MERGE)
+            Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+              org.apache.spark.sql.connector.expressions.Expressions
+                .column(ParquetGroups.FilePathCol),
+              org.apache.spark.sql.connector.expressions.SortDirection
+                .ASCENDING))
+          else Array.empty
       }
     }
   }

@@ -158,6 +158,33 @@ class SnapshotRowLevelSpec extends SparkSpec {
     }
   }
 
+  test("MERGE preserves source-file clustering: each rewritten file's " +
+    "rows stay together in one output file") {
+    withCatalog {
+      val t = mkTable()
+      // touch every file so all four rewrite through the join shuffle
+      spark.range(0, 100, 25).toDF("id").withColumn("v", lit(0L))
+        .createOrReplaceTempView("rl_touch")
+      spark.sql(
+        s"""MERGE INTO $cat.snap.`$t` tgt
+           |USING rl_touch src ON tgt.id = src.id
+           |WHEN MATCHED THEN UPDATE SET tag = 'touched'""".stripMargin)
+      // group integrity: the 25-row range of each ORIGINAL file must
+      // land in exactly one rewritten file (the clustered+sorted write
+      // keeps groups whole instead of interleaving them post-join)
+      val placement = spark.sql(
+        s"SELECT id DIV 25 AS grp, _file FROM $cat.snap.`$t`")
+        .collect().groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getString(1)).toSet).toMap
+      assert(placement.size == 4)
+      placement.foreach { case (grp, fs) =>
+        assert(fs.size == 1, s"group $grp scattered across $fs")
+      }
+      assert(spark.table(s"$cat.snap.`$t`")
+        .filter(col("tag") === "touched").count() == 4)
+    }
+  }
+
   test("_file metadata column: per-row provenance, pruning-aware, " +
     "order-normalized") {
     withCatalog {
