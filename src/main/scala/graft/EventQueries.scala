@@ -1375,6 +1375,47 @@ object EventQueries {
         .orderBy(col("user_id"))
     }),
 
+    // TTL STATE on transformWithState (streaming/Suppress) — the third
+    // face of the API (w38 data-driven state, w39 event-time timers):
+    // alert suppression, first event per (user, event_type) emits and
+    // repeats are swallowed while the key's TTL-bounded boolean state
+    // lives. The corpus arrives as three time-ordered snapshot commits,
+    // so suppression must hold ACROSS micro-batches through the state
+    // store; the 6 h TTL is far above the drained run's wall clock, so
+    // the result is exactly the batch "row_number() = 1" oracle
+    // (SuppressSpec pins the actual expiry + re-alert behavior with a
+    // short TTL across separated batches).
+    "w40_tws_suppress" -> ((s0, dir) => {
+      val s = SparkHygiene.streamStateSession(s0, 8)
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val t = SparkHygiene.scratchDir("w40_tbl")
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val cuts = ev.agg(
+        expr("percentile_approx(ts, 0.34, 10000)").as("c1"),
+        expr("percentile_approx(ts, 0.67, 10000)").as("c2")).head()
+      val (c1, c2) = (cuts.getTimestamp(0), cuts.getTimestamp(1))
+      graft.sources.Snapshots.commit(s, t, ev.filter(col("ts") <= c1))
+      graft.sources.Snapshots.commit(s, t,
+        ev.filter(col("ts") > c1 && col("ts") <= c2))
+      graft.sources.Snapshots.commit(s, t, ev.filter(col("ts") > c2))
+      val alerts = graft.streaming.Suppress.firstPerKey(
+        s.readStream.format("graft_snapshots").option("path", t)
+          .option("maxVersionsPerTrigger", 1).load(),
+        java.time.Duration.ofHours(6))
+      val out = SparkHygiene.scratchDir("w40_out")
+      val ck = SparkHygiene.scratchDir("w40_ck")
+      alerts.toDF().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(out)
+        .select(col("user_id"), col("event_type"), col("event_id"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     "w34_v2_stream_agg" -> ((s0, dir) => {
       val s = SparkHygiene.streamStateSession(s0, 8)
       val t = SparkHygiene.scratchDir("w34_tbl")
@@ -2022,6 +2063,14 @@ object EventQueries {
         |WHERE last_seen + INTERVAL 1 DAY <= gmax - INTERVAL 30 MINUTE
         |ORDER BY user_id""".stripMargin,
 
+    // first-per-key under a TTL no drained run can outlive ≡ rank 1
+    "w40_tws_suppress" ->
+      """WITH r AS (SELECT user_id, event_type, event_id,
+        |  row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id) AS rn
+        |FROM events)
+        |SELECT user_id, event_type, event_id FROM r WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
     // new-personal-best ≡ running-max window in (ts, event_id) order
     "w38_tws_records" ->
       """WITH o AS (SELECT user_id, event_id, value,
