@@ -1416,6 +1416,36 @@ object EventQueries {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // STREAMING × SCHEMA EVOLUTION: the snapshot source streams a
+    // table whose SECOND commit added a column — the stream's schema
+    // resolves from the manifest log (the evolved, current schema), and
+    // the micro-batch replaying the PRE-evolution commit serves the
+    // added column as null straight from the old files (no rewrite, no
+    // restart). The fixed date cut keeps the oracle engine-portable.
+    "w41_stream_evolve" -> ((s0, dir) => {
+      val s = SparkHygiene.streamStateSession(s0, 8)
+      val t = SparkHygiene.scratchDir("w41_tbl")
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      val cut = lit("2024-01-10").cast("timestamp")
+      graft.sources.Snapshots.commit(s, t,
+        ev.filter(col("ts") <= cut).drop("value"))
+      graft.sources.Snapshots.commit(s, t, ev.filter(col("ts") > cut))
+      val out = SparkHygiene.scratchDir("w41_out")
+      val ck = SparkHygiene.scratchDir("w41_ck")
+      s.readStream.format("graft_snapshots").option("path", t)
+        .option("maxVersionsPerTrigger", 1).load()
+        .select(col("event_id"), col("user_id"), col("value"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(out)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
     "w34_v2_stream_agg" -> ((s0, dir) => {
       val s = SparkHygiene.streamStateSession(s0, 8)
       val t = SparkHygiene.scratchDir("w34_tbl")
@@ -2063,6 +2093,12 @@ object EventQueries {
         |WHERE last_seen + INTERVAL 1 DAY <= gmax - INTERVAL 30 MINUTE
         |ORDER BY user_id""".stripMargin,
 
+    // pre-evolution rows carry null for the added column
+    "w41_stream_evolve" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN ts > TIMESTAMP '2024-01-10 00:00:00' THEN value END
+        |    AS value
+        |FROM events ORDER BY event_id""".stripMargin,
     // first-per-key under a TTL no drained run can outlive ≡ rank 1
     "w40_tws_suppress" ->
       """WITH r AS (SELECT user_id, event_type, event_id,
