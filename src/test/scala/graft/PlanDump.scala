@@ -60,7 +60,13 @@ object PlanDump {
       // tables and run maintenance commits on construction — their
       // plan/exchange evidence lives in SnapshotsV2Spec,
       // SnapshotCatalogSpec, and IncrementalMvSpec.
-      "w34_gapfill")
+      "w34_gapfill",
+      // session-4 heads: DML queries (p35/p36) run UPDATE/MERGE at
+      // construction and return the post-DML catalog read — the
+      // ReplaceData/group-pruning plan evidence lives in
+      // SnapshotRowLevelSpec; p37's returned read shows the V2 scan
+      // under the log-resolved (evolved) schema
+      "p37_schema_evolution")
     val out = new java.io.PrintWriter("artifacts/PLANS_r13.txt")
     out.println("Formatted physical plans, sf0.001, local[4] — regenerate " +
       "with `sbt \"Test/runMain graft.PlanDump\"`.\n")
