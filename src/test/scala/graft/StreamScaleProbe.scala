@@ -243,9 +243,26 @@ object StreamScaleProbe {
           ev.select(col("event_id"), col("ts"), col("user_id"),
             col("value")),
           gap = "7 days", watermarkDelay = "30 minutes").toDF
+      },
+      // suppression state = one timestamp per DISTINCT (user, type)
+      // key: the 10× corpus repeats the same key population over 10×
+      // the span, so state rows must stay exactly flat (and the TTL —
+      // far above the run — keeps all repeats suppressed)
+      "w40_suppress" -> { ev =>
+        ev.sparkSession.conf.set(
+          "spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        graft.streaming.Suppress.firstPerKey(
+          ev.select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type")),
+          java.time.Duration.ofHours(6)).toDF
       })
 
-    for ((name, mk) <- shapes) {
+    // SSP_ONLY=name1,name2 runs a subset (new-shape probes without
+    // re-measuring the full committed table)
+    val only = sys.env.get("SSP_ONLY").map(_.split(",").toSet)
+
+    for ((name, mk) <- shapes if only.forall(_.contains(name))) {
       val r1 = run(name, s"$base/ev1x")(mk)
       val r10 = run(name, s"$base/ev10x")(mk)
       println(f"STREAMSCALE $name%-18s " +
