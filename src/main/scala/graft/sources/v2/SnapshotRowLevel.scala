@@ -59,11 +59,11 @@ import graft.sources.Snapshots
   * update projection, and the replacement write are all fully
   * distributed; and the commit is one driver-side manifest swap.
   *
-  * Reference context: the reference stack mutates per-item rows through
-  * DynamoDB UpdateItem calls
-  * (`/root/reference/serving/lambda/update_item.py`-style paths); this
-  * is the set-oriented re-expression — declarative DML over immutable
-  * versioned files.
+  * Reference context: the reference stack mutates per-item rows
+  * through DynamoDB batch writes
+  * (`/root/reference/business_logic/stream_consumer/process_records.py:182`,
+  * `add_items_to_dynamodb`); this is the set-oriented re-expression —
+  * declarative DML over immutable versioned files.
   */
 class SnapshotRowLevelOperation(tableDir: String, tableSchema: StructType,
                                 conf: ParquetGroups.SerializableConf,
