@@ -81,17 +81,23 @@ object DeleteRows {
     val rewritten = spark.read.parquet(touched: _*)
       .filter(keep)
       .localCheckpoint(true)
+    // every commit below CASes at cur+1 (ADVICE r13): the kept/touched
+    // split derives from cur's manifest, so a commit racing in between
+    // must fail this surgery atomically, never be silently dropped
     if (rewritten.isEmpty) {
       if (kept.nonEmpty) {
-        val v = Snapshots.commitManifest(tableDir, kept)
+        val v = Snapshots.commitManifest(tableDir, kept,
+          expectedVersion = Some(cur))
         return Result(v, touched.size, kept.size)
       }
       rewritten.limit(0).write.mode("error").parquet(dataDir)
-      val v = Snapshots.commitManifest(tableDir, Seq(dataDir))
+      val v = Snapshots.commitManifest(tableDir, Seq(dataDir),
+        expectedVersion = Some(cur))
       return Result(v, touched.size, 0)
     }
     rewritten.write.mode("error").parquet(dataDir)
-    val v = Snapshots.commitManifest(tableDir, kept :+ dataDir)
+    val v = Snapshots.commitManifest(tableDir, kept :+ dataDir,
+      expectedVersion = Some(cur))
     Result(v, touched.size, kept.size)
   }
 

@@ -72,7 +72,10 @@ object Optimize {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("error").parquet(out)
-    val v = Snapshots.commitManifest(tableDir, Seq(out))
+    // CAS at cur+1: the rewrite read version cur, so a commit racing in
+    // must fail the optimize atomically, not be silently replaced
+    val v = Snapshots.commitManifest(tableDir, Seq(out),
+      expectedVersion = Some(cur))
     val outFiles = {
       val p = new Path(out)
       val fs = p.getFileSystem(conf)
@@ -141,7 +144,8 @@ object Optimize {
           s"rename failed: ${s.getPath} -> $renamed")
         renamed.toUri.getPath -> b
       }.sortBy(_._2)
-    val v = Snapshots.commitManifest(tableDir, entries.map(_._1))
+    val v = Snapshots.commitManifest(tableDir, entries.map(_._1),
+      expectedVersion = Some(cur))
     BucketLayout.write(tableDir, v, keyCol, buckets, entries)
     Report(v, inFiles.size, inFiles.sum, entries.size)
   }

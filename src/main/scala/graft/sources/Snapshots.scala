@@ -141,16 +141,35 @@ object Snapshots {
     * bytes. Entries may be directories or individual parquet files
     * (both are valid `spark.read.parquet` paths). Same CREATE_NEW
     * atomicity as [[commit]]. Returns the committed version.
+    *
+    * `expectedVersion` is the optimistic-concurrency hook (ADVICE r13):
+    * a caller that derived `entries` from version E passes `Some(E)`,
+    * and the commit targets EXACTLY E+1 — if a concurrent commit landed
+    * in between, the CREATE_NEW below fails atomically
+    * (`FileAlreadyExistsException`) instead of silently publishing
+    * stale-derived entries as a higher version (which would drop the
+    * concurrent commit's files). Check-then-act callers that re-read
+    * `currentVersion` here would have a TOCTOU window; the CAS has none.
     */
   def commitManifest(tableDir: String, entries: Seq[String],
-                     schemaJson: Option[String] = None): Int = {
+                     schemaJson: Option[String] = None,
+                     expectedVersion: Option[Int] = None): Int = {
     require(entries.nonEmpty, "refusing to commit an empty manifest")
-    val v = currentVersion(tableDir) + 1
+    val v = expectedVersion.fold(currentVersion(tableDir) + 1)(_ + 1)
     Files.createDirectories(Paths.get(logDir(tableDir)))
-    Files.write(Paths.get(s"${logDir(tableDir)}/v$v.list"),
+    try Files.write(Paths.get(s"${logDir(tableDir)}/v$v.list"),
       (schemaJson.map(j => s"$SchemaHeader$j").toSeq ++ entries)
         .mkString("\n").getBytes(StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException
+          if expectedVersion.isDefined =>
+        throw new java.nio.file.FileAlreadyExistsException(
+          s"${logDir(tableDir)}/v$v.list", null,
+          s"concurrent commit detected on $tableDir: this statement " +
+            s"derived from v${expectedVersion.get} but v$v is already " +
+            "published — retry the statement")
+    }
     v
   }
 
@@ -194,8 +213,18 @@ object Snapshots {
     require(entries.nonEmpty, s"cannot restore to empty/unknown version $version")
     // carry the restored version's schema explicitly: a restore to a
     // pre-evolution version must also restore its (narrower) schema,
-    // and walk-back inheritance alone would pick up the newest one
-    commitManifest(tableDir, entries, schemaJsonOf(tableDir, version))
+    // and walk-back inheritance alone would pick up the newest one.
+    // A HEADERLESS restored version of a table that recorded a header
+    // LATER needs the same protection (ADVICE r13): without an explicit
+    // header the restore commit would inherit the newer, wider schema —
+    // infer the restored version's actual schema from its files and
+    // record it.
+    val schemaJson = schemaJsonOf(tableDir, version).orElse {
+      if (schemaJsonOf(tableDir, currentVersion(tableDir)).isDefined)
+        Some(spark.read.parquet(entries: _*).schema.json)
+      else None
+    }
+    commitManifest(tableDir, entries, schemaJson)
   }
 
   private def readManifest(tableDir: String, version: Int): Seq[String] = {

@@ -124,8 +124,11 @@ class SnapshotCatalog extends TableCatalog with FunctionCatalog {
           "file bytes if the name were re-added later")
     }
     SnapshotsDataSource.validate(widened)
+    // CAS at cur+1: a concurrent commit between the schema read above
+    // and this publish fails the ALTER atomically instead of being
+    // silently dropped from the republished entry list (ADVICE r13)
     Snapshots.commitManifest(dir, Snapshots.manifestEntries(dir, cur),
-      Some(widened.json))
+      Some(widened.json), expectedVersion = Some(cur))
     loadTable(ident)
   }
 

@@ -194,19 +194,18 @@ class SnapshotReplaceGroupsWrite(tableDir: String, schema: StructType,
     val newFiles = messages.collect {
       case FileCommit(p, rows) if rows > 0 => p
     }.toSeq
-    if (rec.files.isEmpty) {
-      // the condition pruned every file: nothing was scanned, so
-      // nothing may be replaced — a no-op, not a new version
-      SnapshotWriteSupport.deleteQuietly(conf.value, newFiles)
+    if (rec.files.isEmpty && newFiles.isEmpty) {
+      // the condition pruned every file AND the write produced no rows:
+      // nothing was scanned, nothing was added — a no-op, not a new
+      // version. (A MERGE whose group filter matched zero target files
+      // can still emit NOT MATCHED insert rows — newFiles non-empty —
+      // and those MUST publish as an append, never be discarded:
+      // ADVICE r13, the zero-match-with-inserts data loss.)
       return
     }
-    val cur = Snapshots.currentVersion(tableDir)
-    require(cur == rec.version,
-      s"concurrent commit detected on $tableDir: statement scanned " +
-        s"v${rec.version} but the table is now v$cur — retry")
     val scannedSet = rec.files.toSet
     val kept = SnapshotsDataSource.filesOf(conf.value,
-        Snapshots.manifestEntries(tableDir, cur))
+        Snapshots.manifestEntries(tableDir, rec.version))
       .map(_._1).filterNot(scannedSet)
     val published = (kept ++ newFiles).sorted
     val entries =
@@ -219,7 +218,13 @@ class SnapshotReplaceGroupsWrite(tableDir: String, schema: StructType,
         new SnapshotWriteSupport.FileWriter(f, conf.value, schema).close()
         Seq(f)
       }
-    Snapshots.commitManifest(tableDir, entries)
+    // compare-and-swap at exactly scanned-version + 1: a commit landing
+    // between the scan and this publish surfaces atomically as
+    // FileAlreadyExistsException (the statement retries) instead of
+    // being clobbered by entries derived from the stale version
+    // (ADVICE r13 TOCTOU)
+    Snapshots.commitManifest(tableDir, entries,
+      expectedVersion = Some(rec.version))
     ()
   }
 

@@ -91,9 +91,15 @@ private[v2] object SnapshotWriteSupport {
     * table version). */
   def publish(tableDir: String, files: Seq[String]): Int =
     if (files.isEmpty) -1
-    else Snapshots.commitManifest(tableDir,
-      Snapshots.manifestEntries(tableDir,
-        Snapshots.currentVersion(tableDir)) ++ files.sorted)
+    else {
+      // CAS at cur+1 (ADVICE r13): entries derive from cur's manifest,
+      // so a commit racing in between must fail this publish atomically
+      // rather than have its files dropped from the republished list
+      val cur = Snapshots.currentVersion(tableDir)
+      Snapshots.commitManifest(tableDir,
+        Snapshots.manifestEntries(tableDir, cur) ++ files.sorted,
+        expectedVersion = Some(cur))
+    }
 
   def deleteQuietly(conf: Configuration, paths: Seq[String]): Unit =
     paths.foreach { p =>

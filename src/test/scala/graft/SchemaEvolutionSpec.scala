@@ -68,6 +68,30 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(restored.count() == 50)
   }
 
+  test("restore to a HEADERLESS pre-evolution version records the " +
+    "restored schema explicitly (walk-back must not resurrect the " +
+    "newer, wider header)") {
+    // a table created before schema headers existed: v1 committed with
+    // no #schema= line, then a later commit recorded a wider header
+    val t = SparkHygiene.scratchDir("schemaevo")
+    val d1 = s"$t/data/v1-legacy"
+    spark.range(10).toDF("id").withColumn("a", col("id") * 2)
+      .write.parquet(d1)
+    Snapshots.commitManifest(t, Seq(d1)) // headerless, pre-evolution
+    Snapshots.commit(spark, t,
+      spark.range(10, 15).toDF("id").withColumn("a", col("id") * 2)
+        .withColumn("b", lit("new"))) // v2 records [id, a, b]
+    assert(Snapshots.read(spark, t).columns.toSeq == Seq("id", "a", "b"))
+    // restore to the headerless v1: schemaJsonOf(1) is None, so the fix
+    // (ADVICE r13) infers v1's schema from its files and records it —
+    // otherwise the restore commit would inherit v2's wider header
+    Snapshots.restore(spark, t, 1)
+    val restored = Snapshots.read(spark, t)
+    assert(restored.columns.toSeq == Seq("id", "a"),
+      s"restored schema must be v1's own, got ${restored.columns.toSeq}")
+    assert(restored.count() == 10)
+  }
+
   test("ALTER TABLE ADD COLUMNS is a zero-data-movement metadata " +
     "commit; DROP/RENAME refuse") {
     val t = SparkHygiene.scratchDir("schemaevo")

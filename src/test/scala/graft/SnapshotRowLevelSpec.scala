@@ -158,6 +158,51 @@ class SnapshotRowLevelSpec extends SparkSpec {
     }
   }
 
+  test("MERGE whose group filter matches ZERO target files still " +
+    "publishes its NOT MATCHED inserts (never silently drops them)") {
+    withCatalog {
+      val t = mkTable()
+      val v1Files = files(t, 1)
+      // every source id is outside every file's footer range, so the
+      // runtime group filter prunes ALL four files (_file IN () — the
+      // scan plans zero groups) — but the right-outer join still emits
+      // the NOT MATCHED insert rows, which MUST publish as an append
+      // (ADVICE r13 high: these were deleted as spurious staging)
+      spark.range(5000, 5005).toDF("id")
+        .withColumn("v", col("id") * 100)
+        .createOrReplaceTempView("rl_far")
+      spark.sql(
+        s"""MERGE INTO $cat.snap.`$t` tgt
+           |USING rl_far src ON tgt.id = src.id
+           |WHEN MATCHED THEN UPDATE SET tag = 'never'
+           |WHEN NOT MATCHED THEN INSERT (id, v, tag)
+           |  VALUES (src.id, src.v, 'inserted')""".stripMargin)
+      assert(Snapshots.currentVersion(t) == 2,
+        "inserts from a zero-match merge must publish a version")
+      val out = sqlTable(t).collect()
+      assert(out.length == 105)
+      assert(out.count(_.getString(2) == "inserted") == 5)
+      assert(out.count(_.getString(2) == "orig") == 100)
+      // a pure append: all four original files republished by reference
+      assert(files(t, 2).intersect(v1Files) == v1Files,
+        "zero groups scanned means zero files replaced")
+    }
+  }
+
+  test("MERGE with zero matches AND no insert arm is a no-op commit") {
+    withCatalog {
+      val t = mkTable()
+      spark.range(5000, 5005).toDF("id").withColumn("v", lit(0L))
+        .createOrReplaceTempView("rl_far2")
+      spark.sql(
+        s"""MERGE INTO $cat.snap.`$t` tgt
+           |USING rl_far2 src ON tgt.id = src.id
+           |WHEN MATCHED THEN UPDATE SET tag = 'never'""".stripMargin)
+      assert(Snapshots.currentVersion(t) == 1,
+        "nothing scanned and nothing written must not publish a version")
+    }
+  }
+
   test("MERGE preserves source-file clustering: each rewritten file's " +
     "rows stay together in one output file") {
     withCatalog {
@@ -221,7 +266,11 @@ class SnapshotRowLevelSpec extends SparkSpec {
       // ...but another writer commits v2 before our write commits
       Snapshots.commit(spark, t, Seq((200L, 0L, "late")).toDF("id", "v", "tag"))
       val write = op.newWriteBuilder(null) // info only feeds description/schema
-      val ex = intercept[IllegalArgumentException] {
+      // the refusal is the manifest CAS itself (ADVICE r13): the commit
+      // targets exactly scanned-version + 1, so the concurrent v2 makes
+      // the CREATE_NEW fail atomically — no TOCTOU window between a
+      // version check and the publish
+      val ex = intercept[java.nio.file.FileAlreadyExistsException] {
         new graft.sources.v2.SnapshotReplaceGroupsWrite(
           t, sqlTable(t).schema,
           new graft.sources.v2.ParquetGroups.SerializableConf(
