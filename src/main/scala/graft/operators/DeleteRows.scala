@@ -76,9 +76,18 @@ object DeleteRows {
                             kept: Seq[String],
                             keep: org.apache.spark.sql.Column): Result = {
     val dataDir = Snapshots.versionDataDir(tableDir, cur + 1)
+    // a touched file may carry DELETION VECTORS from an earlier
+    // merge-on-read erase: the rewrite must apply them, or the
+    // rewritten copy would RESURRECT the suppressed rows. Kept files'
+    // DVs carry forward automatically (commitManifest's inherit).
+    val norm: String => String = p => new Path(p).toUri.getPath
+    val touchedSet = touched.map(norm).toSet
+    val touchedDv = Snapshots.deletionVectors(tableDir, cur)
+      .filter { case (f, _) => touchedSet.contains(norm(f)) }
     // materialize the survivors ONCE (touched-files-sized, the surgery
     // working set): the emptiness probe and the write share it
-    val rewritten = spark.read.parquet(touched: _*)
+    val rewritten = Snapshots.applyDeletionVectors(spark,
+        spark.read.parquet(touched: _*), touchedDv)
       .filter(keep)
       .localCheckpoint(true)
     // every commit below CASes at cur+1 (ADVICE r13): the kept/touched
@@ -173,6 +182,63 @@ object DeleteRows {
     if (touched.isEmpty) return Result(cur, 0, kept.size)
     commitSurgery(spark, tableDir, cur, touched, kept,
       !col(keyCol).isin(keys: _*))
+  }
+
+  /** MERGE-ON-READ erase via DELETION VECTORS (VERDICT r13 #3) — the
+    * Delta-DV shape: a DELETE touching few rows of large files records
+    * a (file → suppressed row positions) sidecar in the next manifest
+    * instead of rewriting any file. ZERO data files move — the commit
+    * republishes every entry by reference plus the `#dv=` header;
+    * every reader ([[Snapshots.read]], the V2 connector's row readers,
+    * SQL through the catalog) filters the suppressed positions; prior
+    * versions still time-travel to the pre-delete rows; compaction
+    * ([[Optimize]]) reconciles by rewriting through the DV-aware read
+    * and committing DV-free output.
+    *
+    * Copy-on-write ([[deleteRange]]/[[deleteKeys]]/[[deleteWhere]])
+    * stays the DEFAULT delete: at 100 TB a delete that kills a large
+    * fraction of a file should rewrite it (every later read pays the
+    * DV filter otherwise). DVs win exactly when the delete is narrow —
+    * the GDPR-key case, where rewriting a 1 GB file for one row is the
+    * wrong trade. The matching (file, position) pairs are collected to
+    * the driver, so the op is sized to the DELETED rows, never to the
+    * table.
+    *
+    * A repeat erase of already-suppressed keys is a no-op (no new
+    * version); a second erase of NEW keys merges position lists into a
+    * fresh sidecar.
+    */
+  def deleteKeysWithVectors(spark: SparkSession, tableDir: String,
+                            keyCol: String, keys: Seq[Long]): Result = {
+    require(keys.nonEmpty, "empty erase key list")
+    val cur = Snapshots.currentVersion(tableDir)
+    require(cur > 0, s"no snapshots under $tableDir")
+    val entries = Snapshots.manifestEntries(tableDir, cur)
+    import org.apache.spark.sql.functions.regexp_replace
+    // positions of matching rows, keyed by the file that holds them —
+    // the parquet source's own row ordinals, the same coordinate system
+    // the readers' skip logic uses
+    val hits = spark.read.parquet(entries: _*)
+      .filter(col(keyCol).isin(keys: _*))
+      .select(
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/").as("f"),
+        col("_metadata.row_index").as("p"))
+      .collect()
+    val fresh: Map[String, Array[Long]] = hits.groupBy(_.getString(0))
+      .map { case (f, rs) => f -> rs.map(_.getLong(1)) }
+    val prev = Snapshots.deletionVectors(tableDir, cur)
+    val merged = (prev.keySet ++ fresh.keySet).iterator.map { f =>
+      f -> (prev.getOrElse(f, Array.empty[Long]) ++
+        fresh.getOrElse(f, Array.empty[Long])).distinct.sorted
+    }.toMap
+    val unchanged = merged.size == prev.size && merged.forall {
+      case (f, ps) => prev.get(f).exists(_.sameElements(ps))
+    }
+    if (unchanged) return Result(cur, 0, entries.size)
+    val v = Snapshots.commitManifest(tableDir, entries,
+      expectedVersion = Some(cur), dv = Some(merged))
+    // filesRewritten = 0 is the whole point of the merge-on-read path
+    Result(v, 0, entries.size)
   }
 
   /** Can the SQL-delete path serve this pushed filter? (The vocabulary

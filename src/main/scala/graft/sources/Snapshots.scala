@@ -74,9 +74,13 @@ object Snapshots {
     val dataDir = versionDataDir(tableDir, v)
     df.write.mode("error").parquet(dataDir)
     val prev = readManifest(tableDir, v - 1)
+    // deletion vectors carry forward VERBATIM on an append — every
+    // previous entry is republished, so the same sidecar still covers
+    // exactly the files it suppresses rows of
+    val dvLine = dvSidecarOf(tableDir, v - 1).map(DvHeader + _).toSeq
     Files.createDirectories(Paths.get(logDir(tableDir)))
     Files.write(Paths.get(s"${logDir(tableDir)}/v$v.list"),
-      (s"$SchemaHeader${df.schema.json}" +: (prev :+ dataDir))
+      ((s"$SchemaHeader${df.schema.json}" +: dvLine) ++ (prev :+ dataDir))
         .mkString("\n").getBytes(StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE_NEW)
     v
@@ -153,12 +157,36 @@ object Snapshots {
     */
   def commitManifest(tableDir: String, entries: Seq[String],
                      schemaJson: Option[String] = None,
-                     expectedVersion: Option[Int] = None): Int = {
+                     expectedVersion: Option[Int] = None,
+                     dv: Option[Map[String, Array[Long]]] = None): Int = {
     require(entries.nonEmpty, "refusing to commit an empty manifest")
-    val v = expectedVersion.fold(currentVersion(tableDir) + 1)(_ + 1)
+    val baseV = expectedVersion.getOrElse(currentVersion(tableDir))
+    val v = baseV + 1
+    // DELETION-VECTOR CARRY: by default the new version INHERITS the
+    // base version's deletion vectors restricted to files still
+    // published — a file a copy-on-write rewrite dropped takes its DV
+    // with it (the DV-aware rewrite already applied the suppressions),
+    // while files kept by reference keep suppressing the same rows.
+    // An explicit map overrides (merge-on-read deletes, restore,
+    // compaction reconciling to a DV-free layout).
+    val baseDv = deletionVectors(tableDir, baseV)
+    val carried: Map[String, Array[Long]] = dv.getOrElse {
+      if (baseDv.isEmpty) Map.empty
+      else baseDv.filter { case (f, _) =>
+        entries.exists(e => f == e || f.startsWith(e + "/"))
+      }
+    }
+    val dvLine: Option[String] =
+      if (carried.isEmpty) None
+      // the inherit path only ever REMOVES whole files, so key-set
+      // equality means the map is unchanged — reuse the base sidecar
+      else if (dv.isEmpty && carried.keySet == baseDv.keySet)
+        dvSidecarOf(tableDir, baseV).map(DvHeader + _)
+          .orElse(Some(DvHeader + writeDvSidecar(tableDir, carried)))
+      else Some(DvHeader + writeDvSidecar(tableDir, carried))
     Files.createDirectories(Paths.get(logDir(tableDir)))
     try Files.write(Paths.get(s"${logDir(tableDir)}/v$v.list"),
-      (schemaJson.map(j => s"$SchemaHeader$j").toSeq ++ entries)
+      (schemaJson.map(j => s"$SchemaHeader$j").toSeq ++ dvLine.toSeq ++ entries)
         .mkString("\n").getBytes(StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE_NEW)
     catch {
@@ -171,6 +199,90 @@ object Snapshots {
             "published — retry the statement")
     }
     v
+  }
+
+  // -----------------------------------------------------------------
+  // DELETION VECTORS (merge-on-read row erasure, VERDICT r13 #3) — the
+  // Delta-DV mechanism reduced to its essence: a DELETE that touches
+  // few rows of large files records ONE sidecar mapping each touched
+  // file to its suppressed row positions (the parquet row ordinal —
+  // Spark's `_metadata.row_index`), referenced from the next manifest
+  // by a `#dv=` header line. ZERO data files move; readers filter the
+  // suppressed positions ([[read]] via an anti join on the metadata
+  // columns, the V2 connector via position skipping in its row
+  // readers); prior versions time-travel to the pre-delete rows
+  // because the header — like the entry list — is per-version.
+  // Compaction reconciles: a rewrite reads DV-aware and commits
+  // DV-free output. Copy-on-write stays the default DELETE; DVs are
+  // the narrow-delete (GDPR-key) path where rewriting a 1 GB file for
+  // one row is the wrong trade.
+  // -----------------------------------------------------------------
+  private val DvHeader = "#dv="
+  private def dvDir(tableDir: String) = s"$tableDir/dv"
+
+  /** The sidecar path recorded by EXACTLY `version`'s manifest (no
+    * walk-back — every commit that wants DVs carried records its own
+    * header line). */
+  private def dvSidecarOf(tableDir: String, version: Int): Option[String] = {
+    if (version <= 0) return None
+    val p = Paths.get(s"${logDir(tableDir)}/v$version.list")
+    if (!Files.exists(p)) return None
+    new String(Files.readAllBytes(p), StandardCharsets.UTF_8).split("\n")
+      .find(_.startsWith(DvHeader)).map(_.stripPrefix(DvHeader))
+  }
+
+  /** The deletion-vector map of `version`: file path → sorted
+    * suppressed row positions. Empty when the version has none. */
+  def deletionVectors(tableDir: String,
+                      version: Int): Map[String, Array[Long]] =
+    dvSidecarOf(tableDir, version) match {
+      case None => Map.empty
+      case Some(sidecar) =>
+        new String(Files.readAllBytes(Paths.get(sidecar)),
+          StandardCharsets.UTF_8).split("\n").iterator
+          .filter(_.nonEmpty).map { line =>
+            val Array(f, ps) = line.split("\t", 2)
+            f -> (if (ps.isEmpty) Array.empty[Long]
+                  else ps.split(",").map(_.toLong))
+          }.toMap
+    }
+
+  /** Persist a DV map as an immutable sidecar; returns its path. */
+  private[graft] def writeDvSidecar(tableDir: String,
+                                    dv: Map[String, Array[Long]]): String = {
+    Files.createDirectories(Paths.get(dvDir(tableDir)))
+    val p = s"${dvDir(tableDir)}/" +
+      s"${java.util.UUID.randomUUID().toString.take(12)}.dvs"
+    Files.write(Paths.get(p),
+      dv.toSeq.sortBy(_._1).map { case (f, ps) =>
+        s"$f\t${ps.sorted.mkString(",")}"
+      }.mkString("\n").getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    p
+  }
+
+  /** Filter a parquet-sourced `df` down to rows NOT suppressed by
+    * `dv` — a broadcast anti join on (file path, row position) against
+    * the DV set, using the parquet source's `_metadata` columns. The
+    * DV map is deletes-sized (GDPR keys), never table-sized, so the
+    * broadcast is cheap; the scan itself stays fully vectorized and
+    * distributed. No-op when the map is empty. */
+  private[graft] def applyDeletionVectors(spark: SparkSession, df: DataFrame,
+      dv: Map[String, Array[Long]]): DataFrame = {
+    if (dv.isEmpty) return df
+    import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
+    val pairs = dv.iterator.flatMap { case (f, ps) =>
+      ps.iterator.map(p => (f, p))
+    }.toSeq
+    val dvDf = spark.createDataFrame(pairs).toDF("__dv_file", "__dv_pos")
+    val cols = df.columns
+    df.withColumn("__f",
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+      .withColumn("__p", col("_metadata.row_index"))
+      .join(broadcast(dvDf),
+        col("__f") === col("__dv_file") && col("__p") === col("__dv_pos"),
+        "left_anti")
+      .select(cols.map(col): _*)
   }
 
   /** Resolve `AS OF TIMESTAMP` to a version: the newest version whose
@@ -224,7 +336,10 @@ object Snapshots {
         Some(spark.read.parquet(entries: _*).schema.json)
       else None
     }
-    commitManifest(tableDir, entries, schemaJson)
+    // explicit DV carry: the restored version's suppressions apply, not
+    // the (possibly newer) current version's
+    commitManifest(tableDir, entries, schemaJson,
+      dv = Some(deletionVectors(tableDir, version)))
   }
 
   private def readManifest(tableDir: String, version: Int): Seq[String] = {
@@ -246,10 +361,13 @@ object Snapshots {
     val v = version.getOrElse(currentVersion(tableDir))
     val dirs = readManifest(tableDir, v)
     require(dirs.nonEmpty, s"version $v of $tableDir is empty")
-    schemaOf(tableDir, v) match {
+    val base = schemaOf(tableDir, v) match {
       case Some(s) => spark.read.schema(s).parquet(dirs: _*)
       case None => spark.read.parquet(dirs: _*)
     }
+    // merge-on-read: suppress the version's deletion-vector positions
+    // (no-op — not even a plan node — for DV-free versions)
+    applyDeletionVectors(spark, base, deletionVectors(tableDir, v))
   }
 
   // -----------------------------------------------------------------
@@ -415,6 +533,18 @@ object Snapshots {
             fs.delete(dir.getPath, false); ()
           }
         }
+      }
+    }
+    // deletion-vector sidecars referenced by no retained manifest go
+    // the same way (a DV superseded by a later delete or a compaction)
+    val referencedDv = (keepFrom to cur)
+      .flatMap(v => dvSidecarOf(tableDir, v))
+      .map(p => new HPath(p).toUri.getPath).toSet
+    val dvRoot = new HPath(dvDir(tableDir))
+    if (fs.exists(dvRoot)) {
+      fs.listStatus(dvRoot).foreach { f =>
+        if (!referencedDv.contains(f.getPath.toUri.getPath) &&
+            fs.delete(f.getPath, false)) filesDeleted += 1
       }
     }
     (manifestsDropped, filesDeleted)

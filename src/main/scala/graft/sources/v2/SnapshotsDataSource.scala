@@ -56,12 +56,14 @@ import graft.sources.Snapshots
   *    a non-append commit fails loudly unless `ignoreChanges=true`,
   *    which replays rewritten files at-least-once).
   *
-  * Executor-side row materialization goes through the public
-  * parquet-hadoop record API ([[ParquetGroups]]) — correct for the
-  * engine's full table surface (flat columns + embedding arrays),
-  * traded against Spark's vectorized batch decode; interactive
-  * whole-table batch scans should keep using [[Snapshots.read]], which
-  * plans the native vectorized reader over the same manifest.
+  * Executor-side reads are COLUMNAR by default: the partition readers
+  * decode through Spark's vectorized parquet reader into
+  * ColumnarBatches ([[ParquetGroups.GroupReaderFactory]]), so a SQL
+  * user pays the same scan cost as a native parquet read — file
+  * skipping, runtime filtering, and time travel come for free on top.
+  * `option("vectorizedReader", "false")` falls back to the
+  * parquet-hadoop record API row path (also used for deletion-vector
+  * reads, where per-row position skipping applies).
   */
 class SnapshotsDataSource extends TableProvider with DataSourceRegister {
 
@@ -185,28 +187,85 @@ object SnapshotsDataSource {
     * stats report full-range (never skipped).
     */
   private[v2] def longStats(conf: Configuration, file: String,
-                            cols: Set[String]): Map[String, (Long, Long)] = {
+                            cols: Set[String]): Map[String, (Long, Long)] =
+    rangeStats(conf, file, cols, Set.empty).longs
+
+  /** Unsigned lexicographic byte compare — parquet's UNSIGNED binary
+    * sort order AND Spark's UTF8String order, so string bounds compare
+    * consistently with both the writer's stats and the engine's
+    * semantics. */
+  private[v2] def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Per-file footer [lo, hi] ranges for long AND string columns in ONE
+    * footer open. String bounds are raw UTF-8 bytes (parquet may store
+    * TRUNCATED binary bounds — truncation keeps them valid supersets:
+    * min is cut short, max is cut-and-incremented — so skipping on them
+    * is always sound). Columns with no usable stats report None =
+    * full-range (never skipped).
+    */
+  private[v2] case class FileRanges(
+      longs: Map[String, (Long, Long)],
+      strings: Map[String, Option[(Array[Byte], Array[Byte])]])
+
+  private[v2] def rangeStats(conf: Configuration, file: String,
+                             longCols: Set[String],
+                             stringCols: Set[String]): FileRanges = {
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(file), conf))
     try {
-      val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      val accL = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      val accS =
+        scala.collection.mutable.Map.empty[String, (Array[Byte], Array[Byte])]
+      // a string column is unusable once ANY row group lacks binary
+      // min/max (stats disabled, non-binary type) — all-null groups are
+      // fine: they constrain nothing and match nothing
+      val badS = scala.collection.mutable.Set.empty[String]
       reader.getFooter.getBlocks.asScala.foreach { b =>
         b.getColumns.asScala.foreach { c =>
           val name = c.getPath.toDotString
-          if (cols.contains(name)) {
-            val s = c.getStatistics
-            if (s == null || s.isEmpty) acc(name) = (Long.MinValue, Long.MaxValue)
+          val s = c.getStatistics
+          if (longCols.contains(name)) {
+            if (s == null || s.isEmpty)
+              accL(name) = (Long.MinValue, Long.MaxValue)
             else {
               val lo = s.genericGetMin.asInstanceOf[Number].longValue
               val hi = s.genericGetMax.asInstanceOf[Number].longValue
-              val (plo, phi) = acc.getOrElse(name, (Long.MaxValue, Long.MinValue))
-              acc(name) = (math.min(plo, lo), math.max(phi, hi))
+              val (plo, phi) =
+                accL.getOrElse(name, (Long.MaxValue, Long.MinValue))
+              accL(name) = (math.min(plo, lo), math.max(phi, hi))
+            }
+          } else if (stringCols.contains(name) && !badS.contains(name)) {
+            if (s == null) { badS += name; () }
+            else if (s.isEmpty || !s.hasNonNullValue) () // all-null group
+            else (s.genericGetMin, s.genericGetMax) match {
+              case (mn: org.apache.parquet.io.api.Binary,
+                    mx: org.apache.parquet.io.api.Binary) =>
+                val lo = mn.getBytes; val hi = mx.getBytes
+                accS.get(name) match {
+                  case None => accS(name) = (lo, hi)
+                  case Some((plo, phi)) => accS(name) = (
+                    if (cmpBytes(lo, plo) < 0) lo else plo,
+                    if (cmpBytes(hi, phi) > 0) hi else phi)
+                }
+              case _ => badS += name; ()
             }
           }
         }
       }
-      cols.iterator.map(c =>
-        c -> acc.getOrElse(c, (Long.MinValue, Long.MaxValue))).toMap
+      FileRanges(
+        longCols.iterator.map(c =>
+          c -> accL.getOrElse(c, (Long.MinValue, Long.MaxValue))).toMap,
+        stringCols.iterator.map(c =>
+          c -> (if (badS.contains(c)) None else accS.get(c))).toMap)
     } finally reader.close()
   }
 
@@ -352,16 +411,37 @@ object SnapshotsDataSource {
       }
   }
 
-  /** Can a file with [lo, hi] per column possibly satisfy `f`? */
-  private[v2] def mightMatch(stats: Map[String, (Long, Long)],
-                             f: Filter): Boolean = f match {
-    case EqualTo(c, v: Long) =>
-      stats.get(c).forall { case (lo, hi) => lo <= v && v <= hi }
-    case GreaterThan(c, v: Long) => stats.get(c).forall(_._2 > v)
-    case GreaterThanOrEqual(c, v: Long) => stats.get(c).forall(_._2 >= v)
-    case LessThan(c, v: Long) => stats.get(c).forall(_._1 < v)
-    case LessThanOrEqual(c, v: Long) => stats.get(c).forall(_._1 <= v)
-    case _ => true
+  /** Can a file with the given footer ranges possibly satisfy `f`?
+    * Long comparisons check the numeric [lo, hi]; string comparisons
+    * check the (possibly truncated — still a valid superset) binary
+    * bounds in unsigned byte order. Anything else: maybe. */
+  private[v2] def mightMatch(r: FileRanges, f: Filter): Boolean = {
+    def str(c: String): Option[(Array[Byte], Array[Byte])] =
+      r.strings.get(c).flatten
+    def bytes(v: String): Array[Byte] =
+      v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    f match {
+      case EqualTo(c, v: Long) =>
+        r.longs.get(c).forall { case (lo, hi) => lo <= v && v <= hi }
+      case GreaterThan(c, v: Long) => r.longs.get(c).forall(_._2 > v)
+      case GreaterThanOrEqual(c, v: Long) => r.longs.get(c).forall(_._2 >= v)
+      case LessThan(c, v: Long) => r.longs.get(c).forall(_._1 < v)
+      case LessThanOrEqual(c, v: Long) => r.longs.get(c).forall(_._1 <= v)
+      case EqualTo(c, v: String) => str(c).forall { case (lo, hi) =>
+        cmpBytes(lo, bytes(v)) <= 0 && cmpBytes(bytes(v), hi) <= 0 }
+      case GreaterThan(c, v: String) =>
+        str(c).forall(b => cmpBytes(b._2, bytes(v)) > 0)
+      case GreaterThanOrEqual(c, v: String) =>
+        str(c).forall(b => cmpBytes(b._2, bytes(v)) >= 0)
+      case LessThan(c, v: String) =>
+        str(c).forall(b => cmpBytes(b._1, bytes(v)) < 0)
+      case LessThanOrEqual(c, v: String) =>
+        str(c).forall(b => cmpBytes(b._1, bytes(v)) <= 0)
+      case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        str(c).forall { case (lo, hi) => vs.exists { case v: String =>
+          cmpBytes(lo, bytes(v)) <= 0 && cmpBytes(bytes(v), hi) <= 0 } }
+      case _ => true
+    }
   }
 
   /** Spec/plan observability for RUNTIME file skipping: last
@@ -372,17 +452,27 @@ object SnapshotsDataSource {
   private[graft] val runtimeSkipCensus =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
 
-  /** The filters the file-skip layer understands: single long-column
-    * comparisons against a long literal. */
+  /** The filters the file-skip layer understands: single long- or
+    * string-column comparisons against a matching literal (plus string
+    * IN — the `lang IN ('en','de')` curation shape). */
   private[v2] def skippable(schema: StructType, f: Filter): Boolean = {
     def longCol(c: String) =
       schema.fields.exists(x => x.name == c && x.dataType == LongType)
+    def strCol(c: String) = schema.fields.exists(x =>
+      x.name == c && x.dataType == org.apache.spark.sql.types.StringType)
     f match {
       case EqualTo(c, _: Long) => longCol(c)
       case GreaterThan(c, _: Long) => longCol(c)
       case GreaterThanOrEqual(c, _: Long) => longCol(c)
       case LessThan(c, _: Long) => longCol(c)
       case LessThanOrEqual(c, _: Long) => longCol(c)
+      case EqualTo(c, _: String) => strCol(c)
+      case GreaterThan(c, _: String) => strCol(c)
+      case GreaterThanOrEqual(c, _: String) => strCol(c)
+      case LessThan(c, _: String) => strCol(c)
+      case LessThanOrEqual(c, _: String) => strCol(c)
+      case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        strCol(c)
       case _ => false
     }
   }
@@ -407,7 +497,11 @@ class SnapshotTable(schema: StructType, options: CaseInsensitiveStringMap)
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE,
+      // MERGE WITH SCHEMA EVOLUTION: the analyzer alters the target
+      // (our ADD COLUMNS — a zero-data-movement metadata commit) before
+      // planning the row-level write
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(schema,
@@ -548,6 +642,12 @@ class SnapshotScanBuilder(fullSchema: StructType,
     // a footer-served aggregate has no rows to copy through the rewrite
     if (rowLevel.isDefined) return false
     if (sawFilters || agg.groupByExpressions.nonEmpty) return false
+    // a version with deletion vectors cannot serve aggregates from
+    // footers: the footer counts include merge-on-read-suppressed rows
+    if ({
+      val (dir, version) = SnapshotsDataSource.resolve(options)
+      Snapshots.deletionVectors(dir, version).nonEmpty
+    }) return false
     def col(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case n: NamedReference if n.fieldNames.length == 1 =>
@@ -616,8 +716,14 @@ class SnapshotScan(fullSchema: StructType, required: StructType,
     if (skipFilters.isEmpty) (all, 0)
     else {
       val cols = skipFilters.flatMap(_.references).toSet
+      def typed(dt: org.apache.spark.sql.types.DataType): Set[String] =
+        cols.filter(c => fullSchema.fields.exists(f =>
+          f.name == c && f.dataType == dt))
+      val (longCols, strCols) = (typed(LongType),
+        typed(org.apache.spark.sql.types.StringType))
       val kept = all.filter { case (f, _) =>
-        val st = SnapshotsDataSource.longStats(hadoopConf, f, cols)
+        val st = SnapshotsDataSource.rangeStats(hadoopConf, f,
+          longCols, strCols)
         skipFilters.forall(SnapshotsDataSource.mightMatch(st, _))
       }
       (kept, all.size - kept.size)
@@ -636,6 +742,10 @@ class SnapshotScan(fullSchema: StructType, required: StructType,
   // At 100 TB this is the fact-table scan shrinking to the dim
   // selection's key range with zero manual predicate plumbing.
   @volatile private var runtimeIn: Map[String, Array[Long]] = Map.empty
+  // string-keyed runtime IN sets (UTF-8 bytes, sorted unsigned) — the
+  // `source = '…'` / `lang = '…'` dim-join pruning shape
+  @volatile private var runtimeInStr: Map[String, Array[Array[Byte]]] =
+    Map.empty
 
   override def filterAttributes(): Array[NamedReference] =
     // footer-agg scans ship a precomputed row (nothing to prune).
@@ -660,7 +770,8 @@ class SnapshotScan(fullSchema: StructType, required: StructType,
     else if (rowLevel.isDefined)
       Array(org.apache.spark.sql.connector.expressions.Expressions
         .column(ParquetGroups.FilePathCol))
-    else required.fields.filter(_.dataType == LongType)
+    else required.fields.filter(f => f.dataType == LongType ||
+        f.dataType == org.apache.spark.sql.types.StringType)
       .map(f => org.apache.spark.sql.connector.expressions.Expressions
         .column(f.name))
 
@@ -673,6 +784,14 @@ class SnapshotScan(fullSchema: StructType, required: StructType,
       case In(c, vs) if fullSchema.fields.exists(f =>
           f.name == c && f.dataType == LongType) =>
         c -> vs.collect { case n: Number => n.longValue }.sorted
+    }.toMap.filter(_._2.nonEmpty)
+    runtimeInStr = filters.collect {
+      case In(c, vs) if c != ParquetGroups.FilePathCol &&
+          fullSchema.fields.exists(f => f.name == c &&
+            f.dataType == org.apache.spark.sql.types.StringType) =>
+        c -> vs.collect { case s: String =>
+          s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        }.sortWith(SnapshotsDataSource.cmpBytes(_, _) < 0)
     }.toMap.filter(_._2.nonEmpty)
     filters.foreach {
       case In(c, vs) if c == ParquetGroups.FilePathCol =>
@@ -697,17 +816,24 @@ class SnapshotScan(fullSchema: StructType, required: StructType,
         kept
       case None => files0
     }
-    if (runtimeIn.isEmpty) files
+    if (runtimeIn.isEmpty && runtimeInStr.isEmpty) files
     else {
-      val cols = runtimeIn.keySet
       val kept = files.filter { case (f, _) =>
-        val st = SnapshotsDataSource.longStats(hadoopConf, f, cols)
+        val st = SnapshotsDataSource.rangeStats(hadoopConf, f,
+          runtimeIn.keySet, runtimeInStr.keySet)
         runtimeIn.forall { case (c, vals) =>
-          val (lo, hi) = st(c)
+          val (lo, hi) = st.longs(c)
           // vals sorted: the smallest value ≥ lo decides containment
           val i = java.util.Arrays.binarySearch(vals, lo)
           val idx = if (i >= 0) i else -i - 1
           idx < vals.length && vals(idx) <= hi
+        } && runtimeInStr.forall { case (c, vals) =>
+          st.strings(c) match {
+            case None => true // no usable bounds: never prune
+            case Some((lo, hi)) => vals.exists(v =>
+              SnapshotsDataSource.cmpBytes(lo, v) <= 0 &&
+                SnapshotsDataSource.cmpBytes(v, hi) <= 0)
+          }
         }
       }
       SnapshotsDataSource.runtimeSkipCensus.put(
@@ -794,6 +920,14 @@ class SnapshotScan(fullSchema: StructType, required: StructType,
           SnapshotsDataSource.PrecomputedRowReaderFactory
       }
     case None => new Batch {
+      // the version's merge-on-read deletion vectors: attached to the
+      // bins holding the touched files (the row readers skip the
+      // positions), and the reason a DV'd scan plans row-based
+      private val dvMap = Snapshots.deletionVectors(tableDir, version)
+      private def withDv(bin: ParquetGroups.FileBin): ParquetGroups.FileBin =
+        if (dvMap.isEmpty) bin
+        else bin.copy(dv = dvMap.filter { case (f, _) =>
+          bin.files.contains(f) })
       // re-planned AFTER SupportsRuntimeFiltering.filter(): BatchScanExec
       // calls toBatch.planInputPartitions() again once runtime IN-sets
       // arrive, so the binning must read `runtimeIn` at call time
@@ -823,18 +957,23 @@ class SnapshotScan(fullSchema: StructType, required: StructType,
                 case Nil => Seq(ParquetGroups.BucketedBin(
                   ParquetGroups.FileBin(Nil), b))
                 case fs => fs.map { case (f, _) => ParquetGroups.BucketedBin(
-                  ParquetGroups.FileBin(Seq(f)), b)
+                  withDv(ParquetGroups.FileBin(Seq(f))), b)
                 }
               }
             }.toArray
           case None =>
             val target = options.getLong("targetBytesPerPartition", 128L << 20)
-            SnapshotsDataSource.bin(files, target).toArray
+            SnapshotsDataSource.bin(files, target).map(withDv).toArray
         }
       }
       override def createReaderFactory(): PartitionReaderFactory =
         ParquetGroups.GroupReaderFactory(
-          new ParquetGroups.SerializableConf(hadoopConf), required)
+          new ParquetGroups.SerializableConf(hadoopConf), required,
+          // one row-vs-columnar answer per scan: any deletion vector
+          // anywhere in the version sends the whole scan down the
+          // position-skipping row path
+          vectorize = options.getBoolean("vectorizedReader", true) &&
+            dvMap.isEmpty)
     }
   }
 

@@ -121,6 +121,47 @@ class SchemaEvolutionSpec extends SparkSpec {
     }.getMessage.contains("already exists"))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION auto-widens the target, keeps " +
+    "untouched files by reference, and pre-evolution files serve null") {
+    val t = SparkHygiene.scratchDir("schemaevo")
+    Snapshots.commit(spark, t,
+      spark.range(100).toDF("id").withColumn("a", col("id") * 2)
+        .repartitionByRange(4, col("id")))
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+    // expand manifest entries (dirs or files) to parquet parts
+    def files(v: Int): Set[String] = Snapshots.manifestEntries(t, v)
+      .flatMap { e =>
+        val f = new java.io.File(e)
+        if (f.isDirectory)
+          f.listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+            .map(_.getAbsolutePath)
+        else Seq(f.getAbsolutePath)
+      }.toSet
+    val v1Files = files(1)
+    spark.range(90, 110).toDF("id")
+      .withColumn("a", col("id") * 2)
+      .withColumn("extra", concat(lit("x"), col("id")))
+      .createOrReplaceTempView("se_src")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.snap.`$t` tgt
+         |USING se_src src ON tgt.id = src.id
+         |WHEN MATCHED THEN UPDATE SET extra = src.extra
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = spark.table(s"$cat.snap.`$t`")
+    assert(out.columns.toSeq == Seq("id", "a", "extra"))
+    assert(out.count() == 110)
+    // pre-evolution rows in untouched files serve the new column null
+    assert(out.filter(col("id") < 75 && col("extra").isNull).count() == 75)
+    assert(out.filter(col("extra").startsWith("x")).count() == 20)
+    // the evolution commit + the merge: only the file holding 90..99
+    // rewrote; the other three v1 files survive by reference
+    val curFiles = files(Snapshots.currentVersion(t))
+    assert(v1Files.intersect(curFiles).size == 3,
+      s"expected 3 files kept by reference: $v1Files vs $curFiles")
+    // v1 still time-travels with its own narrower schema
+    assert(Snapshots.read(spark, t, Some(1)).columns.toSeq == Seq("id", "a"))
+  }
+
   test("snapshot_history serves the version log from manifests alone") {
     val t = evolvedTable()
     val h = spark.sql(s"SELECT * FROM snapshot_history('$t') ORDER BY version")

@@ -86,6 +86,59 @@ class SnapshotsV2Spec extends SparkSpec {
     assert(q.agg(min($"id")).as[Long].head() == 700L)
   }
 
+  test("string-column filters skip non-overlapping files at plan time " +
+    "(equality and IN), and skipping is invisible") {
+    val t = freshTable()
+    // 8 files range-clustered on name: each file's footer carries a
+    // tight binary [min, max] for the string column
+    Snapshots.commit(spark, t,
+      rows(0 until 800).repartitionByRange(8, $"name"))
+    def scanOf(q: org.apache.spark.sql.DataFrame) =
+      q.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.description()
+      }.head
+    val eq = spark.read.format(fmt).option("path", t).load()
+      .filter($"name" === "doc_7")
+    val descEq = scanOf(eq)
+    val skippedEq = "skipped=(\\d+)".r.findFirstMatchIn(descEq).get
+      .group(1).toInt
+    assert(skippedEq >= 6, s"string-clustered table should skip: $descEq")
+    assert(eq.count() == 1)
+    val in = spark.read.format(fmt).option("path", t).load()
+      .filter($"name".isin("doc_7", "doc_99"))
+    val descIn = scanOf(in)
+    assert("skipped=(\\d+)".r.findFirstMatchIn(descIn).get.group(1).toInt >= 5,
+      s"string IN should skip: $descIn")
+    assert(in.count() == 2)
+    // full parity vs an unclustered read of the same predicate
+    assert(spark.read.format(fmt).option("path", t).load()
+      .filter($"name" >= "doc_95").count() ==
+      rows(0 until 800).filter($"name" >= "doc_95").count())
+  }
+
+  test("a string-keyed runtime IN-filter from a broadcast dim prunes " +
+    "files before tasks") {
+    val t = freshTable()
+    Snapshots.commit(spark, t,
+      rows(0 until 800).repartitionByRange(8, $"name"))
+    graft.sources.v2.SnapshotsDataSource.runtimeSkipCensus.remove(t)
+    // dim filtered on a non-key attribute whose matching NAMES cluster
+    // in one narrow range (same shape as the long-keyed test below)
+    val dimDir = SparkHygiene.scratchDir("v2dimstr")
+    rows(0 until 800)
+      .select($"name".as("k"),
+        (when($"name" === "doc_500", "hot").otherwise("cold")).as("grp"))
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter($"grp" === "hot")
+    val fact = spark.read.format(fmt).option("path", t).load()
+    val q = fact.join(dim, $"name" === $"k")
+    assert(q.count() == 1, "join result wrong under string runtime pruning")
+    val census = graft.sources.v2.SnapshotsDataSource.runtimeSkipCensus.get(t)
+    assert(census != null, "string runtime skip census never recorded")
+    assert(census._2 >= 6, s"kept/skipped = $census")
+  }
+
   test("timestamps (INT96 default) and float arrays round-trip") {
     val t = freshTable()
     val df = Seq(
@@ -100,6 +153,55 @@ class SnapshotsV2Spec extends SparkSpec {
       Some(Seq(0.25f, -1.5f)))))
     assert(back(1) == ((2L, None, Some(Seq.empty[Float]))))
     assert(back(2) == ((3L, Some(new Timestamp(0L)), None)))
+  }
+
+  test("the vectorized (columnar) read path is the default and is " +
+    "row-identical to the record-API row path") {
+    val t = freshTable()
+    // every supported shape at once: bool/int/long/float/double/string/
+    // binary/date/timestamp + float array, with nulls sprinkled, across
+    // two commits (so one file predates the added column and must serve
+    // null through BOTH readers)
+    val df1 = spark.range(200).select(
+      $"id",
+      ($"id" % 2 === 0).as("flag"),
+      $"id".cast("int").as("i"),
+      ($"id" * 0.5f).cast("float").as("f"),
+      ($"id" * 0.25).as("d"),
+      concat(lit("name_"), $"id").as("name"),
+      when($"id" % 7 === 0, lit(null)).otherwise(concat(lit("s"), $"id"))
+        .cast("string").as("maybe"),
+      encode(concat(lit("b"), $"id"), "UTF-8").as("bin"),
+      date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        ($"id" % 365).cast("int")).as("dt"),
+      timestamp_millis($"id" * 1000000L).as("ts"),
+      array(($"id" * 1.0f).cast("float"),
+        ($"id" * -2.0f).cast("float")).as("vec"))
+    Snapshots.commit(spark, t, df1.repartition(3))
+    Snapshots.commit(spark, t,
+      df1.limit(5).withColumn("added", lit(42L)))
+    def load(vectorized: Boolean) = spark.read.format(fmt)
+      .option("path", t).option("vectorizedReader", vectorized.toString)
+      .load()
+    // the default plan really is columnar: a ColumnarToRow sits above
+    // the BatchScan
+    assert(load(true).queryExecution.executedPlan.collect {
+      case c: org.apache.spark.sql.execution.ColumnarToRowExec => c
+    }.nonEmpty, "the default V2 scan must produce columnar batches")
+    assert(load(false).queryExecution.executedPlan.collect {
+      case c: org.apache.spark.sql.execution.ColumnarToRowExec => c
+    }.isEmpty, "vectorizedReader=false must keep the row path")
+    // bit parity including the _file metadata column and null handling
+    // (binary compared as hex — Row.toString renders raw bytes by
+    // object identity)
+    val cols = load(true).columns.map(c =>
+      if (c == "bin") hex(col(c)).as("bin") else col(c)) :+ expr("_file")
+    val vec = load(true).select(cols: _*).collect()
+      .map(_.toString).sorted
+    val row = load(false).select(cols: _*).collect()
+      .map(_.toString).sorted
+    assert(vec.length == 205 && vec.sameElements(row),
+      "vectorized and row reads must agree row-for-row")
   }
 
   test("schema evolution: columns absent from old files read as null") {
