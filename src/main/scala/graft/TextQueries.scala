@@ -915,6 +915,31 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // COLUMN RENAME via COLUMN-ID MAPPING (VERDICT r13 #6, the Iceberg
+    // approach): every commit stamps stable `parquet.field.id`s into
+    // the header AND the data files, so `ALTER TABLE … RENAME COLUMN`
+    // is a zero-data-movement metadata commit — readers resolve old
+    // files' bytes BY ID under the new name (ids are never reused, so
+    // a dropped-then-re-added name can't resurrect old bytes;
+    // SchemaEvolutionSpec pins rename/drop/resurrection/legacy-refusal).
+    // The oracle aliases the raw column — the rename must be invisible
+    // to the data.
+    "p42_rename" -> ((s, dir) => {
+      val t = SparkHygiene.scratchDir("p42_tbl")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.sources.Snapshots.commit(s, t,
+        docs.repartitionByRange(4, col("doc_id")))
+      val cat = "graft_p42"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.SnapshotCatalog].getName)
+      s.sql(s"ALTER TABLE $cat.snap.`$t` RENAME COLUMN lang TO language")
+      s.table(s"$cat.snap.`$t`")
+        .select(col("doc_id"), col("language"),
+          length(col("text")).as("text_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // STRING FOOTER PRUNING (VERDICT r13 #7) — real curation predicates
     // are `lang = 'en'` / `source = '…'`, not long ranges: the corpus
     // commits range-clustered on (lang, doc_id) so each file's footer
@@ -1240,6 +1265,11 @@ object TextQueries {
         |SELECT doc_id + 1000000, lang, length(text),
         |       (doc_id + 1000000) * 2
         |FROM documents WHERE doc_id % 3 = 0
+        |ORDER BY doc_id""".stripMargin,
+    // a rename is invisible to the data: the raw column, aliased
+    "p42_rename" ->
+      """SELECT doc_id, lang AS language, length(text) AS text_len
+        |FROM documents
         |ORDER BY doc_id""".stripMargin,
     // string-footer pruning is invisible: the raw predicate's answer
     "p41_string_prune" ->

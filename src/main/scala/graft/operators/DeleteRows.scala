@@ -84,10 +84,19 @@ object DeleteRows {
     val touchedSet = touched.map(norm).toSet
     val touchedDv = Snapshots.deletionVectors(tableDir, cur)
       .filter { case (f, _) => touchedSet.contains(norm(f)) }
+    // read the touched files under the VERSION's schema (not file
+    // inference — a mixed pre/post-evolution touched set would
+    // otherwise pick an arbitrary file's columns), id-mapped when the
+    // table is (renamed columns resolve old files' bytes by id)
+    val base = Snapshots.schemaOf(tableDir, cur) match {
+      case Some(s) if Snapshots.hasFieldIds(s) =>
+        Snapshots.idMappedRead(spark, s, touched)
+      case Some(s) => spark.read.schema(s).parquet(touched: _*)
+      case None => spark.read.parquet(touched: _*)
+    }
     // materialize the survivors ONCE (touched-files-sized, the surgery
     // working set): the emptiness probe and the write share it
-    val rewritten = Snapshots.applyDeletionVectors(spark,
-        spark.read.parquet(touched: _*), touchedDv)
+    val rewritten = Snapshots.applyDeletionVectors(spark, base, touchedDv)
       .filter(keep)
       .localCheckpoint(true)
     // every commit below CASes at cur+1 (ADVICE r13): the kept/touched
@@ -99,12 +108,16 @@ object DeleteRows {
           expectedVersion = Some(cur))
         return Result(v, touched.size, kept.size)
       }
-      rewritten.limit(0).write.mode("error").parquet(dataDir)
+      rewritten.limit(0).write.mode("error")
+        .option(org.apache.spark.sql.internal.SQLConf
+          .PARQUET_FIELD_ID_WRITE_ENABLED.key, "true").parquet(dataDir)
       val v = Snapshots.commitManifest(tableDir, Seq(dataDir),
         expectedVersion = Some(cur))
       return Result(v, touched.size, 0)
     }
-    rewritten.write.mode("error").parquet(dataDir)
+    rewritten.write.mode("error")
+      .option(org.apache.spark.sql.internal.SQLConf
+        .PARQUET_FIELD_ID_WRITE_ENABLED.key, "true").parquet(dataDir)
     val v = Snapshots.commitManifest(tableDir, kept :+ dataDir,
       expectedVersion = Some(cur))
     Result(v, touched.size, kept.size)

@@ -71,7 +71,10 @@ object Optimize {
       .repartitionByRange(n, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-      .write.mode("error").parquet(out)
+      .write.mode("error")
+      .option(org.apache.spark.sql.internal.SQLConf
+        .PARQUET_FIELD_ID_WRITE_ENABLED.key, "true")
+      .parquet(out)
     // CAS at cur+1: the rewrite read version cur, so a commit racing in
     // must fail the optimize atomically, not be silently replaced
     val v = Snapshots.commitManifest(tableDir, Seq(out),
@@ -123,6 +126,8 @@ object Optimize {
         pmod(xxhash64(col(keyCol)), lit(buckets)).cast("int"))
       .repartition(buckets, col("__b"))
       .write.mode("error")
+      .option(org.apache.spark.sql.internal.SQLConf
+        .PARQUET_FIELD_ID_WRITE_ENABLED.key, "true")
       // >0 splits each bucket into size-bounded files: the scan emits
       // one key-tagged partition per file, so reads parallelize INSIDE
       // a bucket while a storage-partitioned join still groups the

@@ -72,7 +72,16 @@ object Snapshots {
   def commit(spark: SparkSession, tableDir: String, df: DataFrame): Int = {
     val v = currentVersion(tableDir) + 1
     val dataDir = versionDataDir(tableDir, v)
-    df.write.mode("error").parquet(dataDir)
+    // stamp stable field ids (column-id mapping): the header records
+    // them and the parquet files carry them, so renames stay sound
+    val idSchema = withFieldIds(tableDir, df.schema)
+    val stamped = df.select(idSchema.fields.map(f =>
+      org.apache.spark.sql.functions.col(df.schema(f.name).name)
+        .as(f.name, f.metadata)): _*)
+    stamped.write.mode("error")
+      .option(org.apache.spark.sql.internal.SQLConf
+        .PARQUET_FIELD_ID_WRITE_ENABLED.key, "true")
+      .parquet(dataDir)
     val prev = readManifest(tableDir, v - 1)
     // deletion vectors carry forward VERBATIM on an append — every
     // previous entry is republished, so the same sidecar still covers
@@ -80,7 +89,7 @@ object Snapshots {
     val dvLine = dvSidecarOf(tableDir, v - 1).map(DvHeader + _).toSeq
     Files.createDirectories(Paths.get(logDir(tableDir)))
     Files.write(Paths.get(s"${logDir(tableDir)}/v$v.list"),
-      ((s"$SchemaHeader${df.schema.json}" +: dvLine) ++ (prev :+ dataDir))
+      ((s"$SchemaHeader${idSchema.json}" +: dvLine) ++ (prev :+ dataDir))
         .mkString("\n").getBytes(StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE_NEW)
     v
@@ -199,6 +208,87 @@ object Snapshots {
             "published — retry the statement")
     }
     v
+  }
+
+  // -----------------------------------------------------------------
+  // COLUMN-ID MAPPING (VERDICT r13 #6 — the Iceberg approach): every
+  // commit stamps each schema field with a STABLE id (the standard
+  // `parquet.field.id` metadata key), the id is written into the
+  // parquet files themselves (Spark's field-id write support), and
+  // id-mapped reads resolve columns BY ID, not name. That is what
+  // makes RENAME (and DROP without resurrection) sound: a renamed
+  // column keeps its id, so old files serve their old-named bytes
+  // under the new name; a dropped-then-re-added name gets a FRESH id
+  // (ids are never reused — the max is taken over EVERY version's
+  // header, not just the current one), so the old bytes stay dead.
+  // Legacy files without ids fall back to name matching (safe until a
+  // rename — the ALTER gate refuses renames while any current file
+  // lacks ids; compaction re-stamps).
+  // -----------------------------------------------------------------
+  private val FieldIdKey = "parquet.field.id"
+
+  private[graft] def fieldId(
+      f: org.apache.spark.sql.types.StructField): Option[Int] =
+    if (f.metadata.contains(FieldIdKey))
+      Some(f.metadata.getLong(FieldIdKey).toInt)
+    else None
+
+  private[graft] def hasFieldIds(
+      s: org.apache.spark.sql.types.StructType): Boolean =
+    s.fields.nonEmpty && s.fields.forall(f => f.metadata.contains(FieldIdKey))
+
+  /** The highest field id ANY version's header ever assigned — the
+    * never-reuse floor for new ids. */
+  private[graft] def maxFieldIdEver(tableDir: String): Int =
+    (1 to currentVersion(tableDir)).iterator
+      .flatMap(v => schemaOf(tableDir, v))
+      .flatMap(_.fields.flatMap(fieldId))
+      .foldLeft(0)(math.max)
+
+  /** Stamp `schema` with stable field ids: same-named fields reuse the
+    * current schema's id, new fields get fresh ids above the max-ever.
+    *
+    * LEGACY tables (prior versions exist and their schema carries no
+    * ids) are returned UNCHANGED: introducing ids mid-table would mix
+    * id-mapped and id-less files, and an id-enabled read NULL-FILLS an
+    * id-less file (it does not name-fall-back — measured), silently
+    * blanking old data. A legacy table therefore stays name-matched —
+    * and un-renamable — until re-committed fresh; every table this
+    * engine bootstraps is id-mapped from v1. */
+  private[graft] def withFieldIds(
+      tableDir: String,
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val cur = currentVersion(tableDir)
+    val prior = schemaOf(tableDir, cur)
+    if (cur > 0 && !prior.exists(hasFieldIds)) return schema
+    val priorIds: Map[String, Int] = prior
+      .map(_.fields.flatMap(f => fieldId(f).map(f.name -> _)).toMap)
+      .getOrElse(Map.empty)
+    var next = maxFieldIdEver(tableDir)
+    org.apache.spark.sql.types.StructType(schema.fields.map { f =>
+      val id = priorIds.getOrElse(f.name, { next += 1; next })
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putLong(FieldIdKey, id.toLong).build())
+    })
+  }
+
+  /** A native parquet read that resolves columns BY FIELD ID.
+    * Activation is SESSION-level by necessity: ParquetFileFormat
+    * overwrites the per-read option values for these keys from the
+    * session conf at physical planning, so a `.options(...)` overlay
+    * silently does nothing (measured). Both flags are inert unless the
+    * requested schema carries `parquet.field.id` metadata — only this
+    * engine's id-stamped tables do — and id-less legacy files fall
+    * back to name matching (`ignoreMissing`). */
+  private[graft] def idMappedRead(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      paths: Seq[String]): DataFrame = {
+    spark.conf.set(org.apache.spark.sql.internal.SQLConf
+      .PARQUET_FIELD_ID_READ_ENABLED.key, "true")
+    spark.conf.set(org.apache.spark.sql.internal.SQLConf
+      .IGNORE_MISSING_PARQUET_FIELD_ID.key, "true")
+    spark.read.schema(schema).parquet(paths: _*)
   }
 
   // -----------------------------------------------------------------
@@ -362,6 +452,11 @@ object Snapshots {
     val dirs = readManifest(tableDir, v)
     require(dirs.nonEmpty, s"version $v of $tableDir is empty")
     val base = schemaOf(tableDir, v) match {
+      case Some(s) if hasFieldIds(s) =>
+        // id-mapped table: resolve columns by stable id (renames read
+        // old files' bytes under the new name; legacy id-less files in
+        // the same table fall back to name matching)
+        idMappedRead(spark, s, dirs)
       case Some(s) => spark.read.schema(s).parquet(dirs: _*)
       case None => spark.read.parquet(dirs: _*)
     }

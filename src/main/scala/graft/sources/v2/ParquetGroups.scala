@@ -195,6 +195,12 @@ private[graft] object ParquetGroups {
       c.setBoolean(SQLConf.CASE_SENSITIVE.key, false)
       c.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, true)
       c.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, false)
+      // column-id mapping: resolve by stable field id when both the
+      // requested schema and the file carry ids (renames read old
+      // files' bytes under the new name); no-op otherwise, and id-less
+      // legacy files fall back to name matching
+      c.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, true)
+      c.setBoolean(SQLConf.IGNORE_MISSING_PARQUET_FIELD_ID.key, true)
       val hPath = new Path(file)
       val len = hPath.getFileSystem(c).getFileStatus(hPath).getLen
       // mapred.FileSplit (which extends the mapreduce one): the Spark
@@ -318,22 +324,42 @@ private[graft] object ParquetGroups {
       val r = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf))
       try r.getFooter.getFileMetaData.getSchema finally r.close()
     }
-    private val present: Array[Boolean] =
-      schema.fields.map(f => fileSchema.containsField(f.name))
+    // COLUMN-ID MAPPING: a requested field resolves to the file-side
+    // field with the same `parquet.field.id` when both carry ids (a
+    // renamed column keeps its id, so old files serve their old-named
+    // bytes under the new name); name matching is the fallback ONLY
+    // when id matching cannot apply — the requested field has no id,
+    // or the file predates ids entirely. A field the file cannot serve
+    // (added later, or dropped-and-re-added under a fresh id) reads as
+    // null.
+    private val fileFields: Array[Option[Type]] = {
+      lazy val fileHasIds =
+        fileSchema.getFields.asScala.forall(_.getId != null)
+      schema.fields.map { f =>
+        val reqId = graft.sources.Snapshots.fieldId(f)
+        val byId = reqId.flatMap(id => fileSchema.getFields.asScala.find(t =>
+          t.getId != null && t.getId.intValue == id))
+        byId.orElse {
+          if (fileSchema.containsField(f.name) &&
+              (reqId.isEmpty || !fileHasIds))
+            Some(fileSchema.getType(Seq(f.name): _*))
+          else None
+        }
+      }
+    }
     private val projection = new MessageType("spark_schema",
-      schema.fields.iterator.zipWithIndex
-        .collect { case (f, i) if present(i) =>
-          fileSchema.getType(Seq(f.name): _*) }
-        .toSeq: _*)
+      fileFields.flatten.toSeq: _*)
     private val extractors: Array[Group => Any] =
       schema.fields.zipWithIndex.map { case (f, i) =>
-        if (!present(i)) (_: Group) => null
-        else {
-          // records arrive typed exactly as `projection`, so the field
-          // index is a compile-time constant — resolving by name per
-          // row would be a hash lookup per cell
-          val idx = projection.getFieldIndex(f.name)
-          compile(idx, f.dataType, projection.getType(idx))
+        fileFields(i) match {
+          case None => (_: Group) => null
+          case Some(ft) =>
+            // records arrive typed exactly as `projection`, so the field
+            // index is a compile-time constant — resolving by name per
+            // row would be a hash lookup per cell (the FILE-side name:
+            // that is what the projection carries)
+            val idx = projection.getFieldIndex(ft.getName)
+            compile(idx, f.dataType, projection.getType(idx))
         }
       }
 

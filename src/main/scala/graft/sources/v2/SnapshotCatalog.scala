@@ -93,12 +93,20 @@ class SnapshotCatalog extends TableCatalog with FunctionCatalog {
     throw new UnsupportedOperationException(
       "snapshot tables are created by Snapshots.commit, not catalog DDL")
 
-  /** SQL `ALTER TABLE … ADD COLUMNS` — pure-metadata schema evolution:
-    * the commit republishes the current entries BY REFERENCE under a
-    * widened `#schema=` header (zero data movement; old files serve
-    * the new column as null). Only ADD is served: dropping or renaming
-    * without Iceberg-style column-id mapping would silently resurrect
-    * old bytes if the name were ever re-added, so those refuse loudly.
+  /** SQL `ALTER TABLE … ADD COLUMNS / RENAME COLUMN / DROP COLUMN` —
+    * pure-metadata schema evolution: the commit republishes the current
+    * entries BY REFERENCE under a new `#schema=` header (zero data
+    * movement; old files serve an added column as null).
+    *
+    * RENAME and DROP are served through COLUMN-ID MAPPING
+    * (VERDICT r13 #6, the Iceberg approach): ids are stable across
+    * renames (old files' bytes resolve by id under the new name) and
+    * never reused (a dropped-then-re-added name gets a fresh id, so the
+    * old bytes stay dead). Both therefore require every CURRENT data
+    * file to carry parquet field ids — id-less legacy files can only
+    * match by name, which is exactly the resurrection hazard — and
+    * refuse loudly otherwise (compaction/OPTIMIZE re-stamps a legacy
+    * table in one rewrite).
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = ident.name()
@@ -108,6 +116,21 @@ class SnapshotCatalog extends TableCatalog with FunctionCatalog {
       val opts = new CaseInsensitiveStringMap(Map("path" -> dir).asJava)
       new SnapshotsDataSource().inferSchema(opts)
     }
+    // RENAME/DROP gate: the header AND every current file must be
+    // id-mapped, or old bytes could resurrect / silently vanish
+    lazy val idMapped = Snapshots.hasFieldIds(base) && {
+      val conf = org.apache.spark.sql.SparkSession.active
+        .sparkContext.hadoopConfiguration
+      SnapshotsDataSource.filesOf(conf, Snapshots.manifestEntries(dir, cur))
+        .forall { case (f, _) => SnapshotsDataSource.fileHasFieldIds(conf, f) }
+    }
+    def requireIdMapped(what: String): Unit = require(idMapped,
+      s"$what needs column-id mapping: every data file of $dir must " +
+        "carry parquet field ids (id-less files match by name, which " +
+        "would resurrect or lose bytes) — legacy tables stay id-less " +
+        "by design; re-commit the rows into a fresh table (every table " +
+        "this engine bootstraps is id-mapped from v1), then retry")
+    var nextId = Snapshots.maxFieldIdEver(dir)
     val widened = changes.foldLeft(base) {
       case (s, add: TableChange.AddColumn) =>
         require(add.fieldNames.length == 1,
@@ -115,13 +138,41 @@ class SnapshotCatalog extends TableCatalog with FunctionCatalog {
         val name = add.fieldNames.head
         require(!s.fieldNames.contains(name),
           s"column $name already exists on $dir")
-        // always nullable: pre-evolution files have no values for it
+        // always nullable: pre-evolution files have no values for it.
+        // On an id-mapped table the new column gets a FRESH id (above
+        // the max EVER assigned — never a reused one)
+        val md =
+          if (!Snapshots.hasFieldIds(s))
+            org.apache.spark.sql.types.Metadata.empty
+          else {
+            nextId += 1
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong("parquet.field.id", nextId.toLong).build()
+          }
         s.add(org.apache.spark.sql.types.StructField(
-          name, add.dataType, nullable = true))
+          name, add.dataType, nullable = true, metadata = md))
+      case (s, ren: TableChange.RenameColumn) =>
+        require(ren.fieldNames.length == 1,
+          "snapshot tables are flat: nested renames are not supported")
+        requireIdMapped("RENAME COLUMN")
+        val from = ren.fieldNames.head
+        require(s.fieldNames.contains(from), s"no column $from on $dir")
+        require(!s.fieldNames.contains(ren.newName),
+          s"column ${ren.newName} already exists on $dir")
+        // same id, new name — readers resolve old files by id
+        org.apache.spark.sql.types.StructType(s.fields.map(f =>
+          if (f.name == from) f.copy(name = ren.newName) else f))
+      case (s, del: TableChange.DeleteColumn) =>
+        require(del.fieldNames.length == 1,
+          "snapshot tables are flat: nested drops are not supported")
+        requireIdMapped("DROP COLUMN")
+        val name = del.fieldNames.head
+        require(s.fieldNames.contains(name), s"no column $name on $dir")
+        require(s.fields.length > 1, s"cannot drop the last column of $dir")
+        org.apache.spark.sql.types.StructType(
+          s.fields.filterNot(_.name == name))
       case (_, other) => throw new UnsupportedOperationException(
-        s"snapshot tables support ADD COLUMNS only (got $other): " +
-          "DROP/RENAME without column-id mapping would resurrect old " +
-          "file bytes if the name were re-added later")
+        s"snapshot tables support ADD/RENAME/DROP COLUMN (got $other)")
     }
     SnapshotsDataSource.validate(widened)
     // CAS at cur+1: a concurrent commit between the schema read above

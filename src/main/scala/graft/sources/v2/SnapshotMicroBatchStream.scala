@@ -88,6 +88,21 @@ class SnapshotMicroBatchStream(tableDir: String, schema: StructType,
             "non-append commit (erase/compaction) cannot stream " +
             "exactly-once; set ignoreChanges=true to replay rewritten " +
             "files at-least-once")
+      // a merge-on-read (deletion-vector) commit leaves the entry list
+      // untouched but logically REMOVES rows — rows this stream already
+      // emitted. Fail loudly like any other non-append commit unless
+      // the reader opted into change-tolerant semantics.
+      if (!ignoreChanges) {
+        val dvPrev = Snapshots.deletionVectors(tableDir, v - 1)
+        val dvCur = Snapshots.deletionVectors(tableDir, v)
+        val dvGrew = dvCur.exists { case (f, ps) =>
+          ps.length > dvPrev.get(f).map(_.length).getOrElse(0) }
+        if (dvGrew) throw new IllegalStateException(
+          s"snapshot $tableDir v$v added deletion vectors — a " +
+            "merge-on-read delete cannot stream exactly-once (already-" +
+            "emitted rows were logically removed); set " +
+            "ignoreChanges=true to keep streaming the append feed")
+      }
       val added = SnapshotsDataSource.filesOf(conf.value,
         (cur -- prev).toSeq.sorted)
       // bins stay per-version: for the change feed the version IS the

@@ -114,7 +114,13 @@ class SnapshotRowLevelOperation(tableDir: String, tableSchema: StructType,
       override def build(): Write = new Write
           with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
         override def toBatch: BatchWrite =
-          new SnapshotReplaceGroupsWrite(tableDir, info.schema(), conf, op)
+          // re-stamp the table's field ids (Spark strips metadata from
+          // the logical write schema): replacement files of an
+          // id-mapped table must carry ids, or an id-enabled read
+          // would null-fill them
+          new SnapshotReplaceGroupsWrite(tableDir,
+            graft.sources.Snapshots.withFieldIds(tableDir, info.schema()),
+            conf, op)
         override def description(): String = op.description()
 
         // ---- LAYOUT PRESERVATION for MERGE: the join shuffles group

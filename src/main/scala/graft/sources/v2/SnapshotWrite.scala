@@ -45,11 +45,18 @@ import graft.sources.Snapshots
   * encoded through the public parquet-hadoop record API with the same
   * type surface the read side supports.
   */
-class SnapshotWriteBuilder(tableDir: String, schema: StructType,
+class SnapshotWriteBuilder(tableDir: String, schema0: StructType,
                            conf: ParquetGroups.SerializableConf,
                            queryId: String)
     extends WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  // stamp stable field ids BEFORE any file is written (Spark strips
+  // metadata from the logical write schema): a V2-appended file into an
+  // id-mapped table must carry the table's ids, or an id-enabled read
+  // would null-fill it; same-named fields reuse the table's ids, a
+  // bootstrap write gets fresh ones, legacy tables stay id-less
+  private val schema = Snapshots.withFieldIds(tableDir, schema0)
 
   private var replace = false
 
@@ -109,11 +116,17 @@ private[v2] object SnapshotWriteSupport {
     }
 
   /** Spark row schema → parquet message type (the write-side mirror of
-    * the reader's supported surface). */
+    * the reader's supported surface). Fields carrying the standard
+    * `parquet.field.id` metadata write their id into the file — the
+    * column-id mapping renames/drops resolve against. */
   def messageType(schema: StructType): MessageType = {
     SnapshotsDataSource.validate(schema)
     val b = Types.buildMessage()
-    schema.fields.foreach(f => b.addField(fieldType(f.name, f.dataType)))
+    schema.fields.foreach { f =>
+      val t = fieldType(f.name, f.dataType)
+      b.addField(graft.sources.Snapshots.fieldId(f)
+        .map(id => t.withId(id)).getOrElse(t))
+    }
     b.named("spark_schema")
   }
 

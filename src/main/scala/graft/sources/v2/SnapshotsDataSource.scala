@@ -190,6 +190,17 @@ object SnapshotsDataSource {
                             cols: Set[String]): Map[String, (Long, Long)] =
     rangeStats(conf, file, cols, Set.empty).longs
 
+  /** Does every top-level field of `file` carry a parquet field id?
+    * (The RENAME/DROP gate — id-less files can only match by name.) */
+  private[v2] def fileHasFieldIds(conf: Configuration,
+                                  file: String): Boolean = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), conf))
+    try reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+      .forall(_.getId != null)
+    finally reader.close()
+  }
+
   /** Unsigned lexicographic byte compare — parquet's UNSIGNED binary
     * sort order AND Spark's UTF8String order, so string bounds compare
     * consistently with both the writer's stats and the engine's

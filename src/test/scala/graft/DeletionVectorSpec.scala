@@ -133,6 +133,32 @@ class DeletionVectorSpec extends SparkSpec {
     assert(countStar.head().getLong(0) == 99L)
   }
 
+  test("a DV commit fails a snapshot stream unless ignoreChanges " +
+    "(already-emitted rows were logically removed)") {
+    val t = mkTable()
+    DeleteRows.deleteKeysWithVectors(spark, t, "id", Seq(7L))
+    def drain(ignore: Boolean): Long = {
+      val out = SparkHygiene.scratchDir("dvstream_out")
+      val ck = SparkHygiene.scratchDir("dvstream_ck")
+      val q = spark.readStream.format("graft_snapshots").option("path", t)
+        .option("ignoreChanges", ignore.toString).load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(out).count()
+    }
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(ignore = false)
+    }
+    assert(ex.getCause.getMessage.contains("deletion vectors"),
+      ex.getCause.getMessage)
+    // change-tolerant mode streams the append feed (v1's files — the
+    // DV suppression applies to batch reads, not the replayed feed)
+    assert(drain(ignore = true) == 100)
+  }
+
   test("restore carries the restored version's vectors, not the " +
     "current ones; vacuum sweeps unreferenced sidecars") {
     val t = mkTable()

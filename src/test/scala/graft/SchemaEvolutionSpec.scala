@@ -93,7 +93,7 @@ class SchemaEvolutionSpec extends SparkSpec {
   }
 
   test("ALTER TABLE ADD COLUMNS is a zero-data-movement metadata " +
-    "commit; DROP/RENAME refuse") {
+    "commit") {
     val t = SparkHygiene.scratchDir("schemaevo")
     Snapshots.commit(spark, t,
       spark.range(20).toDF("id").withColumn("a", col("id") * 2))
@@ -108,17 +108,81 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(cur.columns.toSeq == Seq("id", "a", "score"))
     assert(cur.filter(col("score").isNull).count() == 20)
 
-    val ex = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.snap.`$t` DROP COLUMN a")
-    }
-    assert(ex.getMessage.contains("ADD COLUMNS only"))
-    assert(intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.snap.`$t` RENAME COLUMN a TO b")
-    }.getMessage.contains("ADD COLUMNS only"))
-    // adding an existing name refuses too
+    // adding an existing name refuses
     assert(intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.snap.`$t` ADD COLUMNS (a BIGINT)")
     }.getMessage.contains("already exists"))
+  }
+
+  test("ALTER RENAME COLUMN via column-id mapping: zero data movement, " +
+    "old files' bytes read under the new name, time travel keeps the " +
+    "old name") {
+    val t = SparkHygiene.scratchDir("schemaevo")
+    Snapshots.commit(spark, t,
+      spark.range(50).toDF("id").withColumn("a", col("id") * 2))
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+    val v1Entries = Snapshots.manifestEntries(t, 1)
+    spark.sql(s"ALTER TABLE $cat.snap.`$t` RENAME COLUMN a TO doubled")
+    // pure metadata: entries republished by reference
+    assert(Snapshots.manifestEntries(t, 2) == v1Entries)
+    // every reader serves the old bytes under the new name
+    val viaCat = spark.table(s"$cat.snap.`$t`")
+    assert(viaCat.columns.toSeq == Seq("id", "doubled"))
+    assert(viaCat.select(sum(col("doubled"))).head().getLong(0) ==
+      (0L until 50L).map(_ * 2).sum)
+    val viaEngine = Snapshots.read(spark, t)
+    assert(viaEngine.columns.toSeq == Seq("id", "doubled"))
+    assert(viaEngine.filter(col("doubled") === 98L).count() == 1)
+    // the row (non-vectorized) V2 path agrees
+    val viaRow = spark.read.format("graft_snapshots").option("path", t)
+      .option("vectorizedReader", "false").load()
+    assert(viaRow.select(sum(col("doubled"))).head().getLong(0) ==
+      (0L until 50L).map(_ * 2).sum)
+    // time travel: v1 still reads the OLD name
+    assert(Snapshots.read(spark, t, Some(1)).columns.toSeq == Seq("id", "a"))
+    // appends after the rename write the NEW name; both eras read
+    Snapshots.commit(spark, t,
+      spark.range(50, 60).toDF("id").withColumn("doubled", col("id") * 2))
+    assert(Snapshots.read(spark, t).select(sum(col("doubled")))
+      .head().getLong(0) == (0L until 60L).map(_ * 2).sum)
+  }
+
+  test("ALTER DROP COLUMN never resurrects: re-adding the name gets a " +
+    "fresh id, so old bytes stay dead") {
+    val t = SparkHygiene.scratchDir("schemaevo")
+    Snapshots.commit(spark, t,
+      spark.range(30).toDF("id").withColumn("a", col("id") * 2))
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+    spark.sql(s"ALTER TABLE $cat.snap.`$t` DROP COLUMN a")
+    assert(spark.table(s"$cat.snap.`$t`").columns.toSeq == Seq("id"))
+    spark.sql(s"ALTER TABLE $cat.snap.`$t` ADD COLUMNS (a BIGINT)")
+    val out = spark.table(s"$cat.snap.`$t`")
+    assert(out.columns.toSeq == Seq("id", "a"))
+    assert(out.filter(col("a").isNotNull).count() == 0,
+      "re-added column must NOT serve the dropped column's old bytes")
+    assert(Snapshots.read(spark, t).filter(col("a").isNotNull).count() == 0)
+    // the dropped era still time-travels with its bytes
+    assert(Snapshots.read(spark, t, Some(1))
+      .filter(col("a") === 58L).count() == 1)
+  }
+
+  test("RENAME/DROP refuse on a legacy table whose files carry no " +
+    "field ids") {
+    val t = SparkHygiene.scratchDir("schemaevo")
+    // legacy construction: raw parquet (no ids) + headerless manifest
+    val d1 = s"$t/data/v1-legacy"
+    spark.range(10).toDF("id").withColumn("a", col("id") * 2)
+      .write.option("spark.sql.parquet.fieldId.write.enabled", "false")
+      .parquet(d1)
+    Snapshots.commitManifest(t, Seq(d1))
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+    val ex = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.snap.`$t` RENAME COLUMN a TO b")
+    }
+    assert(ex.getMessage.contains("column-id mapping"), ex.getMessage)
+    assert(intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.snap.`$t` DROP COLUMN a")
+    }.getMessage.contains("column-id mapping"))
   }
 
   test("MERGE WITH SCHEMA EVOLUTION auto-widens the target, keeps " +
