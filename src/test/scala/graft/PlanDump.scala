@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.ExplainMode
 
 /** Dump `explain("formatted")` for the headline catalog queries into
-  * `artifacts/PLANS_r13.txt` — the reviewable evidence that scans
+  * `artifacts/PLANS_r14.txt` — the reviewable evidence that scans
   * prune/push down, dims broadcast, aggregates partial map-side, and
   * the rewrites fire. Batch queries only: constructing the w9/w15/w18
   * streaming entries RUNS their streaming drain by design.
@@ -66,8 +66,16 @@ object PlanDump {
       // ReplaceData/group-pruning plan evidence lives in
       // SnapshotRowLevelSpec; p37's returned read shows the V2 scan
       // under the log-resolved (evolved) schema
-      "p37_schema_evolution")
-    val out = new java.io.PrintWriter("artifacts/PLANS_r13.txt")
+      "p37_schema_evolution",
+      // round-15 heads: p39's returned read is the DV'd V2 scan (row
+      // path — no ColumnarToRow — with the suppression applied by the
+      // readers, not the plan); p41 shows the pushed STRING filter and
+      // its file-skip census in the scan description; p42 shows the V2
+      // scan under the renamed (id-mapped) schema. p40's merge runs at
+      // construction — its evolution/row-level evidence lives in
+      // SchemaEvolutionSpec.
+      "p39_dv_delete", "p41_string_prune", "p42_rename")
+    val out = new java.io.PrintWriter("artifacts/PLANS_r14.txt")
     out.println("Formatted physical plans, sf0.001, local[4] — regenerate " +
       "with `sbt \"Test/runMain graft.PlanDump\"`.\n")
     names.foreach { n =>
