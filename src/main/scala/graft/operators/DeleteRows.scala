@@ -164,6 +164,11 @@ object DeleteRows {
     * scan — with sidecars everywhere the prune costs footer-weight
     * metadata reads, the p21/p22 "pay the build once per write"
     * economics.
+    *
+    * Boundary: the bloom build reads files by COLUMN NAME, so on a
+    * table whose key column was RENAMED this op fails loudly (never
+    * silently) for files predating the rename — use
+    * [[deleteKeysWithVectors]] (id-mapped) or [[deleteWhere]] there.
     */
   def deleteKeys(spark: SparkSession, tableDir: String, keyCol: String,
                  keys: Seq[Long], bits: Int = 1 << 15,
@@ -230,8 +235,16 @@ object DeleteRows {
     import org.apache.spark.sql.functions.regexp_replace
     // positions of matching rows, keyed by the file that holds them —
     // the parquet source's own row ordinals, the same coordinate system
-    // the readers' skip logic uses
-    val hits = spark.read.parquet(entries: _*)
+    // the readers' skip logic uses. Read under the version's schema
+    // (id-mapped when the table is): on a RENAMED table the key column's
+    // new name doesn't exist in old files by name
+    val raw = Snapshots.schemaOf(tableDir, cur) match {
+      case Some(s) if Snapshots.hasFieldIds(s) =>
+        Snapshots.idMappedRead(spark, s, entries)
+      case Some(s) => spark.read.schema(s).parquet(entries: _*)
+      case None => spark.read.parquet(entries: _*)
+    }
+    val hits = raw
       .filter(col(keyCol).isin(keys: _*))
       .select(
         regexp_replace(col("_metadata.file_path"), "^file:/+", "/").as("f"),

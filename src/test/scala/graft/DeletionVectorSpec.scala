@@ -133,6 +133,20 @@ class DeletionVectorSpec extends SparkSpec {
     assert(countStar.head().getLong(0) == 99L)
   }
 
+  test("a DV delete on a RENAMED (id-mapped) table resolves the key " +
+    "column by id across old files") {
+    val t = mkTable()
+    val cat = "graft_dvr"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    spark.sql(s"ALTER TABLE $cat.snap.`$t` RENAME COLUMN id TO row_id")
+    val r = DeleteRows.deleteKeysWithVectors(spark, t, "row_id", Seq(7L))
+    assert(r.filesRewritten == 0)
+    val ids = Snapshots.read(spark, t).select("row_id").as[Long]
+      .collect().toSet
+    assert(ids.size == 99 && !ids.contains(7L))
+  }
+
   test("a DV commit fails a snapshot stream unless ignoreChanges " +
     "(already-emitted rows were logically removed)") {
     val t = mkTable()
