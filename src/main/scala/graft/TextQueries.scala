@@ -915,6 +915,26 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // MERGE-ON-READ UPDATE via deletion vectors — the DV delete's twin:
+    // the matching rows' OLD positions join the `#dv=` suppression map
+    // and the UPDATED rows append as one small directory, so zero
+    // existing files rewrite (DeletionVectorSpec pins the file
+    // accounting, provenance, and time travel). The oracle replays the
+    // update as a CASE projection — merge-on-read must be logically
+    // invisible.
+    "p43_dv_update" -> ((s, dir) => {
+      val t = SparkHygiene.scratchDir("p43_tbl")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.sources.Snapshots.commit(s, t,
+        docs.repartitionByRange(8, col("doc_id")))
+      graft.operators.UpdateRows.updateWhereWithVectors(s, t,
+        col("doc_id") % 50 === 0, Map("lang" -> lit("xx")))
+      s.read.format("graft_snapshots").option("path", t).load()
+        .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // COLUMN RENAME via COLUMN-ID MAPPING (VERDICT r13 #6, the Iceberg
     // approach): every commit stamps stable `parquet.field.id`s into
     // the header AND the data files, so `ALTER TABLE … RENAME COLUMN`
@@ -1265,6 +1285,13 @@ object TextQueries {
         |SELECT doc_id + 1000000, lang, length(text),
         |       (doc_id + 1000000) * 2
         |FROM documents WHERE doc_id % 3 = 0
+        |ORDER BY doc_id""".stripMargin,
+    // merge-on-read update is invisible: the CASE projection
+    "p43_dv_update" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 50 = 0 THEN 'xx' ELSE lang END AS lang,
+        |       length(text) AS text_len
+        |FROM documents
         |ORDER BY doc_id""".stripMargin,
     // a rename is invisible to the data: the raw column, aliased
     "p42_rename" ->

@@ -133,6 +133,41 @@ class DeletionVectorSpec extends SparkSpec {
     assert(countStar.head().getLong(0) == 99L)
   }
 
+  test("merge-on-read UPDATE: old positions suppress, updated rows " +
+    "append, zero files rewrite, time travel intact") {
+    val t = mkTable()
+    val v1Files = dataFiles(t, 1)
+    val r = graft.operators.UpdateRows.updateWhereWithVectors(spark, t,
+      col("id") % 25 === 0, Map("v" -> lit(-1L)))
+    assert(r.version == 2 && r.rowsUpdated == 4)
+    // every original file republished by reference + exactly one new dir
+    assert(dataFiles(t, 2).intersect(v1Files) == v1Files,
+      "a DV update must rewrite zero existing files")
+    assert(Snapshots.manifestEntries(t, 2).size ==
+      Snapshots.manifestEntries(t, 1).size + 1)
+    // logically an update, on both read paths
+    val engine = Snapshots.read(spark, t).select("id", "v")
+      .as[(Long, Long)].collect().toMap
+    assert(engine.size == 100)
+    (0L until 100L).foreach { i =>
+      assert(engine(i) == (if (i % 25 == 0) -1L else i * 10),
+        s"id=$i wrong after DV update")
+    }
+    val v2 = spark.read.format("graft_snapshots").option("path", t).load()
+    assert(v2.filter(col("v") === -1L).count() == 4)
+    // pre-update version intact
+    assert(Snapshots.read(spark, t, Some(1))
+      .filter(col("v") === -1L).count() == 0)
+    // a second DV update of an ALREADY-updated row supersedes it (the
+    // appended row's position joins the map; no duplicates surface)
+    graft.operators.UpdateRows.updateWhereWithVectors(spark, t,
+      col("id") === 0L, Map("v" -> lit(-2L)))
+    val after = Snapshots.read(spark, t).filter(col("id") === 0L)
+      .select("v").as[Long].collect().toSeq
+    assert(after == Seq(-2L), s"expected one superseding row, got $after")
+    assert(Snapshots.read(spark, t).count() == 100)
+  }
+
   test("a DV delete on a RENAMED (id-mapped) table resolves the key " +
     "column by id across old files") {
     val t = mkTable()
