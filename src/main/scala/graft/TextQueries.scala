@@ -981,6 +981,65 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // SQL `CALL` MAINTENANCE (Spark 4 ProcedureCatalog,
+    // sources/v2/SnapshotProcedures.scala) — the full merge-on-read
+    // lifecycle driven from SQL alone: `CALL system.delete_keys`
+    // records deletion vectors (ZERO files rewrite), `CALL
+    // system.compact` reconciles them away into a range-clustered
+    // DV-free layout (restoring the vectorized read path), `CALL
+    // system.vacuum` reclaims the superseded history
+    // (SnapshotProcedureSpec pins the file accounting, named-arg
+    // defaults, restore, and the unknown-procedure refusal). The
+    // oracle filters the raw table — three maintenance statements must
+    // be logically invisible beyond the erasure itself.
+    "p44_sql_call" -> ((s, dir) => {
+      val cat = "graft_p44"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.SnapshotCatalog].getName)
+      val t = SparkHygiene.scratchDir("p44_tbl")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.sources.Snapshots.commit(s, t,
+        docs.repartition(8, col("doc_id")))
+      s.sql(s"CALL $cat.system.delete_keys('$t', 'doc_id', '5, 77, 303')")
+      s.sql(s"CALL $cat.system.compact(table => '$t', " +
+        "sort_col => 'doc_id')")
+      s.sql(s"CALL $cat.system.vacuum(table => '$t', keep => 1)")
+      s.table(s"$cat.snap.`$t`")
+        .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // MERGE-ON-READ SQL DELETE (`dmlMode 'merge-on-read'` — the Delta
+    // enableDeletionVectors table-property shape): the SAME `DELETE
+    // FROM` statement that normally drives copy-on-write surgery
+    // instead records a `#dv=` sidecar — zero data files move, the V2
+    // row readers skip the suppressed positions, and `CALL
+    // system.compact` reconciles (SnapshotProcedureSpec pins the
+    // zero-rewrite routing and the copy-on-write default). The oracle
+    // is predicate negation — the routing choice must be invisible.
+    "p45_mor_sql_delete" -> ((s, dir) => {
+      val t = SparkHygiene.scratchDir("p45_tbl")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.sources.Snapshots.commit(s, t,
+        docs.repartitionByRange(8, col("doc_id")))
+      val tab = s"p45_mor_${math.abs(t.hashCode)}"
+      s.sql(s"CREATE TABLE $tab (doc_id BIGINT, text STRING, " +
+        s"lang STRING) USING graft_snapshots OPTIONS (path '$t', " +
+        "dmlMode 'merge-on-read')")
+      try {
+        s.sql(s"DELETE FROM $tab " +
+          "WHERE doc_id IN (7, 107, 207) OR doc_id >= 5800")
+        s.table(tab)
+          .select(col("doc_id"), col("lang"),
+            length(col("text")).as("text_len"))
+          .orderBy(col("doc_id"))
+          // materialize before the DROP TABLE below unregisters the name
+          .localCheckpoint(true)
+      } finally s.sql(s"DROP TABLE $tab")
+    }),
+
     // token-distribution entropy (training-data quality signal: gibberish
     // and boilerplate sit at the entropy extremes). H = log2(N) − Σ c·log2(c)/N
     // over unigram counts — exact and one aggregation chain.
@@ -1297,6 +1356,17 @@ object TextQueries {
     "p42_rename" ->
       """SELECT doc_id, lang AS language, length(text) AS text_len
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    // three CALL maintenance statements must be logically invisible
+    // beyond the erasure itself
+    "p44_sql_call" ->
+      """SELECT doc_id, lang, length(text) AS text_len FROM documents
+        |WHERE doc_id NOT IN (5, 77, 303)
+        |ORDER BY doc_id""".stripMargin,
+    // merge-on-read SQL DELETE ≡ predicate negation
+    "p45_mor_sql_delete" ->
+      """SELECT doc_id, lang, length(text) AS text_len FROM documents
+        |WHERE NOT (doc_id IN (7, 107, 207) OR doc_id >= 5800)
         |ORDER BY doc_id""".stripMargin,
     // string-footer pruning is invisible: the raw predicate's answer
     "p41_string_prune" ->

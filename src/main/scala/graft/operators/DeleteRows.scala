@@ -229,15 +229,35 @@ object DeleteRows {
   def deleteKeysWithVectors(spark: SparkSession, tableDir: String,
                             keyCol: String, keys: Seq[Long]): Result = {
     require(keys.nonEmpty, "empty erase key list")
+    // positions of matching rows are keyed by the file that holds them —
+    // the parquet source's own row ordinals, the same coordinate system
+    // the readers' skip logic uses; the read is id-mapped when the
+    // table is (on a RENAMED table the key column's new name doesn't
+    // exist in old files by name). filesRewritten = 0 is the whole
+    // point of the merge-on-read path.
+    deleteWhereWithVectors(spark, tableDir, col(keyCol).isin(keys: _*))
+  }
+
+  /** MERGE-ON-READ erase by PREDICATE — [[deleteKeysWithVectors]]
+    * generalized to an arbitrary delete condition: one pass finds the
+    * matching rows' (file, position) provenance, the positions merge
+    * into the `#dv=` sidecar, ZERO data files move. This is what SQL
+    * `DELETE FROM` routes to when the table opts into merge-on-read
+    * (`dmlMode 'merge-on-read'` — the Delta
+    * `delta.enableDeletionVectors` table-property shape): the narrow
+    * nightly-erase workload keeps its vectorized layout intact and
+    * pays one sidecar write instead of rewriting every touched file.
+    * SQL-null semantics preserved: a NULL predicate matches nothing
+    * (`coalesce(cond, false)`). Reads raw (not DV-filtered): a
+    * position already suppressed re-merges to the identical set, so
+    * repeat deletes are no-ops and never resurrect anything.
+    */
+  def deleteWhereWithVectors(spark: SparkSession, tableDir: String,
+                             cond: Column): Result = {
     val cur = Snapshots.currentVersion(tableDir)
     require(cur > 0, s"no snapshots under $tableDir")
     val entries = Snapshots.manifestEntries(tableDir, cur)
     import org.apache.spark.sql.functions.regexp_replace
-    // positions of matching rows, keyed by the file that holds them —
-    // the parquet source's own row ordinals, the same coordinate system
-    // the readers' skip logic uses. Read under the version's schema
-    // (id-mapped when the table is): on a RENAMED table the key column's
-    // new name doesn't exist in old files by name
     val raw = Snapshots.schemaOf(tableDir, cur) match {
       case Some(s) if Snapshots.hasFieldIds(s) =>
         Snapshots.idMappedRead(spark, s, entries)
@@ -245,7 +265,7 @@ object DeleteRows {
       case None => spark.read.parquet(entries: _*)
     }
     val hits = raw
-      .filter(col(keyCol).isin(keys: _*))
+      .filter(coalesce(cond, lit(false)))
       .select(
         regexp_replace(col("_metadata.file_path"), "^file:/+", "/").as("f"),
         col("_metadata.row_index").as("p"))
@@ -263,7 +283,6 @@ object DeleteRows {
     if (unchanged) return Result(cur, 0, entries.size)
     val v = Snapshots.commitManifest(tableDir, entries,
       expectedVersion = Some(cur), dv = Some(merged))
-    // filesRewritten = 0 is the whole point of the merge-on-read path
     Result(v, 0, entries.size)
   }
 

@@ -88,6 +88,57 @@ object Optimize {
     Report(v, inFiles.size, inBytes, outFiles)
   }
 
+  /** OPTIMIZE (1-D compaction) — rewrite the table's current version
+    * range-clustered on `sortCol` into ~`targetBytes` files and commit
+    * it as the next version: the snapshot-table twin of
+    * [[Compaction.compact]] (which rewrites a raw directory in place),
+    * with the manifest commit providing atomicity, time travel to the
+    * pre-compaction layout, and vacuum-based reclamation. Reading
+    * through [[Snapshots.read]] makes the rewrite DELETION-VECTOR
+    * AWARE: suppressed rows stay out of the output and the new version
+    * commits DV-FREE (the explicit empty map below — the compaction IS
+    * the reconciliation step of the merge-on-read story, restoring the
+    * vectorized V2 read path), and re-stamps field ids so legacy
+    * id-less files become id-mapped (RENAME-ready) in one rewrite.
+    */
+  def compactTable(spark: SparkSession, tableDir: String,
+                   sortCol: String, targetBytes: Long): Report = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val cur = Snapshots.currentVersion(tableDir)
+    require(cur > 0, s"no snapshots under $tableDir")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val inFiles = Snapshots.manifestEntries(tableDir, cur).flatMap { e =>
+      val p = new Path(e)
+      val fs = p.getFileSystem(conf)
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory)
+        fs.listStatus(p).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(_.getLen)
+      else Seq(st.getLen)
+    }
+    val inBytes = inFiles.sum
+    val n = math.max(1L, (inBytes + targetBytes - 1) / targetBytes).toInt
+    val out = Snapshots.versionDataDir(tableDir, cur + 1)
+    Snapshots.read(spark, tableDir, Some(cur))
+      .repartitionByRange(n, col(sortCol))
+      .sortWithinPartitions(col(sortCol))
+      .write.mode("error")
+      .option(org.apache.spark.sql.internal.SQLConf
+        .PARQUET_FIELD_ID_WRITE_ENABLED.key, "true")
+      .parquet(out)
+    val v = Snapshots.commitManifest(tableDir, Seq(out),
+      expectedVersion = Some(cur),
+      dv = Some(Map.empty)) // reconciled: the DV-aware read applied them
+    val outFiles = {
+      val p = new Path(out)
+      val fs = p.getFileSystem(conf)
+      fs.listStatus(p).count(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))
+    }
+    Report(v, inFiles.size, inBytes, outFiles)
+  }
+
   /** OPTIMIZE CLUSTER BY BUCKETS — rewrite the table's current version
     * hash-bucketed on `keyCol` (`pmod(xxhash64(key), buckets)`), one
     * manifest entry per bucket, and record the layout in a

@@ -109,6 +109,16 @@ object Snapshots {
   // -----------------------------------------------------------------
   private val SchemaHeader = "#schema="
 
+  /** The `#schema=` header recorded by EXACTLY `version`'s manifest
+    * (no walk-back). */
+  private def ownSchemaJson(tableDir: String, version: Int): Option[String] = {
+    val p = Paths.get(s"${logDir(tableDir)}/v$version.list")
+    if (!Files.exists(p)) None
+    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .split("\n").find(_.startsWith(SchemaHeader))
+      .map(_.stripPrefix(SchemaHeader))
+  }
+
   /** The JSON schema recorded at or inherited by `version` (the
     * nearest `#schema=` header at a version ≤ `version`), if any —
     * pre-evolution tables have none and readers fall back to file
@@ -116,12 +126,8 @@ object Snapshots {
   def schemaJsonOf(tableDir: String, version: Int): Option[String] = {
     var v = version
     while (v >= 1) {
-      val p = Paths.get(s"${logDir(tableDir)}/v$v.list")
-      if (Files.exists(p)) {
-        val hit = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-          .split("\n").find(_.startsWith(SchemaHeader))
-        if (hit.isDefined) return hit.map(_.stripPrefix(SchemaHeader))
-      }
+      val hit = ownSchemaJson(tableDir, v)
+      if (hit.isDefined) return hit
       v -= 1
     }
     None
@@ -238,11 +244,20 @@ object Snapshots {
     s.fields.nonEmpty && s.fields.forall(f => f.metadata.contains(FieldIdKey))
 
   /** The highest field id ANY version's header ever assigned — the
-    * never-reuse floor for new ids. */
+    * never-reuse floor for new ids. Only versions that RECORDED a
+    * header are read (one manifest open each, O(versions)): a
+    * header-less version inherits an already-seen schema, so walking
+    * schemaOf per version would re-read the same headers O(V²) times
+    * on a long-lived table for the identical answer — and this runs
+    * inside EVERY commit. */
   private[graft] def maxFieldIdEver(tableDir: String): Int =
     (1 to currentVersion(tableDir)).iterator
-      .flatMap(v => schemaOf(tableDir, v))
-      .flatMap(_.fields.flatMap(fieldId))
+      .flatMap(v => ownSchemaJson(tableDir, v))
+      .flatMap { j =>
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+          .fields.flatMap(fieldId)
+      }
       .foldLeft(0)(math.max)
 
   /** Stamp `schema` with stable field ids: same-named fields reuse the

@@ -7,8 +7,9 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -39,7 +40,8 @@ import graft.sources.Snapshots
   * The catalog is read-facing (load/list); DDL mutations go through the
   * engine's commit operators, so create/alter/drop refuse loudly.
   */
-class SnapshotCatalog extends TableCatalog with FunctionCatalog {
+class SnapshotCatalog extends TableCatalog with FunctionCatalog
+    with ProcedureCatalog {
 
   private var catName: String = "graft_snap"
 
@@ -201,6 +203,20 @@ class SnapshotCatalog extends TableCatalog with FunctionCatalog {
     if (ident.name().equalsIgnoreCase(GraftBucketFunction.name()))
       GraftBucketFunction
     else throw new NoSuchFunctionException(ident)
+
+  // ---- ProcedureCatalog: `CALL <cat>.system.<proc>(...)` — the SQL
+  // maintenance surface ([[SnapshotProcedures]]: compact / zorder /
+  // cluster_by / restore / delete_keys / vacuum). The namespace is
+  // cosmetic like the table namespace; `system` is the convention.
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    SnapshotProcedures.all
+      .map(pr => Identifier.of(namespace, pr.name())).toArray
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    SnapshotProcedures.byName(ident.name()).getOrElse(
+      throw new RuntimeException(
+        s"no procedure ${ident.name()} in catalog $catName (available: " +
+          SnapshotProcedures.all.map(_.name()).mkString(", ") + ")"))
 }
 
 /** `bucket(numBuckets, key)` — the function behind the connector's

@@ -530,17 +530,64 @@ class SnapshotTable(schema: StructType, options: CaseInsensitiveStringMap)
   // whole-filter-translatable predicates are accepted (Spark fails the
   // statement at analysis otherwise, rather than half-deleting); a
   // version-pinned relation refuses (history is immutable).
+  // A table opened with `dmlMode 'merge-on-read'` (the Delta
+  // enableDeletionVectors table-property shape) routes the same
+  // statement onto the DELETION-VECTOR path instead
+  // ([[graft.operators.DeleteRows.deleteWhereWithVectors]]): matching
+  // positions record in a `#dv=` sidecar, ZERO data files rewrite —
+  // the right trade for narrow deletes on large files; `CALL
+  // system.compact` reconciles back to the vectorized layout.
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     !options.containsKey("versionAsOf") &&
       !options.containsKey("timestampAsOf") &&
       filters.forall(graft.operators.DeleteRows.translatable)
 
+  // The V2-predicate entry points are OWNED here rather than inherited:
+  // SupportsDelete's default bridge converts through Spark's
+  // PredicateUtils.toV1, which is built for SCAN pushdown where a
+  // weaker filter is sound (rows are re-filtered above) — but a DELETE
+  // condition is exact semantics, and the default conversion can be
+  // LOSSY without failing the length check (measured on Spark 4.1:
+  // `(doc_id % 100 = 7) OR (doc_id > 5800)` arrives at the V1
+  // deleteWhere as just `GreaterThan(doc_id, 5800)` — a silently wrong
+  // delete). [[V2Filters.strict]] converts losslessly or refuses, so an
+  // inexpressible condition falls back to the row-level ReplaceData
+  // plan instead of deleting the wrong rows.
+  override def canDeleteWhere(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    V2Filters.strictAll(predicates) match {
+      case Some(v1) => canDeleteWhere(v1)
+      case None => false
+    }
+
+  override def deleteWhere(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    deleteWhere(V2Filters.strictAll(predicates).getOrElse(
+      throw new IllegalArgumentException(
+        "DELETE condition not losslessly translatable: " +
+          predicates.mkString(" AND "))))
+
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(!options.containsKey("versionAsOf") &&
       !options.containsKey("timestampAsOf"),
       "DELETE from a version-pinned snapshot relation: history is immutable")
-    graft.operators.DeleteRows.deleteWhere(SparkSession.active,
-      SnapshotsDataSource.normalizePath(options), filters.toSeq)
+    val dir = SnapshotsDataSource.normalizePath(options)
+    val spark = SparkSession.active
+    Option(options.get("dmlMode")).map(_.toLowerCase) match {
+      case Some("merge-on-read") =>
+        val cond = filters.map(f =>
+          graft.operators.DeleteRows.toCondition(f).getOrElse(
+            throw new IllegalArgumentException(
+              s"DELETE predicate not translatable by this table: $f")))
+          .reduceOption(_ && _)
+          .getOrElse(org.apache.spark.sql.functions.lit(true))
+        graft.operators.DeleteRows.deleteWhereWithVectors(spark, dir, cond)
+      case Some(other) if other != "copy-on-write" =>
+        throw new IllegalArgumentException(
+          s"unknown dmlMode '$other' (copy-on-write | merge-on-read)")
+      case _ =>
+        graft.operators.DeleteRows.deleteWhere(spark, dir, filters.toSeq)
+    }
     ()
   }
 
