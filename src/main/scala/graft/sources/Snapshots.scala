@@ -173,7 +173,8 @@ object Snapshots {
   def commitManifest(tableDir: String, entries: Seq[String],
                      schemaJson: Option[String] = None,
                      expectedVersion: Option[Int] = None,
-                     dv: Option[Map[String, Array[Long]]] = None): Int = {
+                     dv: Option[Map[String, Array[Long]]] = None,
+                     epochTag: Option[String] = None): Int = {
     require(entries.nonEmpty, "refusing to commit an empty manifest")
     val baseV = expectedVersion.getOrElse(currentVersion(tableDir))
     val v = baseV + 1
@@ -201,7 +202,8 @@ object Snapshots {
       else Some(DvHeader + writeDvSidecar(tableDir, carried))
     Files.createDirectories(Paths.get(logDir(tableDir)))
     try Files.write(Paths.get(s"${logDir(tableDir)}/v$v.list"),
-      (schemaJson.map(j => s"$SchemaHeader$j").toSeq ++ dvLine.toSeq ++ entries)
+      (schemaJson.map(j => s"$SchemaHeader$j").toSeq ++ dvLine.toSeq ++
+        epochTag.map(t => s"$EpochHeader$t").toSeq ++ entries)
         .mkString("\n").getBytes(StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE_NEW)
     catch {
@@ -214,6 +216,45 @@ object Snapshots {
             "published — retry the statement")
     }
     v
+  }
+
+  // -----------------------------------------------------------------
+  // STREAMING-EPOCH ATTRIBUTION — a streaming sink's commit records its
+  // `<queryId>-<epochId>` tag INSIDE the manifest it publishes (one
+  // `#epoch=` header line), so "did epoch E publish?" shares the
+  // manifest's CREATE_NEW atomicity. A marker file written BEFORE the
+  // publish (the previous design) had a crash window where the replayed
+  // epoch saw the marker and silently dropped its data; a marker
+  // written AFTER is only a fast path — the manifest header is the
+  // truth the replay consults.
+  // -----------------------------------------------------------------
+  private val EpochHeader = "#epoch="
+
+  /** The newest epoch id `queryId` ever committed to this table, or
+    * None. Scans versions NEWEST-FIRST and stops at the first `#epoch=`
+    * header belonging to the query — epochs of one query serialize, so
+    * in steady state the previous epoch's header sits a few versions
+    * down (the full-log walk happens only for a query that never
+    * published). Vacuumed-away history is invisible here, which is
+    * safe: a streaming replay only ever re-asks about the LAST epoch. */
+  def lastEpochOf(tableDir: String, queryId: String): Option[Long] = {
+    val prefix = s"$queryId-"
+    var v = currentVersion(tableDir)
+    while (v >= 1) {
+      val p = Paths.get(s"${logDir(tableDir)}/v$v.list")
+      if (Files.exists(p)) {
+        val hit = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+          .split("\n").find(_.startsWith(EpochHeader))
+          .map(_.stripPrefix(EpochHeader))
+        hit match {
+          case Some(tag) if tag.startsWith(prefix) =>
+            return tag.stripPrefix(prefix).toLongOption
+          case _ => ()
+        }
+      }
+      v -= 1
+    }
+    None
   }
 
   // -----------------------------------------------------------------

@@ -95,8 +95,10 @@ private[v2] object SnapshotWriteSupport {
   /** Publish staged files as the next version (previous entries kept
     * by reference). Returns the version, or -1 for an empty write
     * (nothing to publish — an empty append is a no-op, not an empty
-    * table version). */
-  def publish(tableDir: String, files: Seq[String]): Int =
+    * table version). `epochTag` rides the manifest as its `#epoch=`
+    * header (streaming-sink idempotence — atomic with the publish). */
+  def publish(tableDir: String, files: Seq[String],
+              epochTag: Option[String] = None): Int =
     if (files.isEmpty) -1
     else {
       // CAS at cur+1 (ADVICE r13): entries derive from cur's manifest,
@@ -105,7 +107,7 @@ private[v2] object SnapshotWriteSupport {
       val cur = Snapshots.currentVersion(tableDir)
       Snapshots.commitManifest(tableDir,
         Snapshots.manifestEntries(tableDir, cur) ++ files.sorted,
-        expectedVersion = Some(cur))
+        expectedVersion = Some(cur), epochTag = epochTag)
     }
 
   def deleteQuietly(conf: Configuration, paths: Seq[String]): Unit =
@@ -299,29 +301,42 @@ class SnapshotStreamingWrite(tableDir: String, schema: StructType,
         s"$dir/part-e$epochId-$partitionId-$taskId.parquet", c.value, s)
   }
 
-  /** Idempotent per epoch: the CREATE_NEW marker is the replay guard —
-    * a retried commit publishes nothing, so the version log holds each
-    * epoch exactly once. */
+  /** Idempotent per epoch — the replay guard is the `#epoch=` header
+    * INSIDE the published manifest (atomic with the publish), so each
+    * epoch enters the version log exactly once. The marker file is a
+    * fast path only and is written AFTER the publish: the previous
+    * marker-first design had a crash window (marker durable, manifest
+    * not) where the replayed epoch saw the marker and silently dropped
+    * its data — marker-after merely costs a manifest header scan on
+    * the one replay that races a crash. */
   override def commit(epochId: Long, messages: Array[WriterCommitMessage])
       : Unit = {
     val marker = new Path(
       s"$tableDir/_snapshots/epoch-$queryId-$epochId.cmt")
     val fs = marker.getFileSystem(conf.value)
-    fs.mkdirs(marker.getParent)
-    val out = try fs.create(marker, false) catch {
-      case _: java.io.IOException =>
-        // marker exists: this epoch already committed (micro-batch
-        // replay after failure) — drop the duplicate files
-        SnapshotWriteSupport.deleteQuietly(conf.value,
-          messages.collect { case FileCommit(p, _) => p }.toSeq)
-        return
+    def dropDuplicates(): Unit = SnapshotWriteSupport.deleteQuietly(
+      conf.value, messages.collect { case FileCommit(p, _) => p }.toSeq)
+    def writeMarker(): Unit = {
+      fs.mkdirs(marker.getParent)
+      try {
+        val out = fs.create(marker, false)
+        try out.writeBytes(staging) finally out.close()
+      } catch { case _: java.io.IOException => () } // raced: already there
     }
-    try out.writeBytes(staging) finally out.close()
+    if (fs.exists(marker)) { dropDuplicates(); return }
+    // marker missing but the manifest may still hold the epoch (crash
+    // after publish, before the marker): the header is the truth
+    if (Snapshots.lastEpochOf(tableDir, queryId).exists(_ >= epochId)) {
+      writeMarker(); dropDuplicates(); return
+    }
     val files = messages.collect {
       case FileCommit(p, rows) if rows > 0 => p
     }.toSeq
-    SnapshotWriteSupport.publish(tableDir, files)
-    ()
+    SnapshotWriteSupport.publish(tableDir, files,
+      epochTag = Some(s"$queryId-$epochId"))
+    // empty epochs publish no manifest; the marker alone records them
+    // (a replayed empty epoch re-publishes nothing either way)
+    writeMarker()
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage])

@@ -98,6 +98,28 @@ class SnapshotWriteSpec extends SparkSpec {
     assert(Snapshots.currentVersion(t) == 2)
     w.commit(7L, Array(FileCommit(staged, 1L))) // replay
     assert(Snapshots.currentVersion(t) == 2, "replayed epoch must not re-publish")
+
+    // CRASH WINDOW between publish and marker: the replay guard is the
+    // `#epoch=` header INSIDE the manifest, not the marker file — a
+    // replay whose marker never landed must still see the epoch as
+    // committed (the marker-first design silently DROPPED the epoch in
+    // the inverse window; publish-first + manifest attribution has no
+    // lossy window in either order)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$t/_snapshots/epoch-q-test-7.cmt"), false)
+    w.commit(7L, Array(FileCommit(staged, 1L))) // replay without marker
+    assert(Snapshots.currentVersion(t) == 2,
+      "manifest epoch header must guard the replay when the marker is gone")
+    assert(Snapshots.lastEpochOf(t, "q-test").contains(7L))
+    // a LATER epoch still publishes normally (fresh staged file — the
+    // v2-published one must not be listed twice)
+    val staged8 = s"$t/data/w-replay/part-e8-0-0.parquet"
+    org.apache.hadoop.fs.FileUtil.copy(fs, part, fs,
+      new org.apache.hadoop.fs.Path(staged8), false,
+      spark.sparkContext.hadoopConfiguration)
+    w.commit(8L, Array(FileCommit(staged8, 1L)))
+    assert(Snapshots.currentVersion(t) == 3)
+    assert(Snapshots.lastEpochOf(t, "q-test").contains(8L))
   }
 
   test("overwrite publishes a REPLACE version; history still time-travels") {
