@@ -1010,6 +1010,40 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // INCREMENTAL OPTIMIZE (`CALL system.compact_small`,
+    // operators/Optimize.compactSmall) — the maintenance shape that
+    // scales: a streaming/append table accumulates small files; the
+    // nightly run bin-packs ONLY those (big files republish by
+    // reference, file-granular entries), costing O(bytes since last
+    // run), never O(table). Deletion vectors on the packed files APPLY
+    // in the rewrite; DVs on kept files carry forward
+    // (SnapshotProcedureSpec pins the split + DV accounting + no-op
+    // convergence). The oracle is the union of the append history
+    // minus the erased keys — three maintenance-shaped commits and the
+    // pack must be logically invisible.
+    "p46_compact_small" -> ((s, dir) => {
+      val cat = "graft_p46"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.SnapshotCatalog].getName)
+      val t = SparkHygiene.scratchDir("p46_tbl")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      // one bulk commit + four small append commits (the streaming tax)
+      graft.sources.Snapshots.commit(s, t,
+        docs.filter(col("doc_id") < 300).coalesce(2))
+      (0 until 4).foreach { k =>
+        graft.sources.Snapshots.commit(s, t,
+          docs.filter(col("doc_id") >= 300 + k * 25 &&
+            col("doc_id") < 325 + k * 25).coalesce(1))
+      }
+      s.sql(s"CALL $cat.system.delete_keys('$t', 'doc_id', '9, 309')")
+      s.sql(s"CALL $cat.system.compact_small(table => '$t', " +
+        "target_bytes => 262144)")
+      s.table(s"$cat.snap.`$t`")
+        .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // MERGE-ON-READ SQL DELETE (`dmlMode 'merge-on-read'` — the Delta
     // enableDeletionVectors table-property shape): the SAME `DELETE
     // FROM` statement that normally drives copy-on-write surgery
@@ -1362,6 +1396,11 @@ object TextQueries {
     "p44_sql_call" ->
       """SELECT doc_id, lang, length(text) AS text_len FROM documents
         |WHERE doc_id NOT IN (5, 77, 303)
+        |ORDER BY doc_id""".stripMargin,
+    // append history minus the erased keys; the pack is invisible
+    "p46_compact_small" ->
+      """SELECT doc_id, lang, length(text) AS text_len FROM documents
+        |WHERE doc_id < 400 AND doc_id NOT IN (9, 309)
         |ORDER BY doc_id""".stripMargin,
     // merge-on-read SQL DELETE ≡ predicate negation
     "p45_mor_sql_delete" ->

@@ -139,6 +139,86 @@ object Optimize {
     Report(v, inFiles.size, inBytes, outFiles)
   }
 
+  /** INCREMENTAL OPTIMIZE — bin-pack only the SMALL files (the Delta
+    * `OPTIMIZE` default, as opposed to [[compactTable]]'s full
+    * rewrite): files smaller than `targetBytes / 2` coalesce into
+    * ~`targetBytes` outputs, every other file republishes BY REFERENCE.
+    * This is the maintenance shape that scales — a nightly run costs
+    * O(bytes written since the last run), never O(table), so the
+    * small-file tax of frequent streaming/append commits is paid down
+    * continuously without ever rewriting the compacted bulk.
+    *
+    * Deletion-vector interplay: touched (small) files rewrite through
+    * the DV-aware read — their suppressions apply and vanish; kept
+    * files' DVs carry forward verbatim (the manifest-commit inherit),
+    * so the commit is always exactly content-preserving. The rewrite
+    * coalesces rather than shuffles (bin-packing needs no
+    * redistribution — pure IO). No-op (no new version) when fewer than
+    * two small files exist.
+    */
+  def compactSmall(spark: SparkSession, tableDir: String,
+                   targetBytes: Long): Report = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val cur = Snapshots.currentVersion(tableDir)
+    require(cur > 0, s"no snapshots under $tableDir")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files: Seq[(String, Long)] =
+      Snapshots.manifestEntries(tableDir, cur).flatMap { e =>
+        val p = new Path(e)
+        val fs = p.getFileSystem(conf)
+        val st = fs.getFileStatus(p)
+        if (st.isDirectory)
+          fs.listStatus(p).toSeq
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .map(s => (s.getPath.toUri.getPath, s.getLen))
+        else Seq((p.toUri.getPath, st.getLen))
+      }
+    val (small, big) = files.partition(_._2 < targetBytes / 2)
+    if (small.size < 2)
+      return Report(cur, 0, 0L, 0)
+    val smallBytes = small.map(_._2).sum
+    val n = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes).toInt
+    // rewrite the touched files under the version's schema (id-mapped
+    // when the table is), applying exactly THEIR deletion vectors
+    val norm: String => String = p => new Path(p).toUri.getPath
+    val touchedSet = small.map(f => norm(f._1)).toSet
+    val touchedDv = Snapshots.deletionVectors(tableDir, cur)
+      .filter { case (f, _) => touchedSet.contains(norm(f)) }
+    val paths = small.map(_._1)
+    val base = Snapshots.schemaOf(tableDir, cur) match {
+      case Some(s) if Snapshots.hasFieldIds(s) =>
+        Snapshots.idMappedRead(spark, s, paths)
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+    val out = Snapshots.versionDataDir(tableDir, cur + 1)
+    Snapshots.applyDeletionVectors(spark, base, touchedDv)
+      .coalesce(n)
+      .write.mode("error")
+      .option(org.apache.spark.sql.internal.SQLConf
+        .PARQUET_FIELD_ID_WRITE_ENABLED.key, "true")
+      .parquet(out)
+    val outFiles = {
+      val p = new Path(out)
+      val fs = p.getFileSystem(conf)
+      fs.listStatus(p).count(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))
+    }
+    // every small-file row may be DV-suppressed (a post-wipe compact):
+    // an all-empty rewrite must not reference a part-less directory.
+    // With big files around, publish them alone; with nothing left at
+    // all, refuse the compaction as a no-op (the DV'd version stays
+    // correct as-is; the orphan output dir is vacuum-swept garbage) —
+    // emptying a table is DELETE's job, not OPTIMIZE's.
+    if (outFiles == 0 && big.isEmpty) return Report(cur, 0, 0L, 0)
+    val entries =
+      if (outFiles > 0) (big.map(_._1) :+ out).sorted
+      else big.map(_._1).sorted
+    val v = Snapshots.commitManifest(tableDir, entries,
+      expectedVersion = Some(cur))
+    Report(v, small.size, smallBytes, outFiles)
+  }
+
   /** OPTIMIZE CLUSTER BY BUCKETS — rewrite the table's current version
     * hash-bucketed on `keyCol` (`pmod(xxhash64(key), buckets)`), one
     * manifest entry per bucket, and record the layout in a

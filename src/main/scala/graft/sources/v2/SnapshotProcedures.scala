@@ -110,6 +110,25 @@ object SnapshotProcedures {
     }
   }
 
+  /** `compact_small(table, target_bytes)` — [[Optimize.compactSmall]]:
+    * the INCREMENTAL optimize — bin-pack only files under
+    * target_bytes/2, keep everything else by reference. O(small
+    * bytes), never O(table): the nightly maintenance shape. */
+  private object CompactSmallProcedure extends OneRowProcedure(
+    "compact_small",
+    "bin-pack only the small files (< target_bytes/2); big files " +
+      "republish by reference — O(small bytes), never O(table)",
+    Array(p("table", StringType),
+      pd("target_bytes", LongType, (128L << 20).toString)),
+    out("version" -> IntegerType, "files_packed" -> IntegerType,
+      "out_files" -> IntegerType)) {
+    override protected def run(spark: SparkSession,
+                               in: InternalRow): Array[Any] = {
+      val r = Optimize.compactSmall(spark, str(in, 0), in.getLong(1))
+      Array(r.version, r.inFiles, r.outFiles)
+    }
+  }
+
   /** `zorder(table, col_a, col_b, target_bytes)` — [[Optimize.zorder]]:
     * Morton-interleaved rewrite so footer stats prune on BOTH columns. */
   private object ZorderProcedure extends OneRowProcedure(
@@ -204,9 +223,9 @@ object SnapshotProcedures {
     }
   }
 
-  val all: Seq[UnboundProcedure] = Seq(CompactProcedure, ZorderProcedure,
-    ClusterByProcedure, RestoreProcedure, DeleteKeysProcedure,
-    VacuumProcedure)
+  val all: Seq[UnboundProcedure] = Seq(CompactProcedure,
+    CompactSmallProcedure, ZorderProcedure, ClusterByProcedure,
+    RestoreProcedure, DeleteKeysProcedure, VacuumProcedure)
 
   def byName(name: String): Option[UnboundProcedure] =
     all.find(_.name().equalsIgnoreCase(name))

@@ -77,6 +77,47 @@ class SnapshotProcedureSpec extends SparkSpec {
     assert(spark.table(s"$cat.snap.`$t`").count() == 98)
   }
 
+  test("compact_small packs ONLY the small files; big files republish " +
+    "by reference; touched DVs apply, kept DVs carry") {
+    val t = SparkHygiene.scratchDir("proctbl_small")
+    // one big file (800 rows) + six small ones (10 rows each)
+    Snapshots.commit(spark, t,
+      spark.range(800).toDF("id").withColumn("v", col("id")).coalesce(1))
+    (0 until 6).foreach { k =>
+      Snapshots.commit(spark, t,
+        spark.range(1000 + k * 10, 1010 + k * 10).toDF("id")
+          .withColumn("v", col("id")).coalesce(1))
+    }
+    val bigFile = dataFiles(t, 1).head
+    // DVs on BOTH sides of the split: one suppressed row in the big
+    // file (must carry forward) and one in a small file (must apply)
+    graft.operators.DeleteRows.deleteKeysWithVectors(spark, t, "id",
+      Seq(5L, 1005L))
+    val before = Snapshots.read(spark, t).select("id").as[Long]
+      .collect().toSet
+    assert(before.size == 858)
+
+    val bigLen = new java.io.File(bigFile).length
+    val r = graft.operators.Optimize.compactSmall(spark, t,
+      targetBytes = bigLen) // big file ≥ target/2, small ones under
+    assert(r.inFiles == 6 && r.outFiles == 1,
+      s"packed ${r.inFiles} into ${r.outFiles}")
+    val entriesAfter = Snapshots.manifestEntries(t, r.version)
+    assert(entriesAfter.contains(bigFile),
+      "the big file must republish BY REFERENCE (file-granular entry)")
+    // content invariant; the small-file DV applied in the rewrite
+    assert(Snapshots.read(spark, t).select("id").as[Long].collect().toSet
+      == before)
+    // the big file's DV carried; the rewritten small files' DVs dropped
+    val dv = Snapshots.deletionVectors(t, r.version)
+    assert(dv.keySet == Set(bigFile), dv.keySet.toString)
+    // the CALL face: a second run is a no-op (only one small bin left)
+    val again = spark.sql(s"CALL $cat.system.compact_small('$t', " +
+      s"target_bytes => $bigLen)")
+    assert(again.as[(Int, Int, Int)].head()._2 == 0,
+      "nothing small left to pack")
+  }
+
   test("CALL restore rolls back by reference and reports both versions") {
     val t = mkTable(50, 2)
     Snapshots.commit(spark, t, spark.range(1000, 1010).toDF("id")
