@@ -312,30 +312,16 @@ object DeleteRows {
     case _ => None
   }
 
-  /** GENERIC predicate erase — the engine behind SQL `DELETE FROM`
-    * ([[graft.sources.v2.SnapshotTable]]'s `SupportsDelete`): the
-    * filters (a conjunction, as Spark pushes them) become the delete
-    * predicate, long-column comparison/IN conjuncts prune untouched
-    * files via footer [min, max] before any byte is read, and the same
-    * copy-on-write surgery publishes survivors + references. SQL
-    * semantics exactly: a row is deleted only when the predicate is
-    * TRUE — a NULL predicate keeps the row (the `coalesce(…, false)`
-    * below). Prior versions still time-travel; a delete that cannot
-    * touch anything commits nothing.
+  /** Per-conjunct footer pruning on long comparisons/IN: a file is
+    * touchable unless some conjunct PROVES no row of it can match
+    * (files with no usable stats stay touchable — stats are a bound,
+    * never a filter). Shared by [[deleteWhere]] and [[prepareReplace]].
     */
-  def deleteWhere(spark: SparkSession, tableDir: String,
-                  filters: Seq[Filter]): Result = {
-    val cur = Snapshots.currentVersion(tableDir)
-    require(cur > 0, s"no snapshots under $tableDir")
-    val conds = filters.map(f => toCondition(f).getOrElse(
-      throw new IllegalArgumentException(
-        s"DELETE predicate not translatable by this table: $f")))
-    // no predicate = delete everything (TRUE), per SQL
-    val cond = conds.reduceOption(_ && _).getOrElse(lit(true))
+  private def pruneByFilters(spark: SparkSession, tableDir: String,
+                             cur: Int, filters: Seq[Filter])
+      : (Seq[(Path, Long)], Seq[(Path, Long)]) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val files = resolveFiles(spark, tableDir, cur)
-    // per-conjunct footer pruning on long comparisons/IN: a file is
-    // touchable unless some conjunct PROVES no row of it can match
     val statCache = scala.collection.mutable.Map.empty[(String, String),
       Manifest.FileStat]
     def stat(p: Path, len: Long, c: String): Manifest.FileStat =
@@ -357,9 +343,77 @@ object DeleteRows {
         s.lo > s.hi || vs.exists { case v: Long => s.lo <= v && v <= s.hi }
       case _ => true
     }
-    val (touched, kept) = files.partition { case (p, len) =>
+    files.partition { case (p, len) =>
       filters.forall(overlaps(p, len, _))
     }
+  }
+
+  /** OVERWRITE-BY-EXPRESSION support (`df.writeTo(t).overwrite(cond)` —
+    * the daily-partition-reload pattern): the DELETE half of the
+    * replace, WITHOUT the commit — footer-prune the files the condition
+    * can touch, rewrite their surviving (non-matching, DV-applied) rows
+    * into a fresh directory, and hand back what the caller must publish
+    * TOGETHER with its new data files so delete + insert land as ONE
+    * atomic version.
+    *
+    * @return (base version the plan derived from — CAS the commit at
+    *         base+1, kept entries republished by reference, the
+    *         survivors directory when any survivor exists)
+    */
+  private[graft] def prepareReplace(spark: SparkSession, tableDir: String,
+                                    filters: Seq[Filter])
+      : (Int, Seq[String], Option[String]) = {
+    val cur = Snapshots.currentVersion(tableDir)
+    require(cur > 0, s"no snapshots under $tableDir")
+    val conds = filters.map(f => toCondition(f).getOrElse(
+      throw new IllegalArgumentException(
+        s"overwrite condition not translatable by this table: $f")))
+    val cond = conds.reduceOption(_ && _).getOrElse(lit(true))
+    val (touched, kept) = pruneByFilters(spark, tableDir, cur, filters)
+    if (touched.isEmpty) return (cur, kept.map(_._1.toString), None)
+    val touchedPaths = touched.map(_._1.toString)
+    val norm: String => String = p => new Path(p).toUri.getPath
+    val touchedSet = touchedPaths.map(norm).toSet
+    val touchedDv = Snapshots.deletionVectors(tableDir, cur)
+      .filter { case (f, _) => touchedSet.contains(norm(f)) }
+    val base = Snapshots.schemaOf(tableDir, cur) match {
+      case Some(s) if Snapshots.hasFieldIds(s) =>
+        Snapshots.idMappedRead(spark, s, touchedPaths)
+      case Some(s) => spark.read.schema(s).parquet(touchedPaths: _*)
+      case None => spark.read.parquet(touchedPaths: _*)
+    }
+    val survivors = Snapshots.applyDeletionVectors(spark, base, touchedDv)
+      .filter(not(coalesce(cond, lit(false))))
+      .localCheckpoint(true)
+    if (survivors.isEmpty) return (cur, kept.map(_._1.toString), None)
+    val dataDir = Snapshots.versionDataDir(tableDir, cur + 1)
+    survivors.write.mode("error")
+      .option(org.apache.spark.sql.internal.SQLConf
+        .PARQUET_FIELD_ID_WRITE_ENABLED.key, "true").parquet(dataDir)
+    (cur, kept.map(_._1.toString), Some(dataDir))
+  }
+
+  /** GENERIC predicate erase — the engine behind SQL `DELETE FROM`
+    * ([[graft.sources.v2.SnapshotTable]]'s `SupportsDelete`): the
+    * filters (a conjunction, as Spark pushes them) become the delete
+    * predicate, long-column comparison/IN conjuncts prune untouched
+    * files via footer [min, max] before any byte is read, and the same
+    * copy-on-write surgery publishes survivors + references. SQL
+    * semantics exactly: a row is deleted only when the predicate is
+    * TRUE — a NULL predicate keeps the row (the `coalesce(…, false)`
+    * below). Prior versions still time-travel; a delete that cannot
+    * touch anything commits nothing.
+    */
+  def deleteWhere(spark: SparkSession, tableDir: String,
+                  filters: Seq[Filter]): Result = {
+    val cur = Snapshots.currentVersion(tableDir)
+    require(cur > 0, s"no snapshots under $tableDir")
+    val conds = filters.map(f => toCondition(f).getOrElse(
+      throw new IllegalArgumentException(
+        s"DELETE predicate not translatable by this table: $f")))
+    // no predicate = delete everything (TRUE), per SQL
+    val cond = conds.reduceOption(_ && _).getOrElse(lit(true))
+    val (touched, kept) = pruneByFilters(spark, tableDir, cur, filters)
     if (touched.isEmpty) return Result(cur, 0, kept.size)
     commitSurgery(spark, tableDir, cur,
       touched.map(_._1.toString), kept.map(_._1.toString),

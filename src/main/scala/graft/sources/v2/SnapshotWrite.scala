@@ -49,7 +49,7 @@ class SnapshotWriteBuilder(tableDir: String, schema0: StructType,
                            conf: ParquetGroups.SerializableConf,
                            queryId: String)
     extends WriteBuilder
-    with org.apache.spark.sql.connector.write.SupportsTruncate {
+    with org.apache.spark.sql.connector.write.SupportsOverwriteV2 {
 
   // stamp stable field ids BEFORE any file is written (Spark strips
   // metadata from the logical write schema): a V2-appended file into an
@@ -59,6 +59,8 @@ class SnapshotWriteBuilder(tableDir: String, schema0: StructType,
   private val schema = Snapshots.withFieldIds(tableDir, schema0)
 
   private var replace = false
+  private var replaceWhere: Option[Array[org.apache.spark.sql.sources.Filter]] =
+    None
 
   /** `INSERT OVERWRITE` / `mode("overwrite")`: the commit publishes a
     * manifest listing ONLY the new files — a REPLACE version, not an
@@ -67,17 +69,51 @@ class SnapshotWriteBuilder(tableDir: String, schema0: StructType,
     * table reads as empty, never as missing). */
   override def truncate(): WriteBuilder = { replace = true; this }
 
+  // ---- OVERWRITE BY EXPRESSION (`df.writeTo(t).overwrite(cond)` —
+  // the daily-partition-reload): ONE commit that deletes the rows the
+  // condition matches AND inserts the new data — delete + insert can
+  // never be observed apart, and a re-run replaces the same slice
+  // idempotently. The V2 entry points are owned directly (NOT the
+  // SupportsOverwrite V1 bridge) for the same reason as DELETE: the
+  // default PredicateUtils.toV1 conversion is pushdown-grade and can
+  // silently WEAKEN the condition (measured — see SnapshotTable), and
+  // an overwrite whose delete-half shrank would replace the wrong
+  // slice. The strict converter accepts exactly; canOverwrite refuses
+  // anything else, failing the statement loudly at analysis.
+  override def canOverwrite(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Boolean = V2Filters.strictAll(predicates).isDefined
+
+  override def overwrite(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : WriteBuilder = {
+    val v1 = V2Filters.strictAll(predicates).getOrElse(
+      throw new IllegalArgumentException(
+        "overwrite condition not losslessly translatable: " +
+          predicates.mkString(" AND ")))
+    // overwrite(TRUE) is a full replace — same commit as truncate()
+    if (v1.forall(_ == org.apache.spark.sql.sources.AlwaysTrue)) replace = true
+    else replaceWhere = Some(v1)
+    this
+  }
+
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new SnapshotBatchWrite(tableDir, schema, conf, replace)
+    override def toBatch: BatchWrite = replaceWhere match {
+      case Some(filters) =>
+        new SnapshotReplaceWhereWrite(tableDir, schema, conf, filters)
+      case None => new SnapshotBatchWrite(tableDir, schema, conf, replace)
+    }
     override def toStreaming: StreamingWrite = {
-      require(!replace,
+      require(!replace && replaceWhere.isEmpty,
         "graft_snapshots streaming writes are append-only (complete/" +
           "update output modes would replace the table every epoch)")
       new SnapshotStreamingWrite(tableDir, schema, conf, queryId)
     }
     override def description(): String =
-      s"graft_snapshots ${if (replace) "overwrite" else "append"} $tableDir"
+      s"graft_snapshots ${
+        if (replace) "overwrite"
+        else if (replaceWhere.isDefined) "overwrite-where"
+        else "append"} $tableDir"
   }
 }
 
@@ -279,6 +315,56 @@ class SnapshotBatchWrite(tableDir: String, schema: StructType,
         }
       Snapshots.commitManifest(tableDir, published, Some(schema.json))
     } else SnapshotWriteSupport.publish(tableDir, files)
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    SnapshotWriteSupport.deleteQuietly(conf.value,
+      messages.collect { case FileCommit(p, _) => p }.toSeq)
+}
+
+/** The REPLACE-WHERE batch write: tasks stage the new data like any
+  * append; the driver commit runs the DELETE half
+  * ([[graft.operators.DeleteRows.prepareReplace]] — footer-pruned,
+  * DV-aware survivor rewrite) and publishes
+  * `kept-by-reference + survivors + new files` as ONE CAS'd manifest
+  * version. A crash anywhere before the manifest publish leaves only
+  * unreferenced staging (vacuum-swept); no reader can ever see the
+  * delete without the insert.
+  */
+class SnapshotReplaceWhereWrite(tableDir: String, schema: StructType,
+                                conf: ParquetGroups.SerializableConf,
+                                filters: Array[org.apache.spark.sql.sources.Filter])
+    extends BatchWrite {
+  private val staging = SnapshotWriteSupport.stagingDir(tableDir)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = {
+    val dir = staging; val c = conf; val s = schema
+    (partitionId: Int, taskId: Long) =>
+      new SnapshotWriteSupport.TaskWriter(
+        s"$dir/part-$partitionId-$taskId.parquet", c.value, s)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val newFiles = messages.collect {
+      case FileCommit(p, rows) if rows > 0 => p
+    }.toSeq
+    val spark = org.apache.spark.sql.SparkSession.active
+    val (baseVersion, kept, survivorsDir) =
+      graft.operators.DeleteRows.prepareReplace(spark, tableDir,
+        filters.toSeq)
+    val entries = (kept ++ survivorsDir.toSeq ++ newFiles).sorted
+    val published =
+      if (entries.nonEmpty) entries
+      else {
+        // replaced everything with nothing: schema-only empty version
+        val f = s"$staging/part-empty.parquet"
+        new SnapshotWriteSupport.FileWriter(f, conf.value, schema).close()
+        Seq(f)
+      }
+    Snapshots.commitManifest(tableDir, published,
+      expectedVersion = Some(baseVersion))
     ()
   }
 

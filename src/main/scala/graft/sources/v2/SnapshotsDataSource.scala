@@ -509,6 +509,9 @@ class SnapshotTable(schema: StructType, options: CaseInsensitiveStringMap)
       TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE,
+      // overwrite-by-expression (writeTo(...).overwrite(cond)): the
+      // REPLACE-WHERE commit — delete + insert as one atomic version
+      TableCapability.OVERWRITE_BY_FILTER,
       // MERGE WITH SCHEMA EVOLUTION: the analyzer alters the target
       // (our ADD COLUMNS — a zero-data-movement metadata commit) before
       // planning the row-level write
