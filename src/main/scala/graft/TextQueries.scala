@@ -1074,6 +1074,39 @@ object TextQueries {
       } finally s.sql(s"DROP TABLE $tab")
     }),
 
+    // ATOMIC REPLACE-WHERE (`df.writeTo(t).overwrite(cond)` — the
+    // daily-partition-reload): ONE manifest version deletes the rows
+    // the condition matches AND inserts the recomputed slice — no
+    // reader can observe the delete without the insert, and a re-run
+    // replaces the same slice idempotently. Footer stats prune the
+    // delete-half to the files the condition can touch (range-clustered
+    // here, so the untouched 6-of-8 files republish by reference —
+    // O(slice), never O(table)); the V2 predicate arrives through the
+    // STRICT converter only (a condition the filter vocabulary cannot
+    // express exactly refuses at analysis instead of replacing the
+    // wrong slice — SnapshotWriteSpec pins both). The oracle rebuilds
+    // the end state from the raw table: the reload must be exactly a
+    // slice-wise CASE.
+    "p47_replace_where" -> ((s, dir) => {
+      val cat = "graft_p47"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.SnapshotCatalog].getName)
+      val t = SparkHygiene.scratchDir("p47_tbl")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.sources.Snapshots.commit(s, t,
+        docs.repartitionByRange(8, col("doc_id")))
+      // the recomputed slice: [100, 300) reloads with corrected lang
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 300)
+        .withColumn("lang", upper(col("lang")))
+        .writeTo(s"$cat.snap.`$t`")
+        .overwrite(col("doc_id") >= 100 && col("doc_id") < 300)
+      s.table(s"$cat.snap.`$t`")
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).as("text_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // token-distribution entropy (training-data quality signal: gibberish
     // and boilerplate sit at the entropy extremes). H = log2(N) − Σ c·log2(c)/N
     // over unigram counts — exact and one aggregation chain.
@@ -1401,6 +1434,14 @@ object TextQueries {
     "p46_compact_small" ->
       """SELECT doc_id, lang, length(text) AS text_len FROM documents
         |WHERE doc_id < 400 AND doc_id NOT IN (9, 309)
+        |ORDER BY doc_id""".stripMargin,
+    // replace-where ≡ a slice-wise CASE over the raw table
+    "p47_replace_where" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id >= 100 AND doc_id < 300 THEN upper(lang)
+        |       ELSE lang END AS lang,
+        |  length(text) AS text_len
+        |FROM documents
         |ORDER BY doc_id""".stripMargin,
     // merge-on-read SQL DELETE ≡ predicate negation
     "p45_mor_sql_delete" ->
