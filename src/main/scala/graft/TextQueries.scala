@@ -1074,6 +1074,67 @@ object TextQueries {
       } finally s.sql(s"DROP TABLE $tab")
     }),
 
+    // MERGE-ON-READ SQL UPDATE (delta-based row-level ops,
+    // sources/v2/SnapshotDeltaRowLevel.scala): under `dmlMode
+    // 'merge-on-read'` the same UPDATE statement that normally drives
+    // file-granular copy-on-write instead writes POSITION DELTAS — the
+    // matched rows' (_file, _pos) row ids join the `#dv=` sidecar and
+    // the updated rows append as one small file, ZERO existing files
+    // rewrite (DeltaDmlSpec pins the accounting, supersession, and the
+    // copy-on-write default). The oracle is a CASE projection — the
+    // storage strategy must be invisible.
+    "p48_mor_sql_update" -> ((s, dir) => {
+      val t = SparkHygiene.scratchDir("p48_tbl")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.sources.Snapshots.commit(s, t,
+        docs.repartitionByRange(8, col("doc_id")))
+      val tab = s"p48_mor_${math.abs(t.hashCode)}"
+      s.sql(s"CREATE TABLE $tab (doc_id BIGINT, text STRING, " +
+        s"lang STRING) USING graft_snapshots OPTIONS (path '$t', " +
+        "dmlMode 'merge-on-read')")
+      try {
+        s.sql(s"UPDATE $tab SET lang = upper(lang) " +
+          "WHERE doc_id >= 100 AND doc_id < 300")
+        s.table(tab)
+          .select(col("doc_id"), col("lang"),
+            length(col("text")).as("text_len"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint(true)
+      } finally s.sql(s"DROP TABLE $tab")
+    }),
+
+    // MERGE-ON-READ SQL MERGE: the j16 upsert as zero-rewrite DML —
+    // matched rows update by position delta, unmatched source rows
+    // append; one CAS'd manifest version carries suppressions + inserts
+    // together. The oracle replays the upsert relationally.
+    "p49_mor_sql_merge" -> ((s, dir) => {
+      val t = SparkHygiene.scratchDir("p49_tbl")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.sources.Snapshots.commit(s, t,
+        docs.filter(col("doc_id") < 400).repartitionByRange(8, col("doc_id")))
+      val tab = s"p49_mor_${math.abs(t.hashCode)}"
+      s.sql(s"CREATE TABLE $tab (doc_id BIGINT, text STRING, " +
+        s"lang STRING) USING graft_snapshots OPTIONS (path '$t', " +
+        "dmlMode 'merge-on-read')")
+      try {
+        docs.filter(col("doc_id") >= 300 && col("doc_id") < 500)
+          .withColumn("lang", lit("xx"))
+          .createOrReplaceTempView("p49_src")
+        s.sql(s"""MERGE INTO $tab t USING p49_src s
+          ON t.doc_id = s.doc_id
+          WHEN MATCHED THEN UPDATE SET lang = s.lang
+          WHEN NOT MATCHED THEN INSERT (doc_id, text, lang)
+            VALUES (s.doc_id, s.text, s.lang)""")
+        s.table(tab)
+          .select(col("doc_id"), col("lang"),
+            length(col("text")).as("text_len"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint(true)
+      } finally s.sql(s"DROP TABLE $tab")
+    }),
+
     // ATOMIC REPLACE-WHERE (`df.writeTo(t).overwrite(cond)` — the
     // daily-partition-reload): ONE manifest version deletes the rows
     // the condition matches AND inserts the recomputed slice — no
@@ -1434,6 +1495,23 @@ object TextQueries {
     "p46_compact_small" ->
       """SELECT doc_id, lang, length(text) AS text_len FROM documents
         |WHERE doc_id < 400 AND doc_id NOT IN (9, 309)
+        |ORDER BY doc_id""".stripMargin,
+    // merge-on-read UPDATE ≡ a CASE projection
+    "p48_mor_sql_update" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id >= 100 AND doc_id < 300 THEN upper(lang)
+        |       ELSE lang END AS lang,
+        |  length(text) AS text_len
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    // merge-on-read MERGE ≡ the upsert replayed relationally:
+    // target = docs < 400, source = docs in [300, 500) with lang 'xx'
+    "p49_mor_sql_merge" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id >= 300 THEN 'xx' ELSE lang END AS lang,
+        |  length(text) AS text_len
+        |FROM documents
+        |WHERE doc_id < 500
         |ORDER BY doc_id""".stripMargin,
     // replace-where ≡ a slice-wise CASE over the raw table
     "p47_replace_where" ->

@@ -84,6 +84,17 @@ private[graft] object ParquetGroups {
     * schema. */
   val FilePathCol = "_file"
 
+  /** Metadata column: the row's ordinal within its parquet file — the
+    * same coordinate the deletion-vector sidecars use
+    * (`_metadata.row_index`). Together with [[FilePathCol]] it forms
+    * the ROW ID of delta-based (merge-on-read) row-level DML
+    * ([[SnapshotDeltaOperation]]): (_file, _pos) names a physical row
+    * forever, so a DELETE/UPDATE can record "suppress that row" without
+    * rewriting the file. Per-ROW (not per-file constant), so a scan
+    * that projects it plans row-based — the vectorized reader has no
+    * per-row slot to thread it through. */
+  val RowPosCol = "_pos"
+
   /** One scan task = a bin of whole files (see
     * [[SnapshotsDataSource]]'s bin packing). `changeType`/
     * `commitVersion` are set on change-feed stream bins and surface as
@@ -145,7 +156,7 @@ private[graft] object ParquetGroups {
     * metadata slots (`_file`, CDF attribution) always trail the data
     * columns, and their values are per-file/per-bin constants. */
   private def splitMeta(schema: StructType): (StructType, Array[StructField]) = {
-    val metaNames = Set(ChangeTypeCol, CommitVersionCol, FilePathCol)
+    val metaNames = Set(ChangeTypeCol, CommitVersionCol, FilePathCol, RowPosCol)
     (StructType(schema.fields.filterNot(f => metaNames.contains(f.name))),
       schema.fields.filter(f => metaNames.contains(f.name)))
   }
@@ -156,6 +167,11 @@ private[graft] object ParquetGroups {
       if (bin.changeType == null) null
       else UTF8String.fromString(bin.changeType)
     case f if f.name == FilePathCol => UTF8String.fromString(file)
+    case f if f.name == RowPosCol =>
+      // per-ROW, not a file constant: only the row reader can serve it
+      throw new IllegalStateException(
+        s"$RowPosCol requested on the vectorized path — the scan should " +
+          "have planned row-based")
     case _ => (bin.commitVersion: Any)
   }
 
@@ -250,17 +266,21 @@ private[graft] object ParquetGroups {
   private final class BinReader(bin: FileBin, conf: Configuration,
                                 schema: StructType)
       extends PartitionReader[InternalRow] {
-    private val metaNames = Set(ChangeTypeCol, CommitVersionCol, FilePathCol)
+    private val metaNames = Set(ChangeTypeCol, CommitVersionCol, FilePathCol,
+      RowPosCol)
     private val dataSchema = StructType(
       schema.fields.filterNot(f => metaNames.contains(f.name)))
     private val metaFields = schema.fields.filter(f => metaNames.contains(f.name))
     // _change_type/_commit_version are per-BIN constants; _file is a
-    // per-FILE constant — recomputed when the reader advances files
+    // per-FILE constant — recomputed when the reader advances files;
+    // _pos is per-ROW (the slot below is patched with the row ordinal)
+    private val posSlot = metaFields.indexWhere(_.name == RowPosCol)
     private def metaValuesFor(file: String): Array[Any] = metaFields.map {
       case f if f.name == ChangeTypeCol =>
         if (bin.changeType == null) null
         else UTF8String.fromString(bin.changeType)
       case f if f.name == FilePathCol => UTF8String.fromString(file)
+      case f if f.name == RowPosCol => 0L: Any
       case _ => (bin.commitVersion: Any)
     }
     private var metaValues: Array[Any] = Array.empty
@@ -302,6 +322,10 @@ private[graft] object ParquetGroups {
             while (j < metaValues.length) {
               row.update(n + j, metaValues(j)); j += 1
             }
+            // the row's absolute ordinal within its file — DV-space
+            // coordinates (counts suppressed rows too, by construction:
+            // `ord` was taken before the skip check above)
+            if (posSlot >= 0) row.update(n + posSlot, ord)
           }
         }
       }

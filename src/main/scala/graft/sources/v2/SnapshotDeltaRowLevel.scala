@@ -1,0 +1,243 @@
+package graft.sources.v2
+
+import java.util
+import java.util.concurrent.atomic.AtomicReference
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsDelta, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.Snapshots
+
+/** DELTA-BASED row-level operations — SQL `UPDATE` / `MERGE INTO` /
+  * (untranslatable-predicate) `DELETE` under `dmlMode 'merge-on-read'`,
+  * writing POSITION DELTAS instead of rewriting files:
+  *
+  *  - The operation implements Spark's [[SupportsDelta]]: the analyzer
+  *    rewrites the statement into a `WriteDelta` plan whose query tags
+  *    each output row with an operation (delete / update / insert) and
+  *    projects a ROW ID alongside it. Our row id is
+  *    `(_file, _pos)` — the file that physically holds the row plus its
+  *    ordinal within that file, the SAME coordinate system the
+  *    deletion-vector sidecars use. Both are connector-served metadata
+  *    columns; projecting `_pos` sends the scan down the row-reading
+  *    path (it has no vectorized slot), which is the right trade for
+  *    DML-sized reads.
+  *  - The writers turn the tagged rows into two artifacts: DELETE/
+  *    UPDATE old-positions accumulate per task as a (file → positions)
+  *    map, and UPDATE-new/INSERT rows append to ONE small staged
+  *    parquet file per task. The driver commit merges the position
+  *    maps into the table's existing `#dv=` deletion vectors and
+  *    publishes `existing entries (by reference) + staged files` as one
+  *    CAS'd manifest version — ZERO existing data files rewrite, the
+  *    statement costs O(changed rows), and delete + insert can never be
+  *    observed apart.
+  *  - Because the operation's scan serves LIVE rows only (the row
+  *    readers skip already-suppressed positions) while `_pos` reports
+  *    the ABSOLUTE file ordinal, a re-update can never resurrect or
+  *    double-suppress: old suppressions stay valid verbatim, and the
+  *    new positions land in the same coordinate space. An UPDATE that
+  *    hits a previously-appended row simply suppresses that appended
+  *    file's position — files are immutable from birth, whatever
+  *    commit created them.
+  *
+  * The group-based copy-on-write twin ([[SnapshotRowLevelOperation]])
+  * remains the DEFAULT: merge-on-read wins exactly when the change is
+  * narrow relative to the files it touches (every later read pays the
+  * DV row-path tax until `CALL system.compact` reconciles), which is
+  * why the routing is an explicit per-table `dmlMode` opt-in — the
+  * Delta `enableDeletionVectors` table-property shape.
+  *
+  * Scale notes (100 TB lens): the deleted-position maps ride the task
+  * commit messages to the driver — sized to the MATCHED rows (the
+  * merge-on-read contract: narrow DML), never to the table. One known
+  * trade vs the group-based path: Spark's
+  * `RowLevelOperationRuntimeGroupFiltering` only rewrites `ReplaceData`
+  * plans (measured on 4.1 — the rule's matcher is ReplaceData-shaped),
+  * so a delta MERGE's target scan is pruned by STATIC pushed filters
+  * only, not by the source's matching keys. CoW MERGE keeps runtime
+  * group pruning; MOR MERGE trades the wider read for zero rewrites.
+  *
+  * Reference context: the reference mutates per-item rows through
+  * DynamoDB writes
+  * (`/root/reference/business_logic/stream_consumer/process_records.py:182`);
+  * this is the versioned-lakehouse re-expression of the same point
+  * mutations — O(changed rows), atomic, time-travelable.
+  */
+class SnapshotDeltaOperation(tableDir: String, tableSchema: StructType,
+                             conf: ParquetGroups.SerializableConf,
+                             cmd: Command,
+                             tableOptions: CaseInsensitiveStringMap)
+    extends SupportsDelta with RowLevelScanListener {
+
+  private[v2] val scanned =
+    new AtomicReference[SnapshotRowLevelOperation.ScanRecord](null)
+
+  override def record(version: Int, files: Seq[String]): Unit =
+    scanned.set(SnapshotRowLevelOperation.ScanRecord(version, files))
+
+  override def command(): Command = cmd
+
+  override def description(): String =
+    s"graft_snapshots $cmd $tableDir (merge-on-read position deltas)"
+
+  /** (_file, _pos) — resolved against the table's metadata columns. */
+  override def rowId(): Array[NamedReference] = Array(
+    Expressions.column(ParquetGroups.FilePathCol),
+    Expressions.column(ParquetGroups.RowPosCol))
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new CaseInsensitiveStringMap({
+      val m = new util.HashMap[String, String](tableOptions)
+      m.putAll(o)
+      m
+    })
+    new SnapshotScanBuilder(tableSchema, merged, rowLevel = Some(this))
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder = {
+    val op = this
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def toBatch: DeltaBatchWrite =
+          // re-stamp field ids (Spark strips metadata from the logical
+          // write schema): appended delta files of an id-mapped table
+          // must carry ids or id-enabled reads would null-fill them
+          new SnapshotDeltaBatchWrite(tableDir,
+            Snapshots.withFieldIds(tableDir, info.schema()), conf, op)
+        override def description(): String = op.description()
+      }
+    }
+  }
+}
+
+/** Per-task commit message: the one staged file (null when the task
+  * only deleted), its row count, and the task's suppressed positions
+  * keyed by the file that holds them. */
+final case class DeltaTaskCommit(file: String, rows: Long,
+                                 deletes: Map[String, Array[Long]])
+    extends WriterCommitMessage
+
+/** The WriteDelta batch write: merges every task's position map into
+  * the base version's deletion vectors and publishes entries-by-
+  * reference + staged inserts as ONE CAS'd manifest version. */
+class SnapshotDeltaBatchWrite(tableDir: String, schema: StructType,
+                              conf: ParquetGroups.SerializableConf,
+                              op: SnapshotDeltaOperation)
+    extends DeltaBatchWrite {
+
+  private val staging = SnapshotWriteSupport.stagingDir(tableDir)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DeltaWriterFactory = {
+    val dir = staging; val c = conf; val s = schema
+    new DeltaWriterFactory {
+      override def createWriter(partitionId: Int,
+                                taskId: Long): DeltaWriter[InternalRow] =
+        new SnapshotDeltaTaskWriter(
+          s"$dir/part-$partitionId-$taskId.parquet", c, s)
+    }
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val rec = op.scanned.get()
+    require(rec != null,
+      "delta write committed before its scan planned any partitions")
+    val commits = messages.collect { case c: DeltaTaskCommit => c }
+    val newFiles = commits.collect {
+      case c if c.file != null && c.rows > 0 => c.file
+    }.toSeq
+    // merge task position maps (normalized — scan `_file` values come
+    // from the manifest file listing, already plain paths, but a
+    // catalog-supplied dir can be scheme-qualified)
+    val fresh = mutable.Map.empty[String, mutable.ArrayBuffer[Long]]
+    commits.foreach(_.deletes.foreach { case (f, ps) =>
+      fresh.getOrElseUpdate(new Path(f).toUri.getPath,
+        mutable.ArrayBuffer.empty[Long]) ++= ps
+    })
+    if (fresh.isEmpty && newFiles.isEmpty) {
+      SnapshotWriteSupport.deleteQuietly(conf.value, newFiles)
+      return // statement matched nothing and inserted nothing: no-op
+    }
+    val prev = Snapshots.deletionVectors(tableDir, rec.version)
+    val merged = (prev.keySet ++ fresh.keySet).iterator.map { f =>
+      f -> (prev.getOrElse(f, Array.empty[Long]) ++
+        fresh.get(f).map(_.toArray).getOrElse(Array.empty[Long]))
+        .distinct.sorted
+    }.toMap
+    val entries =
+      Snapshots.manifestEntries(tableDir, rec.version) ++ newFiles.sorted
+    // CAS at scanned-version + 1: a commit that landed between the scan
+    // and this publish fails the statement atomically (retry), never
+    // silently merges positions computed against stale row ordinals
+    Snapshots.commitManifest(tableDir, entries,
+      expectedVersion = Some(rec.version),
+      dv = if (merged.isEmpty) None else Some(merged))
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    SnapshotWriteSupport.deleteQuietly(conf.value,
+      messages.collect { case DeltaTaskCommit(f, _, _) if f != null => f }
+        .toSeq)
+}
+
+/** One task's delta writer. Spark's WriteDelta task feeds it REUSED
+  * projection rows — every value is extracted (delete) or written
+  * through (insert/update) before the call returns. The parquet file
+  * opens lazily: a delete-only task stages nothing. */
+class SnapshotDeltaTaskWriter(path: String,
+                              conf: ParquetGroups.SerializableConf,
+                              schema: StructType)
+    extends DeltaWriter[InternalRow] {
+
+  private val deletes = mutable.Map.empty[String, mutable.ArrayBuffer[Long]]
+  private var writer: SnapshotWriteSupport.FileWriter = _
+  private var opened = false
+
+  private def out(): SnapshotWriteSupport.FileWriter = {
+    if (!opened) {
+      writer = new SnapshotWriteSupport.FileWriter(path, conf.value, schema)
+      opened = true
+    }
+    writer
+  }
+
+  // row id layout = rowId() declaration order: (_file string, _pos long)
+  private def suppress(id: InternalRow): Unit = {
+    val f = id.getUTF8String(0).toString
+    deletes.getOrElseUpdate(f, mutable.ArrayBuffer.empty[Long]) +=
+      id.getLong(1)
+  }
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit =
+    suppress(id)
+
+  override def update(meta: InternalRow, id: InternalRow,
+                      row: InternalRow): Unit = {
+    suppress(id)
+    out().write(row)
+  }
+
+  override def insert(row: InternalRow): Unit = out().write(row)
+
+  override def commit(): WriterCommitMessage = {
+    val rows = if (opened) writer.close() else 0L
+    DeltaTaskCommit(if (opened) path else null, rows,
+      deletes.iterator.map { case (f, ps) => f -> ps.toArray }.toMap)
+  }
+
+  override def abort(): Unit = if (opened) {
+    writer.close()
+    SnapshotWriteSupport.deleteQuietly(conf.value, Seq(path))
+  }
+
+  override def close(): Unit = ()
+}

@@ -11,6 +11,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sources.Snapshots
 
+/** What a row-level operation needs back from ITS scan: the manifest
+  * version the plan resolved (the commit CASes at version+1) and the
+  * post-pruning file list (the replace set for group-based ops; a
+  * bookkeeping record for delta-based ones). [[SnapshotScanBuilder]]
+  * calls this at the post-runtime-filter `planInputPartitions` — the
+  * call whose partitions actually execute. */
+private[v2] trait RowLevelScanListener {
+  def record(version: Int, files: Seq[String]): Unit
+}
+
 /** GROUP-BASED row-level operations (SQL `UPDATE` / `MERGE INTO`) on
   * snapshot tables — the copy-on-write contract at FILE granularity,
   * riding the same manifest-commit atomicity as every other mutation:
@@ -69,7 +79,7 @@ class SnapshotRowLevelOperation(tableDir: String, tableSchema: StructType,
                                 conf: ParquetGroups.SerializableConf,
                                 cmd: Command,
                                 tableOptions: CaseInsensitiveStringMap)
-    extends RowLevelOperation {
+    extends RowLevelOperation with RowLevelScanListener {
 
   /** What the operation's scan finally planned: the resolved manifest
     * version and the post-pruning file list. Written on the driver at
@@ -78,7 +88,7 @@ class SnapshotRowLevelOperation(tableDir: String, tableSchema: StructType,
   private[v2] val scanned =
     new AtomicReference[SnapshotRowLevelOperation.ScanRecord](null)
 
-  private[v2] def record(version: Int, files: Seq[String]): Unit =
+  override def record(version: Int, files: Seq[String]): Unit =
     scanned.set(SnapshotRowLevelOperation.ScanRecord(version, files))
 
   override def command(): Command = cmd

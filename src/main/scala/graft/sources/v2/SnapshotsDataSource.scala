@@ -601,14 +601,26 @@ class SnapshotTable(schema: StructType, options: CaseInsensitiveStringMap)
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
     if (schema.fieldNames.contains(ParquetGroups.FilePathCol)) Array.empty
-    else Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = ParquetGroups.FilePathCol
-      override def dataType(): org.apache.spark.sql.types.DataType =
-        org.apache.spark.sql.types.StringType
-      override def isNullable: Boolean = false
-      override def comment(): String =
-        "path of the parquet file the row was read from"
-    })
+    else Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = ParquetGroups.FilePathCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "path of the parquet file the row was read from"
+      },
+      // (_file, _pos) = the row id of delta-based row-level DML (the
+      // `_metadata.row_index` idiom): projecting it sends the scan down
+      // the row-reading path — it is a per-row value, DML-sized reads
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = ParquetGroups.RowPosCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "row ordinal within the parquet file (deletion-vector space)"
+      })
 
   // ---- SQL `UPDATE` / `MERGE INTO` — group-based (copy-on-write)
   // row-level operations: Spark rewrites the statement into ONE scan of
@@ -622,11 +634,23 @@ class SnapshotTable(schema: StructType, options: CaseInsensitiveStringMap)
       !options.containsKey("timestampAsOf"),
       s"${info.command} on a version-pinned snapshot relation: " +
         "history is immutable")
-    () => new SnapshotRowLevelOperation(
-      SnapshotsDataSource.normalizePath(options), schema,
-      new ParquetGroups.SerializableConf(
-        SparkSession.active.sparkContext.hadoopConfiguration),
-      info.command, options)
+    // `dmlMode 'merge-on-read'` swaps the whole rewrite family: the
+    // analyzer plans WriteDelta (position deltas against (_file, _pos)
+    // row ids — zero file rewrites, see [[SnapshotDeltaOperation]])
+    // instead of ReplaceData (file-granular copy-on-write)
+    val mor = Option(options.get("dmlMode"))
+      .exists(_.equalsIgnoreCase("merge-on-read"))
+    () =>
+      if (mor) new SnapshotDeltaOperation(
+        SnapshotsDataSource.normalizePath(options), schema,
+        new ParquetGroups.SerializableConf(
+          SparkSession.active.sparkContext.hadoopConfiguration),
+        info.command, options)
+      else new SnapshotRowLevelOperation(
+        SnapshotsDataSource.normalizePath(options), schema,
+        new ParquetGroups.SerializableConf(
+          SparkSession.active.sparkContext.hadoopConfiguration),
+        info.command, options)
   }
 
   override def newWriteBuilder(
@@ -643,7 +667,7 @@ class SnapshotTable(schema: StructType, options: CaseInsensitiveStringMap)
 
 class SnapshotScanBuilder(fullSchema: StructType,
                           options: CaseInsensitiveStringMap,
-                          rowLevel: Option[SnapshotRowLevelOperation] = None)
+                          rowLevel: Option[RowLevelScanListener] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates {
 
@@ -660,8 +684,9 @@ class SnapshotScanBuilder(fullSchema: StructType,
     // requested; the reader emits all metadata slots AFTER the data
     // columns, so readSchema orders them last to match.
     if (pushedAgg.isEmpty) {
-      val (meta, data) = requiredSchema.fields.partition(
-        _.name == ParquetGroups.FilePathCol)
+      val (meta, data) = requiredSchema.fields.partition(f =>
+        f.name == ParquetGroups.FilePathCol ||
+          f.name == ParquetGroups.RowPosCol)
       required = StructType(
         data.flatMap(f => fullSchema.fields.find(_.name == f.name)) ++ meta)
     }
@@ -762,7 +787,7 @@ class SnapshotScan(fullSchema: StructType, required: StructType,
                    pushedAgg: Option[(Aggregation,
                      Seq[SnapshotsDataSource.FileAgg])],
                    options: CaseInsensitiveStringMap,
-                   rowLevel: Option[SnapshotRowLevelOperation] = None)
+                   rowLevel: Option[RowLevelScanListener] = None)
     extends Scan
     with SupportsRuntimeFiltering with SupportsReportStatistics
     with SupportsReportPartitioning {
@@ -831,8 +856,10 @@ class SnapshotScan(fullSchema: StructType, required: StructType,
     else if (rowLevel.isDefined)
       Array(org.apache.spark.sql.connector.expressions.Expressions
         .column(ParquetGroups.FilePathCol))
-    else required.fields.filter(f => f.dataType == LongType ||
-        f.dataType == org.apache.spark.sql.types.StringType)
+    else required.fields.filter(f => (f.dataType == LongType ||
+        f.dataType == org.apache.spark.sql.types.StringType) &&
+        f.name != ParquetGroups.FilePathCol &&
+        f.name != ParquetGroups.RowPosCol) // metadata slots: no footer stats
       .map(f => org.apache.spark.sql.connector.expressions.Expressions
         .column(f.name))
 
@@ -1032,9 +1059,11 @@ class SnapshotScan(fullSchema: StructType, required: StructType,
           new ParquetGroups.SerializableConf(hadoopConf), required,
           // one row-vs-columnar answer per scan: any deletion vector
           // anywhere in the version sends the whole scan down the
-          // position-skipping row path
+          // position-skipping row path, and a projected `_pos` (delta
+          // DML row id — per-row, no vectorized slot) does the same
           vectorize = options.getBoolean("vectorizedReader", true) &&
-            dvMap.isEmpty)
+            dvMap.isEmpty &&
+            !required.fieldNames.contains(ParquetGroups.RowPosCol))
     }
   }
 

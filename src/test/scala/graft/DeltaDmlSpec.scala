@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Snapshots
+
+/** Delta-based (merge-on-read) row-level SQL DML —
+  * [[graft.sources.v2.SnapshotDeltaOperation]]: UPDATE / MERGE INTO /
+  * untranslatable-predicate DELETE under `dmlMode 'merge-on-read'`
+  * write position deltas (DV sidecar + appended rows) instead of
+  * rewriting files. The spec pins the file accounting (ZERO existing
+  * data files rewrite), both read paths, re-update supersession in
+  * absolute position space, the row-id metadata plumbing (`_pos`
+  * forces the row path; plain scans stay columnar), and that
+  * copy-on-write remains the default family. */
+class DeltaDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def morTable(prefix: String): (String, String) = {
+    val t = SparkHygiene.scratchDir(prefix)
+    Snapshots.commit(spark, t,
+      spark.range(100).toDF("id").withColumn("v", lit("old"))
+        .repartitionByRange(4, $"id"))
+    val tab = s"${prefix}_${math.abs(t.hashCode)}"
+    spark.sql(s"CREATE TABLE $tab (id BIGINT, v STRING) USING " +
+      s"graft_snapshots OPTIONS (path '$t', dmlMode 'merge-on-read')")
+    (t, tab)
+  }
+
+  test("MOR UPDATE rewrites ZERO existing files: old positions join the " +
+    "DV sidecar, updated rows append, both read paths and time travel agree") {
+    val (t, tab) = morTable("dml_upd")
+    try {
+      val v1Entries = Snapshots.manifestEntries(t, 1).toSet
+      spark.sql(s"UPDATE $tab SET v = 'new' WHERE id >= 50 AND id < 55")
+      assert(Snapshots.currentVersion(t) == 2)
+      val v2Entries = Snapshots.manifestEntries(t, 2)
+      // every v1 entry republished BY REFERENCE + exactly the appended
+      // delta file(s) — nothing rewrote
+      assert(v1Entries.subsetOf(v2Entries.toSet))
+      val appended = v2Entries.filterNot(v1Entries)
+      assert(appended.nonEmpty)
+      // the suppressed positions: 5 old rows, somewhere in v1's files
+      val dv = Snapshots.deletionVectors(t, 2)
+      assert(dv.values.map(_.length).sum == 5)
+      assert(dv.keySet.forall(f => v1Entries.exists(e =>
+        f == e || f.startsWith(e + "/"))))
+      // both read paths agree
+      val sql = spark.table(tab).as[(Long, String)].collect().toMap
+      val api = Snapshots.read(spark, t).as[(Long, String)].collect().toMap
+      assert(sql == api)
+      assert(sql.size == 100 && (50L until 55L).forall(sql(_) == "new") &&
+        sql.count(_._2 == "old") == 95)
+      // v1 still time-travels to the pre-update rows
+      assert(Snapshots.read(spark, t, Some(1)).as[(Long, String)]
+        .collect().forall(_._2 == "old"))
+    } finally spark.sql(s"DROP TABLE ${tab}")
+  }
+
+  test("re-UPDATE supersedes in absolute position space: the second " +
+    "statement suppresses the APPENDED file's rows, never duplicates") {
+    val (t, tab) = morTable("dml_reupd")
+    try {
+      spark.sql(s"UPDATE $tab SET v = 'one' WHERE id = 7")
+      val appended = Snapshots.manifestEntries(t, 2)
+        .filterNot(Snapshots.manifestEntries(t, 1).toSet)
+      spark.sql(s"UPDATE $tab SET v = 'two' WHERE id = 7")
+      val dv = Snapshots.deletionVectors(t, 3)
+      // position 0 of the first update's appended file is now suppressed
+      val conf = spark.sparkContext.hadoopConfiguration
+      val appendedFiles = appended.flatMap { e =>
+        val p = new org.apache.hadoop.fs.Path(e)
+        val fs = p.getFileSystem(conf)
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).map(_.getPath.toUri.getPath).toSeq
+        else Seq(p.toUri.getPath)
+      }.toSet
+      assert(dv.keySet.exists(appendedFiles), "the re-update must " +
+        "suppress the previously-appended row's position")
+      val rows = spark.table(tab).as[(Long, String)].collect()
+      assert(rows.length == 100)
+      assert(rows.count(_._1 == 7L) == 1 && rows.find(_._1 == 7L).get._2 == "two")
+    } finally spark.sql(s"DROP TABLE ${tab}")
+  }
+
+  test("MOR MERGE: matched update + matched delete + not-matched insert " +
+    "in one zero-rewrite commit") {
+    val (t, tab) = morTable("dml_mrg")
+    try {
+      val v1Entries = Snapshots.manifestEntries(t, 1).toSet
+      spark.range(90, 110).toDF("id")
+        .withColumn("v", lit("merged"))
+        .createOrReplaceTempView("dml_mrg_src")
+      spark.sql(s"""MERGE INTO $tab t USING dml_mrg_src s ON t.id = s.id
+        WHEN MATCHED AND t.id < 95 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+      assert(Snapshots.currentVersion(t) == 2)
+      assert(v1Entries.subsetOf(Snapshots.manifestEntries(t, 2).toSet))
+      val rows = spark.table(tab).as[(Long, String)].collect().toMap
+      // 100 - 5 deleted (90..94) + 10 inserted (100..109) = 105
+      assert(rows.size == 105)
+      assert((90L until 95L).forall(!rows.contains(_)))
+      assert((95L until 110L).forall(rows(_) == "merged"))
+      // deletes (5) + update old-positions (5) = 10 suppressed
+      assert(Snapshots.deletionVectors(t, 2).values.map(_.length).sum == 10)
+    } finally spark.sql(s"DROP TABLE ${tab}")
+  }
+
+  test("a DELETE the filter vocabulary cannot express routes through the " +
+    "delta plan: zero rewrites, exact SQL semantics") {
+    val (t, tab) = morTable("dml_del")
+    try {
+      val v1Entries = Snapshots.manifestEntries(t, 1).toSet
+      spark.sql(s"DELETE FROM $tab WHERE id % 10 = 3 AND id < 30")
+      assert(Snapshots.currentVersion(t) == 2)
+      val v2 = Snapshots.manifestEntries(t, 2)
+      assert(v2.toSet == v1Entries, "a pure delete appends nothing and " +
+        "rewrites nothing")
+      val ids = spark.table(tab).as[(Long, String)].collect().map(_._1).toSet
+      assert(ids.size == 97 && !ids(3L) && !ids(13L) && !ids(23L))
+    } finally spark.sql(s"DROP TABLE ${tab}")
+  }
+
+  test("copy-on-write stays the DEFAULT: the same UPDATE without dmlMode " +
+    "replaces files instead of recording positions") {
+    val t = SparkHygiene.scratchDir("dml_cow")
+    Snapshots.commit(spark, t,
+      spark.range(100).toDF("id").withColumn("v", lit("old"))
+        .repartitionByRange(4, $"id"))
+    val tab = s"dml_cow_${math.abs(t.hashCode)}"
+    spark.sql(s"CREATE TABLE $tab (id BIGINT, v STRING) USING " +
+      s"graft_snapshots OPTIONS (path '$t')")
+    try {
+      spark.sql(s"UPDATE $tab SET v = 'new' WHERE id >= 50 AND id < 55")
+      assert(Snapshots.deletionVectors(t, 2).isEmpty)
+      // the touched file LEFT the manifest — replaced, not referenced
+      val conf = spark.sparkContext.hadoopConfiguration
+      def leaves(v: Int): Set[String] =
+        Snapshots.manifestEntries(t, v).flatMap { e =>
+          val p = new org.apache.hadoop.fs.Path(e)
+          val fs = p.getFileSystem(conf)
+          if (fs.getFileStatus(p).isDirectory)
+            fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+              .map(_.getPath.toUri.getPath).toSeq
+          else Seq(p.toUri.getPath)
+        }.toSet
+      assert((leaves(1) -- leaves(2)).nonEmpty)
+    } finally spark.sql(s"DROP TABLE ${tab}")
+  }
+
+  test("row-id plumbing: projecting _pos plans the ROW path; the plain " +
+    "scan stays columnar; _pos equals the DV coordinate") {
+    val (t, tab) = morTable("dml_pos")
+    try {
+      val plain = spark.table(tab).select($"id", $"v")
+      assert(plain.queryExecution.executedPlan.toString
+        .contains("ColumnarToRow"), "plain scans decode vectorized")
+      val withPos = spark.table(tab).select($"_file", $"_pos", $"id")
+      assert(!withPos.queryExecution.executedPlan.toString
+        .contains("ColumnarToRow"), "_pos has no vectorized slot")
+      // _pos is the file-ordinal DV coordinate: suppressing via the DV
+      // API at _pos-reported positions removes exactly those rows
+      val target = withPos.as[(String, Long, Long)].collect()
+        .filter(r => r._3 >= 10 && r._3 < 13)
+      spark.sql(s"UPDATE $tab SET v = 'x' WHERE id >= 10 AND id < 13")
+      val dv = Snapshots.deletionVectors(t, 2)
+      target.foreach { case (f, p, _) =>
+        assert(dv.getOrElse(f, Array.empty[Long]).contains(p),
+          s"reported _pos $p of $f must be the suppressed coordinate")
+      }
+    } finally spark.sql(s"DROP TABLE ${tab}")
+  }
+
+  test("a MOR UPDATE/MERGE commit fails loudly for an exactly-once " +
+    "stream reader (already-emitted rows were logically removed)") {
+    val (t, tab) = morTable("dml_stream")
+    try {
+      // drain the table once as a stream
+      val out = SparkHygiene.scratchDir("dml_stream_out")
+      val ck = SparkHygiene.scratchDir("dml_stream_ck")
+      def drain(): Unit = {
+        val q = spark.readStream.format("graft_snapshots")
+          .option("path", t).load()
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain()
+      assert(spark.read.parquet(out).count() == 100)
+      spark.sql(s"UPDATE $tab SET v = 'new' WHERE id = 1")
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        drain()
+      }
+      assert(ex.getMessage.contains("deletion vectors") ||
+        Option(ex.getCause).exists(_.getMessage.contains("deletion vectors")))
+    } finally spark.sql(s"DROP TABLE ${tab}")
+  }
+}
