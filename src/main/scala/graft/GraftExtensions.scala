@@ -207,6 +207,18 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.AsOfJoinRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.AsOfJoinRewrite
+    // runtime group filtering for DELTA-based row-level DML (the
+    // WriteDelta analog of Spark's ReplaceData-only rule). This rule
+    // NEEDS the post-pushdown plan, which is exactly what the
+    // "User Provided Optimizers" batch sees — the extraOptimizations
+    // placement is required, not a fallback, so it is registered here
+    // and not in the withExtensions path (where injectOptimizerRule
+    // would run pre-pushdown and never match).
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.DeltaDmlRuntimeFiltering))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.DeltaDmlRuntimeFiltering
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy

@@ -1,0 +1,155 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, DynamicPruningExpression, Expression, InSubquery, ListQuery}
+import org.apache.spark.sql.catalyst.plans.{Inner, RightOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project, WriteDelta}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+
+import graft.sources.v2.{ParquetGroups, SnapshotScan}
+
+/** Runtime group filtering for DELTA-based row-level DML — the piece
+  * OSS Spark stops short of: `RowLevelOperationRuntimeGroupFiltering`
+  * only rewrites `ReplaceData` plans (measured on 4.1 — its matcher is
+  * ReplaceData-shaped), so a merge-on-read MERGE
+  * ([[graft.sources.v2.SnapshotDeltaOperation]], planned as
+  * `WriteDelta`) reads every target file the static filters keep, even
+  * when the source matches a handful. This rule closes that gap with
+  * the same mechanism Spark uses for the group-based path:
+  *
+  *  - match a `WriteDelta` over a snapshot-table delta operation whose
+  *    query joins the row-id scan to a source (the MERGE shape:
+  *    `MergeRows` over `Join(target, source, RightOuter|Inner)`),
+  *  - plan a SEPARATE matching-files subquery — a fresh PLAIN relation
+  *    of the same table (never the operation's own scan, whose record
+  *    and runtime-filter state must not be disturbed) inner-joined to
+  *    the SAME source subtree on the SAME condition, projected to
+  *    `DISTINCT _file`,
+  *  - and hand it back as `DynamicPruningExpression(_file IN
+  *    (subquery))` above the operation's scan.
+  *    [[graft.sources.v2.SnapshotScan.filter]] already treats a
+  *    `_file` IN-set as the exact group filter, so the delta scan
+  *    re-plans to exactly the files holding matched rows — a MOR MERGE
+  *    costs O(matching files) read, not O(table), on top of its
+  *    already-O(changed rows) write.
+  *
+  * Safety: pruning the target side is only sound when unmatched TARGET
+  * rows produce nothing — true for the RightOuter/Inner plans of
+  * MATCHED + NOT MATCHED merges. A `WHEN NOT MATCHED BY SOURCE` merge
+  * plans a different join type (target side preserved) and is left
+  * untouched. Correctness never depends on the filter firing: delta
+  * writers only consume MATCHED rows, so the filter is purely a
+  * scan-cost cut.
+  *
+  * Registration note: this rule needs the POST-pushdown plan (the scan
+  * relation + its pushed scan), so it rides
+  * `spark.experimental.extraOptimizations` (the "User Provided
+  * Optimizers" batch, which runs after Spark's own PartitionPruning
+  * batch) — [[graft.GraftExtensions.register]]. The batch is a
+  * fixed point; the already-filtered guard makes the rule convergent.
+  * The embedded subquery is built from already-optimized subtrees plus
+  * one fresh relation, which is pushed down inline (see
+  * [[graft.plans.DeltaDmlRuntimeFiltering.pushDown]]) because no
+  * optimizer pass revisits subqueries after this batch.
+  */
+object DeltaDmlRuntimeFiltering extends Rule[LogicalPlan] {
+
+  private val FlagKey =
+    "spark.sql.optimizer.runtime.rowLevelOperationGroupFilter.enabled"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case wd: WriteDelta
+        if conf.getConfString(FlagKey, "true").toBoolean &&
+          wd.operation.isInstanceOf[graft.sources.v2.SnapshotDeltaOperation] =>
+      rewrite(wd)
+    case _ => plan
+  }
+
+  private def rewrite(wd: WriteDelta): LogicalPlan = {
+    // the operation's own scan: the row-id projection marks it (_pos is
+    // only ever requested by delta DML scans)
+    val scans = wd.query.collect {
+      case r: DataSourceV2ScanRelation
+          if r.scan.isInstanceOf[SnapshotScan] &&
+            r.output.exists(_.name == ParquetGroups.RowPosCol) => r
+    }
+    if (scans.size != 1) return wd
+    val scanRel = scans.head
+    // convergence guard: already filtered
+    val already = wd.query.exists {
+      case Filter(cond, r: DataSourceV2ScanRelation) if r eq scanRel =>
+        cond.exists(_.isInstanceOf[DynamicPruningExpression])
+      case _ => false
+    }
+    if (already) return wd
+    val fileAttr = scanRel.output.find(_.name == ParquetGroups.FilePathCol)
+      .getOrElse(return wd)
+    // the MERGE join: target side holds the scan, source is the other
+    val join = wd.query.collectFirst {
+      case j: Join if j.left.exists(_ eq scanRel) ||
+        j.right.exists(_ eq scanRel) => j
+    }.getOrElse(return wd)
+    // unmatched-target-row safety (see Scaladoc)
+    if (join.joinType != RightOuter && join.joinType != Inner) return wd
+    val cond = join.condition.getOrElse(return wd)
+    val (targetSide, sourceSide) =
+      if (join.left.exists(_ eq scanRel)) (join.left, join.right)
+      else (join.right, join.left)
+    if (sourceSide.exists(_ eq scanRel)) return wd // self-join: leave it
+
+    // fresh PLAIN relation of the table, `_file` appended to its output
+    // (the metadata column made addressable, as Spark's row-level
+    // rewrites do)
+    val orig = wd.originalTable match {
+      case r: DataSourceV2Relation => r
+      case _ => return wd
+    }
+    val fresh0 = orig.newInstance()
+    val freshFile = fresh0.metadataOutput
+      .collectFirst { case a if a.name == ParquetGroups.FilePathCol => a }
+      .getOrElse(return wd)
+    val fresh = fresh0.copy(output = fresh0.output :+ freshFile)
+
+    // remap the join condition's TARGET-side attrs by name onto the
+    // fresh relation (source attrs stay — the subquery reuses the same
+    // source subtree, exactly like Spark's group-based rule)
+    val targetOut = targetSide.outputSet
+    val byName = fresh.output.map(a => a.name -> a).toMap
+    var ok = true
+    val cond2 = cond.transform {
+      case a: AttributeReference if targetOut.contains(a) =>
+        byName.get(a.name) match {
+          case Some(f) => f
+          case None => ok = false; a
+        }
+    }
+    if (!ok) return wd
+
+    val matching = Aggregate(Seq(freshFile), Seq(freshFile),
+      Project(Seq(freshFile),
+        Join(fresh, sourceSide, Inner, Some(cond2), JoinHint.NONE)))
+    val pushed = pushDown(matching)
+    val dpp = DynamicPruningExpression(InSubquery(Seq(fileAttr),
+      ListQuery(pushed, Seq.empty,
+        org.apache.spark.sql.catalyst.expressions.NamedExpression.newExprId,
+        pushed.output.length)))
+    // transformUp: the rule fires once per ORIGINAL node — transformDown
+    // would recurse into the freshly-built Filter and wrap forever
+    val newQuery = wd.query.transformUp {
+      case r: DataSourceV2ScanRelation if r eq scanRel => Filter(dpp, r)
+    }
+    wd.copy(query = newQuery)
+  }
+
+  /** The subquery's fresh relation never sees the optimizer's own
+    * pushdown batch again (it ran before this one), so run the standard
+    * V2 pushdown rules on the subquery plan here — column pruning
+    * reaches the fresh scan (it reads `_file` + the join keys, nothing
+    * else) and the relation becomes plannable. */
+  private def pushDown(plan: LogicalPlan): LogicalPlan = {
+    val afterScan = org.apache.spark.sql.execution.datasources.v2
+      .V2ScanRelationPushDown.apply(plan)
+    org.apache.spark.sql.execution.datasources.v2
+      .V2ScanPartitioningAndOrdering.apply(afterScan)
+  }
+}

@@ -172,6 +172,59 @@ class DeltaDmlSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE ${tab}")
   }
 
+  test("delta MERGE runtime group filtering: the target scan re-plans " +
+    "to exactly the files holding matched keys (the WriteDelta analog " +
+    "of Spark's ReplaceData-only rule)") {
+    val t = SparkHygiene.scratchDir("dml_dpp")
+    Snapshots.commit(spark, t,
+      spark.range(8000).toDF("id").withColumn("v", lit("old"))
+        .repartitionByRange(8, $"id"))
+    val tab = s"dml_dpp_${math.abs(t.hashCode)}"
+    spark.sql(s"CREATE TABLE $tab (id BIGINT, v STRING) USING " +
+      s"graft_snapshots OPTIONS (path '$t', dmlMode 'merge-on-read')")
+    try {
+      spark.range(5000, 5010).toDF("id").withColumn("v", lit("m"))
+        .createOrReplaceTempView("dml_dpp_src")
+      graft.sources.v2.SnapshotsDataSource.runtimeSkipCensus.remove(t)
+      spark.sql(s"""MERGE INTO $tab x USING dml_dpp_src s ON x.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+      val census = graft.sources.v2.SnapshotsDataSource
+        .runtimeSkipCensus.get(t)
+      assert(census != null, "the runtime _file filter must reach the scan")
+      val (kept, skipped) = census
+      assert(kept == 1 && skipped == 7,
+        s"10 adjacent keys live in ONE of 8 range files; got ($kept, $skipped)")
+      val m = spark.table(tab).as[(Long, String)].collect().toMap
+      assert(m.size == 8000 && m.values.count(_ == "m") == 10)
+    } finally spark.sql(s"DROP TABLE ${tab}")
+  }
+
+  test("delta MERGE with NOT MATCHED BY SOURCE leaves the scan " +
+    "unfiltered (unmatched target rows matter) and stays correct") {
+    val t = SparkHygiene.scratchDir("dml_nmbs")
+    Snapshots.commit(spark, t,
+      spark.range(8000).toDF("id").withColumn("v", lit("old"))
+        .repartitionByRange(8, $"id"))
+    val tab = s"dml_nmbs_${math.abs(t.hashCode)}"
+    spark.sql(s"CREATE TABLE $tab (id BIGINT, v STRING) USING " +
+      s"graft_snapshots OPTIONS (path '$t', dmlMode 'merge-on-read')")
+    try {
+      spark.range(5000, 5010).toDF("id").withColumn("v", lit("m"))
+        .createOrReplaceTempView("dml_nmbs_src")
+      graft.sources.v2.SnapshotsDataSource.runtimeSkipCensus.remove(t)
+      spark.sql(s"""MERGE INTO $tab x USING dml_nmbs_src s ON x.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED BY SOURCE AND x.id < 10 THEN DELETE""")
+      assert(graft.sources.v2.SnapshotsDataSource
+        .runtimeSkipCensus.get(t) == null,
+        "pruning unmatched target rows would break BY SOURCE arms")
+      val m = spark.table(tab).as[(Long, String)].collect().toMap
+      assert(m.size == 7990 && (0L until 10L).forall(!m.contains(_)))
+      assert((5000L until 5010L).forall(m(_) == "m"))
+    } finally spark.sql(s"DROP TABLE ${tab}")
+  }
+
   test("a MOR UPDATE/MERGE commit fails loudly for an exactly-once " +
     "stream reader (already-emitted rows were logically removed)") {
     val (t, tab) = morTable("dml_stream")
