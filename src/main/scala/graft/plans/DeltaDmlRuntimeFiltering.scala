@@ -57,6 +57,18 @@ object DeltaDmlRuntimeFiltering extends Rule[LogicalPlan] {
   private val FlagKey =
     "spark.sql.optimizer.runtime.rowLevelOperationGroupFilter.enabled"
 
+  /** Size gate — measured crossover (DELTADPP_r14): the matching-files
+    * subquery re-reads the table's JOIN-KEY projection and pays a
+    * planning + collect round trip, a fixed ~2 s that dwarfs the saving
+    * on a 50 MB table (3.5 s filtered vs 1.4 s unfiltered at sf0.1)
+    * while the asymptotics favor filtering as soon as full-width bytes
+    * ≫ key bytes: read K·N + W·N/files-kept vs W·N. Below the
+    * threshold the whole-table scan is cheaper than the subquery —
+    * skip; above it the filter is the difference between O(matching
+    * files) and O(table) full-width reads. */
+  private val MinBytesKey = "spark.graft.delta.runtimeGroupFilter.minBytes"
+  private val MinBytesDefault: Long = 512L << 20
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case wd: WriteDelta
         if conf.getConfString(FlagKey, "true").toBoolean &&
@@ -84,6 +96,13 @@ object DeltaDmlRuntimeFiltering extends Rule[LogicalPlan] {
     if (already) return wd
     val fileAttr = scanRel.output.find(_.name == ParquetGroups.FilePathCol)
       .getOrElse(return wd)
+    // size gate (see MinBytesKey): below the crossover the subquery
+    // costs more than the unfiltered scan
+    val minBytes = conf.getConfString(MinBytesKey,
+      MinBytesDefault.toString).toLong
+    val tableBytes = scanRel.scan.asInstanceOf[SnapshotScan]
+      .estimateStatistics().sizeInBytes()
+    if (!tableBytes.isPresent || tableBytes.getAsLong < minBytes) return wd
     // the MERGE join: target side holds the scan, source is the other
     val join = wd.query.collectFirst {
       case j: Join if j.left.exists(_ eq scanRel) ||

@@ -186,6 +186,9 @@ class DeltaDmlSpec extends SparkSpec {
       spark.range(5000, 5010).toDF("id").withColumn("v", lit("m"))
         .createOrReplaceTempView("dml_dpp_src")
       graft.sources.v2.SnapshotsDataSource.runtimeSkipCensus.remove(t)
+      // the size gate would skip a test-sized table (measured crossover,
+      // DELTADPP_r14) — drop it to exercise the filter itself
+      spark.conf.set("spark.graft.delta.runtimeGroupFilter.minBytes", "0")
       spark.sql(s"""MERGE INTO $tab x USING dml_dpp_src s ON x.id = s.id
         WHEN MATCHED THEN UPDATE SET v = s.v
         WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
@@ -197,7 +200,10 @@ class DeltaDmlSpec extends SparkSpec {
         s"10 adjacent keys live in ONE of 8 range files; got ($kept, $skipped)")
       val m = spark.table(tab).as[(Long, String)].collect().toMap
       assert(m.size == 8000 && m.values.count(_ == "m") == 10)
-    } finally spark.sql(s"DROP TABLE ${tab}")
+    } finally {
+      spark.conf.unset("spark.graft.delta.runtimeGroupFilter.minBytes")
+      spark.sql(s"DROP TABLE ${tab}")
+    }
   }
 
   test("delta MERGE with NOT MATCHED BY SOURCE leaves the scan " +
@@ -213,6 +219,9 @@ class DeltaDmlSpec extends SparkSpec {
       spark.range(5000, 5010).toDF("id").withColumn("v", lit("m"))
         .createOrReplaceTempView("dml_nmbs_src")
       graft.sources.v2.SnapshotsDataSource.runtimeSkipCensus.remove(t)
+      // gate lowered so the no-fire below is the JOIN-TYPE guard, not
+      // the size gate
+      spark.conf.set("spark.graft.delta.runtimeGroupFilter.minBytes", "0")
       spark.sql(s"""MERGE INTO $tab x USING dml_nmbs_src s ON x.id = s.id
         WHEN MATCHED THEN UPDATE SET v = s.v
         WHEN NOT MATCHED BY SOURCE AND x.id < 10 THEN DELETE""")
@@ -222,7 +231,10 @@ class DeltaDmlSpec extends SparkSpec {
       val m = spark.table(tab).as[(Long, String)].collect().toMap
       assert(m.size == 7990 && (0L until 10L).forall(!m.contains(_)))
       assert((5000L until 5010L).forall(m(_) == "m"))
-    } finally spark.sql(s"DROP TABLE ${tab}")
+    } finally {
+      spark.conf.unset("spark.graft.delta.runtimeGroupFilter.minBytes")
+      spark.sql(s"DROP TABLE ${tab}")
+    }
   }
 
   test("a MOR UPDATE/MERGE commit fails loudly for an exactly-once " +
