@@ -164,6 +164,19 @@ object GraftExtensions {
         import spark.implicits._
         rows.toDF("version", "n_entries", "n_columns")
           .queryExecution.analyzed
+      }),
+    (FunctionIdentifier("snapshot_tags"),
+      info("snapshot_tags",
+        "snapshot_tags(dir) - one row per tag: (tag, version) from the " +
+          "immutable tag refs; tagged versions survive vacuum and read " +
+          "via VERSION AS OF 'tag'"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "snapshot_tags(dir) takes 1 argument")
+        val dir = litStr(children(0), "dir")
+        val spark = SparkSession.active
+        import spark.implicits._
+        graft.sources.Snapshots.tags(dir)
+          .toDF("tag", "version").queryExecution.analyzed
       }))
 
   /** Register into an existing session (tests, notebooks), and apply

@@ -1135,6 +1135,32 @@ object TextQueries {
       } finally s.sql(s"DROP TABLE $tab")
     }),
 
+    // TAGS (immutable named versions, sources/Snapshots.createTag):
+    // the training-data-lineage primitive — a run tags the snapshot it
+    // read, the pin SURVIVES retention (vacuum keeps pinned manifests
+    // + files + DV sidecars), and `VERSION AS OF 'name'` reproduces
+    // the input forever. The query drives the whole lifecycle: tag v1,
+    // append, compact (retiring v1's files from the current manifest),
+    // vacuum keep=1 — then reads the tag; the oracle is v1's content,
+    // which only the pin kept alive (TagSpec pins the release path).
+    "p50_tag_travel" -> ((s, dir) => {
+      val cat = "graft_p50"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.SnapshotCatalog].getName)
+      val t = SparkHygiene.scratchDir("p50_tbl")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.sources.Snapshots.commit(s, t, docs.filter(col("doc_id") < 400))
+      s.sql(s"CALL $cat.system.create_tag('$t', 'training_run_17')")
+      graft.sources.Snapshots.commit(s, t,
+        docs.filter(col("doc_id") >= 400 && col("doc_id") < 500))
+      s.sql(s"CALL $cat.system.compact(table => '$t', sort_col => 'doc_id')")
+      s.sql(s"CALL $cat.system.vacuum(table => '$t', keep => 1)")
+      s.sql(s"SELECT doc_id, lang, length(text) AS text_len " +
+          s"FROM $cat.snap.`$t` VERSION AS OF 'training_run_17' " +
+          "ORDER BY doc_id")
+    }),
+
     // ATOMIC REPLACE-WHERE (`df.writeTo(t).overwrite(cond)` — the
     // daily-partition-reload): ONE manifest version deletes the rows
     // the condition matches AND inserts the recomputed slice — no
@@ -1495,6 +1521,11 @@ object TextQueries {
     "p46_compact_small" ->
       """SELECT doc_id, lang, length(text) AS text_len FROM documents
         |WHERE doc_id < 400 AND doc_id NOT IN (9, 309)
+        |ORDER BY doc_id""".stripMargin,
+    // the tag pins v1 through append + compact + vacuum
+    "p50_tag_travel" ->
+      """SELECT doc_id, lang, length(text) AS text_len FROM documents
+        |WHERE doc_id < 400
         |ORDER BY doc_id""".stripMargin,
     // merge-on-read UPDATE ≡ a CASE projection
     "p48_mor_sql_update" ->

@@ -457,6 +457,80 @@ object Snapshots {
                asOfMillis: Long): DataFrame =
     read(spark, tableDir, Some(versionAsOf(tableDir, asOfMillis)))
 
+  // -----------------------------------------------------------------
+  // TAGS — immutable NAMED versions (the Iceberg tag / Delta
+  // named-commit idea, reduced to one ref file): `training_run_17 →
+  // v42`. The point at 100 TB is LINEAGE: a training job tags the
+  // exact snapshot it read, the tag survives retention ([[vacuum]]
+  // keeps pinned manifests and their files), and `VERSION AS OF
+  // 'training_run_17'` reproduces the input forever — a version NUMBER
+  // in a config file does neither (it vacuums away, and nothing marks
+  // it load-bearing). Tags are immutable by CREATE_NEW (re-tagging a
+  // name is an error, not a move); dropping the tag releases the pin.
+  // -----------------------------------------------------------------
+  private def tagPath(tableDir: String, name: String): String =
+    s"${logDir(tableDir)}/tag-$name.ref"
+  private val TagNamePattern = "[A-Za-z0-9][A-Za-z0-9._-]*"
+
+  /** Pin `version` (default: current) under `name`. Immutable:
+    * re-creating an existing tag throws — drop it first. Returns the
+    * pinned version. */
+  def createTag(tableDir: String, name: String,
+                version: Option[Int] = None): Int = {
+    require(name.matches(TagNamePattern),
+      s"tag name '$name' must match $TagNamePattern")
+    val v = version.getOrElse(currentVersion(tableDir))
+    require(v >= 1 &&
+      Files.exists(Paths.get(s"${logDir(tableDir)}/v$v.list")),
+      s"cannot tag $tableDir v$v: no such version " +
+        "(never committed, or retention already dropped it)")
+    try Files.write(Paths.get(tagPath(tableDir, name)),
+      v.toString.getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"tag '$name' already exists on $tableDir (tags are " +
+            "immutable; DROP it first to re-point the name)")
+    }
+    v
+  }
+
+  /** Release the pin. Returns whether the tag existed. */
+  def dropTag(tableDir: String, name: String): Boolean =
+    Files.deleteIfExists(Paths.get(tagPath(tableDir, name)))
+
+  /** All tags of the table, name → pinned version, name-sorted. */
+  def tags(tableDir: String): Seq[(String, Int)] = {
+    val d = Paths.get(logDir(tableDir))
+    if (!Files.isDirectory(d)) return Nil
+    val stream = Files.list(d)
+    try stream.iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("tag-") && s.endsWith(".ref") =>
+        val n = s.stripPrefix("tag-").stripSuffix(".ref")
+        n -> resolveTag(tableDir, n)
+      }.toSeq.sortBy(_._1)
+    finally stream.close()
+  }
+
+  /** The version a tag pins; throws naming the available tags. */
+  def resolveTag(tableDir: String, name: String): Int = {
+    val p = Paths.get(tagPath(tableDir, name))
+    require(Files.exists(p), {
+      val have = tags(tableDir).map(_._1)
+      s"no tag '$name' on $tableDir" +
+        (if (have.isEmpty) " (table has no tags)"
+         else s" — available: ${have.mkString(", ")}")
+    })
+    new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toInt
+  }
+
+  /** Read the snapshot a tag pins. */
+  def readTag(spark: SparkSession, tableDir: String,
+              name: String): DataFrame =
+    read(spark, tableDir, Some(resolveTag(tableDir, name)))
+
   /** RESTORE — roll the table back to `version` by committing that
     * version's manifest verbatim as the NEW latest version (the Delta
     * `RESTORE TABLE ... TO VERSION` semantics): zero data movement
@@ -641,12 +715,20 @@ object Snapshots {
     val cur = currentVersion(tableDir)
     if (cur == 0) return (0, 0)
     val keepFrom = math.max(1, cur - keepVersions + 1)
+    // TAG pins override retention: a tagged version's manifest, data
+    // files, and DV sidecar survive any keep window — the tag IS the
+    // declaration that something downstream (a training run's lineage)
+    // still needs the snapshot. Dropping the tag releases the pin to
+    // the next vacuum.
+    val pinned: Set[Int] = tags(tableDir).map(_._2).toSet
+    val retainedVersions: Seq[Int] =
+      ((keepFrom to cur) ++ pinned).distinct.sorted
+      .filter(v => Files.exists(Paths.get(s"${logDir(tableDir)}/v$v.list")))
     // normalized (scheme-less) paths referenced by retained manifests.
     // A prior vacuum with a SMALLER retention may already have deleted
     // manifests inside this window (vacuum(keep=1) then vacuum(keep=3),
     // ADVICE r12) — retain what actually survives instead of throwing.
-    val referenced: Set[String] = (keepFrom to cur)
-      .filter(v => Files.exists(Paths.get(s"${logDir(tableDir)}/v$v.list")))
+    val referenced: Set[String] = retainedVersions
       .flatMap(v => readManifest(tableDir, v))
       .map(e => new HPath(e).toUri.getPath)
       .toSet
@@ -655,7 +737,7 @@ object Snapshots {
     // drop out-of-retention manifests first: after this no reader can
     // even resolve a version whose files are about to disappear
     var manifestsDropped = 0
-    (1 until keepFrom).foreach { v =>
+    (1 until keepFrom).filterNot(pinned).foreach { v =>
       val m = new HPath(s"${logDir(tableDir)}/v$v.list")
       if (fs.exists(m) && fs.delete(m, false)) manifestsDropped += 1
     }
@@ -688,7 +770,7 @@ object Snapshots {
     }
     // deletion-vector sidecars referenced by no retained manifest go
     // the same way (a DV superseded by a later delete or a compaction)
-    val referencedDv = (keepFrom to cur)
+    val referencedDv = retainedVersions
       .flatMap(v => dvSidecarOf(tableDir, v))
       .map(p => new HPath(p).toUri.getPath).toSet
     val dvRoot = new HPath(dvDir(tableDir))

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 
 import graft.operators.{DeleteRows, Optimize}
 import graft.sources.Snapshots
@@ -223,9 +223,45 @@ object SnapshotProcedures {
     }
   }
 
+  /** `create_tag(table, name, version)` — [[Snapshots.createTag]]:
+    * pin a version under an immutable name (version -1 = current).
+    * The pin survives vacuum; `VERSION AS OF 'name'` reproduces the
+    * snapshot — training-data lineage as one ref file. */
+  private object CreateTagProcedure extends OneRowProcedure(
+    "create_tag",
+    "pin a version under an immutable name (survives vacuum; " +
+      "readable via VERSION AS OF 'name')",
+    Array(p("table", StringType), p("name", StringType),
+      pd("version", IntegerType, "-1")),
+    out("tag" -> StringType, "pinned_version" -> IntegerType)) {
+    override protected def run(spark: SparkSession,
+                               in: InternalRow): Array[Any] = {
+      val version = if (in.getInt(2) < 0) None else Some(in.getInt(2))
+      val v = Snapshots.createTag(str(in, 0), str(in, 1), version)
+      Array(org.apache.spark.unsafe.types.UTF8String
+        .fromString(str(in, 1)), v)
+    }
+  }
+
+  /** `drop_tag(table, name)` — release the pin; the next vacuum may
+    * reclaim the version. */
+  private object DropTagProcedure extends OneRowProcedure(
+    "drop_tag",
+    "drop a tag (releases the retention pin)",
+    Array(p("table", StringType), p("name", StringType)),
+    out("tag" -> StringType, "existed" -> BooleanType)) {
+    override protected def run(spark: SparkSession,
+                               in: InternalRow): Array[Any] = {
+      val existed = Snapshots.dropTag(str(in, 0), str(in, 1))
+      Array(org.apache.spark.unsafe.types.UTF8String
+        .fromString(str(in, 1)), existed)
+    }
+  }
+
   val all: Seq[UnboundProcedure] = Seq(CompactProcedure,
     CompactSmallProcedure, ZorderProcedure, ClusterByProcedure,
-    RestoreProcedure, DeleteKeysProcedure, VacuumProcedure)
+    RestoreProcedure, DeleteKeysProcedure, VacuumProcedure,
+    CreateTagProcedure, DropTagProcedure)
 
   def byName(name: String): Option[UnboundProcedure] =
     all.find(_.name().equalsIgnoreCase(name))

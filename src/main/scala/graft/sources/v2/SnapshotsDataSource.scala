@@ -116,10 +116,14 @@ object SnapshotsDataSource {
     uri.getPath
   }
 
-  /** (tableDir, resolved version) from read options. */
+  /** (tableDir, resolved version) from read options. A non-numeric
+    * `versionAsOf` is a TAG name (SQL `VERSION AS OF 'training_run_17'`
+    * arrives here through the catalog's string-version overload) —
+    * resolved against the table's immutable tag refs. */
   private[v2] def resolve(options: CaseInsensitiveStringMap): (String, Int) = {
     val dir = normalizePath(options)
-    val v = Option(options.get("versionAsOf")).map(_.toInt)
+    val v = Option(options.get("versionAsOf")).map(s =>
+        s.toIntOption.getOrElse(Snapshots.resolveTag(dir, s)))
       .orElse(Option(options.get("timestampAsOf")).map { t =>
         val millis = t.toLongOption.getOrElse(
           java.time.Instant.parse(t).toEpochMilli)
