@@ -479,6 +479,11 @@ object Snapshots {
                 version: Option[Int] = None): Int = {
     require(name.matches(TagNamePattern),
       s"tag name '$name' must match $TagNamePattern")
+    // a pure-numeric name would be unreachable from SQL: `VERSION AS OF
+    // '42'` means version 42 by contract, never a tag
+    require(name.toIntOption.isEmpty,
+      s"tag name '$name' is numeric — VERSION AS OF would read it as a " +
+        "version number; pick a non-numeric name")
     val v = version.getOrElse(currentVersion(tableDir))
     require(v >= 1 &&
       Files.exists(Paths.get(s"${logDir(tableDir)}/v$v.list")),

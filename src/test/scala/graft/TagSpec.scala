@@ -42,6 +42,8 @@ class TagSpec extends SparkSpec {
     assert(ex.getMessage.contains("gold"))
     intercept[IllegalArgumentException] {
       Snapshots.createTag(t, "bad name with spaces") }
+    // numeric names collide with VERSION AS OF version-number parsing
+    intercept[IllegalArgumentException] { Snapshots.createTag(t, "42") }
     intercept[IllegalArgumentException] {
       Snapshots.createTag(t, "v99", Some(99)) }
   }
