@@ -207,9 +207,8 @@ class SnapshotReplaceGroupsWrite(tableDir: String, schema: StructType,
     val rec = op.scanned.get()
     require(rec != null,
       "row-level write committed before its scan planned any groups")
-    val newFiles = messages.collect {
-      case FileCommit(p, rows) if rows > 0 => p
-    }.toSeq
+    val newFiles = SnapshotWriteSupport.committed(messages)
+      .collect { case FileCommit(p, rows) if rows > 0 => p }
     if (rec.files.isEmpty && newFiles.isEmpty) {
       // the condition pruned every file AND the write produced no rows:
       // nothing was scanned, nothing was added — a no-op, not a new
@@ -246,5 +245,5 @@ class SnapshotReplaceGroupsWrite(tableDir: String, schema: StructType,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     SnapshotWriteSupport.deleteQuietly(conf.value,
-      messages.collect { case FileCommit(p, _) => p }.toSeq)
+      SnapshotWriteSupport.committed(messages).map(_.path))
 }

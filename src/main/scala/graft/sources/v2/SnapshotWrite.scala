@@ -47,7 +47,9 @@ import graft.sources.Snapshots
   */
 class SnapshotWriteBuilder(tableDir: String, schema0: StructType,
                            conf: ParquetGroups.SerializableConf,
-                           queryId: String)
+                           queryId: String,
+                           targetFileBytes: Long =
+                             SnapshotWriteSupport.DefaultTargetFileBytes)
     extends WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsOverwriteV2 {
 
@@ -100,14 +102,17 @@ class SnapshotWriteBuilder(tableDir: String, schema0: StructType,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = replaceWhere match {
       case Some(filters) =>
-        new SnapshotReplaceWhereWrite(tableDir, schema, conf, filters)
-      case None => new SnapshotBatchWrite(tableDir, schema, conf, replace)
+        new SnapshotReplaceWhereWrite(tableDir, schema, conf, filters,
+          targetFileBytes)
+      case None =>
+        new SnapshotBatchWrite(tableDir, schema, conf, replace, targetFileBytes)
     }
     override def toStreaming: StreamingWrite = {
       require(!replace && replaceWhere.isEmpty,
         "graft_snapshots streaming writes are append-only (complete/" +
           "update output modes would replace the table every epoch)")
-      new SnapshotStreamingWrite(tableDir, schema, conf, queryId)
+      new SnapshotStreamingWrite(tableDir, schema, conf, queryId,
+        targetFileBytes)
     }
     override def description(): String =
       s"graft_snapshots ${
@@ -118,6 +123,10 @@ class SnapshotWriteBuilder(tableDir: String, schema0: StructType,
 }
 
 private[graft] case class FileCommit(path: String, rows: Long)
+    extends WriterCommitMessage
+
+/** A task that ROLLED (file-size hygiene) reports every file it wrote. */
+private[graft] case class MultiFileCommit(files: Seq[FileCommit])
     extends WriterCommitMessage
 
 private[v2] object SnapshotWriteSupport {
@@ -223,6 +232,13 @@ private[v2] object SnapshotWriteSupport {
 
     def close(): Long = { writer.close(); rows }
 
+    /** Rows written so far (cheap; rolling cadence). */
+    def rowCount: Long = rows
+
+    /** In-flight size estimate (written pages + buffered), the rolling
+      * trigger. */
+    def dataSize: Long = writer.getDataSize
+
     private def appender(name: String, dt: DataType, i: Int)
         : (Group, InternalRow) => Unit = dt match {
       case BooleanType => (g, r) => g.add(name, r.getBoolean(i))
@@ -267,39 +283,93 @@ private[v2] object SnapshotWriteSupport {
       }
   }
 
-  final class TaskWriter(file: String, conf: Configuration,
-                         schema: StructType)
-      extends DataWriter[InternalRow] {
-    private val w = new FileWriter(file, conf, schema)
-    override def write(row: InternalRow): Unit = w.write(row)
-    override def commit(): WriterCommitMessage = FileCommit(file, w.close())
-    override def abort(): Unit = {
-      w.close()
-      deleteQuietly(conf, Seq(file))
+  /** Default write-side file-size target. FILE-SIZE HYGIENE at scale:
+    * without rolling, one task = one file — a skewed or coalesced task
+    * writing 10 GB produces a 10 GB file whose footer stats cover too
+    * much to prune and whose read can't parallelize below one task.
+    * Overridable per write with `option("targetFileBytes", n)`. */
+  val DefaultTargetFileBytes: Long = 512L << 20
+
+  /** Normalize task commit messages to their file list — writers report
+    * ONE file ([[FileCommit]]) or a ROLLED sequence ([[MultiFileCommit]]). */
+  def committed(messages: Array[WriterCommitMessage]): Seq[FileCommit] =
+    messages.toSeq.flatMap {
+      case f: FileCommit => Seq(f)
+      case MultiFileCommit(fs) => fs
+      case other => throw new IllegalStateException(
+        s"unexpected commit message $other")
     }
+
+  /** One task's writer, ROLLING at `targetBytes`: the parquet file
+    * opens lazily (an empty task stages nothing) and closes + reopens
+    * under a `-rN` suffix when the writer's in-flight size passes the
+    * target — file sizes stay bounded no matter how skewed the task's
+    * input. Size is polled every 512 rows (getDataSize walks column
+    * buffers). */
+  final class TaskWriter(file: String, conf: Configuration,
+                         schema: StructType,
+                         targetBytes: Long = DefaultTargetFileBytes)
+      extends DataWriter[InternalRow] {
+    private val done = scala.collection.mutable.ArrayBuffer.empty[FileCommit]
+    private var w: FileWriter = _
+    private var cur: String = _
+    private var rolled = 0
+
+    private def open(): Unit = {
+      cur =
+        if (rolled == 0) file
+        else s"${file.stripSuffix(".parquet")}-r$rolled.parquet"
+      w = new FileWriter(cur, conf, schema)
+    }
+
+    override def write(row: InternalRow): Unit = {
+      if (w == null) open()
+      w.write(row)
+      if ((w.rowCount & 511) == 0 && w.dataSize >= targetBytes) {
+        done += FileCommit(cur, w.close())
+        rolled += 1
+        w = null
+      }
+    }
+
+    override def commit(): WriterCommitMessage = {
+      if (w != null) { done += FileCommit(cur, w.close()); w = null }
+      done.toSeq match {
+        case Seq(one) => one
+        case many => MultiFileCommit(many)
+      }
+    }
+
+    override def abort(): Unit = {
+      if (w != null) { w.close(); w = null; done += FileCommit(cur, 0L) }
+      deleteQuietly(conf, done.map(_.path).toSeq)
+    }
+
     override def close(): Unit = ()
   }
 }
 
 class SnapshotBatchWrite(tableDir: String, schema: StructType,
                          conf: ParquetGroups.SerializableConf,
-                         replace: Boolean = false)
+                         replace: Boolean = false,
+                         targetFileBytes: Long =
+                           SnapshotWriteSupport.DefaultTargetFileBytes)
     extends BatchWrite {
   private val staging = SnapshotWriteSupport.stagingDir(tableDir)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = {
     val dir = staging; val c = conf; val s = schema
+    val tb = targetFileBytes
     (partitionId: Int, taskId: Long) =>
       new SnapshotWriteSupport.TaskWriter(
-        s"$dir/part-$partitionId-$taskId.parquet", c.value, s)
+        s"$dir/part-$partitionId-$taskId.parquet", c.value, s, tb)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // only non-empty task outputs are referenced
-    val files = messages.collect {
-      case FileCommit(p, rows) if rows > 0 => p
-    }.toSeq
+    val files = SnapshotWriteSupport.committed(messages)
+      .collect { case FileCommit(p, rows) if rows > 0 => p }
     if (replace) {
       // REPLACE commit: only the new files. An empty overwrite still
       // needs a readable version — write one schema-only file so the
@@ -320,7 +390,7 @@ class SnapshotBatchWrite(tableDir: String, schema: StructType,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     SnapshotWriteSupport.deleteQuietly(conf.value,
-      messages.collect { case FileCommit(p, _) => p }.toSeq)
+      SnapshotWriteSupport.committed(messages).map(_.path))
 }
 
 /** The REPLACE-WHERE batch write: tasks stage the new data like any
@@ -334,22 +404,24 @@ class SnapshotBatchWrite(tableDir: String, schema: StructType,
   */
 class SnapshotReplaceWhereWrite(tableDir: String, schema: StructType,
                                 conf: ParquetGroups.SerializableConf,
-                                filters: Array[org.apache.spark.sql.sources.Filter])
+                                filters: Array[org.apache.spark.sql.sources.Filter],
+                                targetFileBytes: Long =
+                                  SnapshotWriteSupport.DefaultTargetFileBytes)
     extends BatchWrite {
   private val staging = SnapshotWriteSupport.stagingDir(tableDir)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = {
     val dir = staging; val c = conf; val s = schema
+    val tb = targetFileBytes
     (partitionId: Int, taskId: Long) =>
       new SnapshotWriteSupport.TaskWriter(
-        s"$dir/part-$partitionId-$taskId.parquet", c.value, s)
+        s"$dir/part-$partitionId-$taskId.parquet", c.value, s, tb)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val newFiles = messages.collect {
-      case FileCommit(p, rows) if rows > 0 => p
-    }.toSeq
+    val newFiles = SnapshotWriteSupport.committed(messages)
+      .collect { case FileCommit(p, rows) if rows > 0 => p }
     val spark = org.apache.spark.sql.SparkSession.active
     val (baseVersion, kept, survivorsDir) =
       graft.operators.DeleteRows.prepareReplace(spark, tableDir,
@@ -370,21 +442,24 @@ class SnapshotReplaceWhereWrite(tableDir: String, schema: StructType,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     SnapshotWriteSupport.deleteQuietly(conf.value,
-      messages.collect { case FileCommit(p, _) => p }.toSeq)
+      SnapshotWriteSupport.committed(messages).map(_.path))
 }
 
 class SnapshotStreamingWrite(tableDir: String, schema: StructType,
                              conf: ParquetGroups.SerializableConf,
-                             queryId: String)
+                             queryId: String,
+                             targetFileBytes: Long =
+                               SnapshotWriteSupport.DefaultTargetFileBytes)
     extends StreamingWrite {
   private val staging = SnapshotWriteSupport.stagingDir(tableDir)
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory = {
     val dir = staging; val c = conf; val s = schema
+    val tb = targetFileBytes
     (partitionId: Int, taskId: Long, epochId: Long) =>
       new SnapshotWriteSupport.TaskWriter(
-        s"$dir/part-e$epochId-$partitionId-$taskId.parquet", c.value, s)
+        s"$dir/part-e$epochId-$partitionId-$taskId.parquet", c.value, s, tb)
   }
 
   /** Idempotent per epoch — the replay guard is the `#epoch=` header
@@ -401,7 +476,7 @@ class SnapshotStreamingWrite(tableDir: String, schema: StructType,
       s"$tableDir/_snapshots/epoch-$queryId-$epochId.cmt")
     val fs = marker.getFileSystem(conf.value)
     def dropDuplicates(): Unit = SnapshotWriteSupport.deleteQuietly(
-      conf.value, messages.collect { case FileCommit(p, _) => p }.toSeq)
+      conf.value, SnapshotWriteSupport.committed(messages).map(_.path))
     def writeMarker(): Unit = {
       fs.mkdirs(marker.getParent)
       try {
@@ -415,9 +490,8 @@ class SnapshotStreamingWrite(tableDir: String, schema: StructType,
     if (Snapshots.lastEpochOf(tableDir, queryId).exists(_ >= epochId)) {
       writeMarker(); dropDuplicates(); return
     }
-    val files = messages.collect {
-      case FileCommit(p, rows) if rows > 0 => p
-    }.toSeq
+    val files = SnapshotWriteSupport.committed(messages)
+      .collect { case FileCommit(p, rows) if rows > 0 => p }
     SnapshotWriteSupport.publish(tableDir, files,
       epochTag = Some(s"$queryId-$epochId"))
     // empty epochs publish no manifest; the marker alone records them
@@ -428,5 +502,5 @@ class SnapshotStreamingWrite(tableDir: String, schema: StructType,
   override def abort(epochId: Long, messages: Array[WriterCommitMessage])
       : Unit =
     SnapshotWriteSupport.deleteQuietly(conf.value,
-      messages.collect { case FileCommit(p, _) => p }.toSeq)
+      SnapshotWriteSupport.committed(messages).map(_.path))
 }

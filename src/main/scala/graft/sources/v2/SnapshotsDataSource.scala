@@ -665,7 +665,10 @@ class SnapshotTable(schema: StructType, options: CaseInsensitiveStringMap)
     new SnapshotWriteBuilder(dir, info.schema(),
       new ParquetGroups.SerializableConf(
         SparkSession.active.sparkContext.hadoopConfiguration),
-      info.queryId())
+      info.queryId(),
+      // file-size hygiene: tasks ROLL their output at this many bytes
+      info.options.getLong("targetFileBytes",
+        SnapshotWriteSupport.DefaultTargetFileBytes))
   }
 }
 

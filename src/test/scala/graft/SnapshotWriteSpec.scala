@@ -187,6 +187,44 @@ class SnapshotWriteSpec extends SparkSpec {
     assert(Snapshots.currentVersion(t) == 3)
   }
 
+  test("file-size hygiene: a task ROLLS its output at targetFileBytes — " +
+    "one skewed task publishes several bounded files, content exact") {
+    val t = SparkHygiene.scratchDir("wr_roll")
+    // ONE partition carrying ~3 MB through a 256 KB target: the single
+    // task must roll repeatedly instead of writing one oversized file
+    spark.range(30000).toDF("id")
+      .withColumn("pad", lpad(lit("x"), 100, "y"))
+      .coalesce(1)
+      .write.format("graft_snapshots")
+      .option("path", t).option("targetFileBytes", 256L << 10)
+      .mode("append").save()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = Snapshots.manifestEntries(t, 1).flatMap { e =>
+      val p = new org.apache.hadoop.fs.Path(e)
+      val fs = p.getFileSystem(conf)
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+          .map(s => (s.getPath.toUri.getPath, s.getLen)).toSeq
+      else Seq((p.toUri.getPath, fs.getFileStatus(p).getLen))
+    }
+    assert(files.size > 1, s"expected a rolled multi-file commit, got $files")
+    // every file bounded (roll cadence = 512 rows, so one row-group of
+    // slack above the target is the contract, not a bug)
+    assert(files.forall(_._2 < (1L << 20)),
+      s"rolled files must stay bounded: $files")
+    val back = spark.read.format("graft_snapshots").option("path", t).load()
+    assert(back.count() == 30000)
+    assert(back.agg(sum($"id")).as[Long].head ==
+      30000L * 29999L / 2)
+    // rolling composes with the manifest-as-committer contract: a
+    // second append keeps the first commit's files by reference
+    spark.range(5).toDF("id").withColumn("pad", lit("z"))
+      .write.format("graft_snapshots").option("path", t)
+      .mode("append").save()
+    assert(spark.read.format("graft_snapshots").option("path", t).load()
+      .count() == 30005)
+  }
+
   test("an empty overwrite reads as an empty table, not a missing one") {
     val t = SparkHygiene.scratchDir("wr_ovw_empty")
     Snapshots.commit(spark, t, Seq((1L, "a")).toDF("id", "name"))
