@@ -231,13 +231,30 @@ object SnapshotsDataSource {
       longs: Map[String, (Long, Long)],
       strings: Map[String, Option[(Array[Byte], Array[Byte])]])
 
-  private[v2] def rangeStats(conf: Configuration, file: String,
-                             longCols: Set[String],
-                             stringCols: Set[String]): FileRanges = {
+  /** Per-file footer stats CACHE, keyed by path. Sound because data
+    * files are IMMUTABLE and never rewritten in place (writer-unique
+    * staging/version dirs, CREATE_NEW publishes, `-rN` roll suffixes):
+    * a path's footer can never change, so its stats are facts. This
+    * turns plan-time skipping from O(candidate files) footer opens PER
+    * QUERY into per file LIFETIME — the difference between a
+    * millisecond plan and a listing storm when the same 100 TB table
+    * is queried repeatedly. Bounded crudely: cleared wholesale past
+    * 200k entries (entries are tens of bytes; the clear is a cache,
+    * not a correctness event). */
+  private val footerStatsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CachedFooterStats]()
+  private[v2] case class CachedFooterStats(
+      longs: Map[String, (Long, Long)],
+      strings: Map[String, Option[(Array[Byte], Array[Byte])]])
+
+  private def readFooterStats(conf: Configuration,
+                              file: String): CachedFooterStats = {
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(file), conf))
     try {
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
       val accL = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      val badL = scala.collection.mutable.Set.empty[String]
       val accS =
         scala.collection.mutable.Map.empty[String, (Array[Byte], Array[Byte])]
       // a string column is unusable once ANY row group lacks binary
@@ -248,40 +265,64 @@ object SnapshotsDataSource {
         b.getColumns.asScala.foreach { c =>
           val name = c.getPath.toDotString
           val s = c.getStatistics
-          if (longCols.contains(name)) {
-            if (s == null || s.isEmpty)
-              accL(name) = (Long.MinValue, Long.MaxValue)
-            else {
-              val lo = s.genericGetMin.asInstanceOf[Number].longValue
-              val hi = s.genericGetMax.asInstanceOf[Number].longValue
-              val (plo, phi) =
-                accL.getOrElse(name, (Long.MaxValue, Long.MinValue))
-              accL(name) = (math.min(plo, lo), math.max(phi, hi))
-            }
-          } else if (stringCols.contains(name) && !badS.contains(name)) {
-            if (s == null) { badS += name; () }
-            else if (s.isEmpty || !s.hasNonNullValue) () // all-null group
-            else (s.genericGetMin, s.genericGetMax) match {
-              case (mn: org.apache.parquet.io.api.Binary,
-                    mx: org.apache.parquet.io.api.Binary) =>
-                val lo = mn.getBytes; val hi = mx.getBytes
-                accS.get(name) match {
-                  case None => accS(name) = (lo, hi)
-                  case Some((plo, phi)) => accS(name) = (
-                    if (cmpBytes(lo, plo) < 0) lo else plo,
-                    if (cmpBytes(hi, phi) > 0) hi else phi)
-                }
-              case _ => badS += name; ()
-            }
+          c.getPrimitiveType.getPrimitiveTypeName match {
+            case PrimitiveTypeName.INT64 | PrimitiveTypeName.INT32 =>
+              if (s == null || s.isEmpty) badL += name
+              // an all-null group constrains nothing: no row of it can
+              // satisfy a comparison, and only comparisons/IN skip
+              // (null-matching filters are never skippable) — and its
+              // "min/max" are uninitialized zeros, phantom widening
+              else if (!s.hasNonNullValue) ()
+              else {
+                val lo = s.genericGetMin.asInstanceOf[Number].longValue
+                val hi = s.genericGetMax.asInstanceOf[Number].longValue
+                val (plo, phi) =
+                  accL.getOrElse(name, (Long.MaxValue, Long.MinValue))
+                accL(name) = (math.min(plo, lo), math.max(phi, hi))
+              }
+            case PrimitiveTypeName.BINARY if !badS.contains(name) =>
+              if (s == null) { badS += name; () }
+              else if (s.isEmpty || !s.hasNonNullValue) () // all-null group
+              else (s.genericGetMin, s.genericGetMax) match {
+                case (mn: org.apache.parquet.io.api.Binary,
+                      mx: org.apache.parquet.io.api.Binary) =>
+                  val lo = mn.getBytes; val hi = mx.getBytes
+                  accS.get(name) match {
+                    case None => accS(name) = (lo, hi)
+                    case Some((plo, phi)) => accS(name) = (
+                      if (cmpBytes(lo, plo) < 0) lo else plo,
+                      if (cmpBytes(hi, phi) > 0) hi else phi)
+                  }
+                case _ => badS += name; ()
+              }
+            case _ => ()
           }
         }
       }
-      FileRanges(
-        longCols.iterator.map(c =>
-          c -> accL.getOrElse(c, (Long.MinValue, Long.MaxValue))).toMap,
-        stringCols.iterator.map(c =>
-          c -> (if (badS.contains(c)) None else accS.get(c))).toMap)
+      CachedFooterStats(
+        accL.iterator.map { case (n, r) =>
+          n -> (if (badL.contains(n)) (Long.MinValue, Long.MaxValue) else r)
+        }.toMap ++ badL.iterator.map(
+          _ -> (Long.MinValue, Long.MaxValue)).toMap,
+        accS.iterator.map { case (n, r) =>
+          n -> (if (badS.contains(n)) None else Some(r))
+        }.toMap -- badS)
     } finally reader.close()
+  }
+
+  private[v2] def rangeStats(conf: Configuration, file: String,
+                             longCols: Set[String],
+                             stringCols: Set[String]): FileRanges = {
+    if (footerStatsCache.size() > 200000) footerStatsCache.clear()
+    val cached = footerStatsCache.computeIfAbsent(file,
+      f => readFooterStats(conf, f))
+    FileRanges(
+      // a column the file lacks (schema evolution) or carries no stats
+      // for: full range / no bounds — a bound is a fact, never a guess
+      longCols.iterator.map(c =>
+        c -> cached.longs.getOrElse(c, (Long.MinValue, Long.MaxValue))).toMap,
+      stringCols.iterator.map(c =>
+        c -> cached.strings.getOrElse(c, None)).toMap)
   }
 
   /** Per-column footer aggregate state; `hasMinMax` is false when any

@@ -183,7 +183,9 @@ class DeltaDmlSpec extends SparkSpec {
     spark.sql(s"CREATE TABLE $tab (id BIGINT, v STRING) USING " +
       s"graft_snapshots OPTIONS (path '$t', dmlMode 'merge-on-read')")
     try {
-      spark.range(5000, 5010).toDF("id").withColumn("v", lit("m"))
+      // mid-bucket keys; range-partition boundaries are sample-derived,
+      // so the pin tolerates the keys straddling one boundary
+      spark.range(4400, 4410).toDF("id").withColumn("v", lit("m"))
         .createOrReplaceTempView("dml_dpp_src")
       graft.sources.v2.SnapshotsDataSource.runtimeSkipCensus.remove(t)
       // the size gate would skip a test-sized table (measured crossover,
@@ -196,10 +198,11 @@ class DeltaDmlSpec extends SparkSpec {
         .runtimeSkipCensus.get(t)
       assert(census != null, "the runtime _file filter must reach the scan")
       val (kept, skipped) = census
-      assert(kept == 1 && skipped == 7,
-        s"10 adjacent keys live in ONE of 8 range files; got ($kept, $skipped)")
+      assert(kept <= 2 && skipped >= 6,
+        s"10 adjacent keys live in ≤2 of 8 range files; got ($kept, $skipped)")
       val m = spark.table(tab).as[(Long, String)].collect().toMap
       assert(m.size == 8000 && m.values.count(_ == "m") == 10)
+      assert((4400L until 4410L).forall(m(_) == "m"))
     } finally {
       spark.conf.unset("spark.graft.delta.runtimeGroupFilter.minBytes")
       spark.sql(s"DROP TABLE ${tab}")
