@@ -53,12 +53,20 @@ class SnapshotCatalog extends TableCatalog with FunctionCatalog
   override def name(): String = catName
 
   /** The identifier's NAME is the table directory (backtick-quote it:
-    * `` graft_snap.snap.`/tmp/t` ``); the namespace is cosmetic. */
+    * `` graft_snap.snap.`/tmp/t` ``). The namespace selects the DML
+    * family: `snap` (default) = copy-on-write; `mor` = merge-on-read
+    * (`dmlMode 'merge-on-read'` — DELETE/UPDATE/MERGE write deletion
+    * vectors / position deltas instead of rewriting files). Same
+    * directory, same data — the namespace is a per-statement routing
+    * choice, exactly like opening the table with the option. */
   override def loadTable(ident: Identifier): Table = {
     val dir = ident.name()
     if (Snapshots.currentVersion(dir) == 0) throw new NoSuchTableException(ident)
+    val base = Map("path" -> dir)
     val opts = new CaseInsensitiveStringMap(
-      Map("path" -> dir).asJava)
+      (if (ident.namespace().lastOption.contains("mor"))
+         base + ("dmlMode" -> "merge-on-read")
+       else base).asJava)
     val schema = new SnapshotsDataSource().inferSchema(opts)
     new SnapshotTable(schema, opts)
   }

@@ -240,6 +240,40 @@ class DeltaDmlSpec extends SparkSpec {
     }
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION composes with merge-on-read (the " +
+    "catalog's mor namespace): auto-widen + position deltas, ZERO " +
+    "existing files rewrite") {
+    val t = SparkHygiene.scratchDir("dml_evo")
+    Snapshots.commit(spark, t,
+      spark.range(100).toDF("id").withColumn("v", lit("old"))
+        .repartitionByRange(4, $"id"))
+    val cat = "graft_dml_evo"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    val v1Entries = Snapshots.manifestEntries(t, 1).toSet
+    spark.range(90, 110).toDF("id")
+      .withColumn("v", lit("m"))
+      .withColumn("extra", concat(lit("x"), $"id"))
+      .createOrReplaceTempView("dml_evo_src")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.mor.`$t` tgt
+         |USING dml_evo_src src ON tgt.id = src.id
+         |WHEN MATCHED THEN UPDATE SET v = src.v, extra = src.extra
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = spark.table(s"$cat.mor.`$t`")
+    assert(out.columns.toSeq == Seq("id", "v", "extra"))
+    assert(out.count() == 110)
+    // pre-evolution rows serve the new column null from UNTOUCHED files
+    assert(out.filter($"id" < 90 && $"extra".isNull).count() == 90)
+    assert(out.filter($"extra".startsWith("x")).count() == 20)
+    // merge-on-read: EVERY v1 entry republishes by reference through
+    // both the evolution commit and the merge — nothing rewrote
+    val cur = Snapshots.currentVersion(t)
+    assert(v1Entries.subsetOf(Snapshots.manifestEntries(t, cur).toSet))
+    // the 10 matched rows' old positions are suppressed
+    assert(Snapshots.deletionVectors(t, cur).values.map(_.length).sum == 10)
+  }
+
   test("a MOR UPDATE/MERGE commit fails loudly for an exactly-once " +
     "stream reader (already-emitted rows were logically removed)") {
     val (t, tab) = morTable("dml_stream")
