@@ -1135,6 +1135,35 @@ object TextQueries {
       } finally s.sql(s"DROP TABLE $tab")
     }),
 
+    // SHALLOW CLONE (sources/Snapshots.cloneTable): a new table whose
+    // v1 REFERENCES the source's files — zero bytes move, O(manifest)
+    // cost, independently writable. The classic hazard (source VACUUM
+    // strands the clone) is closed structurally: the clone auto-pins
+    // the source version with a clone-<id> tag. The query clones, then
+    // lets the source MOVE ON destructively (erase + compact + vacuum
+    // keep=1) — the clone must still read the ORIGINAL content, which
+    // only the pin kept alive (CloneSpec pins the release path).
+    "p51_shallow_clone" -> ((s, dir) => {
+      val cat = "graft_p51"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.SnapshotCatalog].getName)
+      val src = SparkHygiene.scratchDir("p51_src")
+      val dst = SparkHygiene.scratchDir("p51_dst") + "/t"
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.sources.Snapshots.commit(s, src,
+        docs.repartitionByRange(8, col("doc_id")))
+      s.sql(s"CALL $cat.system.clone('$src', '$dst')")
+      s.sql(s"CALL $cat.system.delete_keys('$src', 'doc_id', '1, 2, 3')")
+      s.sql(s"CALL $cat.system.compact(table => '$src', " +
+        "sort_col => 'doc_id')")
+      s.sql(s"CALL $cat.system.vacuum(table => '$src', keep => 1)")
+      s.table(s"$cat.snap.`$dst`")
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).as("text_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // TAGS (immutable named versions, sources/Snapshots.createTag):
     // the training-data-lineage primitive — a run tags the snapshot it
     // read, the pin SURVIVES retention (vacuum keeps pinned manifests
@@ -1521,6 +1550,11 @@ object TextQueries {
     "p46_compact_small" ->
       """SELECT doc_id, lang, length(text) AS text_len FROM documents
         |WHERE doc_id < 400 AND doc_id NOT IN (9, 309)
+        |ORDER BY doc_id""".stripMargin,
+    // the clone still serves the ORIGINAL content after the source's
+    // destructive history
+    "p51_shallow_clone" ->
+      """SELECT doc_id, lang, length(text) AS text_len FROM documents
         |ORDER BY doc_id""".stripMargin,
     // the tag pins v1 through append + compact + vacuum
     "p50_tag_travel" ->

@@ -536,6 +536,46 @@ object Snapshots {
               name: String): DataFrame =
     read(spark, tableDir, Some(resolveTag(tableDir, name)))
 
+  /** SHALLOW CLONE — `dstDir` becomes a table whose v1 REFERENCES the
+    * source version's files: zero bytes move, the clone is writable
+    * immediately (its commits land under its own directory), and the
+    * clone's lineage is independent from the source's from that point
+    * on — the dev/test-against-production-data primitive at 100 TB
+    * cost O(manifest).
+    *
+    * The classic shallow-clone hazard — `VACUUM` on the SOURCE deletes
+    * files the clone still references (Delta documents this as user
+    * beware) — is closed STRUCTURALLY: the clone drops an immutable
+    * `clone-<id>` tag on the source version, and [[vacuum]] keeps
+    * tag-pinned versions' files forever. Deleting the clone = dropping
+    * the returned tag (releases the pin to the next source vacuum).
+    * The clone's own vacuum can never touch source bytes either: it
+    * only deletes under the CLONE's data directory.
+    *
+    * Schema (field ids included) and deletion vectors travel with the
+    * manifest, so a clone of a DV'd or renamed version reads exactly
+    * as the source version did.
+    *
+    * @return (the clone's version — always 1, the pin tag created on
+    *         the source)
+    */
+  def cloneTable(spark: SparkSession, srcDir: String, dstDir: String,
+                 version: Option[Int] = None): (Int, String) = {
+    require(currentVersion(dstDir) == 0,
+      s"clone destination $dstDir already has snapshots")
+    val v = version.getOrElse(currentVersion(srcDir))
+    require(v >= 1, s"no snapshots under $srcDir")
+    val entries = manifestEntries(srcDir, v)
+    val tag = s"clone-${java.util.UUID.randomUUID().toString.take(8)}"
+    createTag(srcDir, tag, Some(v))
+    val dv = deletionVectors(srcDir, v)
+    commitManifest(dstDir, entries,
+      schemaJson = schemaOf(srcDir, v).map(_.json),
+      expectedVersion = Some(0),
+      dv = if (dv.isEmpty) None else Some(dv))
+    (1, tag)
+  }
+
   /** RESTORE — roll the table back to `version` by committing that
     * version's manifest verbatim as the NEW latest version (the Delta
     * `RESTORE TABLE ... TO VERSION` semantics): zero data movement

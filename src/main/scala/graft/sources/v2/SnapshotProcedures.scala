@@ -258,10 +258,29 @@ object SnapshotProcedures {
     }
   }
 
+  /** `clone(src, dst, version)` — [[Snapshots.cloneTable]]: shallow
+    * clone (zero data movement); auto-pins the source version with a
+    * `clone-<id>` tag so source vacuum can never strand the clone. */
+  private object CloneProcedure extends OneRowProcedure(
+    "clone",
+    "shallow-clone a version into a new table (zero bytes move); " +
+      "pins the source with a clone-<id> tag",
+    Array(p("src", StringType), p("dst", StringType),
+      pd("version", IntegerType, "-1")),
+    out("clone_version" -> IntegerType, "source_tag" -> StringType)) {
+    override protected def run(spark: SparkSession,
+                               in: InternalRow): Array[Any] = {
+      val version = if (in.getInt(2) < 0) None else Some(in.getInt(2))
+      val (v, tag) = Snapshots.cloneTable(spark, str(in, 0), str(in, 1),
+        version)
+      Array(v, org.apache.spark.unsafe.types.UTF8String.fromString(tag))
+    }
+  }
+
   val all: Seq[UnboundProcedure] = Seq(CompactProcedure,
     CompactSmallProcedure, ZorderProcedure, ClusterByProcedure,
     RestoreProcedure, DeleteKeysProcedure, VacuumProcedure,
-    CreateTagProcedure, DropTagProcedure)
+    CreateTagProcedure, DropTagProcedure, CloneProcedure)
 
   def byName(name: String): Option[UnboundProcedure] =
     all.find(_.name().equalsIgnoreCase(name))
