@@ -1289,6 +1289,43 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // STREAMING UPSERT SINK (CDC apply, `option("upsertKey", ...)` —
+    // sources/v2/SnapshotUpsertStreamingWrite): three overlapping
+    // document slices stream one-per-batch into a keyed table; each
+    // epoch is ONE manifest commit that appends the slice AND
+    // deletion-vector-suppresses the previously-live rows it replaces —
+    // zero file rewrites, later epochs win, epoch replay publishes
+    // nothing (UpsertSinkSpec pins replay, restart, and the
+    // update-mode aggregation composition). The oracle is
+    // last-writer-wins replayed as a slice-wise CASE.
+    "w42_stream_upsert" -> ((s, dir) => {
+      val src = SparkHygiene.scratchDir("w42_src")
+      val dst = SparkHygiene.scratchDir("w42_dst") + "/t"
+      val ck = SparkHygiene.scratchDir("w42_ck")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.sources.Snapshots.commit(s, src,
+        docs.repartitionByRange(4, col("doc_id")))
+      graft.sources.Snapshots.commit(s, src,
+        docs.filter(col("doc_id") >= 100 && col("doc_id") < 300)
+          .withColumn("lang", upper(col("lang"))))
+      graft.sources.Snapshots.commit(s, src,
+        docs.filter(col("doc_id") >= 200 && col("doc_id") < 400)
+          .withColumn("lang", lit("zz")))
+      val q = s.readStream.format("graft_snapshots").option("path", src)
+        .option("maxVersionsPerTrigger", 1).load()
+        .writeStream.format("graft_snapshots")
+        .option("path", dst).option("upsertKey", "doc_id")
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.format("graft_snapshots").option("path", dst).load()
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).as("text_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BACKFILL THROUGH THE STREAMING PIPELINE — the V2 snapshot source
     // feeding a STATEFUL event-time aggregation: three commits hold
     // time-ordered thirds of the event log (the shape a lakehouse
@@ -2186,6 +2223,15 @@ object EventQueries {
         |  'insert' AS change_type,
         |  event_id % 3 + 1 AS commit_version
         |FROM events ORDER BY event_id""".stripMargin,
+    // streaming upsert ≡ last-writer-wins by slice order
+    "w42_stream_upsert" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id >= 200 AND doc_id < 400 THEN 'zz'
+        |       WHEN doc_id >= 100 AND doc_id < 200 THEN upper(lang)
+        |       ELSE lang END AS lang,
+        |  length(text) AS text_len
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     // a lossless source→sink pipe ≡ the raw table
     "w35_v2_pipe" ->
       """SELECT event_id, user_id, event_type, value FROM events

@@ -49,7 +49,8 @@ class SnapshotWriteBuilder(tableDir: String, schema0: StructType,
                            conf: ParquetGroups.SerializableConf,
                            queryId: String,
                            targetFileBytes: Long =
-                             SnapshotWriteSupport.DefaultTargetFileBytes)
+                             SnapshotWriteSupport.DefaultTargetFileBytes,
+                           upsertKey: Option[String] = None)
     extends WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsOverwriteV2 {
 
@@ -111,16 +112,39 @@ class SnapshotWriteBuilder(tableDir: String, schema0: StructType,
       require(!replace && replaceWhere.isEmpty,
         "graft_snapshots streaming writes are append-only (complete/" +
           "update output modes would replace the table every epoch)")
-      new SnapshotStreamingWrite(tableDir, schema, conf, queryId,
-        targetFileBytes)
+      upsertKey match {
+        case Some(k) => new SnapshotUpsertStreamingWrite(tableDir, schema,
+          conf, queryId, k, targetFileBytes)
+        case None => new SnapshotStreamingWrite(tableDir, schema, conf,
+          queryId, targetFileBytes)
+      }
     }
     override def description(): String =
       s"graft_snapshots ${
         if (replace) "overwrite"
         else if (replaceWhere.isDefined) "overwrite-where"
+        else if (upsertKey.isDefined) s"upsert(${upsertKey.get})"
         else "append"} $tableDir"
   }
 }
+
+/** The builder when `option("upsertKey", col)` is set — additionally
+  * accepts UPDATE output mode as append
+  * ([[org.apache.spark.sql.connector.write.streaming.SupportsStreamingUpdateAsAppend]]):
+  * a streaming aggregation's updated rows upsert by their group key,
+  * which makes the sink a continuously-maintained aggregate table.
+  * The marker rides THIS subclass only: the plain append sink must
+  * keep refusing update mode (treating updates as appends there would
+  * duplicate keys every epoch). */
+class SnapshotUpsertWriteBuilder(tableDir: String, schema0: StructType,
+                                 conf: ParquetGroups.SerializableConf,
+                                 queryId: String,
+                                 targetFileBytes: Long,
+                                 key: String)
+    extends SnapshotWriteBuilder(tableDir, schema0, conf, queryId,
+      targetFileBytes, Some(key))
+    with org.apache.spark.sql.internal.connector
+      .SupportsStreamingUpdateAsAppend
 
 private[graft] case class FileCommit(path: String, rows: Long)
     extends WriterCommitMessage
@@ -492,15 +516,106 @@ class SnapshotStreamingWrite(tableDir: String, schema: StructType,
     }
     val files = SnapshotWriteSupport.committed(messages)
       .collect { case FileCommit(p, rows) if rows > 0 => p }
-    SnapshotWriteSupport.publish(tableDir, files,
-      epochTag = Some(s"$queryId-$epochId"))
+    publishEpoch(files, s"$queryId-$epochId")
     // empty epochs publish no manifest; the marker alone records them
     // (a replayed empty epoch re-publishes nothing either way)
     writeMarker()
+  }
+
+  /** What a non-replayed epoch's staged files become. Base: an APPEND
+    * commit. [[SnapshotUpsertStreamingWrite]] overrides with the
+    * key-upsert commit; whatever the override does, the epoch tag MUST
+    * ride the published manifest — it IS the replay guard. */
+  protected def publishEpoch(files: Seq[String], epochTag: String): Unit = {
+    SnapshotWriteSupport.publish(tableDir, files, epochTag = Some(epochTag))
+    ()
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage])
       : Unit =
     SnapshotWriteSupport.deleteQuietly(conf.value,
       SnapshotWriteSupport.committed(messages).map(_.path))
+}
+
+/** The EXACTLY-ONCE STREAMING UPSERT sink (`option("upsertKey", col)`)
+  * — CDC apply as a native sink instead of a foreachBatch escape
+  * hatch. Each epoch commits ONE manifest version that (a) appends the
+  * epoch's rows and (b) suppresses the previously-live rows whose key
+  * the epoch carries, via the same `#dv=` deletion-vector mechanism as
+  * merge-on-read DML: zero existing files rewrite, the epoch costs
+  * O(epoch rows + replaced rows), and delete + insert can never be
+  * observed apart. Epoch replay after a crash publishes NOTHING (the
+  * inherited `#epoch=` guard), so the upsert is exactly-once
+  * end-to-end.
+  *
+  * Contract: rows WITHIN one epoch must be key-unique (the sink
+  * applies the epoch as a set — dedup upstream with the streaming
+  * query's own semantics; there is no universal "last" inside a batch
+  * without an ordering column). Across epochs, later epochs win.
+  * An upsert table is not an append-only stream source — downstream
+  * exactly-once readers refuse its DV-growing commits by design.
+  *
+  * Reference context: this is the streaming half of the reference's
+  * DynamoDB upsert consumer
+  * (`/root/reference/business_logic/stream_consumer/process_records.py:182`)
+  * — the same apply-latest-by-key contract, as one atomic versioned
+  * commit per micro-batch.
+  */
+class SnapshotUpsertStreamingWrite(tableDir: String, schema: StructType,
+                                   conf: ParquetGroups.SerializableConf,
+                                   queryId: String,
+                                   keyCol: String,
+                                   targetFileBytes: Long =
+                                     SnapshotWriteSupport.DefaultTargetFileBytes)
+    extends SnapshotStreamingWrite(tableDir, schema, conf, queryId,
+      targetFileBytes) {
+
+  require(schema.fieldNames.contains(keyCol),
+    s"upsertKey '$keyCol' is not a column of the write schema " +
+      s"(${schema.fieldNames.mkString(", ")})")
+
+  override protected def publishEpoch(files: Seq[String],
+                                      epochTag: String): Unit = {
+    if (files.isEmpty) return
+    val spark = org.apache.spark.sql.SparkSession.active
+    val cur = Snapshots.currentVersion(tableDir)
+    if (cur == 0) { // bootstrap epoch: nothing to replace
+      super.publishEpoch(files, epochTag)
+      return
+    }
+    import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
+    val entries = Snapshots.manifestEntries(tableDir, cur)
+    // the epoch's key set (micro-batch-sized) broadcast-semi-joins the
+    // table's raw rows: matching (file, position) pairs are the rows
+    // this epoch replaces. Raw (not DV-filtered) — already-suppressed
+    // positions re-merge to the identical set, never resurrect.
+    val keysDf = spark.read.parquet(files: _*).select(col(keyCol)).distinct()
+    val raw = Snapshots.schemaOf(tableDir, cur) match {
+      case Some(s) if Snapshots.hasFieldIds(s) =>
+        Snapshots.idMappedRead(spark, s, entries)
+      case Some(s) => spark.read.schema(s).parquet(entries: _*)
+      case None => spark.read.parquet(entries: _*)
+    }
+    val hits = raw
+      // metadata columns resolve only directly above the scan — pin
+      // them into real columns BEFORE the join consumes the relation
+      .select(col(keyCol),
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/").as("f"),
+        col("_metadata.row_index").as("p"))
+      .join(broadcast(keysDf), Seq(keyCol), "left_semi")
+      .select(col("f"), col("p"))
+      .collect()
+    val fresh: Map[String, Array[Long]] = hits.groupBy(_.getString(0))
+      .map { case (f, rs) => f -> rs.map(_.getLong(1)) }
+    val prev = Snapshots.deletionVectors(tableDir, cur)
+    val merged = (prev.keySet ++ fresh.keySet).iterator.map { f =>
+      f -> (prev.getOrElse(f, Array.empty[Long]) ++
+        fresh.getOrElse(f, Array.empty[Long])).distinct.sorted
+    }.toMap
+    Snapshots.commitManifest(tableDir, entries ++ files.sorted,
+      expectedVersion = Some(cur),
+      dv = if (merged.isEmpty) None else Some(merged),
+      epochTag = Some(epochTag))
+    ()
+  }
 }

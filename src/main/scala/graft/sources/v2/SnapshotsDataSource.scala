@@ -703,13 +703,20 @@ class SnapshotTable(schema: StructType, options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     val dir = SnapshotsDataSource.normalizePath(
       if (info.options.containsKey("path")) info.options else options)
-    new SnapshotWriteBuilder(dir, info.schema(),
-      new ParquetGroups.SerializableConf(
-        SparkSession.active.sparkContext.hadoopConfiguration),
-      info.queryId(),
-      // file-size hygiene: tasks ROLL their output at this many bytes
-      info.options.getLong("targetFileBytes",
-        SnapshotWriteSupport.DefaultTargetFileBytes))
+    val c = new ParquetGroups.SerializableConf(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    // file-size hygiene: tasks ROLL their output at this many bytes
+    val tb = info.options.getLong("targetFileBytes",
+      SnapshotWriteSupport.DefaultTargetFileBytes)
+    // streaming upsert sink (CDC apply): per-epoch key-upsert commits
+    Option(info.options.get("upsertKey"))
+      .orElse(Option(options.get("upsertKey"))) match {
+      case Some(k) =>
+        new SnapshotUpsertWriteBuilder(dir, info.schema(), c,
+          info.queryId(), tb, k)
+      case None =>
+        new SnapshotWriteBuilder(dir, info.schema(), c, info.queryId(), tb)
+    }
   }
 }
 
