@@ -165,19 +165,47 @@ private[v2] object SnapshotWriteSupport {
     * by reference). Returns the version, or -1 for an empty write
     * (nothing to publish — an empty append is a no-op, not an empty
     * table version). `epochTag` rides the manifest as its `#epoch=`
-    * header (streaming-sink idempotence — atomic with the publish). */
+    * header (streaming-sink idempotence — atomic with the publish).
+    *
+    * CAS at cur+1 (ADVICE r13) with AUTO-RETRY: an append derives
+    * nothing from the base version except its entry list, which is
+    * recomputed per attempt — so when a concurrent commit wins the
+    * CREATE_NEW race, this writer re-reads the new current and
+    * publishes on top instead of failing the job. Concurrent APPENDERS
+    * therefore all succeed (serialized by the CAS); only derived-state
+    * commits (DML, replace, maintenance) surface the race to the
+    * statement, because their content is stale by construction. */
   def publish(tableDir: String, files: Seq[String],
-              epochTag: Option[String] = None): Int =
-    if (files.isEmpty) -1
-    else {
-      // CAS at cur+1 (ADVICE r13): entries derive from cur's manifest,
-      // so a commit racing in between must fail this publish atomically
-      // rather than have its files dropped from the republished list
+              epochTag: Option[String] = None): Int = {
+    if (files.isEmpty) return -1
+    var attempts = 0
+    while (true) {
       val cur = Snapshots.currentVersion(tableDir)
-      Snapshots.commitManifest(tableDir,
-        Snapshots.manifestEntries(tableDir, cur) ++ files.sorted,
-        expectedVersion = Some(cur), epochTag = epochTag)
+      try {
+        return Snapshots.commitManifest(tableDir,
+          Snapshots.manifestEntries(tableDir, cur) ++ files.sorted,
+          expectedVersion = Some(cur), epochTag = epochTag)
+      } catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          // zombie-driver guard: if the racer that beat us was a replay
+          // of THIS epoch (two drivers committing the same epoch
+          // concurrently), retrying would publish the epoch twice —
+          // re-check the epoch header and stand down instead
+          epochTag.foreach { tag =>
+            val cut = tag.lastIndexOf('-')
+            if (cut > 0) {
+              val (qid, eid) = (tag.substring(0, cut),
+                tag.substring(cut + 1).toLong)
+              if (Snapshots.lastEpochOf(tableDir, qid).exists(_ >= eid))
+                return Snapshots.currentVersion(tableDir)
+            }
+          }
+          attempts += 1
+          if (attempts >= 20) throw e
+      }
     }
+    -1 // unreachable
+  }
 
   def deleteQuietly(conf: Configuration, paths: Seq[String]): Unit =
     paths.foreach { p =>

@@ -225,6 +225,37 @@ class SnapshotWriteSpec extends SparkSpec {
       .count() == 30005)
   }
 
+  test("concurrent APPENDERS all succeed: the CAS race auto-retries " +
+    "(append entries recompute per attempt), no commit is lost") {
+    val t = SparkHygiene.scratchDir("wr_conc")
+    Snapshots.commit(spark, t, Seq((0L, "seed")).toDF("id", "name"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (1 to 8).map { k =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            // cloned session per thread: writes race only at the commit
+            val s = spark.newSession()
+            s.createDataFrame(
+                java.util.List.of(org.apache.spark.sql.Row(k.toLong, s"w$k")),
+                org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField("id",
+                    org.apache.spark.sql.types.LongType, nullable = false),
+                  org.apache.spark.sql.types.StructField("name",
+                    org.apache.spark.sql.types.StringType, nullable = false))))
+              .write.format("graft_snapshots").option("path", t)
+              .mode("append").save()
+          }
+        })
+      }
+      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    // every append serialized into its own version; nothing was lost
+    assert(Snapshots.currentVersion(t) == 9)
+    val rows = Snapshots.read(spark, t).as[(Long, String)].collect().toMap
+    assert(rows.size == 9 && (1 to 8).forall(k => rows(k.toLong) == s"w$k"))
+  }
+
   test("an empty overwrite reads as an empty table, not a missing one") {
     val t = SparkHygiene.scratchDir("wr_ovw_empty")
     Snapshots.commit(spark, t, Seq((1L, "a")).toDF("id", "name"))
