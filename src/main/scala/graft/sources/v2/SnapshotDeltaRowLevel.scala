@@ -162,10 +162,9 @@ class SnapshotDeltaBatchWrite(tableDir: String, schema: StructType,
       fresh.getOrElseUpdate(new Path(f).toUri.getPath,
         mutable.ArrayBuffer.empty[Long]) ++= ps
     })
-    if (fresh.isEmpty && newFiles.isEmpty) {
-      SnapshotWriteSupport.deleteQuietly(conf.value, newFiles)
-      return // statement matched nothing and inserted nothing: no-op
-    }
+    // statement matched nothing and inserted nothing: a no-op, not a
+    // version (rows-0 staged leftovers are unreferenced, vacuum-swept)
+    if (fresh.isEmpty && newFiles.isEmpty) return
     val prev = Snapshots.deletionVectors(tableDir, rec.version)
     val merged = (prev.keySet ++ fresh.keySet).iterator.map { f =>
       f -> (prev.getOrElse(f, Array.empty[Long]) ++
