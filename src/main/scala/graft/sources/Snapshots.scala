@@ -31,6 +31,26 @@ object Snapshots {
 
   private def logDir(tableDir: String) = s"$tableDir/_snapshots"
 
+  /** Atomically publish `bytes` at `target` with create-exclusivity:
+    * write a hidden temp sibling, hard-LINK it to the target (POSIX
+    * link() is atomic and fails when the target exists — exactly the
+    * CAS the callers need, surfaced as FileAlreadyExistsException),
+    * delete the temp. The direct CREATE_NEW write this replaces was
+    * create-then-write: a concurrent reader could observe the file
+    * EXISTING but EMPTY — measured (round 14 concurrency spec): a
+    * CAS-retrying appender read the racing winner's manifest mid-write,
+    * derived an empty entry list, and published a version that dropped
+    * every prior file. With link(), a manifest either doesn't exist or
+    * is complete. */
+  private def publishAtomically(target: java.nio.file.Path,
+                                bytes: Array[Byte]): Unit = {
+    val tmp = target.resolveSibling(s".tmp-${target.getFileName}-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    Files.write(tmp, bytes)
+    try { Files.createLink(target, tmp); () }
+    finally { Files.deleteIfExists(tmp); () }
+  }
+
   /** Latest committed version, 0 if none. */
   def currentVersion(tableDir: String): Int = {
     val d = Paths.get(logDir(tableDir))
@@ -88,10 +108,9 @@ object Snapshots {
     // exactly the files it suppresses rows of
     val dvLine = dvSidecarOf(tableDir, v - 1).map(DvHeader + _).toSeq
     Files.createDirectories(Paths.get(logDir(tableDir)))
-    Files.write(Paths.get(s"${logDir(tableDir)}/v$v.list"),
+    publishAtomically(Paths.get(s"${logDir(tableDir)}/v$v.list"),
       ((s"$SchemaHeader${idSchema.json}" +: dvLine) ++ (prev :+ dataDir))
-        .mkString("\n").getBytes(StandardCharsets.UTF_8),
-      java.nio.file.StandardOpenOption.CREATE_NEW)
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
     v
   }
 
@@ -201,11 +220,10 @@ object Snapshots {
           .orElse(Some(DvHeader + writeDvSidecar(tableDir, carried)))
       else Some(DvHeader + writeDvSidecar(tableDir, carried))
     Files.createDirectories(Paths.get(logDir(tableDir)))
-    try Files.write(Paths.get(s"${logDir(tableDir)}/v$v.list"),
+    try publishAtomically(Paths.get(s"${logDir(tableDir)}/v$v.list"),
       (schemaJson.map(j => s"$SchemaHeader$j").toSeq ++ dvLine.toSeq ++
         epochTag.map(t => s"$EpochHeader$t").toSeq ++ entries)
-        .mkString("\n").getBytes(StandardCharsets.UTF_8),
-      java.nio.file.StandardOpenOption.CREATE_NEW)
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
     catch {
       case _: java.nio.file.FileAlreadyExistsException
           if expectedVersion.isDefined =>
@@ -489,9 +507,8 @@ object Snapshots {
       Files.exists(Paths.get(s"${logDir(tableDir)}/v$v.list")),
       s"cannot tag $tableDir v$v: no such version " +
         "(never committed, or retention already dropped it)")
-    try Files.write(Paths.get(tagPath(tableDir, name)),
-      v.toString.getBytes(StandardCharsets.UTF_8),
-      java.nio.file.StandardOpenOption.CREATE_NEW)
+    try publishAtomically(Paths.get(tagPath(tableDir, name)),
+      v.toString.getBytes(StandardCharsets.UTF_8))
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new IllegalStateException(

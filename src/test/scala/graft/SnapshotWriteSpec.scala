@@ -231,7 +231,7 @@ class SnapshotWriteSpec extends SparkSpec {
     Snapshots.commit(spark, t, Seq((0L, "seed")).toDF("id", "name"))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     try {
-      val futures = (1 to 8).map { k =>
+      val futures = (1 to 16).map { k =>
         pool.submit(new java.util.concurrent.Callable[Unit] {
           override def call(): Unit = {
             // cloned session per thread: writes race only at the commit
@@ -251,9 +251,9 @@ class SnapshotWriteSpec extends SparkSpec {
       futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
     } finally pool.shutdown()
     // every append serialized into its own version; nothing was lost
-    assert(Snapshots.currentVersion(t) == 9)
+    assert(Snapshots.currentVersion(t) == 17)
     val rows = Snapshots.read(spark, t).as[(Long, String)].collect().toMap
-    assert(rows.size == 9 && (1 to 8).forall(k => rows(k.toLong) == s"w$k"))
+    assert(rows.size == 17 && (1 to 16).forall(k => rows(k.toLong) == s"w$k"))
   }
 
   test("an empty overwrite reads as an empty table, not a missing one") {
