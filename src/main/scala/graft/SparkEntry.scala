@@ -33,6 +33,38 @@ object QueryCatalog {
 
   import graft.functions.VectorFns
 
+  /** Co-purchase part pairs: one row per (order, a, b) with a, b
+    * distinct parts of the same order — `strict` keeps a < b (the
+    * undirected form), otherwise a ≠ b (both directions). Columns
+    * (l_partkey, pk2), matching what the former distinct + self-join
+    * produced row-for-row.
+    *
+    * Optimization r14 (guide §2.4 remove shuffles / §3 joins): the
+    * original shape — distinct(orderkey, partkey), self-join on
+    * orderkey, pair filter — paid 4 exchanges (the distinct, both join
+    * sides repartitioning (ok,pk)→ok, the downstream pair dedup) plus
+    * the join itself. Grouping to per-order part sets and fanning the
+    * pairs out with a double explode computes the identical pair
+    * multiset at 2 exchanges (the map-side-partial collect_set, the
+    * downstream dedup/weight groupBy) and no join at all. Skew-safe at
+    * scale: the fan-out is |parts-per-order|² inside one row's
+    * Generate, and order sizes are bounded (TPC-H ≤ 7; a real basket
+    * is dozens), so no single task inflates.
+    */
+  private def coPurchasePairs(s: SparkSession, dir: String,
+                              strict: Boolean): DataFrame = {
+    val sets = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("pks"))
+    val cond =
+      if (strict) col("l_partkey") < col("pk2")
+      else col("l_partkey") =!= col("pk2")
+    sets.select(explode(col("pks")).as("l_partkey"), col("pks"))
+      .select(col("l_partkey"), explode(col("pks")).as("pk2"))
+      .filter(cond)
+  }
+
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -641,11 +673,9 @@ object QueryCatalog {
     // (floor contributions) make the DuckDB oracle replay all three
     // iterations bit-for-bit — no float reduction-order hazard.
     "g1_pagerank" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val rhs = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pk2"))
-      val edges = li.join(rhs,
-          col("l_orderkey") === col("ok2") && col("l_partkey") =!= col("pk2"))
+      // identical edge set to the former distinct+self-join, via the
+      // 2-exchange per-order pair fan-out (see coPurchasePairs)
+      val edges = coPurchasePairs(s, dir, strict = false)
         .select(col("l_partkey").as("src"), col("pk2").as("dst")).distinct()
       graft.operators.PageRank.run(edges, "src", "dst",
           iters = 3, scale = 1000000000000L)
@@ -690,11 +720,9 @@ object QueryCatalog {
     // semantics ride the sf0.001/sf0.01 gates and KCoreSpec's planted
     // graphs.
     "g4_kcore" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val rhs = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pk2"))
-      val edges = li.join(rhs,
-          col("l_orderkey") === col("ok2") && col("l_partkey") =!= col("pk2"))
+      // identical weighted edge set to the former distinct+self-join,
+      // via the 2-exchange per-order pair fan-out (see coPurchasePairs)
+      val edges = coPurchasePairs(s, dir, strict = false)
         .groupBy(col("l_partkey").as("src"), col("pk2").as("dst"))
         .agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2)
@@ -1527,11 +1555,9 @@ object QueryCatalog {
     // quadratically explode; the vertex-id order used here is the
     // id-keyed special case.
     "g2_triangles" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val rhs = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pk2"))
-      val e = li.join(rhs,
-          col("l_orderkey") === col("ok2") && col("l_partkey") < col("pk2"))
+      // identical weighted edge set to the former distinct+self-join,
+      // via the 2-exchange per-order pair fan-out (see coPurchasePairs)
+      val e = coPurchasePairs(s, dir, strict = true)
         .groupBy(col("l_partkey").as("s"), col("pk2").as("t"))
         .agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2)

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Dump `explain("formatted")` for named catalog queries into
+  * `plans/r14/<name>_<suffix>.txt` — the per-change before/after plan
+  * evidence this optimization round commits.
+  *
+  *   sbt -batch "Test/runMain graft.TargetPlanDump before g1_pagerank,g4_kcore"
+  */
+object TargetPlanDump {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: TargetPlanDump <suffix> <q1,q2,...>")
+    val suffix = args(0)
+    val names = args(1).split(",").toSeq
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.register(spark)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("plans/r14"))
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val txt = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"plans/r14/${name}_$suffix.txt"),
+        txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"[plandump] wrote plans/r14/${name}_$suffix.txt")
+      SparkHygiene.dropAllPersisted(spark)
+    }
+    spark.stop()
+  }
+}
