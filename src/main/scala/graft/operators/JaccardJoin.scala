@@ -55,21 +55,39 @@ object JaccardJoin {
     * `common / (sza + szb − common) ≥ t`, rounding as needed.
     *
     * The per-doc index frame fans out to four consumers (both sides of
-    * the candidate self-join, both verify sides). Rather than a persist —
-    * which outlives the query and leaks the corpus's shingle arrays into
-    * the session until someone unpersists (VERDICT r5 what's-wrong #2) —
-    * the fan-out relies on Spark's EXCHANGE REUSE: the index pipeline ends
-    * in shuffles (the df window on `sh`, the per-doc regroup on `__id`)
-    * whose subtrees canonicalize identically across consumers, so AQE
-    * materializes each stage once and wires ReusedExchange into the other
-    * branches (probe-verified; warm wall time equal to the old cached
-    * form). The only state left behind is ordinary shuffle files,
-    * reclaimed like any other stage output — no operator-held cache
-    * exists at all (spec-asserted).
+    * the candidate self-join, both verify sides) and is MATERIALIZED
+    * once: an eager persist of the index rows. The r5→r13 form relied
+    * on exchange reuse instead (to avoid an operator-held cache,
+    * VERDICT r5 what's-wrong #2), and the reuse does fire — but it
+    * dedupes only the SHUFFLE WRITE below the per-doc regroup: every
+    * consumer still re-runs the post-exchange final collect_list merge,
+    * the array_sorts and the prefix slice over every document, 4× the
+    * dominant per-doc array work (optimization r14 measurement, sf0.1 ×
+    * local[32], 4 interleaved draws: reuse form 6.7-8.7 s warm, persist
+    * form 2.4-2.7 s — the exchange-reuse claim previously recorded here
+    * was probed at a scale where the merge cost was invisible). The
+    * persist is eager (count) because the verify sides broadcast: their
+    * exchange futures launch concurrently at job start and would race a
+    * lazy cache into duplicate materialization (the NewsPipeline merge
+    * checkpoint documents the same race, +35% there). The cache is left
+    * registered for a harness-level sweep — the contract PageRank.run
+    * et al. carry; callers needing deterministic release use
+    * [[selfPairsWithRelease]].
     */
   def selfPairs(corpus: DataFrame, idCol: String, textCol: String, t: Double,
                 shingleLen: Int = 3,
-                verify: VerifyStrategy = Auto()): DataFrame = {
+                verify: VerifyStrategy = Auto()): DataFrame =
+    selfPairsWithRelease(corpus, idCol, textCol, t, shingleLen, verify)._1
+
+  /** As [[selfPairs]], plus an explicit release handle that unpersists
+    * the materialized per-doc index. Call it once the returned frame has
+    * been materialized; later actions still compute correctly but
+    * re-derive the index pipeline per consumer.
+    */
+  def selfPairsWithRelease(corpus: DataFrame, idCol: String, textCol: String,
+                           t: Double, shingleLen: Int = 3,
+                           verify: VerifyStrategy = Auto())
+      : (DataFrame, () => Unit) = {
     require(t > 0 && t <= 1, s"threshold out of (0,1]: $t")
     val resolved = verify match {
       case Auto(threshold) =>
@@ -113,6 +131,11 @@ object JaccardJoin {
         array_sort(col("ord")).as("shs"),
         slice(col("ord"), lit(1),
           (col("sz") - ceil(col("sz") * t) + 1).cast("int")).as("pref"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager: the broadcast verify sides' exchange futures launch
+    // concurrently at job start — a lazy cache would be materialized
+    // once per racing consumer (see the Scaladoc above for the A/B)
+    base.count()
     val docs = base.select(col("__id"), col("shs"), col("sz"))
     val psh = base.select(col("__id"), col("sz"), explode(col("pref")).as("sh"))
     // length filter rides the index join: Jaccard ≥ t needs
@@ -128,12 +151,13 @@ object JaccardJoin {
       case BroadcastDocs => broadcast(d)
       case _ => d
     }
-    cand
+    val out = cand
       .join(maybeBroadcast(side("a")), "a")
       .join(maybeBroadcast(side("b")), "b")
       .withColumn("common", VectorFns.sortedIntersectCount(col("sha"), col("shb")))
       .select(col("a"), col("b"), col("common"),
         col("sza").as("sza"), col("szb").as("szb"))
+    (out, () => { base.unpersist(); () })
   }
 
   /** ASYMMETRIC verified near-dup pairs `(a ∈ probe, b ∈ ref)` — the

@@ -80,19 +80,28 @@ class JaccardJoinSpec extends SparkSpec {
     assert(viaBroadcast.nonEmpty)
   }
 
-  test("selfPairs leaves no cache behind; the index fan-out is served by exchange reuse") {
+  test("selfPairsWithRelease materializes the index once and releases it on demand") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val corpus = randomCorpus(11, 60).toDF("doc_id", "text")
-    val out = JaccardJoin.selfPairs(corpus, "doc_id", "text", t = 0.5)
-    out.collect()
-    // VERDICT r5 what's-wrong #2: the old persist survived the query and
-    // leaked the shingle index into the session. Now: nothing persisted…
+    val (out, release) =
+      JaccardJoin.selfPairsWithRelease(corpus, "doc_id", "text", t = 0.5)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // the per-doc index is pinned while consumers read it (optimization
+    // r14: exchange reuse only deduped the shuffle write — every
+    // consumer re-ran the final collect_list merge + sorts, measured
+    // ~2.8× the persisted form at sf0.1)…
+    val during = spark.sparkContext.getPersistentRDDs.keySet
+    assert((during -- before).nonEmpty,
+      "expected the per-doc index to be materialized (persisted)")
+    // …and the release handle returns the session to its prior state
+    // (harnesses may instead sweep with SparkHygiene.dropAllPersisted)
+    release()
     val after = spark.sparkContext.getPersistentRDDs.keySet
     assert((after -- before).isEmpty,
-      s"selfPairs left persistent RDDs behind: ${after -- before}")
-    // …and the four index consumers share materialized stages instead
-    val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("ReusedExchange"), s"index exchange not reused:\n$plan")
+      s"release() left persistent RDDs behind: ${after -- before}")
+    // released frames still compute correctly (re-derived per consumer)
+    assert(out.collect().toSet == rows.toSet)
   }
 
   test("crossPairs is lossless for probe×ref and emits NO same-side pairs") {

@@ -23,10 +23,21 @@ object ReuseProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)
+    val lastPlan = new java.util.concurrent.atomic.AtomicReference[String]("")
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        lastPlan.set(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    })
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.write.format("noop").mode("overwrite").save()
-      val s = df.queryExecution.executedPlan.toString
+      Thread.sleep(500) // listener fires async on the listener bus
+      val s = lastPlan.get()
       def c(tok: String) = tok.r.findAllIn(s).size
       println(s"[reuseprobe] $name exchanges=${c("Exchange (hash|range|Single)")} " +
         s"reusedExchange=${c("ReusedExchange")} shuffleReads=${c("AQEShuffleRead")} " +
