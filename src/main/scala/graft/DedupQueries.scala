@@ -610,6 +610,15 @@ object DedupQueries {
           transform(col("tw"), x => x.getField("w")).as("vs"))
         .withColumn("nrm",
           aggregate(col("vs"), lit(0.0), (acc, v) => acc + v * v))
+        // optimization r14: the whole TF-IDF vector pipeline (token
+        // explode, tf/df aggregations, the collect_list regroup) fed
+        // BOTH self-join sides and was recomputed per side (executed
+        // plan: 23 exchanges, 1 reused — AQE reuse dedupes only
+        // identical canonical subtrees, and the x/y sides diverge under
+        // pushdown). Materialize once; the harness sweeps the cache
+        // (dropAllPersisted), same contract as PageRank.run
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      vecs.count() // eager: concurrent broadcast futures race a lazy cache
       vecs.as("x").join(vecs.as("y"),
         col("x.cluster") === col("y.cluster") && col("x.doc_id") < col("y.doc_id"))
         .withColumn("dot", VectorFns.sortedTermDot(

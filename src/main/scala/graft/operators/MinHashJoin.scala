@@ -25,14 +25,47 @@ import graft.functions.TextFns
 object MinHashJoin {
 
   def selfPairs(corpus: DataFrame, idCol: String, textCol: String,
-                shingleLen: Int = 3, hashes: Int = 12, bands: Int = 4): DataFrame = {
+                shingleLen: Int = 3, hashes: Int = 12, bands: Int = 4): DataFrame =
+    selfPairsWithRelease(corpus, idCol, textCol, shingleLen, hashes, bands)._1
+
+  /** As [[selfPairs]], plus a release handle for the pinned signature
+    * cache (harnesses may instead sweep with
+    * SparkHygiene.dropAllPersisted — the PageRank.run contract).
+    */
+  def selfPairsWithRelease(corpus: DataFrame, idCol: String, textCol: String,
+                           shingleLen: Int = 3, hashes: Int = 12,
+                           bands: Int = 4): (DataFrame, () => Unit) = {
     require(bands > 0 && hashes % bands == 0,
       s"hashes ($hashes) must split evenly into bands ($bands)")
-    val rows = hashes / bands
+    // optimization r14: the signature pass (md5 MinHash over every
+    // shingle of every document — the query's dominant CPU) fed both
+    // self-join sides and was recomputed per side (one side inline, one
+    // inside the broadcast build). Materialize it once, eagerly (a lazy
+    // cache races concurrent consumers); band derivation stays a cheap
+    // projection on top, so the join still carries flat band columns
+    // only (PERF lesson #10 — the 1.8× array-payload trap — is about
+    // riding the array THROUGH the join, not about this cache).
+    val sigs = signatures(corpus, idCol, textCol, shingleLen, hashes)
+    val out = bandJoin(sigs, hashes, bands)
+    (out, () => { sigs.unpersist(); () })
+  }
+
+  /** The persisted, eagerly materialized signature frame
+    * `(__id, mhs: array<string>)` — shared by the band join and (in the
+    * estimated form) the per-side score joins. */
+  private def signatures(corpus: DataFrame, idCol: String, textCol: String,
+                         shingleLen: Int, hashes: Int): DataFrame = {
     val sigs = corpus
       .withColumn("__toks", TextFns.repetitionTokens(col(textCol)))
       .select(col(idCol).as("__id"),
         TextFns.minHashShingles(col("__toks"), shingleLen, hashes).as("mhs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
+    sigs
+  }
+
+  private def bandJoin(sigs: DataFrame, hashes: Int, bands: Int): DataFrame = {
+    val rows = hashes / bands
     // every band hash rides along with each exploded band row (as FLAT
     // columns — an array<string> payload here measured 1.8× the whole
     // query: per-row UnsafeArrayData build/copy through project+join,
@@ -69,27 +102,27 @@ object MinHashJoin {
     * standard error 1/√hashes. This is the 100 TB scoring path — exact
     * verification intersects shingle sets (rescans text for every
     * candidate), the estimate touches only the fixed-width signatures.
-    * Signatures are recomputed for the estimate joins rather than ridden
-    * through the band join as an array payload (PERF lesson #10: array
-    * ride-alongs measured 1.8× on this exact join; one extra map pass
-    * over the corpus is the cheaper side of that trade). The agreement
+    * The estimate joins read the SAME materialized signature frame the
+    * band join consumed (optimization r14 — previously this recomputed
+    * the signature pass per consumer, 4 passes per query; the signature
+    * array still never rides THROUGH the band join, so PERF lesson
+    * #10's 1.8× array-payload trap stays avoided). The agreement
     * count is an exact integer and `hashes` a constant, so the rounded
     * ratio is engine-portable (single exactly-rounded division).
     */
   def selfPairsEstimated(corpus: DataFrame, idCol: String, textCol: String,
                          shingleLen: Int = 3, hashes: Int = 12,
                          bands: Int = 4): DataFrame = {
-    val pairs = selfPairs(corpus, idCol, textCol, shingleLen, hashes, bands)
-    val sigs = corpus
-      .withColumn("__toks", TextFns.repetitionTokens(col(textCol)))
-      .select(col(idCol).as("__sid"),
-        TextFns.minHashShingles(col("__toks"), shingleLen, hashes).as("__mhs"))
+    require(bands > 0 && hashes % bands == 0,
+      s"hashes ($hashes) must split evenly into bands ($bands)")
+    val sigs = signatures(corpus, idCol, textCol, shingleLen, hashes)
+    val pairs = bandJoin(sigs, hashes, bands)
     val agree = aggregate(
       zip_with(col("__ma"), col("__mb"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v)
     pairs
-      .join(sigs.select(col("__sid").as("a"), col("__mhs").as("__ma")), "a")
-      .join(sigs.select(col("__sid").as("b"), col("__mhs").as("__mb")), "b")
+      .join(sigs.select(col("__id").as("a"), col("mhs").as("__ma")), "a")
+      .join(sigs.select(col("__id").as("b"), col("mhs").as("__mb")), "b")
       .select(col("a"), col("b"),
         round(agree.cast("double") / lit(hashes.toDouble), 4).as("est_jaccard"))
   }

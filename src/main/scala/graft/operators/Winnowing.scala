@@ -105,19 +105,37 @@ object Winnowing {
     */
   def containmentPairs(corpus: DataFrame, idCol: String, textCol: String,
                        k: Int = 8, w: Int = 4, tau: Double = 0.5,
-                       maxDf: Long = 1000L): DataFrame = {
+                       maxDf: Long = 1000L): DataFrame =
+    containmentPairsWithRelease(corpus, idCol, textCol, k, w, tau, maxDf)._1
+
+  /** As [[containmentPairs]], plus a release handle for the pinned
+    * fingerprint cache (harnesses may instead sweep with
+    * SparkHygiene.dropAllPersisted — the PageRank.run contract).
+    */
+  def containmentPairsWithRelease(corpus: DataFrame, idCol: String,
+                                  textCol: String, k: Int = 8, w: Int = 4,
+                                  tau: Double = 0.5, maxDf: Long = 1000L)
+      : (DataFrame, () => Unit) = {
     val fps = fingerprints(corpus, idCol, textCol, k, w)
       .select(col(idCol).as("__id"), col("fp")).distinct()
+    // optimization r14: `kept` feeds three consumers (both shared-join
+    // sides and the per-doc sizes) over the winnowing pipeline —
+    // per-character rolling hashes, the df window, a distinct — and the
+    // executed plan showed the pipeline largely recomputed per consumer
+    // (20 exchanges, 3 reused). Materialize once, eagerly (concurrent
+    // consumers would race a lazy cache into duplicate materialization).
     val kept = fps
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("fp"))))
       .filter(col("__df") <= maxDf)
       .select(col("__id"), col("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    kept.count()
     val sizes = kept.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
     val shared = kept.select(col("__id").as("a"), col("fp"))
       .join(kept.select(col("__id").as("b"), col("fp")), "fp")
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
-    shared
+    val out = shared
       .join(sizes.select(col("__id").as("a"), col("__n").as("fpa")), "a")
       .join(sizes.select(col("__id").as("b"), col("__n").as("fpb")), "b")
       .withColumn("containment",
@@ -125,5 +143,6 @@ object Winnowing {
       .filter(col("containment") >= tau)
       .select(col("a"), col("b"), col("shared"), col("fpa"), col("fpb"),
         col("containment"))
+    (out, () => { kept.unpersist(); () })
   }
 }

@@ -129,4 +129,27 @@ class WinnowingSpec extends SparkSpec {
     // k + w - 1 = 11 normalized chars is the minimum for one window
     assert(run(Seq(3L -> "elevenchars")).nonEmpty)
   }
+
+  test("containmentPairsWithRelease pins the fingerprint index once and releases it") {
+    import org.apache.spark.sql.functions.col
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val docs = (1L to 4L).map(i =>
+      i -> s"shared window of winnowed characters across docs plus unique tail $i ${"z" * 30}")
+    val (out, release) = graft.operators.Winnowing.containmentPairsWithRelease(
+      spark.createDataFrame(docs).toDF("doc_id", "text"), "doc_id", "text",
+      k = 8, w = 4, tau = 0.1, maxDf = 1000L)
+    val rows = out.orderBy(col("a"), col("b")).collect()
+    // the kept-fingerprint frame is materialized while consumers read it
+    // (optimization r14 — the executed plan previously recomputed the
+    // winnowing pipeline per consumer)…
+    val during = spark.sparkContext.getPersistentRDDs.keySet
+    assert((during -- before).nonEmpty,
+      "expected the kept-fingerprint frame to be persisted")
+    // …release restores the session, and the result still computes
+    release()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"release() left persistent RDDs behind: ${after -- before}")
+    assert(out.orderBy(col("a"), col("b")).collect().toSeq == rows.toSeq)
+  }
 }
