@@ -77,21 +77,29 @@ object AdaptiveJoin {
       .head()
     val estPairs = est.getAs[Double]("est_pairs")
     val nHeavy = est.getAs[Long]("n_heavy")
-    val dimRows = dim.count()
 
     // hot-key census: the single largest per-key output. Only fact-side
     // heavy keys can produce a partition-breaking product (a dim-heavy
     // key with few fact rows is bounded by the fact count), so the scan
     // is one partial-aggregate over facts plus a join against the ≤
-    // |facts|/T heavy survivors.
+    // |facts|/T heavy survivors. The dim row count folds into the SAME
+    // action (sum of per-key counts under a full-outer join) instead of
+    // a separate dim.count() pass — one fewer full dim scan per
+    // pre-flight (optimization r14, guide §1.2 "don't compute things
+    // twice"; the census result is bit-identical).
     val fHeavy = facts.groupBy(col(factKey).as("__k"))
       .agg(count(lit(1)).as("__cf"))
       .filter(col("__cf") >= heavyThreshold)
     val dCnt = dim.groupBy(col(dimKey).as("__k"))
       .agg(count(lit(1)).as("__cd"))
-    val maxKeyPairs = fHeavy.join(dCnt, Seq("__k"), "left_outer")
-      .agg(coalesce(max(col("__cf") * coalesce(col("__cd"), lit(0L))), lit(0L)))
-      .head().getLong(0)
+    val censusRow = dCnt.join(fHeavy, Seq("__k"), "full_outer")
+      .agg(
+        coalesce(sum(col("__cd")), lit(0L)).as("__dimRows"),
+        coalesce(max(col("__cf") * coalesce(col("__cd"), lit(0L))), lit(0L))
+          .as("__maxKeyPairs"))
+      .head()
+    val dimRows = censusRow.getAs[Long]("__dimRows")
+    val maxKeyPairs = censusRow.getAs[Long]("__maxKeyPairs")
 
     val parts = facts.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "200").toInt
