@@ -141,3 +141,72 @@ case class MinHashShingles(child: Expression, n: Int = 3, seeds: Int = 12)
   override protected def withNewChildInternal(newChild: Expression): MinHashShingles =
     copy(child = newChild)
 }
+
+/** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken 2003)
+  * over an already-normalized document in ONE expression evaluation —
+  * the whole per-gram pipeline (k-gram md5, position tag, w-window
+  * sliding minimum, consecutive-selection dedup) fused per document.
+  *
+  * Semantics are EXACTLY the portable-SQL formulation the d15/t16
+  * oracles replay (and the former explode+window dataflow computed):
+  * for 1-based character position p in [1, numChars − k + 1],
+  * h(p) = first 7 hex digits of md5(utf8(substring(t, p, k))) as an
+  * integer, v(p) = h(p)·2^32 + (2^32 − 1 − p); each window end
+  * e ∈ [w, n] selects min v over [e−w+1, e]; consecutive equal
+  * selections collapse; a selection unpacks to
+  * (pos = 2^32 − 1 − (v mod 2^32), fp = v div 2^32).
+  *
+  * Optimization r14 (guide §2.4 + §4): the dataflow form exploded ONE
+  * ROW PER CHARACTER (~16.5M rows at sf0.1), shuffled them by doc id
+  * and ran two window sorts — all to compute a per-document function.
+  * Fusing it removes the per-gram exchange and both sorts while the
+  * md5 work (the true cost) is unchanged; character semantics ride
+  * UTF8String.substringSQL, the exact substring() the SQL form used.
+  * Eval-only (CodegenFallback): MD5 dominates, codegen would only
+  * inline the loop shell — the MinHashShingles precedent.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0 && w > 0, s"k=$k and w=$w must be positive")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pos", LongType, nullable = false),
+      StructField("fp", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def nullSafeEval(a: Any): Any = {
+    val s = a.asInstanceOf[UTF8String]
+    val n = s.numChars() - (k - 1)
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    val vs = new Array[Long](n)
+    var p = 1
+    while (p <= n) {
+      val d = Md5.digest(s.substringSQL(p, k).getBytes)
+      var h = 0L
+      var i = 0
+      while (i < 7) { h = (h << 4) | Md5.hexNibble(d, i); i += 1 }
+      vs(p - 1) = h * 4294967296L + (4294967295L - p)
+      p += 1
+    }
+    val out = new java.util.ArrayList[Any](math.min(n, 2 * n / w + 1))
+    var last = -1L
+    var e = w
+    while (e <= n) {
+      var vmin = vs(e - w)
+      var j = e - w + 1
+      while (j < e) { if (vs(j) < vmin) vmin = vs(j); j += 1 }
+      if (out.isEmpty || vmin != last) {
+        out.add(org.apache.spark.sql.catalyst.InternalRow(
+          4294967295L - (vmin % 4294967296L), vmin >>> 32))
+        last = vmin
+      }
+      e += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}

@@ -225,6 +225,13 @@ object TextFns {
   def minHashShingles(toks: Column, n: Int = 3, seeds: Int = 12): Column =
     column(MinHashShingles(expression(toks), n, seeds))
 
+  /** Winnowing fingerprint selections `array<struct<pos,fp>>` over a
+    * normalized document — the k-gram hash / sliding-min / dedup
+    * pipeline fused per document. See [[WinnowFingerprints]].
+    */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    column(WinnowFingerprints(expression(text), k, w))
+
   /** Adjacent-token bigrams as `array<struct<w1,w2>>` — one native pass
     * per document. See [[TokenBigrams]].
     */

@@ -27,14 +27,21 @@ import org.apache.spark.sql.functions._
   * by hash, then by DESCENDING position — max v is h = 2^28−1,
   * pos = 1 → v < 2^60, no overflow.
   *
-  * Plan shape: a narrow explode (one row per character position — all
-  * codegen'd string ops), then ONE hash exchange on the id for the
-  * per-document windows. The winnowing property that a selected
-  * position, once superseded, never reappears (the superseding smaller
-  * hash sits at a LATER position, so it leaves the window later) means
-  * consecutive-duplicate selections form contiguous runs — dedup is a
-  * `lag` over the SAME window partitioning, not a second exchange.
-  * Corpus-linear at 100 TB; no cross-document shuffle at all.
+  * Plan shape (optimization r14): the whole per-document pipeline —
+  * k-gram md5, position tag, sliding minimum, consecutive-selection
+  * dedup — is ONE fused expression evaluation per document
+  * ([[graft.functions.WinnowFingerprints]]), then a single explode of
+  * the selected pairs. The former dataflow form exploded one row per
+  * CHARACTER (~3 000 rows per prose document), paid a corpus×3000-row
+  * hash exchange on the id and two window sorts to compute what is a
+  * per-document function; the fused form has NO exchange at all before
+  * aggregation, identical output (spec-pinned against the dataflow
+  * replica, including multi-byte characters — substringSQL is the same
+  * substring() the SQL form used). Guide §2.4 (remove the shuffle
+  * outright) + §4 (the per-gram md5 stays a tight JVM loop, not an
+  * interpreted higher-order lambda — the array-HOF rewrite was probed
+  * and is orders slower). Corpus-linear at 100 TB; no cross-document
+  * shuffle at all.
   */
 object Winnowing {
 
@@ -48,29 +55,12 @@ object Winnowing {
                    k: Int = 8, w: Int = 4): DataFrame = {
     require(k > 0 && w > 0)
     val id = col(idCol)
-    val grams = corpus
+    corpus
       .select(id, regexp_replace(lower(trim(col(textCol))), "\\s+", " ").as("__t"))
       .filter(length(col("__t")) >= k + w - 1)
-      .select(id,
-        explode(sequence(lit(1), length(col("__t")) - (k - 1))).as("__p"),
-        col("__t"))
-      .select(id, col("__p").cast("long").as("__pos"),
-        conv(substring(md5(col("__t").substr(col("__p"), lit(k))), 1, 7), 16, 10)
-          .cast("long").as("__h"))
-      .withColumn("__v",
-        col("__h") * 4294967296L + (lit(4294967295L) - col("__pos")))
-    val byDoc = Window.partitionBy(id).orderBy(col("__pos"))
-    val sel = grams
-      .withColumn("__vmin", min(col("__v")).over(byDoc.rowsBetween(-(w - 1), 0)))
-      .filter(col("__pos") >= w)
-      .select(id,
-        col("__pos"),
-        (lit(4294967295L) - pmod(col("__vmin"), lit(4294967296L))).as("pos"),
-        shiftright(col("__vmin"), 32).as("fp"))
-    sel
-      .withColumn("__prev", lag(col("pos"), 1).over(byDoc))
-      .filter(col("__prev").isNull || col("__prev") =!= col("pos"))
-      .select(id, col("pos"), col("fp"))
+      .select(id, explode(graft.functions.TextFns
+        .winnowFingerprints(col("__t"), k, w)).as("__s"))
+      .select(id, col("__s.pos").as("pos"), col("__s.fp").as("fp"))
   }
 
   /** Containment pairs `(a, b, shared, fpa, fpb, containment)` with

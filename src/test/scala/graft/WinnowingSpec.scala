@@ -130,6 +130,54 @@ class WinnowingSpec extends SparkSpec {
     assert(run(Seq(3L -> "elevenchars")).nonEmpty)
   }
 
+  test("fused WinnowFingerprints expression matches the dataflow form bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.{Window => W}
+    // the pre-r14 explode+window dataflow, inlined verbatim as the
+    // reference implementation (the oracle replays this SQL shape)
+    def dataflowForm(c: org.apache.spark.sql.DataFrame,
+                     k: Int, w: Int): org.apache.spark.sql.DataFrame = {
+      val id = col("doc_id")
+      val grams = c
+        .select(id, regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("__t"))
+        .filter(length(col("__t")) >= k + w - 1)
+        .select(id,
+          explode(sequence(lit(1), length(col("__t")) - (k - 1))).as("__p"),
+          col("__t"))
+        .select(id, col("__p").cast("long").as("__pos"),
+          conv(substring(md5(col("__t").substr(col("__p"), lit(k))), 1, 7), 16, 10)
+            .cast("long").as("__h"))
+        .withColumn("__v",
+          col("__h") * 4294967296L + (lit(4294967295L) - col("__pos")))
+      val byDoc = W.partitionBy(id).orderBy(col("__pos"))
+      grams
+        .withColumn("__vmin", min(col("__v")).over(byDoc.rowsBetween(-(w - 1), 0)))
+        .filter(col("__pos") >= w)
+        .select(id, col("__pos"),
+          (lit(4294967295L) - pmod(col("__vmin"), lit(4294967296L))).as("pos"),
+          shiftright(col("__vmin"), 32).as("fp"))
+        .withColumn("__prev", lag(col("pos"), 1).over(byDoc))
+        .filter(col("__prev").isNull || col("__prev") =!= col("pos"))
+        .select(id, col("pos"), col("fp"))
+    }
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again and again tonight",
+      2L -> "the quick brown fox jumps over the lazy dog again and again tonight",
+      3L -> ("boilerplate header. " * 4 + "unique middle body. " + "boilerplate footer. " * 4),
+      // multi-byte characters: substring semantics must be per CHARACTER
+      4L -> "héllo wörld — čhärs beyond ascii répéated héllo wörld — čhärs beyond ascii",
+      5L -> "short",
+      6L -> ("x" * 40)).toDF("doc_id", "text")
+    for ((k, w) <- Seq((8, 4), (24, 8), (3, 2))) {
+      val ref = dataflowForm(docs, k, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+      val got = graft.operators.Winnowing.fingerprints(docs, "doc_id", "text", k, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+      assert(got == ref, s"fused winnowing diverged from the dataflow form at k=$k w=$w")
+      assert(got.nonEmpty)
+    }
+  }
+
   test("containmentPairsWithRelease pins the fingerprint index once and releases it") {
     import org.apache.spark.sql.functions.col
     val before = spark.sparkContext.getPersistentRDDs.keySet
