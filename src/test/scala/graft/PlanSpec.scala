@@ -199,9 +199,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), s"islands window missing:\n$p")
   }
 
-  test("t16 winnowing is per-document windows — no join operator at all") {
+  test("t16 winnowing is one fused expression per document — no join, " +
+    "no per-gram exchange, no window sort") {
     val p = plan("t16_fingerprint")
-    assert(p.contains("Window"), s"winnowing window pass missing:\n$p")
+    // optimization r14: the explode+window dataflow (one row per
+    // character, an id exchange, two window sorts) was replaced by the
+    // fused WinnowFingerprints expression — the plan now carries the
+    // per-document Generate and NOTHING between it and the scan
+    assert(p.contains("winnow_fingerprints"),
+      s"fused winnowing expression missing:\n$p")
+    assert(!p.contains("Window"),
+      s"per-gram window pass resurfaced (the fused form needs none):\n$p")
+    assert(!p.contains("hashpartitioning(doc_id"),
+      s"per-gram id exchange resurfaced:\n$p")
     assert(!p.contains("Join") && !p.contains("CartesianProduct"),
       s"fingerprinting must not shuffle documents against each other:\n$p")
   }
