@@ -197,9 +197,19 @@ object Bench {
           s"${if (decoupled) "decoupled" else "streaming"} draws to ${out.size}")
       out.toSeq
     }
+    // MEASUREMENT-BUG FIX (optimization r15; VERDICT r14 #1/#2): on an
+    // EVEN draw count the old `ok(size/2)` returned the UPPER middle —
+    // when the deadline trimmed streaming to 2 draws, the round
+    // published the WORST draw (387.85 s) as the "median" while the
+    // other draw was 160.04 s. True median now: average the middle pair
+    // on even counts, middle element on odd; the raw draws stay
+    // published in *_runs_sec either way so the tie-breaking is
+    // auditable.
     def medianOf(xs: Seq[Double]): Double = {
       val ok = xs.filter(_ > 0).sorted
-      if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+      if (ok.isEmpty) -1.0
+      else if (ok.size % 2 == 1) ok(ok.size / 2)
+      else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
     }
     val streamSecs = measuredRuns(decoupled = false, budgetFrac = 0.20)
     val streamSec = medianOf(streamSecs)
@@ -400,9 +410,23 @@ object Bench {
         arts.filter(col("batch") === b).drop("grp", "batch")
           .coalesce(1).write.mode("append").json(inDir)
       val schema = arts.drop("grp", "batch").schema
+      // STATE-SIZED SHUFFLE for the wrapper (optimization r15; VERDICT
+      // r14 #1): the catalog drains have run on streamStateSession(8)
+      // since r13, but the wrapper ran on the main session where the
+      // bench sets shuffle.partitions = cpus — at 32 every micro-batch
+      // exchange and every versioned state write was host-sized for a
+      // batch-bounded dataflow. Partitions come from the env so a
+      // deployment-shaped run can scale them with batch volume; the
+      // default matches the drains' corpus sizing. The same clone hosts
+      // the decoupled CdcConsumer leg. Per-batch AQE discipline rides
+      // StreamingPipeline.Config (measured on the interleaved wrapper
+      // probe: 925 -> 217 jobs, ~60 -> ~35 s warm; see
+      // OPTIMIZATION_r15.md).
+      val stateParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8").toInt
+      val s2 = SparkHygiene.streamStateSession(spark, stateParts)
       val t0 = System.nanoTime()
       streaming.StreamingPipeline.start(
-        spark.readStream.schema(schema)
+        s2.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").json(inDir),
         s"$tmp/state", s"$tmp/ck",
         streaming.StreamingPipeline.Config(
@@ -410,10 +434,11 @@ object Bench {
           embedDim = NewsPipeline.EmbedDim,
           clock = NewsPipeline.Clock,
           inlineSummarize = !decoupled,
-          emitCdc = decoupled))
+          emitCdc = decoupled,
+          batchShufflePartitions = Some(stateParts)))
         .awaitTermination()
       if (decoupled)
-        streaming.CdcConsumer.stream(spark, s"$tmp/state", s"$tmp/ck2",
+        streaming.CdcConsumer.stream(s2, s"$tmp/state", s"$tmp/ck2",
           threshold = NewsPipeline.Threshold)
           .awaitTermination()
       (System.nanoTime() - t0) / 1e9

@@ -23,17 +23,24 @@ object Tables {
     * schema is the single-node stand-in for that metadata service
     * (guide §6: manifest metadata over per-query listing/inference).
     * Data reads are untouched — only the schema comes from the cache.
-    * The testdata files are immutable for a session; a regenerated
-    * corpus lands under a different sfDir key.
+    * Keyed by (path, length, mtime) — optimization r15, VERDICT r14
+    * minor #5 / ADVICE r14: a path-only key served a STALE schema if a
+    * file was regenerated in place mid-JVM (tests and tools do exactly
+    * that), silently null-filling changed columns. The stat call is
+    * microseconds against the 0.08-0.43 s inference it replaces.
     */
   private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), org.apache.spark.sql.types.StructType]()
+
+  private def schemaOf(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType = {
+    val f = new java.io.File(path)
+    schemaCache.computeIfAbsent((path, f.length(), f.lastModified()),
+      _ => spark.read.parquet(path).schema)
+  }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
-    val schema = schemaCache.computeIfAbsent(path,
-      p => spark.read.parquet(p).schema)
-    spark.read.schema(schema).parquet(path)
+    spark.read.schema(schemaOf(spark, path)).parquet(path)
   }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
@@ -65,7 +72,10 @@ object Tables {
     */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     normalizeEventTs(
-      spark.readStream.schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+      // schema from the same cache the batch loaders use — this was the
+      // one remaining per-drain footer re-inference (optimization r15;
+      // 26 streaming drains + the wrapper each paid it per construction)
+      spark.readStream.schema(schemaOf(spark, s"$sfDir/events.parquet"))
         // deliberately a GLOB, not the plain file path: FileStreamSource
         // force-sets basePath to the source path itself for non-glob
         // paths, and a basePath that is a FILE fails partition inference

@@ -208,10 +208,17 @@ object TrainingQueries {
     // Within-document consecutive-repetition removal — the complement
     // of d17's cross-document strip (and the transform behind t4's
     // repetition SCORE): a run of identical consecutive segments
-    // collapses to its first occurrence, reassembled in order. Pure
-    // per-document work: one doc-keyed exchange, a lag window pass and
-    // the regroup — no corpus-wide state at all, so it composes with
-    // d17 in the same pipeline without adding a shuffle stage shape.
+    // collapses to its first occurrence, reassembled in order. PURE
+    // per-document work, computed per document (optimization r15, guide
+    // §2.4 — the t16 winnowing-fusion discipline applied to the next
+    // explode-heavy text path): the former dataflow exploded one row
+    // per 5-token segment, paid a corpus-wide doc_id exchange + window
+    // sort for lag(), and a regroup aggregation — all to compare each
+    // array element with its predecessor. The fused form keeps the
+    // segment array in-row and drops consecutive duplicates with an
+    // indexed filter; ZERO exchanges before the presentation sort,
+    // identical rows (the lag/filter/regroup replica is spec-pinned in
+    // RepeatStripSpec and the oracle replays the old dataflow in SQL).
     "t24_repeat_strip" -> ((s, dir) => {
       // plant a 3×-repeated 5-token phrase at the FRONT of every 7th doc
       // (prepended so the repeats align to the fixed 5-token segment
@@ -221,17 +228,8 @@ object TrainingQueries {
         when(col("doc_id") % 7 === 0,
           concat(lit(s"$rp $rp $rp "), col("text")))
           .otherwise(col("text")).as("text"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
       graft.operators.SegmentDedup
-        .positionedSegments(corpus, "doc_id", "text", segLen = 5)
-        .withColumn("__prev", lag(col("seg"), 1).over(w))
-        .filter(col("__prev").isNull || col("seg") =!= col("__prev"))
-        .groupBy(col("doc_id"))
-        .agg(
-          array_join(
-            transform(array_sort(collect_list(struct(col("i"), col("seg")))),
-              x => x("seg")), " ").as("cleaned"),
-          count(lit(1)).as("n_kept"))
+        .stripConsecutiveRepeats(corpus, "doc_id", "text", segLen = 5)
         .orderBy(col("doc_id"))
     }),
 

@@ -147,6 +147,7 @@ object ClusterTable {
     * row, `summarization_pipeline.tf:24-58`).
     */
   def summarizePass(table: DataFrame, updatedPKs: DataFrame, threshold: Int = 5): DataFrame = {
+    val spark = table.sparkSession
     val meta = table.filter(col("row_type") === "metadata")
       .join(broadcast(updatedPKs), Seq("PK"), "left_semi")
     // No fired.isEmpty short-circuit: that was a driver action per
@@ -168,7 +169,7 @@ object ClusterTable {
     // instead of three aggregations + two rank windows + three joins)
     val stats = Summarize.clusterStats(arts)
 
-    val updates = summaries
+    val updatesPlan = summaries
       .join(stats, Seq("PK"), "left_outer")
       .select(
         col("PK"),
@@ -178,6 +179,23 @@ object ClusterTable {
         col("most_common_organizations").as("u_org"),
         col("earliest_date").as("u_ed"),
         col("latest_date").as("u_ld"))
+
+    // ONE driver materialization of the per-fired-cluster update rows
+    // (optimization r15, guide §1.2 — the VERDICT r14 #3 broadcast-chain
+    // collapse). The frame was ALREADY collected to the driver by the
+    // old plan's `broadcast(updates)`, so the memory bound is unchanged
+    // (fired clusters per batch × capped summary strings); what changes
+    // is the JOB SHAPE: rebuilt as a LocalRelation, the updates
+    // broadcast AND the merge anti-key broadcast below stop being
+    // scheduled jobs, and the anti keys no longer re-scan the table to
+    // re-derive (PK, SK) the driver already holds. Two broadcast-
+    // exchange jobs per micro-batch gone; zero-fired batches now skip
+    // the no-op merge pass entirely (identical rows either way — the
+    // anti join against an empty key set passed everything through).
+    val updatesRows = updatesPlan.collect()
+    if (updatesRows.isEmpty) return table
+    val updates = spark.createDataFrame(
+      java.util.Arrays.asList(updatesRows: _*), updatesPlan.schema)
 
     val newMeta = table.filter(col("row_type") === "metadata")
       .join(broadcast(updates), Seq("PK"), "inner")
@@ -190,7 +208,17 @@ object ClusterTable {
       .withColumn("summary_count", col("summary_count") + 1)
       .select(Schemas.clusters.fieldNames.map(col): _*)
 
-    merge(table, newMeta)
+    // merge(table, newMeta) with the anti keys DERIVED LOCALLY instead
+    // of broadcast-re-scanning the table: newMeta's keys are exactly
+    // (PK ∈ updates with a metadata row, "#METADATA#" + PK) — metadata
+    // SKs are constructed that way at upsert. Anti-joining on the
+    // constructed key set is row-identical even if an updates PK had no
+    // metadata row (then neither side touches it: the anti key matches
+    // nothing and newMeta carries no row).
+    val updKeys = updates.select(
+      col("PK"), concat(lit("#METADATA#"), col("PK")).as("SK"))
+    table.join(broadcast(updKeys), Seq("PK", "SK"), "left_anti")
+      .unionByName(newMeta)
   }
 
   /** A9 — the flagship UI query (reference

@@ -134,8 +134,15 @@ object ConnectedComponents {
   }
 
   /** Path-compressed union-find with min-id roots — the local fast path.
-    * O((n+m)·α) on a batch-bounded graph; result parallelized back as a
-    * small DataFrame (downstream joins broadcast it).
+    * O((n+m)·α) on a batch-bounded graph; result returned as a LOCAL
+    * relation, not a parallelized RDD (optimization r15, guide §1.2):
+    * the rows already live on the driver, and a broadcast exchange over
+    * a LocalTableScan collects driver-side without scheduling a job —
+    * the former 1-slice parallelize made every downstream
+    * `broadcast(comp)` a scheduled job (two per micro-batch in the
+    * clustering loop, ~0.1-0.2 s each of pure scheduler latency). A
+    * LocalRelation also carries real size stats, where a LogicalRDD
+    * pessimistically defaults to "huge".
     */
   private def localUnionFind(spark: SparkSession, nodes: Array[Long],
                              edges: Array[(Long, Long)]): DataFrame = {
@@ -156,9 +163,10 @@ object ConnectedComponents {
       }
     }
     edges.foreach { case (s, d) => union(s, d) }
-    val rows = nodes.map(n => org.apache.spark.sql.Row(n, find(n)))
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(
+        nodes.map(n => org.apache.spark.sql.Row(n, find(n))): _*)
+    spark.createDataFrame(rows,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("node", org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("component", org.apache.spark.sql.types.LongType, nullable = false))))

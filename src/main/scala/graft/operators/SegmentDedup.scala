@@ -104,4 +104,42 @@ object SegmentDedup {
         count(when(keep, lit(1))).as("n_kept"),
         count(lit(1)).as("n_segments"))
   }
+
+  /** WITHIN-document consecutive-repeat removal (t24): a run of
+    * identical consecutive segments collapses to its first occurrence,
+    * the document reassembled from the kept segments in order. Output:
+    * (id, cleaned, n_kept).
+    *
+    * This is a strictly per-document function, so it is computed per
+    * document (optimization r15, guide §2.4 — the winnowing-fusion
+    * discipline): the segment array stays IN-ROW and consecutive
+    * duplicates drop via an indexed `filter` lambda comparing each
+    * element to its predecessor — no explode, no doc-keyed exchange, no
+    * window sort, no regroup. The former dataflow (explode → lag window
+    * → filter → collect_list regroup) computed the identical rows
+    * through one full exchange + two sorts; RepeatStripSpec pins the
+    * fused form against an inline replica of it. The `__segs` array is
+    * referenced twice (filter input + element_at lookback), which keeps
+    * CollapseProject from inlining the transform into the lambda — the
+    * segments materialize once per row, lookback is O(1) per element.
+    */
+  def stripConsecutiveRepeats(corpus: DataFrame, idCol: String,
+                              textCol: String, segLen: Int): DataFrame = {
+    require(segLen > 0)
+    val nSeg = greatest(
+      ceil(size(col("__toks")) / lit(segLen.toDouble)).cast("int"), lit(1))
+    corpus
+      .withColumn("__toks", split(trim(col(textCol)), "\\s+"))
+      .withColumn("__segs", transform(sequence(lit(0), nSeg - 1),
+        i => array_join(slice(col("__toks"), i * segLen + 1, lit(segLen)), " ")))
+      .withColumn("__kept", filter(col("__segs"),
+        // i is the 0-based element index; element_at is 1-based, so
+        // element_at(__segs, i) IS the predecessor — guarded by when()
+        // so index 0 is never evaluated (ANSI-safe)
+        (s, i) => when(i === lit(0), lit(true))
+          .otherwise(s =!= element_at(col("__segs"), i))))
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as("cleaned"),
+        size(col("__kept")).cast("long").as("n_kept"))
+  }
 }

@@ -61,7 +61,26 @@ object StreamingPipeline {
         * analog). Touched buckets are rewritten wholesale from the
         * versioned table, so replays are idempotent and a crash mid-write
         * is repaired by the replay (self-healing). */
-      servingStore: Option[graft.operators.ClusterStore] = None)
+      servingStore: Option[graft.operators.ClusterStore] = None,
+      /** Shuffle partitions for the per-batch dataflow (None = session
+        * value). A micro-batch is bounded, so host-sized exchanges are
+        * pure scheduling overhead and every state write fans into that
+        * many files — the batch analog of the catalog drains'
+        * streamStateSession sizing (optimization r15, guide §2.2; the
+        * interleaved wrapper probe measured 32 host-sized partitions at
+        * zero benefit over 8). At real volumes a deployment raises it —
+        * this is the knob, made explicit. */
+      batchShufflePartitions: Option[Int] = None,
+      /** AQE for the per-batch dataflow. Default OFF, measured
+        * (optimization r15, the NewsPipeline r4 lesson reproduced on
+        * the wrapper: every join in the batch dataflow carries an
+        * explicit broadcast hint on its batch-bounded side, so static
+        * planning is already optimal and AQE's per-exchange stage
+        * materialization is pure scheduling overhead — the interleaved
+        * probe measured 925 → 217 jobs and ~60 → ~35 s per drain with
+        * identical results). Turn on for deployments with skewed,
+        * stats-less batch inputs. */
+      batchAdaptive: Boolean = false)
 
   def emptyPool(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Schemas.pool)
@@ -162,6 +181,25 @@ object StreamingPipeline {
     */
   def processBatch(batch: DataFrame, batchId: Long, stateDir: String,
                    cfg: Config = Config()): Unit = {
+    val spark = batch.sparkSession
+    // per-batch execution discipline (see Config.batchShufflePartitions/
+    // batchAdaptive): applied to the stream's own session for the span
+    // of the batch and restored after — foreachBatch hands us the
+    // streaming clone, but tests drive processBatch on shared sessions
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    cfg.batchShufflePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    spark.conf.set("spark.sql.adaptive.enabled", cfg.batchAdaptive.toString)
+    try processBatchInner(batch, batchId, stateDir, cfg)
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  private def processBatchInner(batch: DataFrame, batchId: Long,
+                                stateDir: String, cfg: Config): Unit = {
     val spark = batch.sparkSession
     val poolBase = s"$stateDir/pool"
     val tableBase = s"$stateDir/table"

@@ -390,14 +390,16 @@ class PlanSpec extends SparkSpec {
       s"pairwise/corpus-shuffling join in the coherence plan:\n$p")
   }
 
-  test("t24 repeat strip is ONE doc-keyed exchange — window and regroup " +
-    "share the partitioning, no join") {
+  test("t24 repeat strip is fused per document — no explode, no window, " +
+    "zero hash exchanges before the presentation sort (optimization r15)") {
     val p = plan("t24_repeat_strip")
     assert(!p.contains("Join"), s"within-doc transform must not join:\n$p")
+    assert(!p.contains("Window"), s"lag window survived the fusion:\n$p")
+    assert(!p.contains("Generate"), s"segment explode survived the fusion:\n$p")
     def countOf(hay: String, needle: String): Int =
       hay.sliding(needle.length).count(_ == needle)
-    assert(countOf(p, "Exchange hashpartitioning") == 1,
-      s"window and regroup should share the doc_id exchange:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") == 0,
+      s"hash exchange in a per-document transform:\n$p")
   }
 
   test("t25 chunking is pure map-side work — zero hash exchanges, " +
