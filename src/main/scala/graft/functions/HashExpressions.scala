@@ -180,29 +180,46 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     val s = a.asInstanceOf[UTF8String]
     val n = s.numChars() - (k - 1)
     if (n < w) return new GenericArrayData(Array.empty[Any])
-    val vs = new Array[Long](n)
+    // STREAMING sliding minimum over the v-sequence with a monotonic
+    // min-deque (optimization r15, ADVICE r14): the former form
+    // buffered vs[n] — 8 bytes per character concentrated in ONE
+    // expression evaluation, at odds with corpus-linear claims for a
+    // pathological giant document — and rescanned w values per window
+    // (O(n·w)). The deque holds ≤ w candidates (O(w) memory), each v
+    // pushed/popped at most once (O(n) total). v's are pairwise
+    // distinct (the position is packed into the low bits), so the
+    // window minimum is unique and the selection sequence is
+    // bit-identical to the rescan (WinnowingSpec pins it against the
+    // original dataflow replica).
+    val qv = new Array[Long](w) // ring: candidate v's, increasing
+    val qp = new Array[Int](w)  // ring: their positions
+    var qh = 0
+    var qt = 0 // deque = ring slots [qh, qt); size = qt - qh ≤ w
+    val out = new java.util.ArrayList[Any](math.min(n, 2 * n / w + 1))
+    var last = -1L
     var p = 1
     while (p <= n) {
       val d = Md5.digest(s.substringSQL(p, k).getBytes)
       var h = 0L
       var i = 0
       while (i < 7) { h = (h << 4) | Md5.hexNibble(d, i); i += 1 }
-      vs(p - 1) = h * 4294967296L + (4294967295L - p)
-      p += 1
-    }
-    val out = new java.util.ArrayList[Any](math.min(n, 2 * n / w + 1))
-    var last = -1L
-    var e = w
-    while (e <= n) {
-      var vmin = vs(e - w)
-      var j = e - w + 1
-      while (j < e) { if (vs(j) < vmin) vmin = vs(j); j += 1 }
-      if (out.isEmpty || vmin != last) {
-        out.add(org.apache.spark.sql.catalyst.InternalRow(
-          4294967295L - (vmin % 4294967296L), vmin >>> 32))
-        last = vmin
+      val v = h * 4294967296L + (4294967295L - p)
+      // expire the front before pushing (window for end p is
+      // [p − w + 1, p]) so the ring never exceeds w entries
+      while (qt > qh && qp(qh % w) < p - w + 1) qh += 1
+      while (qt > qh && qv((qt - 1) % w) > v) qt -= 1
+      qv(qt % w) = v
+      qp(qt % w) = p
+      qt += 1
+      if (p >= w) {
+        val vmin = qv(qh % w)
+        if (out.isEmpty || vmin != last) {
+          out.add(org.apache.spark.sql.catalyst.InternalRow(
+            4294967295L - (vmin % 4294967296L), vmin >>> 32))
+          last = vmin
+        }
       }
-      e += 1
+      p += 1
     }
     new GenericArrayData(out.toArray)
   }

@@ -112,7 +112,19 @@ object MinHashJoin {
     */
   def selfPairsEstimated(corpus: DataFrame, idCol: String, textCol: String,
                          shingleLen: Int = 3, hashes: Int = 12,
-                         bands: Int = 4): DataFrame = {
+                         bands: Int = 4): DataFrame =
+    selfPairsEstimatedWithRelease(corpus, idCol, textCol, shingleLen,
+      hashes, bands)._1
+
+  /** As [[selfPairsEstimated]], plus the release handle for the pinned
+    * signature cache (ADVICE r14: the estimated path had no release
+    * variant at all — library callers outside a dropAllPersisted-swept
+    * harness accumulated a pinned signature frame per call).
+    */
+  def selfPairsEstimatedWithRelease(corpus: DataFrame, idCol: String,
+                                    textCol: String, shingleLen: Int = 3,
+                                    hashes: Int = 12, bands: Int = 4)
+      : (DataFrame, () => Unit) = {
     require(bands > 0 && hashes % bands == 0,
       s"hashes ($hashes) must split evenly into bands ($bands)")
     val sigs = signatures(corpus, idCol, textCol, shingleLen, hashes)
@@ -120,10 +132,11 @@ object MinHashJoin {
     val agree = aggregate(
       zip_with(col("__ma"), col("__mb"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v)
-    pairs
+    val out = pairs
       .join(sigs.select(col("__id").as("a"), col("mhs").as("__ma")), "a")
       .join(sigs.select(col("__id").as("b"), col("mhs").as("__mb")), "b")
       .select(col("a"), col("b"),
         round(agree.cast("double") / lit(hashes.toDouble), 4).as("est_jaccard"))
+    (out, () => { sigs.unpersist(); () })
   }
 }
