@@ -98,9 +98,9 @@ object Winnowing {
                        maxDf: Long = 1000L): DataFrame =
     containmentPairsWithRelease(corpus, idCol, textCol, k, w, tau, maxDf)._1
 
-  /** As [[containmentPairs]], plus a release handle for the pinned
-    * fingerprint cache (harnesses may instead sweep with
-    * SparkHygiene.dropAllPersisted — the PageRank.run contract).
+  /** As [[containmentPairs]], plus a release handle (kept for API
+    * compatibility with the sibling WithRelease operators; a NO-OP since
+    * the r15 prove-or-drop removed the kept-fingerprint persist).
     */
   def containmentPairsWithRelease(corpus: DataFrame, idCol: String,
                                   textCol: String, k: Int = 8, w: Int = 4,
@@ -108,18 +108,22 @@ object Winnowing {
       : (DataFrame, () => Unit) = {
     val fps = fingerprints(corpus, idCol, textCol, k, w)
       .select(col(idCol).as("__id"), col("fp")).distinct()
-    // optimization r14: `kept` feeds three consumers (both shared-join
-    // sides and the per-doc sizes) over the winnowing pipeline —
-    // per-character rolling hashes, the df window, a distinct — and the
-    // executed plan showed the pipeline largely recomputed per consumer
-    // (20 exchanges, 3 reused). Materialize once, eagerly (concurrent
-    // consumers would race a lazy cache into duplicate materialization).
+    // `kept` feeds three consumers (both shared-join sides and the
+    // per-doc sizes). The r14 round persisted it eagerly on the grounds
+    // that the pre-fusion pipeline recomputed per consumer — but that
+    // diagnosis predated the fused fingerprint expression (the
+    // per-character explode and both window sorts are gone, so the
+    // recompute is one cheap fused pass whose exchanges dedup), and the
+    // persist measured NEUTRAL at sf0.1 (4.09 → 4.37 s) and a LOSS at
+    // 10× the corpus (D15ScaleProbe interleaved draws: persist
+    // [11.5, 9.0] vs recompute [10.0, 9.0] s) — prove-or-drop resolved
+    // to DROP (optimization r15, guide §1.1/§5: a persist that never
+    // pays for itself is pure memory pressure at 100 TB). The release
+    // handle stays a no-op for API compatibility.
     val kept = fps
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("fp"))))
       .filter(col("__df") <= maxDf)
       .select(col("__id"), col("fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    kept.count()
     val sizes = kept.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
     val shared = kept.select(col("__id").as("a"), col("fp"))
       .join(kept.select(col("__id").as("b"), col("fp")), "fp")
@@ -133,6 +137,6 @@ object Winnowing {
       .filter(col("containment") >= tau)
       .select(col("a"), col("b"), col("shared"), col("fpa"), col("fpb"),
         col("containment"))
-    (out, () => { kept.unpersist(); () })
+    (out, () => ())
   }
 }

@@ -178,7 +178,7 @@ class WinnowingSpec extends SparkSpec {
     }
   }
 
-  test("containmentPairsWithRelease pins the fingerprint index once and releases it") {
+  test("containmentPairsWithRelease leaves no pinned state behind") {
     import org.apache.spark.sql.functions.col
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val docs = (1L to 4L).map(i =>
@@ -187,17 +187,14 @@ class WinnowingSpec extends SparkSpec {
       spark.createDataFrame(docs).toDF("doc_id", "text"), "doc_id", "text",
       k = 8, w = 4, tau = 0.1, maxDf = 1000L)
     val rows = out.orderBy(col("a"), col("b")).collect()
-    // the kept-fingerprint frame is materialized while consumers read it
-    // (optimization r14 — the executed plan previously recomputed the
-    // winnowing pipeline per consumer)…
+    // the r15 prove-or-drop removed the r14 kept-fingerprint persist
+    // (D15ScaleProbe: a LOSS at 10× corpus) — construction and execution
+    // must not pin anything, with or without release()
     val during = spark.sparkContext.getPersistentRDDs.keySet
-    assert((during -- before).nonEmpty,
-      "expected the kept-fingerprint frame to be persisted")
-    // …release restores the session, and the result still computes
+    assert((during -- before).isEmpty,
+      s"containment pipeline pinned RDDs: ${during -- before}")
+    // release stays callable (no-op) and the result still computes
     release()
-    val after = spark.sparkContext.getPersistentRDDs.keySet
-    assert((after -- before).isEmpty,
-      s"release() left persistent RDDs behind: ${after -- before}")
     assert(out.orderBy(col("a"), col("b")).collect().toSeq == rows.toSeq)
   }
 }
